@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's synthetic TPC-H-ish parquet tables (TESTDATA.md).
+  *
+  * All engine queries read through here so that scale-sensitive read options
+  * live in one place. Tables are plain parquet directories/files named
+  * `<table>.parquet` under a scale-factor dir.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent
+    * (TimestampType is microseconds). We read the raw int64 nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set in [[Sessions.tune]]) and
+    * expose both the exact nanos (`ts_ns`) and a microsecond-truncated
+    * TimestampType `ts` — the same truncation DuckDB 1.x applies when it
+    * coerces TIMESTAMP_NS to its microsecond TIMESTAMP, so oracle
+    * comparisons on `ts` are exact.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast("long")))
+      case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
+  }
+
+  /** Register all tables as temp views so every operator is SQL-addressable. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    names.filterNot(_ == "events")
+      .foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
+}
+
+/** One place for session tuning shared by Verify / Bench / tests. */
+object Sessions {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      : SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+  }
+}

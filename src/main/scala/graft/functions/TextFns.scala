@@ -1,0 +1,398 @@
+package graft.functions
+
+import java.text.Normalizer
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar text functions re-expressing the reference's normalization surface
+  * (SURVEY.md §2.8). Semantics match the reference exactly where cited; each
+  * function is exposed three ways: a plain Scala function (unit-testable), a
+  * `Column` combinator, and a SQL-registered function (see [[registerAll]]).
+  *
+  * Pure column expressions are preferred (codegen'd); UDFs are used only
+  * where Java regex/Unicode work can't be expressed as builtins.
+  */
+object TextFns {
+
+  // ---------------------------------------------------------------- F1
+  /** "HH:MM:SS"/"MM:SS" (also ";" separators, empty components skipped) to
+    * a duration. Garbage/null => null. Reference:
+    * tts_data_pipeline/__init__.py:32-73 (convert_duration).
+    */
+  def convertDuration(timeStr: String, unit: String): Option[Double] = {
+    if (timeStr == null) return None
+    val cleaned = timeStr.trim.replaceAll("[;:]+", ":")
+    val parts = cleaned.split(":", -1)
+    try {
+      var total = 0L
+      var idx = 0
+      for (num <- parts.reverse) {
+        if (num.nonEmpty) {
+          total += num.trim.toLong * math.pow(60, idx).toLong
+          idx += 1
+        }
+      }
+      unit.toLowerCase match {
+        case "second" => Some(total.toDouble)
+        case "minute" => Some(round4(total / 60.0))
+        case "hour"   => Some(round4(total / 3600.0))
+        case _        => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  val durationToHoursUdf = udf((s: String) => convertDuration(s, "hour"))
+  val durationToSecondsUdf = udf((s: String) => convertDuration(s, "second"))
+  def duration_to_hours(c: Column): Column = durationToHoursUdf(c)
+
+  // ---------------------------------------------------------------- F2
+  /** NFD de-accent, strip punct except `-`/word/space, lower, every space
+    * char -> hyphen (no whitespace collapse — `str.replace(" ", "-")`).
+    * NB: NFD does not decompose Vietnamese `đ`; it survives. Reference:
+    * tts_data_pipeline/__init__.py:10-29 (normalize_name).
+    */
+  def normalizeName(name: String): String = {
+    if (name == null) return null
+    val nfd = Normalizer.normalize(name, Normalizer.Form.NFD)
+    val sb = new StringBuilder(nfd.length)
+    nfd.foreach { c =>
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+    }
+    // Python \w is unicode-aware; Java needs (?U)
+    sb.toString.replaceAll("(?U)[^\\w\\s\\-]", "").toLowerCase.replace(" ", "-")
+  }
+  val normalizeNameUdf = udf((s: String) => Option(s).map(normalizeName))
+  def normalize_name(c: Column): Column = normalizeNameUdf(c)
+
+  // ---------------------------------------------------------------- F3
+  /** Digit-by-digit Vietnamese words; < 10 => single word. Reference:
+    * pre_processing/process_all.py:224-228 (number_to_vietnamese_words).
+    */
+  private val viDigitWords = Array(
+    "không", "một", "hai", "ba", "bốn", "năm", "sáu", "bảy", "tám", "chín")
+  def viDigits(num: Long): String =
+    if (num >= 0 && num < 10) viDigitWords(num.toInt)
+    else num.toString.map(c => if (c.isDigit) viDigitWords(c - '0') else c.toString)
+      .mkString(" ")
+  val viDigitsUdf = udf((n: java.lang.Long) => Option(n).map(x => viDigits(x.longValue())))
+  def vi_digits(c: Column): Column = viDigitsUdf(c.cast("long"))
+
+  // ---------------------------------------------------------------- F4
+  /** Number-format disambiguation: "1,234.5" (comma thousands) vs "1.234,5"
+    * (dot thousands) by first-separator position. Reference:
+    * pre_processing/process_all.py:195-209 (_normalize_numbers).
+    */
+  private val numberPat =
+    Pattern.compile("\\b\\d{1,3}(?:[.,]\\d{3})*(?:[.,]\\d+)?\\b")
+  def normalizeNumberFormats(text: String): String = {
+    if (text == null) return null
+    val m = numberPat.matcher(text)
+    val sb = new StringBuilder
+    while (m.find()) {
+      val s = m.group()
+      val rep =
+        if (s.contains(",") && s.contains(".")) {
+          if (s.indexOf(',') < s.indexOf('.')) s.replace(",", "")
+          else s.replace(".", "").replace(",", ".")
+        } else s
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+  val normalizeNumberFormatsUdf = udf((s: String) => Option(s).map(normalizeNumberFormats))
+
+  // ---------------------------------------------------------------- F5
+  /** Currency canonicalization inside `<number><symbol>` spans:
+    * đ/vnđ/₫ -> VND, $ -> USD, then uppercase the span. Reference:
+    * pre_processing/process_all.py:230-241 (_normalize_currency).
+    */
+  private val currencyPat = Pattern.compile(
+    "(?iU)\\b\\d+(?:[.,]\\d+)?\\s*(?:VND|vnđ|đ|USD|\\$|€|¥|₫)\\b")
+  def normalizeCurrency(text: String): String = {
+    if (text == null) return null
+    val m = currencyPat.matcher(text)
+    val sb = new StringBuilder
+    while (m.find()) {
+      var v = m.group()
+      v = v.replace("vnđ", "VND").replace("đ", "VND")
+        .replace("$", "USD").replace("₫", "VND")
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(v.toUpperCase))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+  val normalizeCurrencyUdf = udf((s: String) => Option(s).map(normalizeCurrency))
+
+  // ---------------------------------------------------------------- F6
+  /** `d/m/y` (2-digit year: <=30 -> 20xx else 19xx) -> spoken Vietnamese
+    * "ngày D tháng M năm YYYY" with F3 digit words (year digit-by-digit).
+    * Reference: pre_processing/process_all.py:243-255 (_normalize_dates).
+    */
+  private val datePat = Pattern.compile("\\b(\\d{1,2})[/-](\\d{1,2})[/-](\\d{2,4})\\b")
+  def normalizeDates(text: String): String = {
+    if (text == null) return null
+    val m = datePat.matcher(text)
+    val sb = new StringBuilder
+    while (m.find()) {
+      val day = m.group(1).toInt
+      val month = m.group(2).toInt
+      var year = m.group(3)
+      if (year.length == 2)
+        year = (if (year.toInt <= 30) "20" else "19") + year
+      val yearWords = year.map(d => viDigitWords(d - '0')).mkString(" ")
+      val rep = s"ngày ${viDigits(day.toLong)} tháng ${viDigits(month.toLong)} năm $yearWords"
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+  val normalizeDatesUdf = udf((s: String) => Option(s).map(normalizeDates))
+
+  // ---------------------------------------------------------------- F8
+  /** ASCII punctuation strip (python string.punctuation). Native translate
+    * — codegen'd, no UDF. Reference: pre_processing/process_all.py:281-283.
+    */
+  val asciiPunct = """!"#$%&'()*+,-./:;<=>?@[\]^_`{|}~"""
+  def strip_punct(c: Column): Column = translate(c, asciiPunct, "")
+
+  // ---------------------------------------------------------------- F9
+  /** Curly quote/dash/ellipsis strip + whitespace collapse + trim.
+    * Reference: push_to_hf.py:27-49 / whisper_qc.py:100-122. */
+  def clean_quotes(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "[“”‘’–•…]", ""), "\\s+", " "))
+
+  /** Whitespace collapse + trim (used standalone in the full pipeline). */
+  def ws_collapse(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  // ---------------------------------------------------------------- F11
+  /** Whitespace word count. Reference: process_all.py:318-332. */
+  def word_count(c: Column): Column =
+    when(ws_collapse(c) === "", lit(0))
+      .otherwise(size(split(ws_collapse(c), " ")))
+
+  // ---------------------------------------------------------------- F7 (composed pipeline)
+  /** Full reference normalize pipeline (URL strip -> NFC -> number/currency/
+    * date/digit-words -> ws collapse -> lower). The underthesea step is
+    * approximated by NFC only (documented divergence, SURVEY §7.5).
+    * Reference: pre_processing/process_all.py:165-193. */
+  def normalizeText(text: String): String = {
+    if (text == null || text.isEmpty) return ""
+    var t = text.replaceAll("https?://\\S+", "")
+    t = Normalizer.normalize(t, Normalizer.Form.NFC)
+    t = normalizeNumberFormats(t)
+    t = normalizeCurrency(t)
+    t = normalizeDates(t)
+    t = numberPat.matcher(t).replaceAll { mr =>
+      val numStr = mr.group().replace(",", "").replace(".", "")
+      try viDigits(numStr.toLong)
+      catch { case _: Exception => mr.group() }
+    }
+    t.trim.replaceAll("\\s+", " ").toLowerCase
+  }
+  val normalizeTextUdf = udf((s: String) => Option(s).map(normalizeText))
+
+  // ---------------------------------------------------------------- F12
+  /** Python-repr literal parse (subset: dict/list/str/num) for CSV cells
+    * holding `{'id': 'x', 'name': "Quốc Thịnh"}`. Apostrophes inside
+    * double-quoted strings are why a real parser beats quote-swapping.
+    * Reference: __init__.py:291-292, download.py:225 (ast.literal_eval).
+    * Returns a JSON string (feed to from_json with a schema).
+    */
+  def pyLiteralToJson(s: String): String = {
+    if (s == null) return null
+    val p = new PyLiteralParser(s)
+    try p.parseToJson()
+    catch { case _: Exception => null }
+  }
+  val pyLiteralToJsonUdf = udf((s: String) => Option(s).map(pyLiteralToJson))
+
+  // --------------------------------------------------- fingerprinting
+  /** Document fingerprint: md5 of the lowercased, whitespace-collapsed text.
+    * Cheap canonical-form exact-dup key (training-data pipeline surface). */
+  def fingerprint(c: Column): Column = md5(lower(ws_collapse(c)))
+
+  // --------------------------------------------------- language id
+  /** Tiny rule-based language scorer: stopword-regex hit counts per
+    * language, argmax with alphabetical tie-break. Deterministic and
+    * SQL-expressible (oracle replicates the same CASE cascade). */
+  val langStopwords: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht)\\b",
+    "en" -> "\\b(the|a|of|and|is|to)\\b",
+    "es" -> "\\b(el|la|los|de|que|es)\\b",
+    "fr" -> "\\b(le|les|des|et|est|une)\\b",
+    "zh" -> "(的|了|是|我|不|在)")
+  def lang_scores(c: Column): Seq[(String, Column)] =
+    langStopwords.map { case (l, pat) => l -> regexp_count(c, lit(pat)) }
+  def lang_id(c: Column): Column = {
+    val scores = lang_scores(c)
+    // argmax, ties -> alphabetically first (matches oracle CASE cascade)
+    scores.foldRight(lit(scores.last._1)) { case ((l, s), elseCol) =>
+      val geAll = scores.map(_._2).map(s >= _).reduce(_ && _)
+      when(geAll, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  // --------------------------------------------------- quality scoring
+  /** Heuristic document quality score in [0,1]: length, mean word length,
+    * alpha ratio. Pure column arithmetic (SQL-expressible for the oracle). */
+  def quality_score(text: Column): Column = {
+    val words = word_count(text).cast("double")
+    val chars = length(text).cast("double")
+    val meanWordLen = when(words > 0, (chars - (words - 1)) / words).otherwise(lit(0.0))
+    val lenScore = least(words / lit(100.0), lit(1.0))
+    val wordLenScore = when(meanWordLen.between(3.0, 10.0), lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.6 + wordLenScore * 0.4, 4)
+  }
+
+  // --------------------------------------------------- token counting
+  /** BPE-ish token count: letter runs, single digits, single non-space
+    * punctuation. RE2-compatible pattern so the DuckDB oracle matches. */
+  val bpeTokenPat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def token_count(c: Column): Column = size(regexp_extract_all(c, lit(bpeTokenPat)))
+
+  /** Register UDF-backed functions for spark.sql use. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("duration_to_hours", durationToHoursUdf)
+    spark.udf.register("duration_to_seconds", durationToSecondsUdf)
+    spark.udf.register("normalize_name", normalizeNameUdf)
+    spark.udf.register("vi_digits", viDigitsUdf)
+    spark.udf.register("normalize_number_formats", normalizeNumberFormatsUdf)
+    spark.udf.register("normalize_currency", normalizeCurrencyUdf)
+    spark.udf.register("normalize_dates", normalizeDatesUdf)
+    spark.udf.register("normalize_vi", normalizeTextUdf)
+    spark.udf.register("py_literal_to_json", pyLiteralToJsonUdf)
+  }
+}
+
+/** Recursive-descent parser for the python-literal subset the reference
+  * stores in CSV cells (dicts, lists, strings with either quote, ints,
+  * floats, True/False/None). Emits JSON. (SURVEY §7.5 "F12 hard part".)
+  */
+private[functions] final class PyLiteralParser(s: String) {
+  private var i = 0
+  private def err() = throw new IllegalArgumentException(s"pyliteral at $i")
+  private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+  private def peek: Char = if (i < s.length) s.charAt(i) else ' '
+
+  def parseToJson(): String = {
+    ws(); val out = value(); ws()
+    if (i != s.length) err()
+    out
+  }
+
+  private def value(): String = peek match {
+    case '{' => dict()
+    case '[' => list()
+    case '(' => tuple()
+    case '\'' | '"' => jsonString(str())
+    case c if c.isDigit || c == '-' || c == '+' || c == '.' => number()
+    case 'T' => lit("True", "true")
+    case 'F' => lit("False", "false")
+    case 'N' => lit("None", "null")
+    case _ => err()
+  }
+
+  private def lit(py: String, js: String): String = {
+    if (!s.startsWith(py, i)) err()
+    i += py.length; js
+  }
+
+  private def number(): String = {
+    val start = i
+    if (peek == '-' || peek == '+') i += 1
+    var done = false
+    while (i < s.length && !done) {
+      val c = s.charAt(i)
+      if (c.isDigit || c == '.' || c == 'e' || c == 'E') i += 1
+      else if ((c == '+' || c == '-') && i > start &&
+        (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')) i += 1
+      else done = true
+    }
+    val tok = s.substring(start, i)
+    java.lang.Double.parseDouble(tok) // validate
+    tok
+  }
+
+  private def str(): String = {
+    val quote = peek
+    i += 1
+    val sb = new StringBuilder
+    while (i < s.length && s.charAt(i) != quote) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        val n = s.charAt(i + 1)
+        sb.append(n match {
+          case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+          case '\\' => '\\'; case '\'' => '\''; case '"' => '"'
+          case other => other
+        })
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    if (i >= s.length) err()
+    i += 1 // closing quote
+    sb.toString
+  }
+
+  private def jsonString(v: String): String =
+    "\"" + v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def dict(): String = {
+    i += 1; ws()
+    val sb = new StringBuilder("{")
+    var first = true
+    while (peek != '}') {
+      if (!first) { if (peek != ',') err(); i += 1; ws() }
+      if (peek == '}') { /* trailing comma */ }
+      else {
+        val k = peek match {
+          case '\'' | '"' => jsonString(str())
+          case _ => err()
+        }
+        ws()
+        if (peek != ':') err()
+        i += 1; ws()
+        val v = value()
+        sb.append(if (first) "" else ",").append(k).append(":").append(v)
+        first = false
+        ws()
+      }
+    }
+    i += 1
+    sb.append("}").toString
+  }
+
+  private def seq(open: Char, close: Char): String = {
+    i += 1; ws()
+    val sb = new StringBuilder("[")
+    var first = true
+    while (peek != close) {
+      if (!first) { if (peek != ',') err(); i += 1; ws() }
+      if (peek == close) { /* trailing comma */ }
+      else {
+        val v = value()
+        sb.append(if (first) "" else ",").append(v)
+        first = false
+        ws()
+      }
+    }
+    i += 1
+    sb.append("]").toString
+  }
+  private def list(): String = seq('[', ']')
+  private def tuple(): String = seq('(', ')')
+}
