@@ -19,7 +19,7 @@ object Tables {
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent
     * (TimestampType is microseconds). We read the raw int64 nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`, set in [[Sessions.tune]]) and
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set in [[Sessions.builder]]) and
     * expose both the exact nanos (`ts_ns`) and a microsecond-truncated
     * TimestampType `ts` — the same truncation DuckDB 1.x applies when it
     * coerces TIMESTAMP_NS to its microsecond TIMESTAMP, so oracle
@@ -29,8 +29,12 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // Integer division (`div`), NOT `/`: Spark's `/` on longs goes
+        // through double, and epoch nanos (~1.7e18) exceed double's 2^53
+        // exact range — ~12% of rows would come back 1 µs off. Testdata
+        // timestamps are post-epoch, so truncation == floor here.
         raw.withColumnRenamed("ts", "ts_ns")
-          .withColumn("ts", timestamp_micros(floor(col("ts_ns") / 1000L).cast("long")))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }

@@ -92,7 +92,7 @@ object TextFns {
   def normalizeNumberFormats(text: String): String = {
     if (text == null) return null
     val m = numberPat.matcher(text)
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder
     while (m.find()) {
       val s = m.group()
       val rep =
@@ -117,10 +117,13 @@ object TextFns {
   def normalizeCurrency(text: String): String = {
     if (text == null) return null
     val m = currencyPat.matcher(text)
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder
     while (m.find()) {
       var v = m.group()
-      v = v.replace("vnđ", "VND").replace("đ", "VND")
+      // Reference dict order applies "đ"->"VND" FIRST, so "vnđ" becomes
+      // "vnVND" (-> "VNVND" after upper) and the "vnđ" rule never fires.
+      // Replicated exactly (process_all.py:235-238), quirk and all.
+      v = v.replace("đ", "VND").replace("vnđ", "VND")
         .replace("$", "USD").replace("₫", "VND")
       m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(v.toUpperCase))
     }
@@ -138,7 +141,7 @@ object TextFns {
   def normalizeDates(text: String): String = {
     if (text == null) return null
     val m = datePat.matcher(text)
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder
     while (m.find()) {
       val day = m.group(1).toInt
       val month = m.group(2).toInt
@@ -231,11 +234,14 @@ object TextFns {
     langStopwords.map { case (l, pat) => l -> regexp_count(c, lit(pat)) }
   def lang_id(c: Column): Column = {
     val scores = lang_scores(c)
-    // argmax, ties -> alphabetically first (matches oracle CASE cascade)
-    scores.foldRight(lit(scores.last._1)) { case ((l, s), elseCol) =>
+    // argmax, ties -> alphabetically first (matches oracle CASE cascade);
+    // null text -> null (regexp_count(null) is null, so every when() below
+    // would be unknown and fall through to the last language otherwise).
+    val argmax = scores.foldRight(lit(scores.last._1)) { case ((l, s), elseCol) =>
       val geAll = scores.map(_._2).map(s >= _).reduce(_ && _)
       when(geAll, lit(l)).otherwise(elseCol)
     }
+    when(c.isNull, lit(null)).otherwise(argmax)
   }
 
   // --------------------------------------------------- quality scoring
@@ -254,7 +260,10 @@ object TextFns {
   /** BPE-ish token count: letter runs, single digits, single non-space
     * punctuation. RE2-compatible pattern so the DuckDB oracle matches. */
   val bpeTokenPat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
-  def token_count(c: Column): Column = size(regexp_extract_all(c, lit(bpeTokenPat)))
+  // group idx 0 (whole match) must be explicit: the 2-arg overload defaults
+  // to group 1, which throws because the pattern has no capture group.
+  def token_count(c: Column): Column =
+    size(regexp_extract_all(c, lit(bpeTokenPat), lit(0)))
 
   /** Register UDF-backed functions for spark.sql use. */
   def registerAll(spark: SparkSession): Unit = {
