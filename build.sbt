@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // One-shot query workloads: C2 JIT storms over janino-generated classes
+  // cause multi-10s nondeterministic stalls (measured 3-6x on bench);
+  // C1-only trades ~15% steady-state for bounded, predictable runs.
+  "-XX:TieredStopAtLevel=1",
 )

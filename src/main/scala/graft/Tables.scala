@@ -49,9 +49,12 @@ object Tables {
 
 /** One place for session tuning shared by Verify / Bench / tests. */
 object Sessions {
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      : SparkSession.Builder = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  private val defaultCpus: String =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors(), 32).toString)
+
+  def builder(master: String = s"local[$defaultCpus]"): SparkSession.Builder = {
+    val cpus = defaultCpus
     SparkSession.builder()
       .master(master)
       .appName("graft")

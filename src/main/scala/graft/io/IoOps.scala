@@ -1,0 +1,118 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** File sources and sinks (SURVEY §2.1 S1–S9 / K1–K8) as one thin module.
+  * Readers take explicit schemas (the engine's schema policy, SURVEY §1.3);
+  * permissiveness is opt-in via PERMISSIVE + corrupt-record quarantine.
+  *
+  * Scale notes: every reader here is a plain Spark FileFormat scan —
+  * splittable (CSV/JSON line-based), column-prunable, and
+  * filter-pushdown-capable out of the box. Single-file sinks
+  * (`coalesce(1)`) exist ONLY for fixture/export parity with the
+  * reference's one-file outputs; engine-internal stages persist
+  * partitioned Parquet.
+  */
+object IoOps {
+
+  // ------------------------------------------------------------- readers
+
+  /** S1: header CSV with explicit schema (crawler/utils.py:54). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema)
+      .option("mode", "PERMISSIVE").csv(path)
+
+  /** S2: forced-all-string CSV, empty string preserved (NOT null) —
+    * pandas dtype=str, keep_default_na=False (crawler/metadata.py:308-325).
+    * The nullValue sentinel is a char that never occurs in data. */
+  def readCsvAllString(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema)
+      .option("nullValue", "").option("emptyValue", "").csv(path)
+
+  /** S3: headerless TSV with positional schema (aeneas_batch_align.py:218). */
+  def readTsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("sep", "\t").option("header", "false").schema(schema).csv(path)
+
+  /** S4: pipe-delimited CSV (prepare_prompt_for_vnavc.py:98-114). */
+  def readPipeCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = false): DataFrame =
+    spark.read.option("sep", "|").option("header", header.toString)
+      .schema(schema).csv(path)
+
+  /** S5: multi-file pretty-JSON scan, one object per file
+    * (crawler/metadata.py:246-274). */
+  def readMultiJson(spark: SparkSession, glob: String, schema: StructType): DataFrame =
+    spark.read.option("multiLine", "true").schema(schema).json(glob)
+
+  /** S6/A11: JSONL scan; schema inferred = union of keys
+    * (file.py:69-92,142-153). */
+  def readJsonl(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.json(paths: _*)
+
+  /** S7: delimited-text-line scan, "a, b, c" per line
+    * (crawler/metadata.py:80-91). */
+  def readDelimLines(spark: SparkSession, path: String, sep: String,
+      names: Seq[String]): DataFrame = {
+    val parts = split(col("value"), java.util.regex.Pattern.quote(sep))
+    val cols = names.zipWithIndex.map { case (n, i) => parts.getItem(i).as(n) }
+    spark.read.text(path).select(cols: _*)
+  }
+
+  /** S8: raw text lines with stable 0-based line ids. `wholetext` keeps
+    * one file = one row, so line numbering is exact regardless of
+    * partitioning (for many-file corpora, numbering is per-file —
+    * matching the reference's per-book line ids). */
+  def readTextLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(posexplode(split(col("value"), "\n")).as(Seq("line_no", "line")))
+      .filter(col("line") =!= "")
+
+  /** S9: directory-tree scan — speaker/book_idx file tree to rows
+    * (whisper_qc.py:33-76). */
+  def readBinaryTree(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+      .withColumn("speaker_id", regexp_extract(col("path"), "([^/]+)/[^/]+$", 1))
+      .withColumn("book_id", regexp_extract(col("path"), "([^/]+)_\\d+\\.\\w+$", 1))
+      .withColumn("utt_idx",
+        regexp_extract(col("path"), "_(\\d+)\\.\\w+$", 1).cast("int"))
+
+  // ------------------------------------------------------------- sinks
+
+  /** K1: single-file header CSV (crawler/metadata.py:295). */
+  def writeCsv(df: DataFrame, dir: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+
+  /** K2: headerless TSV (aeneas_batch_align.py:225). */
+  def writeTsv(df: DataFrame, dir: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("sep", "\t").option("header", "false").csv(dir)
+
+  /** K3: one JSON file per row, named by `nameCol` (__init__.py:331-340).
+    * Executor-side foreach writer — rows never collect to the driver. */
+  def writeJsonPerRow(df: DataFrame, nameCol: String, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val named = df.select(col(nameCol).cast("string").as("__name"),
+      to_json(struct(df.columns.map(col): _*)).as("__json"))
+    named.foreach { r =>
+      val p = java.nio.file.Paths.get(dir, r.getString(0) + ".json")
+      java.nio.file.Files.write(p,
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+  }
+
+  /** K4: JSONL sink, append mode (prepare_prompt_for_vnavc.py:120-136). */
+  def writeJsonl(df: DataFrame, dir: String, append: Boolean = false): Unit =
+    df.coalesce(1).write.mode(if (append) "append" else "overwrite").json(dir)
+
+  /** K8: pipe-CSV sink (prepare_prompt_for_vnavc.py:219-224). */
+  def writePipeCsv(df: DataFrame, dir: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("sep", "|").option("header", "false").csv(dir)
+
+  /** K5: text-lines sink, one column one line (process_all.py:351-356). */
+  def writeTextLines(df: DataFrame, column: String, dir: String): Unit =
+    df.select(col(column)).coalesce(1).write.mode("overwrite").text(dir)
+}

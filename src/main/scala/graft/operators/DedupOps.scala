@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (canonical-form hash), MinHash+LSH banding, SimHash, and n-gram
+  * Jaccard — all built from codegen'd column expressions (no UDFs) and
+  * all md5-keyed so a SQL oracle can replicate them bit-for-bit.
+  *
+  * Scale shapes:
+  *   - exact dedup: one shuffle on the 128-bit fingerprint; map-side
+  *     nothing to combine, but the key is tiny regardless of doc size.
+  *   - MinHash/LSH: signatures are computed scan-side (per-row, no
+  *     shuffle), then ONE shuffle on (band, band-signature). Candidate
+  *     pairs only ever meet inside a bucket — there is no all-pairs
+  *     product anywhere, which is what makes near-dup feasible at 100 TB.
+  *   - SimHash: same shape with a prefix-block join.
+  *   - n-gram Jaccard: quadratic WITHIN a caller-chosen block only; the
+  *     caller must provide a blocking column (use LSH for unblocked data).
+  */
+object DedupOps {
+
+  /** Exact dedup: keep the lowest-`orderCol` row per canonical-text
+    * fingerprint. */
+  def exactDedup(df: DataFrame, textCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy("__fp").orderBy(col(orderCol))
+    df.withColumn("__fp", TextFns.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumnRenamed("__fp", "fingerprint")
+  }
+
+  /** Character k-shingles of `text` (at least one shingle even for short
+    * strings — mirrors the greatest(…,1) in the oracle SQL). */
+  def shingles(textCol: String, k: Int): Column =
+    expr(s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+      s"j -> substring($textCol, j, $k))")
+
+  /** MinHash signature: numHashes mins over md5('<i>:<shingle>'). The
+    * "hash family" is md5 with the function index baked into the input —
+    * deterministic, seedless, and reproducible in any engine with md5.
+    *
+    * Computed EXPLODED, not as nested array lambdas: higher-order
+    * functions are interpreted (no whole-stage codegen), so
+    * transform-inside-transform over hundreds of shingles is ~100×
+    * slower than exploding shingles to rows, projecting numHashes flat
+    * codegen'd md5 columns, and min-aggregating (map-side partials keep
+    * the shuffle at numHashes×32 bytes per doc). */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(textCol, shingleK)).as("__sh"))
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("__sh")))).as(s"mh$i"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: candidate near-dup pairs (idA < idB) that share at least
+    * one band signature. One shuffle on (band, sig) to group buckets, pairs
+    * generated inside each bucket — no cartesian, no recomputing self-join. */
+  def minHashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 8, bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(df, idCol, textCol, shingleK, numHashes)
+    val bandCols = (0 until bands).map(b =>
+      md5(concat_ws("", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)))
+    val banded = sigs.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    pairsWithinBuckets(banded, idCol, Seq("band", "sig"))
+  }
+
+  /** Group rows by bucket keys and emit all (a < b) id pairs inside each
+    * bucket, deduplicated. The bucket member lists are sorted so pair
+    * generation is deterministic; bucket size bounds the quadratic blowup
+    * (LSH parameters control expected bucket size). */
+  private[operators] def pairsWithinBuckets(
+      df: DataFrame, idCol: String, bucketCols: Seq[String]): DataFrame =
+    df.groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ids) - 1), " +
+        "i -> transform(slice(ids, i + 1, size(ids) - i), " +
+        "x -> struct(element_at(ids, i) as id_a, x as id_b))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+  /** SimHash bit-string fingerprint (bits chars of '0'/'1'): per token,
+    * md5-parity votes ±1 on each bit; bit set iff the vote sum >= 0.
+    * Integer vote sums are order-independent, so partial aggregation and
+    * SQL oracles agree exactly. */
+  def simHash(textCol: String, bits: Int = 16): Column = {
+    val toks = s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"
+    expr(s"concat_ws('', transform(sequence(0, ${bits - 1}), i -> " +
+      s"case when aggregate($toks, 0, (acc, t) -> acc + " +
+      s"(ascii(substring(md5(concat(t, ':', cast(i as string))), 1, 1)) % 2) * 2 - 1) >= 0 " +
+      s"then '1' else '0' end))")
+  }
+
+  /** SimHash fingerprints computed EXPLODED (same codegen rationale as
+    * [[minHashSignatures]]): one row per token, `bits` flat ±1 vote
+    * columns, summed per doc (integer sums — order-independent), bit i
+    * set iff vote sum >= 0. Docs with zero tokens keep an all-'1' hash
+    * via explode_outer + zero votes. */
+  def simHashes(df: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode_outer(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+        .as("__tok"))
+    val votes = (0 until bits).map { i =>
+      sum(when(col("__tok").isNull, 0).otherwise(
+        (ascii(substring(md5(concat(col("__tok"), lit(":"), lit(i.toString))), 1, 1)) % 2) * 2 - 1))
+        .as(s"v$i")
+    }
+    val bitCols = (0 until bits).map(i =>
+      when(col(s"v$i") >= 0, lit("1")).otherwise(lit("0")))
+    exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), concat(bitCols: _*).as("sim"))
+  }
+
+  /** SimHash near-dup pairs: block on the first prefixBits bits (one
+    * shuffle on the block key), then exact Hamming distance <= maxHamming
+    * within blocks. Pairs differing inside the prefix are missed — that is
+    * the standard recall/cost trade; run b permutations for full recall. */
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, prefixBits: Int = 8, maxHamming: Int = 3): DataFrame = {
+    val withSim = simHashes(df, idCol, textCol, bits)
+      .withColumn("block", substring(col("sim"), 1, prefixBits))
+    // pairs generated inside buckets (single shuffle, no self-join recompute)
+    withSim.groupBy(col("block"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sim")))).as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(items) - 1), " +
+        "i -> transform(slice(items, i + 1, size(items) - i), " +
+        "x -> struct(element_at(items, i) as a, x as b))))")).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        expr(s"aggregate(sequence(1, $bits), 0, (acc, i) -> acc + " +
+          "if(substring(p.a.sim, i, 1) = substring(p.b.sim, i, 1), 0, 1))")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram (word-set) Jaccard pairs within a blocking column. Jaccard
+    * computed as |A∩B| / (|A|+|B|-|A∩B|) over DISTINCT token sets so both
+    * engines divide the same two integers. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val toks = array_distinct(
+      expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+    val prepped = df.select(col(idCol), col(blockCol).as("block"), toks.as("toks"))
+    val a = prepped.toDF("id_a", "block", "toks_a")
+    val b = prepped.toDF("id_b", "block", "toks_b")
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{DedupOps, SimilarityOps}
+
+/** LLM-training-data operators: exact + near dedup and similarity search,
+  * as named queries over `documents` / `embeddings` with DuckDB oracles.
+  *
+  * Near-dup corpora are augmented with planted near-duplicates (same
+  * construction in both engines) so the candidate-pair outputs are
+  * non-trivially non-empty and fully deterministic.
+  */
+object DedupQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** documents ∪ planted near-dups (200-char prefix keeps the md5 volume
+    * sane in both engines; the operator itself has no such limit). */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 200).as("t"))
+    val planted = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("lang"),
+        concat(col("t"), lit(" near dup tail")).as("t"))
+    d.unionByName(planted)
+  }
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, lang, substr(text, 1, 200) AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lang, substr(text, 1, 200) || ' near dup tail'
+      |  FROM documents WHERE doc_id % 20 = 0)
+      |""".stripMargin
+
+  // ------------------------------------------------------------ exact
+
+  private val dedupExact: Q = (s, dir) =>
+    DedupOps.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("fingerprint"))
+      .orderBy("doc_id")
+  private val dedupExactSql =
+    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      |FROM documents
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |  ORDER BY doc_id) = 1
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ minhash
+
+  private val dedupMinhash: Q = (s, dir) =>
+    DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
+        shingleK = 5, numHashes = 8, bands = 2)
+      .orderBy("id_a", "id_b")
+  private val dedupMinhashSql =
+    "WITH " + corpusCte +
+    """, sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(8), i ->
+      |      list_min(list_transform(
+      |        list_transform(range(1, greatest(length(t) - 4, 1) + 1), j -> substr(t, j, 5)),
+      |        sh -> md5(CAST(i AS VARCHAR) || ':' || sh)))) AS mh
+      |  FROM corpus),
+      |bands AS (
+      |  SELECT doc_id, CAST(b.i AS INT) AS band,
+      |    md5(array_to_string(mh[b.i * 4 + 1 : b.i * 4 + 4], '')) AS s
+      |  FROM sig, range(2) b(i))
+      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------ simhash
+
+  private val dedupSimhash: Q = (s, dir) =>
+    DedupOps.simHashPairs(corpus(s, dir), "doc_id", "t",
+        bits = 16, prefixBits = 8, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  private val dedupSimhashSql =
+    "WITH " + corpusCte +
+    """, sims AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(range(16), i ->
+      |      CASE WHEN list_sum(list_transform(
+      |             regexp_extract_all(lower(t), '[a-z]+'),
+      |             tok -> (ascii(substr(md5(tok || ':' || CAST(i AS VARCHAR)), 1, 1)) % 2) * 2 - 1)) >= 0
+      |           THEN '1' ELSE '0' END), '') AS sim
+      |  FROM corpus),
+      |blocked AS (SELECT doc_id, sim, substr(sim, 1, 8) AS block FROM sims)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(list_sum(list_transform(range(1, 17),
+      |    i -> CASE WHEN substr(a.sim, i, 1) = substr(b.sim, i, 1) THEN 0 ELSE 1 END)) AS INT) AS hamming
+      |FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+      |WHERE list_sum(list_transform(range(1, 17),
+      |    i -> CASE WHEN substr(a.sim, i, 1) = substr(b.sim, i, 1) THEN 0 ELSE 1 END)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------ jaccard
+
+  private val dedupJaccard: Q = (s, dir) =>
+    DedupOps.ngramJaccardPairs(corpus(s, dir), "doc_id", "t", "lang", 0.6)
+      .orderBy("id_a", "id_b")
+  private val dedupJaccardSql =
+    "WITH " + corpusCte +
+    """, toksets AS (
+      |  SELECT doc_id, lang, list_distinct(regexp_extract_all(lower(t), '[a-z]+')) AS toks
+      |  FROM corpus)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.toks, b.toks)) /
+      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+      |  FROM toksets a JOIN toksets b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |WHERE jaccard >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------ embedding near-dup
+
+  private def embCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val planted = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
+    e.select("vec_id", "embedding", "label").unionByName(planted)
+  }
+  private val embCorpusCte =
+    """ecorp AS (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 25 = 0)
+      |""".stripMargin
+  // strict left-fold dot/norm (list_reduce ≡ Spark aggregate-with-0.0-init)
+  private def sqlDot(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, 65), j -> CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE)), (x, y) -> x + y)"
+  private def sqlNorm(a: String) = s"sqrt(${sqlDot(a, a)})"
+
+  private val embNearDup: Q = (s, dir) =>
+    SimilarityOps.cosineNearDupPairs(embCorpus(s, dir), "vec_id", "embedding",
+        "label", 0.999)
+      .orderBy("id_a", "id_b")
+  private val embNearDupSql =
+    "WITH " + embCorpusCte +
+    s""", prepped AS (SELECT vec_id, label, embedding AS v, ${sqlNorm("embedding")} AS nrm FROM ecorp)
+      |SELECT id_a, id_b FROM (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
+      |  FROM prepped a JOIN prepped b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |WHERE cosine >= 0.999
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------ ANN
+
+  private val annBrute: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    SimilarityOps.bruteTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 10)
+      .orderBy("q_id", "rank")
+  }
+  private val annBruteSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, ${sqlNorm("embedding")} AS qn
+       |           FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv, ${sqlNorm("embedding")} AS cn FROM embeddings),
+       |scored AS (
+       |  SELECT q_id, c_id, ${sqlDot("qv", "cv")} / (qn * cn) AS cosine
+       |  FROM q, c WHERE q_id <> c_id)
+       |SELECT q_id, c_id, rank FROM (
+       |  SELECT q_id, c_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  private val annBucketed: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    SimilarityOps.bucketedTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", 5, nPlanes = 8, dim = 64)
+      .orderBy("q_id", "rank")
+  }
+  private val annBucketedSql =
+    s"""WITH planes AS (
+       |  SELECT i, list_transform(range(64), j ->
+       |    (ascii(substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS p
+       |  FROM range(8) t(i)),
+       |bkt AS (
+       |  SELECT vec_id, string_agg(
+       |      CASE WHEN list_reduce(list_transform(range(1, 65),
+       |             j -> CAST(e.embedding[j] AS DOUBLE) * p[j]), (x, y) -> x + y) >= 0
+       |           THEN '1' ELSE '0' END, '' ORDER BY i) AS bucket
+       |  FROM embeddings e, planes GROUP BY vec_id),
+       |v AS (SELECT e.vec_id, bucket, embedding AS vv, ${sqlNorm("embedding")} AS nrm
+       |      FROM embeddings e JOIN bkt ON e.vec_id = bkt.vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${sqlDot("q.vv", "c.vv")} / (q.nrm * c.nrm) AS cosine
+       |  FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 20)
+       |SELECT q_id, c_id, rank FROM (
+       |  SELECT q_id, c_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_lsh" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupJaccard,
+    "emb_near_dup" -> embNearDup,
+    "ann_brute_topk" -> annBrute,
+    "ann_bucketed_topk" -> annBucketed)
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_lsh" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_ngram_jaccard" -> dedupJaccardSql,
+    "emb_near_dup" -> embNearDupSql,
+    "ann_brute_topk" -> annBruteSql,
+    "ann_bucketed_topk" -> annBucketedSql)
+}

@@ -1,0 +1,311 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.io.IoOps
+import graft.operators.MultimodalOps
+
+/** Source/sink coverage (SURVEY §2.1): each query materializes a fixture
+  * from the driver's tables through the matching K-sink, reads it back
+  * through the matching S-reader, and the oracle reads the SAME files with
+  * DuckDB's readers — so both the write and read paths are checked.
+  */
+object IoQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val fixRoot = "/tmp/graft_fixtures"
+  private def fixDir(name: String): String = {
+    val p = Paths.get(fixRoot, name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach((f: Path) => Files.delete(f))
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  // ---------------------------------------------------------- S1 + K1
+  private val s1: Q = (s, dir) => {
+    val d = fixDir("s1_csv")
+    IoOps.writeCsv(t(s, dir, "nation"), d)
+    IoOps.readCsv(s, d + "/*.csv", StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))))
+      .orderBy("n_nationkey")
+  }
+  private val s1Sql =
+    s"""SELECT * FROM read_csv('$fixRoot/s1_csv/*.csv', header=true,
+       |  columns={'n_nationkey':'INTEGER','n_name':'VARCHAR','n_regionkey':'INTEGER'})
+       |ORDER BY n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------- S2
+  /** Forced-all-string CSV where empty cells survive as '' (pandas
+    * keep_default_na=False), not null. */
+  private val s2: Q = (s, dir) => {
+    val d = fixDir("s2_csv_str")
+    val src = t(s, dir, "customer").select(
+      col("c_custkey").cast("string").as("k"),
+      when(col("c_custkey") % 7 === 0, lit("")).otherwise(col("c_name")).as("name"),
+      col("c_mktsegment").as("seg"))
+    IoOps.writeCsv(src, d)
+    IoOps.readCsvAllString(s, d + "/*.csv", StructType(Seq(
+        StructField("k", StringType),
+        StructField("name", StringType),
+        StructField("seg", StringType))))
+      .orderBy(col("k").cast("long"))
+  }
+  private val s2Sql =
+    s"""SELECT * FROM read_csv('$fixRoot/s2_csv_str/*.csv', header=true, nullstr='\\x01',
+       |  columns={'k':'VARCHAR','name':'VARCHAR','seg':'VARCHAR'})
+       |ORDER BY CAST(k AS BIGINT)""".stripMargin
+
+  // ---------------------------------------------------------- S3 + K2
+  private val s3: Q = (s, dir) => {
+    val d = fixDir("s3_tsv")
+    val segs = t(s, dir, "lineitem").filter(col("l_orderkey") % 40 === 0)
+      .select(((col("l_orderkey") % 1000).cast("double") / 10).as("start"),
+        ((col("l_orderkey") % 1000).cast("double") / 10 +
+          (col("l_quantity") / 10)).as("end"),
+        concat(lit("f"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("id"))
+    IoOps.writeTsv(segs, d)
+    IoOps.readTsv(s, d + "/*.csv", StructType(Seq(
+        StructField("start", DoubleType),
+        StructField("end", DoubleType),
+        StructField("id", StringType))))
+      .orderBy("id")
+  }
+  private val s3Sql =
+    s"""SELECT * FROM read_csv('$fixRoot/s3_tsv/*.csv', delim='\\t', header=false,
+       |  columns={'start':'DOUBLE','end':'DOUBLE','id':'VARCHAR'})
+       |ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------- S4 + K8
+  private val s4: Q = (s, dir) => {
+    val d = fixDir("s4_pipe")
+    val lj = t(s, dir, "orders").select(
+      concat(lit("wavs/"), col("o_orderkey"), lit(".wav")).as("audio"),
+      col("o_orderpriority").as("text"),
+      concat(lit("spk"), col("o_custkey") % 10).as("speaker"))
+    IoOps.writePipeCsv(lj, d)
+    IoOps.readPipeCsv(s, d + "/*.csv", StructType(Seq(
+        StructField("audio", StringType),
+        StructField("text", StringType),
+        StructField("speaker", StringType))))
+      .orderBy("audio")
+  }
+  private val s4Sql =
+    s"""SELECT * FROM read_csv('$fixRoot/s4_pipe/*.csv', delim='|', header=false,
+       |  columns={'audio':'VARCHAR','text':'VARCHAR','speaker':'VARCHAR'})
+       |ORDER BY audio""".stripMargin
+
+  // ---------------------------------------------------------- S5 + K3
+  private val s5: Q = (s, dir) => {
+    val d = fixDir("s5_json")
+    val src = t(s, dir, "nation")
+      .select(concat(lit("n"), col("n_nationkey")).as("name"),
+        col("n_nationkey"), col("n_regionkey"))
+    IoOps.writeJsonPerRow(src, "name", d)
+    IoOps.readMultiJson(s, d + "/*.json", StructType(Seq(
+        StructField("name", StringType),
+        StructField("n_nationkey", LongType),
+        StructField("n_regionkey", LongType))))
+      .orderBy("n_nationkey")
+  }
+  private val s5Sql =
+    s"""SELECT name, n_nationkey, n_regionkey
+       |FROM read_json('$fixRoot/s5_json/*.json',
+       |  columns={'name':'VARCHAR','n_nationkey':'BIGINT','n_regionkey':'BIGINT'})
+       |ORDER BY n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------- S6 + K4
+  private val s6: Q = (s, dir) => {
+    val d = fixDir("s6_jsonl")
+    IoOps.writeJsonl(t(s, dir, "supplier"), d)
+    IoOps.readJsonl(s, d + "/*.json")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+  private val s6Sql =
+    s"""SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+       |FROM read_json('$fixRoot/s6_jsonl/*.json')
+       |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------- A11 (jsonl schema union)
+  private val a11: Q = (s, dir) => {
+    val da = fixDir("a11_a"); val db = fixDir("a11_b")
+    IoOps.writeJsonl(t(s, dir, "supplier")
+      .select(col("s_suppkey").as("id"), col("s_name").as("name")), da)
+    // second file carries {id, bal}; first {id, name} -> union-of-keys schema
+    IoOps.writeJsonl(t(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
+      .select((col("c_custkey") + 500000).as("id"), col("c_acctbal").as("bal")), db)
+    IoOps.readJsonl(s, da + "/*.json", db + "/*.json")
+      .select("id", "name", "bal")
+      .orderBy("id")
+  }
+  private val a11Sql =
+    s"""SELECT id, name, bal
+       |FROM read_json(['$fixRoot/a11_a/*.json', '$fixRoot/a11_b/*.json'],
+       |  columns={'id':'BIGINT','name':'VARCHAR','bal':'DOUBLE'}, union_by_name=true)
+       |ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------- S7 + K5
+  private val s7: Q = (s, dir) => {
+    val d = fixDir("s7_lines")
+    val lines = t(s, dir, "nation").select(concat(
+      col("n_name"), lit(", url_"), col("n_nationkey"), lit(", src")).as("line"))
+    IoOps.writeTextLines(lines, "line", d)
+    IoOps.readDelimLines(s, d, ", ", Seq("audio_url", "text_url", "source"))
+      .orderBy("audio_url")
+  }
+  private val s7Sql =
+    s"""SELECT split_part(line, ', ', 1) AS audio_url, split_part(line, ', ', 2) AS text_url,
+       |  split_part(line, ', ', 3) AS source
+       |FROM read_csv('$fixRoot/s7_lines/*.txt', delim='\\t', header=false, columns={'line':'VARCHAR'})
+       |ORDER BY audio_url""".stripMargin
+
+  // ---------------------------------------------------------- S8
+  private val s8: Q = (s, dir) => {
+    val d = fixDir("s8_textlines")
+    val lines = t(s, dir, "documents").filter(col("doc_id") < 50)
+      .orderBy("doc_id")
+      .select(concat(lit("d"), col("doc_id"), lit("|"),
+        substring(regexp_replace(col("text"), "[|\n]", " "), 1, 40)).as("line"))
+    IoOps.writeTextLines(lines, "line", d)
+    IoOps.readTextLines(s, d + "/*.txt")
+      .select(col("line_no"),
+        regexp_extract(col("line"), "^d(\\d+)\\|", 1).cast("bigint").as("doc_id"),
+        col("line"))
+      .orderBy("doc_id")
+  }
+  // line_no must equal the written order (docs were written ordered by id)
+  private val s8Sql =
+    s"""SELECT CAST(row_number() OVER (ORDER BY CAST(regexp_extract(line, '^d(\\d+)\\|', 1) AS BIGINT)) - 1 AS INT) AS line_no,
+       |  CAST(regexp_extract(line, '^d(\\d+)\\|', 1) AS BIGINT) AS doc_id, line
+       |FROM read_csv('$fixRoot/s8_textlines/*.txt', delim=chr(1), header=false, columns={'line':'VARCHAR'})
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- S9 fixture
+  private def genTree(base: String): Unit =
+    (0 until 30).foreach { k =>
+      val spk = Paths.get(base, s"spk${k % 3}")
+      Files.createDirectories(spk)
+      Files.write(spk.resolve(s"b${k % 5}_$k.txt"),
+        s"payload-$k-${"x" * (k % 7)}".getBytes(StandardCharsets.US_ASCII))
+    }
+
+  private val s9: Q = (s, dir) => {
+    val d = fixDir("s9_tree")
+    genTree(d)
+    IoOps.readBinaryTree(s, d + "/*/*.txt")
+      .select(col("speaker_id"), col("book_id"), col("utt_idx"),
+        length(col("content")).cast("bigint").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("speaker_id", "utt_idx")
+  }
+  private val s9Sql =
+    s"""SELECT regexp_extract(filename, '([^/]+)/[^/]+$$', 1) AS speaker_id,
+       |  regexp_extract(filename, '([^/]+)_\\d+\\.\\w+$$', 1) AS book_id,
+       |  CAST(regexp_extract(filename, '_(\\d+)\\.\\w+$$', 1) AS INT) AS utt_idx,
+       |  octet_length(content) AS n_bytes,
+       |  md5(CAST(content AS VARCHAR)) AS content_md5
+       |FROM read_blob('$fixRoot/s9_tree/*/*.txt')
+       |ORDER BY speaker_id, utt_idx""".stripMargin
+
+  // ---------------------------------------------------------- multimodal
+  private def genWavs(base: String): Unit =
+    (0 until 12).foreach { k =>
+      val ch = 1 + k % 2
+      val sr = if (k % 3 == 0) 16000 else 24000
+      val nSamples = 100L + k * 37
+      val dataBytes = (nSamples * ch * 2).toInt
+      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataBytes)
+        .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+        .put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+        .putShort(1).putShort(ch.toShort).putInt(sr)
+        .putInt(sr * ch * 2).putShort((ch * 2).toShort).putShort(16)
+        .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataBytes)
+      (0 until dataBytes / 2).foreach(i => bb.putShort(((i * 7 + k) % 32768).toShort))
+      Files.write(Paths.get(base, s"sr${sr}_ch${ch}_$k.wav"), bb.array())
+    }
+
+  /** Real RIFF header parsing over binary files; the oracle checks against
+    * filename-encoded ground truth + byte-size arithmetic. */
+  private val mmWav: Q = (s, dir) => {
+    val d = fixDir("mm_wav")
+    genWavs(d)
+    val files = s.read.format("binaryFile").load(d + "/*.wav")
+    MultimodalOps.wavProbe(files, "path", "content")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("channels"), col("sample_rate"), col("bits_per_sample"),
+        col("n_samples"), col("duration_s"))
+      .orderBy("fname")
+  }
+  private val mmWavSql =
+    s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+       |  CAST(regexp_extract(filename, '_ch(\\d+)_', 1) AS INT) AS channels,
+       |  CAST(regexp_extract(filename, 'sr(\\d+)_', 1) AS INT) AS sample_rate,
+       |  16 AS bits_per_sample,
+       |  (octet_length(content) - 44) // (CAST(regexp_extract(filename, '_ch(\\d+)_', 1) AS INT) * 2) AS n_samples,
+       |  CAST((octet_length(content) - 44) // (CAST(regexp_extract(filename, '_ch(\\d+)_', 1) AS INT) * 2) AS DOUBLE)
+       |    / CAST(regexp_extract(filename, 'sr(\\d+)_', 1) AS INT) AS duration_s
+       |FROM read_blob('$fixRoot/mm_wav/*.wav')
+       |ORDER BY fname""".stripMargin
+
+  private val mmBin: Q = (s, dir) => {
+    val d = fixDir("mm_bin")
+    genTree(d)
+    val files = s.read.format("binaryFile").load(d + "/*/*.txt")
+    MultimodalOps.binaryFeatures(files, "path", "content")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("n_bytes"), col("content_md5"), col("head"))
+      .orderBy("fname")
+  }
+  private val mmBinSql =
+    s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+       |  octet_length(content) AS n_bytes,
+       |  md5(CAST(content AS VARCHAR)) AS content_md5,
+       |  substr(CAST(content AS VARCHAR), 1, 16) AS head
+       |FROM read_blob('$fixRoot/mm_bin/*/*.txt')
+       |ORDER BY fname""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "io_s1_csv" -> s1,
+    "io_s2_csv_forced_string" -> s2,
+    "io_s3_tsv" -> s3,
+    "io_s4_pipe_csv" -> s4,
+    "io_s5_json_files" -> s5,
+    "io_s6_jsonl" -> s6,
+    "io_a11_jsonl_union" -> a11,
+    "io_s7_delim_lines" -> s7,
+    "io_s8_text_lines" -> s8,
+    "io_s9_binary_tree" -> s9,
+    "mm_wav_probe" -> mmWav,
+    "mm_bin_features" -> mmBin)
+
+  val oracle: Map[String, String] = Map(
+    "io_s1_csv" -> s1Sql,
+    "io_s2_csv_forced_string" -> s2Sql,
+    "io_s3_tsv" -> s3Sql,
+    "io_s4_pipe_csv" -> s4Sql,
+    "io_s5_json_files" -> s5Sql,
+    "io_s6_jsonl" -> s6Sql,
+    "io_a11_jsonl_union" -> a11Sql,
+    "io_s7_delim_lines" -> s7Sql,
+    "io_s8_text_lines" -> s8Sql,
+    "io_s9_binary_tree" -> s9Sql,
+    "mm_wav_probe" -> mmWavSql,
+    "mm_bin_features" -> mmBinSql)
+}

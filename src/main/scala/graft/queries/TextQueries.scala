@@ -1,0 +1,413 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Scalar-function surface (SURVEY §2.8) + text-analysis operators
+  * (lang-id, quality, token count, fingerprint) as named queries with
+  * DuckDB oracles. Inputs are synthesized from the driver's tables in
+  * controlled shapes so every UDF's behavior is SQL-replicable exactly
+  * (the same construction appears in both engines).
+  */
+object TextQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Vietnamese digit words as a DuckDB CTE (mirrors TextFns.viDigitWords). */
+  private val vwCte =
+    """vw AS (SELECT ['không','một','hai','ba','bốn','năm','sáu','bảy','tám','chín'] AS w)"""
+  // two-digit spoken number (reference digit-by-digit style, n in 0..99)
+  private def sqlTwoDigit(n: String) =
+    s"CASE WHEN $n < 10 THEN w[$n + 1] ELSE w[$n // 10 + 1] || ' ' || w[$n % 10 + 1] END"
+
+  // ---------------------------------------------------------- 2.8-F1
+  /** Duration parse incl. ';' separator cleanup and garbage -> null.
+    * Whole-minute durations keep the 4-decimal round off .5 boundaries. */
+  private val fnDur: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val h = (col("o_orderkey") % 12).cast("int")
+    val m = (col("o_custkey") % 60).cast("int")
+    o.withColumn("dur_str",
+        when(col("o_orderkey") % 11 === 0, lit("garbage"))
+          .when(col("o_orderkey") % 7 === 0, format_string("%d;%02d", h, m))
+          .otherwise(format_string("%d:%02d:00", h, m)))
+      .select(col("o_orderkey"), col("dur_str"),
+        TextFns.duration_to_hours(col("dur_str")).as("hours"))
+      .orderBy("o_orderkey")
+  }
+  // "%d;%02d" parses as 2 parts [h, m] -> m + 60h SECONDS (the reference's
+  // MM:SS reading of 2-part strings), then /3600 for hours.
+  private val fnDurSql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 11 = 0 THEN 'garbage'
+      |       WHEN o_orderkey % 7 = 0 THEN printf('%d;%02d', o_orderkey % 12, o_custkey % 60)
+      |       ELSE printf('%d:%02d:00', o_orderkey % 12, o_custkey % 60) END AS dur_str,
+      |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+      |       WHEN o_orderkey % 7 = 0 THEN round(((o_custkey % 60) + 60 * (o_orderkey % 12)) / 3600.0, 4)
+      |       ELSE round(((o_orderkey % 12) * 3600 + (o_custkey % 60) * 60) / 3600.0, 4) END AS hours
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------- 2.8-F2
+  /** normalize_name over ASCII names (strip punct except -, lower,
+    * space->hyphen; NFD de-accent is a no-op on ASCII). */
+  private val fnName: Q = (s, dir) =>
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        TextFns.normalize_name(concat(col("p_name"), lit("#x!"))).as("norm"))
+      .orderBy("p_partkey")
+  private val fnNameSql =
+    """SELECT p_partkey, p_name,
+      |  replace(lower(regexp_replace(p_name || '#x!', '[^\w \t-]', '', 'g')), ' ', '-') AS norm
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------- 2.8-F3
+  private val fnDigits: Q = (s, dir) =>
+    t(s, dir, "lineitem").filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"),
+        col("l_quantity").cast("long").as("n"),
+        TextFns.vi_digits(col("l_quantity").cast("long")).as("spoken"))
+      .orderBy("l_orderkey")
+  private val fnDigitsSql =
+    "WITH " + vwCte + ", base AS (" +
+    "SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS n FROM lineitem WHERE l_linenumber = 1)" +
+    s"""
+      |SELECT l_orderkey, n, ${sqlTwoDigit("n")} AS spoken
+      |FROM base, vw ORDER BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------- 2.8-F4
+  /** Number-format disambiguation on controlled '1,234.56' / '1.234,56'
+    * inputs — both normalize to '1234.56'. */
+  private val fnNumFmt: Q = (s, dir) => {
+    val p = t(s, dir, "part")
+    val th = format_string("%03d", (col("p_partkey") % 1000).cast("int"))
+    val fr = format_string("%02d", (col("p_size") % 90 + 10).cast("int"))
+    p.withColumn("raw",
+        when(col("p_partkey") % 2 === 0,
+          concat(lit("gia 1,"), th, lit("."), fr, lit(" xong")))
+          .otherwise(concat(lit("gia 1."), th, lit(","), fr, lit(" xong"))))
+      .select(col("p_partkey"), col("raw"),
+        TextFns.normalizeNumberFormatsUdf(col("raw")).as("norm"))
+      .orderBy("p_partkey")
+  }
+  private val fnNumFmtSql =
+    """SELECT p_partkey,
+      |  CASE WHEN p_partkey % 2 = 0
+      |    THEN 'gia 1,' || printf('%03d', p_partkey % 1000) || '.' || printf('%02d', p_size % 90 + 10) || ' xong'
+      |    ELSE 'gia 1.' || printf('%03d', p_partkey % 1000) || ',' || printf('%02d', p_size % 90 + 10) || ' xong' END AS raw,
+      |  'gia 1' || printf('%03d', p_partkey % 1000) || '.' || printf('%02d', p_size % 90 + 10) || ' xong' AS norm
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------- 2.8-F5
+  /** Currency canonicalization incl. the reference's đ-before-vnđ quirk
+    * ('N vnđ' -> 'N VNVND'). */
+  private val fnCurrency: Q = (s, dir) => {
+    val sup = t(s, dir, "supplier")
+    val num = (col("s_suppkey") * 7 % 1000).cast("string")
+    sup.withColumn("raw",
+        when(col("s_suppkey") % 3 === 0, concat(num, lit(" vnđ")))
+          .when(col("s_suppkey") % 3 === 1, concat(num, lit("đ")))
+          .otherwise(concat(num, lit(" VND"))))
+      .select(col("s_suppkey"), col("raw"),
+        TextFns.normalizeCurrencyUdf(col("raw")).as("norm"))
+      .orderBy("s_suppkey")
+  }
+  private val fnCurrencySql =
+    """SELECT s_suppkey,
+      |  CASE WHEN s_suppkey % 3 = 0 THEN CAST(s_suppkey * 7 % 1000 AS VARCHAR) || ' vnđ'
+      |       WHEN s_suppkey % 3 = 1 THEN CAST(s_suppkey * 7 % 1000 AS VARCHAR) || 'đ'
+      |       ELSE CAST(s_suppkey * 7 % 1000 AS VARCHAR) || ' VND' END AS raw,
+      |  CASE WHEN s_suppkey % 3 = 0 THEN CAST(s_suppkey * 7 % 1000 AS VARCHAR) || ' VNVND'
+      |       WHEN s_suppkey % 3 = 1 THEN CAST(s_suppkey * 7 % 1000 AS VARCHAR) || 'VND'
+      |       ELSE CAST(s_suppkey * 7 % 1000 AS VARCHAR) || ' VND' END AS norm
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------- 2.8-F6
+  /** d/m/yy date -> spoken Vietnamese, 2-digit year pivot <=30 -> 20xx. */
+  private val fnDates: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    o.withColumn("dstr", format_string("%d/%d/%02d",
+        dayofmonth(col("o_orderdate")), month(col("o_orderdate")),
+        (col("o_orderkey") % 100).cast("int")))
+      .select(col("o_orderkey"), col("dstr"),
+        TextFns.normalizeDatesUdf(col("dstr")).as("spoken"))
+      .orderBy("o_orderkey")
+  }
+  private val sqlYearWords =
+    "w[y // 1000 + 1] || ' ' || w[(y // 100) % 10 + 1] || ' ' || w[(y // 10) % 10 + 1] || ' ' || w[y % 10 + 1]"
+  private val sqlSpokenDate =
+    s"'ngày ' || ${sqlTwoDigit("d")} || ' tháng ' || ${sqlTwoDigit("m")} || ' năm ' || $sqlYearWords"
+
+  private val fnDatesSql =
+    "WITH " + vwCte + """, base AS (
+      |  SELECT o_orderkey,
+      |    CAST(date_part('day', o_orderdate) AS INT) AS d,
+      |    CAST(date_part('month', o_orderdate) AS INT) AS m,
+      |    CAST(o_orderkey % 100 AS INT) AS yy
+      |  FROM orders),
+      |yb AS (SELECT *, CASE WHEN yy <= 30 THEN 2000 + yy ELSE 1900 + yy END AS y FROM base)
+      |SELECT o_orderkey, printf('%d/%d/%02d', d, m, yy) AS dstr,
+      |""".stripMargin +
+    s"  $sqlSpokenDate AS spoken\nFROM yb, vw ORDER BY o_orderkey"
+
+  // ---------------------------------------------------------- 2.8-F7
+  /** Full normalize pipeline on a controlled Vietnamese sentence: URL
+    * strip -> number/date normalization -> digit words -> collapse/lower. */
+  private val fnPipeline: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val q = (col("o_custkey") % 90 + 10).cast("int") // 2-digit
+    val n3 = format_string("%03d", (col("o_orderkey") % 1000).cast("int"))
+    o.withColumn("raw", concat(
+        lit("Xem http://ex.vn/a Hôm nay "),
+        format_string("%d/%d/%02d", dayofmonth(col("o_orderdate")),
+          month(col("o_orderdate")), (col("o_orderkey") % 100).cast("int")),
+        lit(" tôi có "), q, lit(" quyển, giá 1,"), n3, lit(" đồng")))
+      .select(col("o_orderkey"), col("raw"),
+        TextFns.normalizeTextUdf(col("raw")).as("norm"))
+      .orderBy("o_orderkey")
+  }
+  private val fnPipelineSql =
+    "WITH " + vwCte + """, base AS (
+      |  SELECT o_orderkey,
+      |    CAST(date_part('day', o_orderdate) AS INT) AS d,
+      |    CAST(date_part('month', o_orderdate) AS INT) AS m,
+      |    CAST(o_orderkey % 100 AS INT) AS yy,
+      |    CAST(o_custkey % 90 + 10 AS INT) AS q,
+      |    printf('%03d', o_orderkey % 1000) AS n3
+      |  FROM orders),
+      |yb AS (SELECT *, CASE WHEN yy <= 30 THEN 2000 + yy ELSE 1900 + yy END AS y FROM base)
+      |SELECT o_orderkey,
+      |  'Xem http://ex.vn/a Hôm nay ' || printf('%d/%d/%02d', d, m, yy)
+      |    || ' tôi có ' || q || ' quyển, giá 1,' || n3 || ' đồng' AS raw,
+      |""".stripMargin +
+    s"  'xem hôm nay ' || $sqlSpokenDate || ' tôi có ' || ${sqlTwoDigit("q")}" +
+    " || ' quyển, giá ' || w[2] || ' ' || w[CAST(n3[1] AS INT) + 1] || ' ' || w[CAST(n3[2] AS INT) + 1] || ' ' || w[CAST(n3[3] AS INT) + 1] || ' đồng' AS norm" +
+    "\nFROM yb, vw ORDER BY o_orderkey"
+
+  // ---------------------------------------------------------- 2.8-F8
+  private val fnPunct: Q = (s, dir) =>
+    t(s, dir, "part")
+      .withColumn("raw", concat(lit("a.b,c- "), col("p_type"), lit("!?")))
+      .select(col("p_partkey"), col("raw"),
+        TextFns.strip_punct(col("raw")).as("stripped"))
+      .orderBy("p_partkey")
+  private val fnPunctSql =
+    """SELECT p_partkey, 'a.b,c- ' || p_type || '!?' AS raw,
+      |  translate('a.b,c- ' || p_type || '!?', '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', '') AS stripped
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------- 2.8-F9
+  private val fnQuotes: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .withColumn("raw",
+        concat(lit("“ "), regexp_replace(col("c_name"), "#", " # "), lit(" ”–…")))
+      .select(col("c_custkey"), col("raw"),
+        TextFns.clean_quotes(col("raw")).as("cleaned"))
+      .orderBy("c_custkey")
+  private val fnQuotesSql =
+    """SELECT c_custkey, '“ ' || replace(c_name, '#', ' # ') || ' ”–…' AS raw,
+      |  trim(regexp_replace(regexp_replace('“ ' || replace(c_name, '#', ' # ') || ' ”–…', '[“”‘’–•…]', '', 'g'), '\s+', ' ', 'g')) AS cleaned
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------- 2.8-F10
+  /** Sentence tokenize as a generator: text -> (idx, sentence) rows. */
+  private val fnSent: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(text, '[^.!?]+[.!?]?', 0)"))
+          .as(Seq("sent_idx", "sentence")))
+      .orderBy("doc_id", "sent_idx")
+  private val fnSentSql =
+    """SELECT doc_id, CAST(gs - 1 AS INT) AS sent_idx, s AS sentence FROM (
+      |  SELECT doc_id, unnest(arr) AS s, generate_subscripts(arr, 1) AS gs
+      |  FROM (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]?') AS arr FROM documents) t)
+      |ORDER BY doc_id, sent_idx""".stripMargin
+
+  // ---------------------------------------------------------- 2.8-F11
+  private val fnWc: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFns.word_count(col("text")).cast("bigint").as("wc"))
+      .orderBy("doc_id")
+  private val fnWcSql =
+    """SELECT doc_id,
+      |  CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+      |       ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS wc
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- 2.8-F12
+  /** Python-literal parse incl. apostrophe inside a double-quoted string. */
+  private val fnPyLit: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val k = col("c_custkey")
+    c.withColumn("raw", concat(
+        lit("{'id': 'c"), k, lit("', 'name': \"O'Brien-"), k,
+        lit("\", 'age': "), (k % 99), lit(", 'ok': "),
+        when(k % 2 === 0, lit("True")).otherwise(lit("False")),
+        lit(", 'tags': ['x', 'y'], 'score': "), (k % 9), lit(".5}")))
+      .select(k, col("raw"), TextFns.pyLiteralToJsonUdf(col("raw")).as("json"))
+      .orderBy("c_custkey")
+  }
+  private val fnPyLitSql =
+    """SELECT c_custkey,
+      |  '{''id'': ''c' || c_custkey || ''', ''name'': "O''Brien-' || c_custkey
+      |    || '", ''age'': ' || (c_custkey % 99) || ', ''ok'': '
+      |    || CASE WHEN c_custkey % 2 = 0 THEN 'True' ELSE 'False' END
+      |    || ', ''tags'': [''x'', ''y''], ''score'': ' || (c_custkey % 9) || '.5}' AS raw,
+      |  '{"id":"c' || c_custkey || '","name":"O''Brien-' || c_custkey
+      |    || '","age":' || (c_custkey % 99) || ',"ok":'
+      |    || CASE WHEN c_custkey % 2 = 0 THEN 'true' ELSE 'false' END
+      |    || ',"tags":["x","y"],"score":' || (c_custkey % 9) || '.5}' AS json
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------- 2.8-F13
+  /** Variable-length array -> fixed wide columns (narrator expansion). */
+  private val fnWide: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    c.withColumn("narrators", expr(
+        "transform(sequence(1, 1 + cast(c_custkey % 3 as int)), " +
+        "i -> concat('n', c_custkey, '_', i))"))
+      .select(col("c_custkey"),
+        expr("try_element_at(narrators, 1)").as("narrator_1"),
+        expr("try_element_at(narrators, 2)").as("narrator_2"),
+        expr("try_element_at(narrators, 3)").as("narrator_3"))
+      .orderBy("c_custkey")
+  }
+  private val fnWideSql =
+    """SELECT c_custkey, arr[1] AS narrator_1, arr[2] AS narrator_2, arr[3] AS narrator_3
+      |FROM (SELECT c_custkey,
+      |        list_transform(range(1, 2 + CAST(c_custkey % 3 AS INT)),
+      |          i -> 'n' || c_custkey || '_' || i) AS arr
+      |      FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------- 2.8-F14
+  /** url -> filename/stem/ext parsing with the reference's '.mp3' default. */
+  private val fnUrl: Q = (s, dir) => {
+    val p = t(s, dir, "part")
+    val fname = when(col("p_partkey") % 4 === 0,
+        concat(regexp_replace(col("p_name"), " ", "-")))
+      .otherwise(concat(regexp_replace(col("p_name"), " ", "-"), lit(".pdf")))
+    p.withColumn("url", concat(lit("https://host/dir/"), fname))
+      .select(col("p_partkey"), col("url"),
+        regexp_extract(col("url"), "([^/]+)$", 1).as("fname"),
+        regexp_extract(regexp_extract(col("url"), "([^/]+)$", 1), "^([^.]*)", 1).as("stem"),
+        when(regexp_extract(col("url"), "([^/]+)$", 1).contains("."),
+          regexp_extract(col("url"), "(\\.[^./]*)$", 1))
+          .otherwise(lit(".mp3")).as("ext"))
+      .orderBy("p_partkey")
+  }
+  private val fnUrlSql =
+    """SELECT p_partkey, url,
+      |  regexp_extract(url, '([^/]+)$', 1) AS fname,
+      |  regexp_extract(regexp_extract(url, '([^/]+)$', 1), '^([^.]*)', 1) AS stem,
+      |  CASE WHEN contains(regexp_extract(url, '([^/]+)$', 1), '.')
+      |       THEN regexp_extract(url, '(\.[^./]*)$', 1) ELSE '.mp3' END AS ext
+      |FROM (SELECT p_partkey,
+      |        'https://host/dir/' || replace(p_name, ' ', '-')
+      |          || CASE WHEN p_partkey % 4 = 0 THEN '' ELSE '.pdf' END AS url
+      |      FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
+  // ------------------------------------------------- text analysis ops
+
+  private val tLang: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(TextFns.lang_id(col("text")).as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("pred_lang")
+  private val tLangSql = {
+    val scores = TextFns.langStopwords.map { case (l, pat) =>
+      s"len(regexp_extract_all(text, '$pat')) AS s_$l"
+    }.mkString(", ")
+    val langs = TextFns.langStopwords.map(_._1)
+    val cascade = langs.dropRight(1).map { l =>
+      val ge = langs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT pred_lang, COUNT(*) AS n FROM (
+       |  SELECT CASE WHEN text IS NULL THEN NULL $cascade ELSE '${langs.last}' END AS pred_lang
+       |  FROM (SELECT text, $scores FROM documents))
+       |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+  }
+
+  private val tQuality: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFns.quality_score(col("text")).as("quality"))
+      .orderBy("doc_id")
+  private val tQualitySql =
+    """SELECT doc_id,
+      |  round(least(words / 100.0, 1.0) * 0.6 +
+      |        CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END * 0.4, 4) AS quality
+      |FROM (SELECT doc_id, words,
+      |        CASE WHEN words > 0 THEN (chars - (words - 1)) / words ELSE 0.0 END AS mwl
+      |      FROM (SELECT doc_id,
+      |              CAST(CASE WHEN trim(regexp_replace(text, '\s+', ' ', 'g')) = '' THEN 0
+      |                   ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS DOUBLE) AS words,
+      |              CAST(length(text) AS DOUBLE) AS chars
+      |            FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  private val tTok: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFns.token_count(col("text")).cast("bigint").as("n_tokens"))
+      .orderBy("doc_id")
+  private val tTokSql =
+    s"""SELECT doc_id, len(regexp_extract_all(text, '${TextFns.bpeTokenPat.replace("\\", "\\")}')) AS n_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val tFp: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  private val tFpSql =
+    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "fn_duration_hours" -> fnDur,
+    "fn_normalize_name" -> fnName,
+    "fn_vi_digits" -> fnDigits,
+    "fn_number_format" -> fnNumFmt,
+    "fn_currency" -> fnCurrency,
+    "fn_dates" -> fnDates,
+    "fn_normalize_pipeline" -> fnPipeline,
+    "fn_strip_punct" -> fnPunct,
+    "fn_clean_quotes" -> fnQuotes,
+    "fn_sentence_tokenize" -> fnSent,
+    "fn_word_count" -> fnWc,
+    "fn_py_literal" -> fnPyLit,
+    "fn_narrator_wide" -> fnWide,
+    "fn_url_parse" -> fnUrl,
+    "t_lang_id" -> tLang,
+    "t_quality" -> tQuality,
+    "t_token_count" -> tTok,
+    "t_fingerprint" -> tFp)
+
+  val oracle: Map[String, String] = Map(
+    "fn_duration_hours" -> fnDurSql,
+    "fn_normalize_name" -> fnNameSql,
+    "fn_vi_digits" -> fnDigitsSql,
+    "fn_number_format" -> fnNumFmtSql,
+    "fn_currency" -> fnCurrencySql,
+    "fn_dates" -> fnDatesSql,
+    "fn_normalize_pipeline" -> fnPipelineSql,
+    "fn_strip_punct" -> fnPunctSql,
+    "fn_clean_quotes" -> fnQuotesSql,
+    "fn_sentence_tokenize" -> fnSentSql,
+    "fn_word_count" -> fnWcSql,
+    "fn_py_literal" -> fnPyLitSql,
+    "fn_narrator_wide" -> fnWideSql,
+    "fn_url_parse" -> fnUrlSql,
+    "t_lang_id" -> tLangSql,
+    "t_quality" -> tQualitySql,
+    "t_token_count" -> tTokSql,
+    "t_fingerprint" -> tFpSql)
+}
