@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY §2.10): the reference is
+  * batch-only but has incremental arrive-and-process structure (each
+  * stage consumes the files the previous stage produced, re-runs skip
+  * existing outputs). The idiomatic Spark mapping is the file source
+  * with `Trigger.AvailableNow` + checkpointed, idempotent sinks: a
+  * re-run processes only files not yet recorded in the checkpoint —
+  * exactly the reference's existence-check semantics, but transactional.
+  */
+object FileStream {
+
+  /** Incremental parquet stage: stream `transform(source)` into a parquet
+    * directory, processing only not-yet-seen files, then return. */
+  def runStageAvailableNow(
+      spark: SparkSession, srcGlob: String, schema: StructType,
+      transform: DataFrame => DataFrame,
+      outPath: String, checkpoint: String): Unit = {
+    val in = spark.readStream.schema(schema).parquet(srcGlob)
+    val q = transform(in).writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Event-time windowed counts with a watermark — the streaming-native
+    * shape of the reference's per-stage success/fail counters (§2.4 A5).
+    * Late rows beyond the watermark are dropped by the engine; state for
+    * closed windows is reclaimed, which is what keeps this viable on an
+    * unbounded stream. */
+  def windowedEventCounts(
+      events: DataFrame, tsCol: String, typeCol: String,
+      window: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Spark-backed specs for the operator library: merge semantics, corpus
+  * WER, dedup, similarity, regrouping — the SURVEY §5.2 risk list. */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ WerAgg
+  test("WerAgg.levenshtein: word-level edit distance") {
+    def lev(a: String, b: String) =
+      WerAgg.levenshtein(a.split(" ").filter(_.nonEmpty), b.split(" ").filter(_.nonEmpty))
+    assert(lev("a b c", "a b c") == 0)
+    assert(lev("a b c", "a x c") == 1)
+    assert(lev("a b c", "b c") == 1)
+    assert(lev("", "a b") == 2)
+    assert(lev("a b", "") == 2)
+  }
+
+  test("WerAgg: corpus WER is sum-of-edits over sum-of-ref-words, NOT mean of per-row WERs") {
+    // row 1: 1 edit / 1 word (WER 100%); row 2: 0 edits / 9 words (WER 0%)
+    // mean-of-WERs would be 50; corpus WER = 1/10 = 10.
+    val df = Seq(
+      ("g", "x", "y"),
+      ("g", "a b c d e f g h i", "a b c d e f g h i")).toDF("g", "ref", "hyp")
+    val out = df.groupBy("g").agg(WerAgg.asUdaf($"ref", $"hyp").as("wer"))
+      .collect()(0).getDouble(1)
+    assert(out == 10.0)
+  }
+
+  test("WerAgg: empty reference contributes hyp length as edits") {
+    val df = Seq(("g", "", "a b")).toDF("g", "ref", "hyp")
+    val out = df.groupBy("g").agg(WerAgg.asUdaf($"ref", $"hyp").as("wer"))
+      .collect()(0).getDouble(1)
+    assert(out == 0.0) // zero ref words -> defined as 0, no div-by-zero
+  }
+
+  // ---------------------------------------------------------- MergeOps
+  test("MergeOps.upsert: explicit null in update OVERWRITES base (dict-merge semantics)") {
+    val base = Seq(("a", Option(1.0), "x"), ("b", Option(2.0), "y")).toDF("k", "v", "o")
+    val upd = Seq(("a", None: Option[Double]), ("c", Option(9.0))).toDF("k", "v")
+    for (bc <- Seq(false, true)) {
+      val out = MergeOps.upsert(base, upd, Seq("k"), Seq("v"), broadcastUpdates = bc)
+        .orderBy("k").collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+      assert(out.toSeq == Seq(
+        ("a", None, Some("x")),      // matched: null update wins, other col kept
+        ("b", Some(2.0), Some("y")), // unmatched base row untouched
+        ("c", Some(9.0), None)))     // inserted; non-update col null
+    }
+  }
+
+  test("MergeOps.upsert: insertDefaults fill non-update columns on inserts only") {
+    val base = Seq(("a", Option(1.0), "x")).toDF("k", "v", "o")
+    val upd = Seq(("c", Option(9.0))).toDF("k", "v")
+    val out = MergeOps.upsert(base, upd, Seq("k"), Seq("v"),
+        insertDefaults = Map("o" -> lit("dflt")))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getString(2)))
+    assert(out.toSeq == Seq(("a", "x"), ("c", "dflt")))
+  }
+
+  // ---------------------------------------------------------- EncodeOps
+  test("EncodeOps.dictEncode: dense labels in value order, join preserves rows") {
+    val df = Seq(("r1", "b"), ("r2", "a"), ("r3", "b")).toDF("id", "seg")
+    val out = EncodeOps.dictEncode(df, "seg", "lbl")
+      .orderBy("id").collect().map(r => (r.getAs[String]("id"), r.getAs[Long]("lbl")))
+    assert(out.toSeq == Seq(("r1", 2L), ("r2", 1L), ("r3", 2L)))
+  }
+
+  // ---------------------------------------------------------- DedupOps
+  test("DedupOps.exactDedup: keeps lowest-order row per canonical form") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "different")).toDF("id", "t")
+    // ws-collapse + lowercase canonicalization makes 1 and 2 duplicates
+    val kept = DedupOps.exactDedup(df, "t", "id").select("id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("DedupOps.minHashLshPairs: planted near-dup is found, distinct pairs") {
+    val docs = (0L until 20L).map(i => (i, s"document number $i with some shared text corpus " * 3))
+    val planted = Seq((100L, docs(5)._2 + " tail"))
+    val df = (docs ++ planted).toDF("id", "t")
+    val pairs = DedupOps.minHashLshPairs(df, "id", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((5L, 100L)))
+    assert(pairs.distinct.length == pairs.length)
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("DedupOps.simHashes: identical docs share hash; zero-token doc gets all-ones") {
+    val df = Seq((1L, "same words here"), (2L, "same words here"), (3L, "12345 !!!"))
+      .toDF("id", "t")
+    val sims = DedupOps.simHashes(df, "id", "t", 16)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims(3L) == "1" * 16)
+  }
+
+  test("DedupOps.ngramJaccardPairs: exact blocks, threshold respected") {
+    val df = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "alpha beta gamma epsilon"),
+      (3L, "en", "totally unrelated words here"),
+      (4L, "de", "alpha beta gamma delta")).toDF("id", "lang", "t")
+    val pairs = DedupOps.ngramJaccardPairs(df, "id", "t", "lang", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L))) // 3/5 = 0.6; cross-lang blocked
+  }
+
+  // ------------------------------------------------------ SimilarityOps
+  test("SimilarityOps.bruteTopK: identical vector ranks first") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f)),   // identical to query 0
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val top = SimilarityOps.bruteTopK(vecs.filter($"vec_id" === 0), vecs,
+        "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(top.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("SimilarityOps.lshBucket: deterministic bit-string of plane count length") {
+    val vecs = Seq((0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val buckets = vecs.select(SimilarityOps.lshBucket("embedding").as("b"))
+      .as[String].collect()
+    assert(buckets(0).length == 8 && buckets(0).forall(c => c == '0' || c == '1'))
+    assert(buckets(0) == buckets(1))
+  }
+
+  test("SimilarityOps.planeSign matches the md5-parity formula") {
+    // ascii(first hex char of md5("0_0")) parity -> ±1; stable across engines
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("0_0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (md5hex.charAt(0).toInt % 2) * 2 - 1
+    assert(SimilarityOps.planeSign(0, 0) == expected)
+  }
+
+  // -------------------------------------------------------- RegroupOps
+  private def regroup(sentWcs: Seq[(String, Int)], threshold: Int) = {
+    val rows = sentWcs.zipWithIndex.map { case ((s, wc), i) => (1L, i + 1, s, wc) }
+    RegroupOps.regroupSentences(
+      rows.toDF("doc", "rn", "sent", "wc"), "doc", "rn", "sent", "wc", threshold)
+      .orderBy("grp_idx")
+      .collect().map(r => (r.getString(2), r.getLong(3)))
+  }
+
+  test("RegroupOps: emits group the moment accumulated wc reaches threshold") {
+    val out = regroup(Seq(("a" -> 8), ("b" -> 8), ("c" -> 8), ("d" -> 12)).map(identity), 20)
+    // a+b=16 < 20; +c=24 >= 20 -> emit "a b c"; d=12 >= 10 tail kept
+    assert(out.toSeq == Seq(("a b c", 24L), ("d", 12L)))
+  }
+
+  test("RegroupOps: tail below threshold/2 is DROPPED (the //2 rule)") {
+    val out = regroup(Seq(("a" -> 20), ("b" -> 9)), 20)
+    assert(out.toSeq == Seq(("a", 20L))) // tail wc 9 < 10 dropped
+  }
+
+  test("RegroupOps: tail exactly threshold/2 is kept") {
+    val out = regroup(Seq(("a" -> 20), ("b" -> 10)), 20)
+    assert(out.toSeq == Seq(("a", 20L), ("b", 10L)))
+  }
+
+  test("RegroupOps: odd threshold uses integer division for the tail rule") {
+    // threshold 21 -> tail kept iff >= 10 (21/2 = 10)
+    val out = regroup(Seq(("a" -> 21), ("b" -> 10)), 21)
+    assert(out.toSeq == Seq(("a", 21L), ("b", 10L)))
+  }
+
+  test("RegroupOps: out-of-order input is sorted by the order column") {
+    val rows = Seq((1L, 2, "second", 15), (1L, 1, "first", 15))
+    val out = RegroupOps.regroupSentences(
+      rows.toDF("doc", "rn", "sent", "wc"), "doc", "rn", "sent", "wc", 20)
+      .collect().map(_.getString(2))
+    assert(out.toSeq == Seq("first second"))
+  }
+}
