@@ -37,11 +37,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ IoQueries.queries ++ StatefulQueries.queries
+      DedupQueries.queries ++ IoQueries.queries ++
+      StatefulQueries.queries ++ MiscQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++
-      DedupQueries.oracle ++ IoQueries.oracle ++ StatefulQueries.oracle
+      DedupQueries.oracle ++ IoQueries.oracle ++
+      StatefulQueries.oracle ++ MiscQueries.oracle
 }

@@ -75,8 +75,11 @@ object IoOps {
     spark.read.format("binaryFile").load(glob)
       .withColumn("speaker_id", regexp_extract(col("path"), "([^/]+)/[^/]+$", 1))
       .withColumn("book_id", regexp_extract(col("path"), "([^/]+)_\\d+\\.\\w+$", 1))
+      // nullif: regexp_extract yields '' on no-match (bad stems, F9),
+      // which ANSI-mode cast would reject
       .withColumn("utt_idx",
-        regexp_extract(col("path"), "_(\\d+)\\.\\w+$", 1).cast("int"))
+        nullif(regexp_extract(col("path"), "_(\\d+)\\.\\w+$", 1), lit(""))
+          .cast("int"))
 
   // ------------------------------------------------------------- sinks
 

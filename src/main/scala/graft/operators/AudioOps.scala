@@ -1,0 +1,100 @@
+package graft.operators
+
+/** Float-array audio DSP kernels (SURVEY §2.1 S11 / §2.4 A10 / §3.2):
+  * the reference's librosa/numpy pipeline re-expressed as pure JVM
+  * functions over `Array[Float]` — usable inside typed Dataset ops or
+  * wrapped as UDFs. Resampling is linear-interpolation (documented
+  * approximation of librosa's polyphase filter, SURVEY §7.5); peak
+  * normalization and concat are exact.
+  */
+object AudioOps {
+
+  /** 16-bit little-endian PCM decode of a wav's data chunk (canonical
+    * 44-byte header) -> mono float32 in [-1, 1) + sample rate. Real byte
+    * parsing — the stand-in for mp3 decode, which needs external codecs
+    * (stubbed behind pipeline Externals). */
+  def decodePcm16Wav(bytes: Array[Byte]): (Array[Float], Int) = {
+    def le16(o: Int) = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (bytes(o) & 0xff).toLong | ((bytes(o + 1) & 0xff).toLong << 8) |
+      ((bytes(o + 2) & 0xff).toLong << 16) | ((bytes(o + 3) & 0xff).toLong << 24)
+    val sr = le32(24).toInt
+    val channels = math.max(le16(22), 1)
+    val dataBytes = math.min(le32(40), (bytes.length - 44).toLong).toInt
+    val n = dataBytes / 2 / channels
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      // mono mixdown: average channels (librosa mono=True semantics)
+      var acc = 0.0f
+      var c = 0
+      while (c < channels) {
+        val off = 44 + (i * channels + c) * 2
+        val s = ((bytes(off) & 0xff) | (bytes(off + 1) << 8)).toShort
+        acc += s / 32768.0f
+        c += 1
+      }
+      out(i) = acc / channels
+      i += 1
+    }
+    (out, sr)
+  }
+
+  /** Peak-normalize to `target` of full scale (process_all.py:400-407):
+    * scale so max |x| == target; silent/empty audio passes through. */
+  def peakNormalize(samples: Array[Float], target: Float = 0.95f): Array[Float] = {
+    var peak = 0.0f
+    var i = 0
+    while (i < samples.length) {
+      val a = math.abs(samples(i)); if (a > peak) peak = a; i += 1
+    }
+    if (peak == 0.0f) samples
+    else {
+      val k = target / peak
+      val out = new Array[Float](samples.length)
+      i = 0
+      while (i < samples.length) { out(i) = samples(i) * k; i += 1 }
+      out
+    }
+  }
+
+  /** Linear-interpolation resample srIn -> srOut (approximates librosa's
+    * polyphase resampler, process_all.py:394-398). Identity when rates
+    * match. */
+  def linearResample(samples: Array[Float], srIn: Int, srOut: Int): Array[Float] = {
+    if (srIn == srOut || samples.isEmpty) return samples
+    val n = math.max(1, math.round(samples.length.toLong * srOut / srIn.toDouble).toInt)
+    val out = new Array[Float](n)
+    val step = (samples.length - 1).toDouble / math.max(n - 1, 1)
+    var i = 0
+    while (i < n) {
+      val pos = i * step
+      val lo = pos.toInt
+      val hi = math.min(lo + 1, samples.length - 1)
+      val frac = (pos - lo).toFloat
+      out(i) = samples(lo) * (1 - frac) + samples(hi) * frac
+      i += 1
+    }
+    out
+  }
+
+  /** Ordered concat (np.concatenate, process_all.py:428). */
+  def concatParts(parts: Seq[Array[Float]]): Array[Float] = {
+    val out = new Array[Float](parts.map(_.length).sum)
+    var off = 0
+    parts.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
+    out
+  }
+
+  def durationSeconds(nSamples: Int, sr: Int): Double =
+    if (sr <= 0) 0.0 else nSamples.toDouble / sr
+
+  /** Slice [startSec, endSec) — the ffmpeg `-ss/-t -c copy` segment cut
+    * done as an array slice (semantically identical, far cheaper than one
+    * subprocess per segment; SURVEY §3.3). */
+  def sliceSeconds(samples: Array[Float], sr: Int,
+      startSec: Double, endSec: Double): Array[Float] = {
+    val from = math.max(0, math.min((startSec * sr).toInt, samples.length))
+    val until = math.max(from, math.min((endSec * sr).toInt, samples.length))
+    java.util.Arrays.copyOfRange(samples, from, until)
+  }
+}

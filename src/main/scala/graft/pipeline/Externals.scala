@@ -1,0 +1,56 @@
+package graft.pipeline
+
+/** Boundary for the reference's non-relational stages (SURVEY §2.9
+  * "external-process map", FIXTURES.md §10): HTTP fetch, PDF text
+  * extraction, audio codec, forced alignment, ASR. Production would bind
+  * real clients/models per partition; tests bind [[StubExternals]] —
+  * deterministic fakes with the same signatures, so the surrounding
+  * Spark plumbing (mapPartitions shape, schemas, partitioning) is
+  * exercised for real.
+  */
+trait Externals extends Serializable {
+  /** Crawler metadata fetch (crawler/metadata.py:94-180). */
+  def fetchBookMetadata(url: String): BookMeta
+  /** PDF -> text (process_all.py:265-279, PyMuPDF). */
+  def extractPdfText(bytes: Array[Byte]): String
+  /** Compressed-audio decode (librosa.load, process_all.py:382-392);
+    * wav/PCM is decoded natively by AudioOps. */
+  def decodeAudio(bytes: Array[Byte]): (Array[Float], Int)
+  /** ASR transcription (whisper_qc.py:285-307). */
+  def transcribe(samples: Array[Float], refText: String): String
+}
+
+final case class BookMeta(
+  name: String, author: String, durationStr: String,
+  narrators: Seq[(String, String)], // (name, url)
+  audioUrls: Seq[String], textUrl: String)
+
+/** Deterministic fakes keyed on input content — reproducible across runs
+  * and engines, no IO. */
+object StubExternals extends Externals {
+  private def hash(s: String): Int = math.abs(s.hashCode) % 1000
+
+  override def fetchBookMetadata(url: String): BookMeta = {
+    val h = hash(url)
+    BookMeta(
+      name = s"Book Tựa $h",
+      author = s"Author $h",
+      durationStr = f"${h % 12}%d:${h % 60}%02d:00",
+      narrators = (0 to h % 3).map(i => (s"Narrator $h-$i", s"http://n/$h/$i")),
+      audioUrls = (1 to 1 + h % 3).map(i => s"$url/part$i.mp3"),
+      textUrl = s"$url/book.pdf")
+  }
+
+  override def extractPdfText(bytes: Array[Byte]): String =
+    // fixture "PDFs" are ASCII payloads; real impl would bind PDFBox here
+    new String(bytes, java.nio.charset.StandardCharsets.US_ASCII)
+
+  override def decodeAudio(bytes: Array[Byte]): (Array[Float], Int) =
+    graft.operators.AudioOps.decodePcm16Wav(bytes)
+
+  /** Drops every 7th word — a fixed, content-independent corruption so
+    * corpus WER is exactly predictable on both sides of the QC gate. */
+  override def transcribe(samples: Array[Float], refText: String): String =
+    refText.split("\\s+").zipWithIndex
+      .collect { case (w, i) if i % 7 != 6 => w }.mkString(" ")
+}
