@@ -35,11 +35,16 @@ object DedupOps {
       .withColumnRenamed("__fp", "fingerprint")
   }
 
-  /** Character k-shingles of `text` (at least one shingle even for short
-    * strings — mirrors the greatest(…,1) in the oracle SQL). */
+  /** Word k-gram shingles (lowercased alnum tokens). Word shingles over
+    * char shingles is a volume decision: ~5x fewer shingle rows per doc
+    * for the same near-dup recall on natural text — and shingle-row count
+    * is the direct cost driver of the signature aggregation. At least one
+    * (possibly empty) shingle is produced so empty docs keep a signature
+    * (mirrors the greatest(...,1) in the oracle SQL). */
   def shingles(textCol: String, k: Int): Column =
-    expr(s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
-      s"j -> substring($textCol, j, $k))")
+    expr(s"transform(sequence(1, greatest(" +
+      s"size(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)) - ${k - 1}, 1)), " +
+      s"j -> concat_ws(' ', slice(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0), j, $k)))")
 
   /** MinHash signature: numHashes mins over md5('<i>:<shingle>'). The
     * "hash family" is md5 with the function index baked into the input —
@@ -47,10 +52,12 @@ object DedupOps {
     *
     * Computed EXPLODED, not as nested array lambdas: higher-order
     * functions are interpreted (no whole-stage codegen), so
-    * transform-inside-transform over hundreds of shingles is ~100×
-    * slower than exploding shingles to rows, projecting numHashes flat
-    * codegen'd md5 columns, and min-aggregating (map-side partials keep
-    * the shuffle at numHashes×32 bytes per doc). */
+    * transform-inside-transform is ~100x slower than exploding shingles
+    * to rows and min-aggregating flat codegen'd md5 columns. min(string)
+    * does plan a SortAggregate (variable-width buffer), which is why
+    * shingle-row VOLUME — not the hash function — is the cost knob.
+    * (Numeric mins were tried and rejected: conv() is slower than the
+    * sort, and inlined hex arithmetic re-evaluates md5 per digit.) */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {
@@ -66,12 +73,12 @@ object DedupOps {
     * generated inside each bucket — no cartesian, no recomputing self-join. */
   def minHashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, numHashes: Int = 8, bands: Int = 2): DataFrame = {
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val sigs = minHashSignatures(df, idCol, textCol, shingleK, numHashes)
     val bandCols = (0 until bands).map(b =>
-      md5(concat_ws("", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)))
+      md5(concat_ws(",", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)))
     val banded = sigs.select(col(idCol),
       posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
     pairsWithinBuckets(banded, idCol, Seq("band", "sig"))

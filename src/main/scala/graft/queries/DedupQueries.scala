@@ -55,20 +55,23 @@ object DedupQueries {
 
   private val dedupMinhash: Q = (s, dir) =>
     DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
-        shingleK = 5, numHashes = 8, bands = 2)
+        shingleK = 3, numHashes = 8, bands = 2)
       .orderBy("id_a", "id_b")
   private val dedupMinhashSql =
     "WITH " + corpusCte +
-    """, sig AS (
+    """, toked AS (
+      |  SELECT doc_id, regexp_extract_all(lower(t), '[a-z0-9]+') AS toks FROM corpus),
+      |sig AS (
       |  SELECT doc_id,
       |    list_transform(range(8), i ->
       |      list_min(list_transform(
-      |        list_transform(range(1, greatest(length(t) - 4, 1) + 1), j -> substr(t, j, 5)),
+      |        list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |          j -> array_to_string(toks[j:j+2], ' ')),
       |        sh -> md5(CAST(i AS VARCHAR) || ':' || sh)))) AS mh
-      |  FROM corpus),
+      |  FROM toked),
       |bands AS (
       |  SELECT doc_id, CAST(b.i AS INT) AS band,
-      |    md5(array_to_string(mh[b.i * 4 + 1 : b.i * 4 + 4], '')) AS s
+      |    md5(array_to_string(mh[b.i * 4 + 1 : b.i * 4 + 4], ',')) AS s
       |  FROM sig, range(2) b(i))
       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id
