@@ -48,7 +48,10 @@ object TextFns {
 
   val durationToHoursUdf = udf((s: String) => convertDuration(s, "hour"))
   val durationToSecondsUdf = udf((s: String) => convertDuration(s, "second"))
-  def duration_to_hours(c: Column): Column = durationToHoursUdf(c)
+  /** Column API rides the codegen'd native expression (NativeExprs);
+    * the UDF stays registered for the generic SQL-UDF path. */
+  def duration_to_hours(c: Column): Column =
+    Column(DurationToHoursExpr(expression(c)))
 
   // ---------------------------------------------------------------- F2
   /** NFD de-accent, strip punct except `-`/word/space, lower, every space
@@ -67,7 +70,14 @@ object TextFns {
     sb.toString.replaceAll("(?U)[^\\w\\s\\-]", "").toLowerCase.replace(" ", "-")
   }
   val normalizeNameUdf = udf((s: String) => Option(s).map(normalizeName))
-  def normalize_name(c: Column): Column = normalizeNameUdf(c)
+  def normalize_name(c: Column): Column = Column(NormalizeNameExpr(expression(c)))
+
+  /** Classic-Column bridge (Spark 4 Column wraps a ColumnNode, not an
+    * Expression; conversion goes through the graftshim re-export). */
+  private def expression(c: Column) =
+    org.apache.spark.sql.graftshim.Shim.expression(c)
+  private def Column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.graftshim.Shim.column(e)
 
   // ---------------------------------------------------------------- F3
   /** Digit-by-digit Vietnamese words; < 10 => single word. Reference:
