@@ -101,6 +101,51 @@ object SimilarityOps {
       .select("q_id", "c_id", "rank")
   }
 
+  /** IVF-style top-k: a coarse quantizer assigns every vector to its
+    * nearest of nCells centroid vectors; queries probe their nProbe
+    * nearest cells and rank only candidates inside those cells.
+    *
+    * The quantizer here is deterministic (first nCells vectors by id) so
+    * the oracle can replay it — a production build would k-means the
+    * sample instead; the dataflow (broadcast centroids -> scan-side cell
+    * assignment -> one shuffle on cell id -> in-cell ranking) is the
+    * 100 TB shape either way: candidate work scales with nProbe/nCells
+    * of the corpus, never all-pairs. */
+  def ivfTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents = candidates.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, v) => acc + v)
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("cell_rank", row_number().over(
+          Window.partitionBy(id).orderBy(
+            sqDist(col(vec), col("cent_vec")), col("cent_id"))))
+        .filter(col("cell_rank") <= keep)
+        .select(col(id), col(vec), col("cent_id").as("cell"))
+    val c = assign(
+      candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec")),
+      "c_id", "c_vec", 1)
+      .withColumn("c_norm", norm(col("c_vec")))
+    val q = assign(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+      "q_id", "q_vec", nProbe)
+      .withColumn("q_norm", norm(col("q_vec")))
+    q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", VectorFns.cosineWithNorms(
+        VectorFns.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank")
+  }
+
   /** Embedding near-duplicate pairs within a blocking column: cosine above
     * threshold, id_a < id_b. Quadratic within blocks only. */
   def cosineNearDupPairs(

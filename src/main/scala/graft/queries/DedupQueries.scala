@@ -203,6 +203,42 @@ object DedupQueries {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  private val annIvf: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    SimilarityOps.ivfTopK(e.filter(col("vec_id") < 10), e,
+        "vec_id", "embedding", 5, nCells = 16, nProbe = 2)
+      .orderBy("q_id", "rank")
+  }
+  private def sqlSqDist(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, 65), j -> " +
+    s"(CAST($a[j] AS DOUBLE) - CAST($b[j] AS DOUBLE)) * (CAST($a[j] AS DOUBLE) - CAST($b[j] AS DOUBLE))), (x, y) -> x + y)"
+  private val annIvfSql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+       |  ORDER BY vec_id LIMIT 16),
+       |cassign AS (
+       |  SELECT c_id, c_vec, cell, ${sqlNorm("c_vec")} AS c_norm FROM (
+       |    SELECT e.vec_id AS c_id, e.embedding AS c_vec, cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlSqDist("e.embedding", "cent_vec")}, cent_id) AS rn
+       |    FROM embeddings e, cents)
+       |  WHERE rn = 1),
+       |qassign AS (
+       |  SELECT q_id, q_vec, cell, ${sqlNorm("q_vec")} AS q_norm FROM (
+       |    SELECT e.vec_id AS q_id, e.embedding AS q_vec, cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlSqDist("e.embedding", "cent_vec")}, cent_id) AS rn
+       |    FROM embeddings e, cents WHERE e.vec_id < 10)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT q_id, c_id, ${sqlDot("q_vec", "c_vec")} / (q_norm * c_norm) AS cosine
+       |  FROM qassign q JOIN cassign c USING (cell) WHERE q_id <> c_id)
+       |SELECT q_id, c_id, rank FROM (
+       |  SELECT q_id, c_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -212,7 +248,8 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupJaccard,
     "emb_near_dup" -> embNearDup,
     "ann_brute_topk" -> annBrute,
-    "ann_bucketed_topk" -> annBucketed)
+    "ann_bucketed_topk" -> annBucketed,
+    "ann_ivf_topk" -> annIvf)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -221,5 +258,6 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupJaccardSql,
     "emb_near_dup" -> embNearDupSql,
     "ann_brute_topk" -> annBruteSql,
-    "ann_bucketed_topk" -> annBucketedSql)
+    "ann_bucketed_topk" -> annBucketedSql,
+    "ann_ivf_topk" -> annIvfSql)
 }
