@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AudioOpsSpec extends AnyFunSuite {
+
+  private def wav(sr: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataBytes = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataBytes).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(sr).putInt(sr * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16).put("data".getBytes).putInt(dataBytes)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("decodePcm16Wav: mono roundtrip preserves sample count and scale") {
+    val (s, sr) = AudioOps.decodePcm16Wav(wav(24000, 1, Array[Short](0, 16384, -16384)))
+    assert(sr == 24000)
+    assert(s.length == 3)
+    assert(math.abs(s(1) - 0.5f) < 1e-4)
+    assert(math.abs(s(2) + 0.5f) < 1e-4)
+  }
+
+  test("decodePcm16Wav: stereo mixes down to mono (librosa mono=True)") {
+    // interleaved L/R pairs: (16384, 0) -> 0.25
+    val (s, _) = AudioOps.decodePcm16Wav(wav(16000, 2, Array[Short](16384, 0, 0, 16384)))
+    assert(s.length == 2)
+    assert(math.abs(s(0) - 0.25f) < 1e-4)
+    assert(math.abs(s(1) - 0.25f) < 1e-4)
+  }
+
+  test("peakNormalize: scales peak to target, silence passes through") {
+    val out = AudioOps.peakNormalize(Array(0.1f, -0.5f, 0.25f), 0.95f)
+    assert(math.abs(out.map(math.abs).max - 0.95f) < 1e-6)
+    assert(AudioOps.peakNormalize(Array(0f, 0f)).toSeq == Seq(0f, 0f))
+  }
+
+  test("linearResample: identity at equal rates, 2x doubles length, endpoints kept") {
+    val in = Array(0f, 1f, 0f, -1f)
+    assert(AudioOps.linearResample(in, 24000, 24000) eq in)
+    val up = AudioOps.linearResample(in, 12000, 24000)
+    assert(up.length == 8)
+    assert(up(0) == 0f && math.abs(up(up.length - 1) + 1f) < 1e-6)
+  }
+
+  test("sliceSeconds: ffmpeg -ss/-t as array slice, clamped at bounds") {
+    val in = Array.tabulate(100)(_.toFloat)
+    val cut = AudioOps.sliceSeconds(in, 10, 2.0, 5.0) // 10 Hz: samples 20..49
+    assert(cut.length == 30 && cut(0) == 20f)
+    assert(AudioOps.sliceSeconds(in, 10, 9.0, 99.0).length == 10)
+    assert(AudioOps.sliceSeconds(in, 10, 50.0, 40.0).length == 0)
+  }
+
+  test("concatParts + durationSeconds") {
+    val c = AudioOps.concatParts(Seq(Array(1f, 2f), Array(3f)))
+    assert(c.toSeq == Seq(1f, 2f, 3f))
+    assert(AudioOps.durationSeconds(24000, 24000) == 1.0)
+    assert(AudioOps.durationSeconds(100, 0) == 0.0)
+  }
+}
