@@ -275,6 +275,36 @@ object TextFns {
   def token_count(c: Column): Column =
     size(regexp_extract_all(c, lit(bpeTokenPat), lit(0)))
 
+  // ---------------------------------------------------------------- F20
+  /** Unicode-escape decode: '\n','\t','\r','\\','\uXXXX','\xNN' sequences
+    * in the *text* become the characters they denote — the reference's
+    * `encode('utf-8').decode('unicode_escape')` (file.py:106-113). */
+  def unicodeUnescape(s: String): String = {
+    if (s == null) return null
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case '\\' => sb.append('\\'); i += 2
+          case 'u' if i + 6 <= s.length =>
+            try { sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6 }
+            catch { case _: NumberFormatException => sb.append(c); i += 1 }
+          case 'x' if i + 4 <= s.length =>
+            try { sb.append(Integer.parseInt(s.substring(i + 2, i + 4), 16).toChar); i += 4 }
+            catch { case _: NumberFormatException => sb.append(c); i += 1 }
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+  val unicodeUnescapeUdf = udf((s: String) => Option(s).map(unicodeUnescape))
+
   /** Register UDF-backed functions for spark.sql use. */
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("duration_to_hours", durationToHoursUdf)

@@ -170,7 +170,39 @@ object MiscQueries {
       |      FROM orders)
       |GROUP BY batch_id ORDER BY batch_id""".stripMargin
 
+  /** 2.8-F20: unicode-escape decode of literal backslash sequences
+    * (file.py:106-113). Inputs synthesized with known escapes so the
+    * oracle constructs the expected output directly. */
+  private val f20: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .withColumn("raw", concat(lit("l1\\n"), col("n_name"),
+        lit("\\tx\\u0041\\x42e")))
+      .select(col("n_nationkey"), col("raw"),
+        graft.functions.TextFns.unicodeUnescapeUdf(col("raw")).as("decoded"))
+      .orderBy("n_nationkey")
+  private val f20Sql =
+    """SELECT n_nationkey, 'l1\n' || n_name || '\tx' || chr(92) || 'u0041\x42e' AS raw,
+      |  'l1' || chr(10) || n_name || chr(9) || 'xABe' AS decoded
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** F18: percentage/rate math — invalid-url ratio (metadata.py:396-399);
+    * integer-count division is deterministic in both engines. */
+  private val f18: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .withColumn("valid", col("n_nationkey") % 3 =!= 2)
+      .agg(count(when(!col("valid"), 1)).as("n_invalid"),
+        count(lit(1)).as("n_total"),
+        (count(when(!col("valid"), 1)) * 100.0 / count(lit(1)))
+          .as("invalid_pct"))
+  private val f18Sql =
+    """SELECT COUNT(CASE WHEN n_nationkey % 3 = 2 THEN 1 END) AS n_invalid,
+      |  COUNT(*) AS n_total,
+      |  COUNT(CASE WHEN n_nationkey % 3 = 2 THEN 1 END) * 100.0 / COUNT(*) AS invalid_pct
+      |FROM nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "fn_unicode_unescape" -> f20,
+    "f18_invalid_ratio" -> f18,
     "f8_file_type" -> f8,
     "f9_stem_format" -> f9,
     "f11_validity_partition" -> f11,
@@ -181,6 +213,8 @@ object MiscQueries {
     "w5_chunked_batches" -> w5)
 
   val oracle: Map[String, String] = Map(
+    "fn_unicode_unescape" -> f20Sql,
+    "f18_invalid_ratio" -> f18Sql,
     "f8_file_type" -> f8Sql,
     "f9_stem_format" -> f9Sql,
     "f11_validity_partition" -> f11Sql,

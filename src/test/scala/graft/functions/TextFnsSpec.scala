@@ -100,6 +100,16 @@ class TextFnsSpec extends AnyFunSuite {
     assert(TextFns.pyLiteralToJson("""{'s': 'a\'b"c'}""")
       == """{"s":"a'b\"c"}""")
   }
+  // ------------------------------------------------------------- F20
+  test("unicodeUnescape: \\n/\\t/\\uXXXX/\\xNN decoded, malformed left alone") {
+    assert(TextFns.unicodeUnescape("a\\nb\\tc") == "a\nb\tc")
+    assert(TextFns.unicodeUnescape("\\u0041\\x42") == "AB")
+    assert(TextFns.unicodeUnescape("end\\") == "end\\")
+    assert(TextFns.unicodeUnescape("\\uZZZZ") == "\\uZZZZ")
+    assert(TextFns.unicodeUnescape("\\\\n") == "\\n")
+    assert(TextFns.unicodeUnescape(null) == null)
+  }
+
   test("pyLiteralToJson: trailing comma tolerated, garbage -> null") {
     assert(TextFns.pyLiteralToJson("[1, 2,]") == "[1,2]")
     assert(TextFns.pyLiteralToJson("{'unterminated': ") == null)
