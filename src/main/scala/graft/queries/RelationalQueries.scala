@@ -397,14 +397,20 @@ object RelationalQueries {
 
   // ------------------------------------------------------------ §2.4 A
 
-  /** A1 ★: group by derived key + sorted collect_list (crawler/utils.py:85-122). */
+  /** A1 ★: group by derived key + sorted collect_list (crawler/utils.py:85-122).
+    * Verify surface serializes the array to a comma-joined string — the
+    * driver's pandas canonicalizer cannot sort ndarray cells (round-2
+    * postmortem); the array-returning shape stays available pre-concat. */
   private val a1: Q = (s, dir) =>
     t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
       .groupBy(col("o_orderpriority"))
-      .agg(sort_array(collect_list(col("o_orderkey"))).as("keys"))
+      .agg(sort_array(collect_list(col("o_orderkey"))).as("keys_arr"))
+      .select(col("o_orderpriority"),
+        concat_ws(",", transform(col("keys_arr"), _.cast("string"))).as("keys"))
       .orderBy("o_orderpriority")
   private val a1Sql =
-    """SELECT o_orderpriority, list(o_orderkey ORDER BY o_orderkey) AS keys
+    """SELECT o_orderpriority,
+      |  array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS keys
       |FROM orders WHERE o_orderkey % 100 = 0
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
@@ -415,10 +421,12 @@ object RelationalQueries {
       .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_partkey"))))
         .as("pairs"))
       .select(col("l_orderkey"),
-        transform(col("pairs"), p => p.getField("l_partkey")).as("parts"))
+        concat_ws(",", transform(col("pairs"),
+          p => p.getField("l_partkey").cast("string"))).as("parts"))
       .orderBy("l_orderkey")
   private val a2Sql =
-    """SELECT l_orderkey, list(l_partkey ORDER BY l_linenumber, l_partkey) AS parts
+    """SELECT l_orderkey,
+      |  array_to_string(list(l_partkey ORDER BY l_linenumber, l_partkey), ',') AS parts
       |FROM lineitem WHERE l_orderkey < 100
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
@@ -426,10 +434,13 @@ object RelationalQueries {
   private val a3: Q = (s, dir) =>
     Tables.events(s, dir).filter(col("event_id") % 20 === 0)
       .groupBy(col("event_type"))
-      .agg(sort_array(collect_list(col("user_id"))).as("users"))
+      .agg(sort_array(collect_list(col("user_id"))).as("users_arr"))
+      .select(col("event_type"),
+        concat_ws(",", transform(col("users_arr"), _.cast("string"))).as("users"))
       .orderBy("event_type")
   private val a3Sql =
-    """SELECT event_type, list(user_id ORDER BY user_id) AS users
+    """SELECT event_type,
+      |  array_to_string(list(user_id ORDER BY user_id), ',') AS users
       |FROM events WHERE event_id % 20 = 0
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -498,10 +509,19 @@ object RelationalQueries {
       .groupBy(col("label"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
-        p => p.getField("embedding"))).as("signal"))
+        p => p.getField("embedding"))).as("signal_arr"))
+      // Float cells as floor(x*1e6) micro-units: both engines evaluate the
+      // multiply and floor in IEEE double, so the joined string is
+      // engine-independent (decimal casts and printf %.6f are not — their
+      // tie-rounding differs between Spark and DuckDB).
+      .select(col("label"), concat_ws(",", transform(col("signal_arr"),
+        x => floor(x.cast("double") * lit(1e6)).cast("bigint").cast("string")))
+        .as("signal"))
       .orderBy("label")
   private val a10Sql =
-    """SELECT label, flatten(list(embedding ORDER BY vec_id)) AS signal
+    """SELECT label,
+      |  array_to_string(list_transform(flatten(list(embedding ORDER BY vec_id)),
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), ',') AS signal
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
   /** A12 ★: outlier count per group (aeneas_batch_align.py:231-248). */
@@ -537,10 +557,13 @@ object RelationalQueries {
       .groupBy(col("l_orderkey"))
       .agg(transform(
         array_sort(collect_list(struct(col("l_linenumber").as("seq"), col("l_suppkey").as("v")))),
-        p => p.getField("v")).as("ordered_supps"))
+        p => p.getField("v")).as("supps_arr"))
+      .select(col("l_orderkey"),
+        concat_ws(",", transform(col("supps_arr"), _.cast("string"))).as("ordered_supps"))
       .orderBy("l_orderkey")
   private val w2Sql =
-    """SELECT l_orderkey, list(l_suppkey ORDER BY l_linenumber, l_suppkey) AS ordered_supps
+    """SELECT l_orderkey,
+      |  array_to_string(list(l_suppkey ORDER BY l_linenumber, l_suppkey), ',') AS ordered_supps
       |FROM lineitem WHERE l_orderkey % 200 = 0
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
