@@ -39,6 +39,44 @@ object AudioOps {
     (out, sr)
   }
 
+  /** K6 sink kernel — inverse of [[decodePcm16Wav]]: mono float32 ->
+    * canonical 44-byte-header 16-bit little-endian PCM wav bytes
+    * (reference pre_processing/process_all.py:429-432 soundfile.write,
+    * alignment/aeneas_batch_align.py:329-370 per-utterance writes).
+    * Samples are clamped to [-1, 1); decode(encode(decode(x))) is
+    * byte-exact because quantization round-trips s/32768 -> s.
+    */
+  def encodePcm16Wav(samples: Array[Float], sr: Int): Array[Byte] = {
+    val dataBytes = samples.length * 2
+    val out = new Array[Byte](44 + dataBytes)
+    def putAscii(o: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def putLe16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putLe32(o: Int, v: Long): Unit = {
+      var i = 0; while (i < 4) { out(o + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    putAscii(0, "RIFF"); putLe32(4, 36L + dataBytes); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16L)
+    putLe16(20, 1) // PCM
+    putLe16(22, 1) // mono
+    putLe32(24, sr.toLong)
+    putLe32(28, sr.toLong * 2) // byte rate
+    putLe16(32, 2)  // block align
+    putLe16(34, 16) // bits per sample
+    putAscii(36, "data"); putLe32(40, dataBytes.toLong)
+    var i = 0
+    while (i < samples.length) {
+      val q = math.round(samples(i) * 32768.0f)
+      val s = math.max(-32768, math.min(32767, q))
+      putLe16(44 + i * 2, s & 0xffff)
+      i += 1
+    }
+    out
+  }
+
   /** Peak-normalize to `target` of full scale (process_all.py:400-407):
     * scale so max |x| == target; silent/empty audio passes through. */
   def peakNormalize(samples: Array[Float], target: Float = 0.95f): Array[Float] = {

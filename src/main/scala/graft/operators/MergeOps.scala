@@ -81,9 +81,13 @@ object MergeOps {
       // Insert set = update keys that match nothing in base. Never
       // broadcast base (it is the 100 TB side): matchedKeys is computed by
       // semi-joining base against broadcast(updates) — at most |updates|
-      // rows — and then anti-joined back against updates.
-      val matchedKeys = base.select(keys.map(col): _*)
-        .join(broadcast(updates.select(keys.map(col): _*)), keys, "left_semi")
+      // rows — and then anti-joined back against updates. The semi-join
+      // must be null-safe like every other key comparison here, or a
+      // null-key update row both updates its match and re-inserts.
+      val matchedKeys = base.select(keys.map(col): _*).alias("bk")
+        .join(broadcast(updates.select(keys.map(col): _*)).alias("uk"),
+          keys.map(k => col(s"bk.$k") <=> col(s"uk.$k")).reduce(_ && _),
+          "left_semi")
         .distinct()
       val inserts = updates.alias("u")
         .join(broadcast(matchedKeys).alias("b"),

@@ -53,14 +53,20 @@ object MultimodalOps {
         def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
         def le32(o: Int) = (b(o) & 0xff).toLong | ((b(o + 1) & 0xff).toLong << 8) |
           ((b(o + 2) & 0xff).toLong << 16) | ((b(o + 3) & 0xff).toLong << 24)
-        // canonical 44-byte RIFF header: fmt at 12, data size at 40
-        val channels = le16(22)
-        val rate = le32(24).toInt
-        val bps = le16(34)
-        val dataBytes = le32(40)
-        val nSamples = if (channels > 0 && bps > 0) dataBytes / (channels * bps / 8) else 0L
-        val dur = if (rate > 0) nSamples.toDouble / rate else 0.0
-        WavInfo(path, channels, rate, bps, nSamples, dur)
+        // canonical 44-byte RIFF header: fmt at 12, data size at 40.
+        // Guard short blobs and clamp the declared data size to the bytes
+        // actually present (mirrors decodePcm16Wav) — a truncated file
+        // must not report inflated duration or throw inside the task.
+        if (b == null || b.length < 44) WavInfo(path, 0, 0, 0, 0L, 0.0)
+        else {
+          val channels = le16(22)
+          val rate = le32(24).toInt
+          val bps = le16(34)
+          val dataBytes = math.min(le32(40), (b.length - 44).toLong).max(0L)
+          val nSamples = if (channels > 0 && bps > 0) dataBytes / (channels * bps / 8) else 0L
+          val dur = if (rate > 0) nSamples.toDouble / rate else 0.0
+          WavInfo(path, channels, rate, bps, nSamples, dur)
+        }
       }
     }(Encoders.product[WavInfo]).toDF()
   }

@@ -16,28 +16,35 @@ import org.apache.spark.sql.types._
   * sorted sentence iterator (the idiomatic Spark shape for per-key
   * sequential state). One shuffle on the doc key; state per task is one
   * group's sentences, not the whole doc.
+  *
+  * The group key is the doc column's own value (compared via its string
+  * form), NOT a 32-bit hash of it — at corpus scale a hash-keyed regroup
+  * silently interleaves colliding docs into one fold. The output `doc_id`
+  * keeps the input column's native type.
   */
 object RegroupOps {
 
-  private val outSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("grp_idx", IntegerType),
-    StructField("grp_text", StringType),
-    StructField("grp_wc", LongType)))
-
-  /** @param df        rows of (docCol: long, ordCol: numeric, sentCol: string,
-    *                  wcCol: numeric) — one sentence per row
+  /** @param df        rows of (docCol: any keyable type, ordCol: numeric,
+    *                  sentCol: string, wcCol: numeric) — one sentence per row
     * @param threshold emit a group once accumulated word count >= threshold
     */
   def regroupSentences(
       df: DataFrame, docCol: String, ordCol: String, sentCol: String,
       wcCol: String, threshold: Int): DataFrame = {
+    val docType = df.schema(docCol).dataType
+    val outSchema = StructType(Seq(
+      StructField("doc_id", docType),
+      StructField("grp_idx", IntegerType),
+      StructField("grp_text", StringType),
+      StructField("grp_wc", LongType)))
     val in = df.select(
-      col(docCol).cast("long"), col(ordCol).cast("long"),
+      col(docCol), col(ordCol).cast("long"),
       col(sentCol).cast("string"), col(wcCol).cast("long"))
-    in.groupByKey(_.getLong(0))(Encoders.scalaLong)
-      .flatMapGroups { (doc: Long, it: Iterator[Row]) =>
+    in.groupByKey(r => if (r.isNullAt(0)) null else r.get(0).toString)(
+        Encoders.STRING)
+      .flatMapGroups { (_, it: Iterator[Row]) =>
         val sorted = it.toArray.sortBy(_.getLong(1))
+        val doc = sorted.head.get(0)
         val out = Seq.newBuilder[Row]
         var grp = List.empty[String]
         var accWc = 0L

@@ -70,11 +70,58 @@ object AlignPublishPipeline {
     val qualified = utts.join(broadcast(qualifiedBooks), Seq("book_id"), "left_semi") // J5
 
     // A4 duration sum + A9 speaker label encode + K4 publish
+    // coalesce: sum over zero qualified rows is null — an empty corpus
+    // reports 0 hours instead of NPEing the publish run.
     val corpusHours = qualified.agg(
-      (sum(col("duration").cast("decimal(18,4)")).cast("double") / 3600.0)
-        .as("h")).collect()(0).getDouble(0)
+      coalesce(sum(col("duration").cast("decimal(18,4)")).cast("double"), lit(0.0))
+        .divide(3600.0).as("h")).collect()(0).getDouble(0)
     val published = EncodeOps.dictEncode(qualified, "speaker_id", "speaker_label")
     IoOps.writeJsonl(published.orderBy("book_id", "utt_idx"), outDir)          // K4
     PublishResult(published, bookWer, corpusHours)
+  }
+
+  /** K6 — cut each utterance out of its book's decoded audio and write
+    * `<book>_<idx>.wav` + `.txt` pairs (reference aeneas_batch_align.py
+    * :329-424 per-utterance cuts, process_all.py:429-432 soundfile.write).
+    *
+    * Utterance spans are collect_list'd per book FIRST so each book's
+    * sample array crosses the shuffle exactly once (spans per book are
+    * bounded; book audio is the heavy side), then sliced and written
+    * executor-side — no per-segment subprocess, no driver collect.
+    * `outDir` must be executor-visible storage.
+    *
+    * @param utts      rows of (book_id, utt_idx: int, start, end: double, text)
+    * @param bookAudio rows of (book_id, samples: array<float>, sr: int)
+    * @return number of utterance pairs written
+    */
+  def materializeUtterances(
+      utts: DataFrame, bookAudio: DataFrame, outDir: String): Long = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val spans = utts.groupBy("book_id").agg(
+      collect_list(struct(col("utt_idx"), col("start"), col("end"), col("text")))
+        .as("spans"))
+    val joined = spans.join(bookAudio, Seq("book_id"))
+      .select(col("book_id"), col("spans"), col("samples"), col("sr").cast("int"))
+    val perBook = joined.mapPartitions { rows =>
+      rows.map { r =>
+        val book = r.getString(0)
+        val samples = r.getSeq[Float](2).toArray
+        val sr = r.getInt(3)
+        val ss = r.getSeq[org.apache.spark.sql.Row](1)
+        ss.foreach { s =>
+          val stem = f"${book}_${s.getInt(0)}%04d"
+          val cut = graft.operators.AudioOps.sliceSeconds(
+            samples, sr, s.getDouble(1), s.getDouble(2))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, stem + ".wav"),
+            graft.operators.AudioOps.encodePcm16Wav(cut, sr))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, stem + ".txt"),
+            s.getString(3).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        ss.length.toLong
+      }
+    }(org.apache.spark.sql.Encoders.scalaLong)
+    perBook.agg(coalesce(sum(col("value")), lit(0L))).collect()(0).getLong(0)
   }
 }

@@ -53,14 +53,12 @@ object PreprocessPipeline {
       .withColumn("sentence", TextFns.ws_collapse(col("sentence")))
       .withColumn("wc", TextFns.word_count(col("sentence")))
       .filter(col("wc") >= 3)                                                // F6
-    val keyed = sentences
-      .withColumn("doc_key", abs(hash(col("book_id"))).cast("long"))
+    // Regroup directly on the book_id string — a 32-bit hash surrogate
+    // would silently interleave colliding books at corpus scale.
     val grouped = RegroupOps.regroupSentences(
-        keyed, "doc_key", "rn", "sentence", "wc", RegroupThreshold)          // W3
-      .withColumnRenamed("doc_id", "doc_key")
-      .join(broadcast(keyed.select(col("doc_key"), col("book_id")).distinct()),
-        Seq("doc_key"))
-      .select(col("book_id"), col("grp_idx"), col("grp_text"), col("grp_wc"))
+        sentences, "book_id", "rn", "sentence", "wc", RegroupThreshold)      // W3
+      .select(col("doc_id").as("book_id"), col("grp_idx"),
+        col("grp_text"), col("grp_wc"))
 
     val metrics = grouped.groupBy("book_id").agg(
       sum(col("grp_wc")).as("word_count"),                                   // F11/A4

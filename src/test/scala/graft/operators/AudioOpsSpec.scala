@@ -24,6 +24,25 @@ class AudioOpsSpec extends AnyFunSuite {
     assert(math.abs(s(2) + 0.5f) < 1e-4)
   }
 
+  test("encodePcm16Wav: byte-exact inverse of decode (K6 sink kernel)") {
+    // decode∘encode = identity on decoded samples: s/32768 re-quantizes
+    // to exactly s.
+    val original = wav(24000, 1, Array[Short](0, 16384, -16384, 32767, -32768))
+    val (samples, sr) = AudioOps.decodePcm16Wav(original)
+    val reencoded = AudioOps.encodePcm16Wav(samples, sr)
+    assert(reencoded.sameElements(original))
+    val (samples2, sr2) = AudioOps.decodePcm16Wav(reencoded)
+    assert(sr2 == sr && samples2.sameElements(samples))
+  }
+
+  test("encodePcm16Wav: clamps out-of-range samples instead of wrapping") {
+    val bytes = AudioOps.encodePcm16Wav(Array(1.5f, -1.5f, 1.0f), 8000)
+    val (s, _) = AudioOps.decodePcm16Wav(bytes)
+    assert(s(0) == 32767 / 32768.0f)  // +1.5 -> full-scale positive
+    assert(s(1) == -1.0f)             // -1.5 -> full-scale negative
+    assert(s(2) == 32767 / 32768.0f)  // +1.0 quantizes to max, not -1
+  }
+
   test("decodePcm16Wav: stereo mixes down to mono (librosa mono=True)") {
     // interleaved L/R pairs: (16384, 0) -> 0.25
     val (s, _) = AudioOps.decodePcm16Wav(wav(16000, 2, Array[Short](16384, 0, 0, 16384)))

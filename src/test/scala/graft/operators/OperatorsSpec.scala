@@ -54,6 +54,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("MergeOps.upsert: null merge key matches null-safely in BOTH modes — no duplicate row") {
+    // A null-key update must update the null-key base row exactly once;
+    // before the fix the broadcast path's null-UNSAFE semi-join also
+    // re-inserted it.
+    val base = Seq((Option("a"), Option(1.0)), (None: Option[String], Option(2.0)))
+      .toDF("k", "v")
+    val upd = Seq((None: Option[String], Option(9.0))).toDF("k", "v")
+    for (bc <- Seq(false, true)) {
+      val out = MergeOps.upsert(base, upd, Seq("k"), Seq("v"), broadcastUpdates = bc)
+        .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq.sortBy(_.toString)
+      assert(out == Seq((None, Some(9.0)), (Some("a"), Some(1.0))),
+        s"broadcastUpdates=$bc")
+    }
+  }
+
   test("MergeOps.upsert: insertDefaults fill non-update columns on inserts only") {
     val base = Seq(("a", Option(1.0), "x")).toDF("k", "v", "o")
     val upd = Seq(("c", Option(9.0))).toDF("k", "v")
@@ -179,5 +194,30 @@ class OperatorsSpec extends AnyFunSuite {
       rows.toDF("doc", "rn", "sent", "wc"), "doc", "rn", "sent", "wc", 20)
       .collect().map(_.getString(2))
     assert(out.toSeq == Seq("first second"))
+  }
+
+  test("RegroupOps: string doc keys group on the value itself and keep their type") {
+    // The regroup key is the doc value, not a 32-bit hash surrogate —
+    // distinct books can never interleave.
+    val rows = Seq(("book-a", 1, "x", 20), ("book-b", 1, "y", 20))
+    val out = RegroupOps.regroupSentences(
+      rows.toDF("doc", "rn", "sent", "wc"), "doc", "rn", "sent", "wc", 20)
+      .orderBy("doc_id").collect().map(r => (r.getString(0), r.getString(2)))
+    assert(out.toSeq == Seq(("book-a", "x"), ("book-b", "y")))
+  }
+
+  // ----------------------------------------------------- MultimodalOps
+  test("MultimodalOps.wavProbe: truncated data chunk is clamped, short blob yields zeros") {
+    val samples = Array.fill[Float](100)(0.5f)
+    val wav = AudioOps.encodePcm16Wav(samples, 8000)
+    val truncated = wav.take(44 + 40)    // claims 200 data bytes, has 40
+    val tiny = Array[Byte](1, 2, 3)      // shorter than a RIFF header
+    val df = spark.createDataFrame(Seq(
+      ("full", wav), ("trunc", truncated), ("tiny", tiny))).toDF("path", "content")
+    val out = MultimodalOps.wavProbe(df, "path", "content")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_samples")).toMap
+    assert(out("full") == 100L)
+    assert(out("trunc") == 20L) // 40 bytes / 2 per sample
+    assert(out("tiny") == 0L)
   }
 }

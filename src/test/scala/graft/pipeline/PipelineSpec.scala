@@ -137,4 +137,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.corpusHours > 0)
     assert(Files.list(Paths.get(outDir)).toArray.exists(_.toString.endsWith(".json")))
   }
+
+  test("AlignPublishPipeline.materializeUtterances: K6 wav/txt pairs, sample-exact cuts") {
+    import graft.operators.AudioOps
+    val outDir = tmp("ap_wav")
+    val sr = 8000
+    // bookA: 2s ramp; utterance 1 = [0.5s, 1.0s), utterance 2 = [1.0s, 2.0s)
+    val samples = Array.tabulate(2 * sr)(i => (i % 1000) / 2000.0f)
+    val bookAudio = Seq(("bookA", samples.toSeq, sr)).toDF("book_id", "samples", "sr")
+    val utts = Seq(
+      ("bookA", 1, 0.5, 1.0, "first utterance"),
+      ("bookA", 2, 1.0, 2.0, "second utterance"))
+      .toDF("book_id", "utt_idx", "start", "end", "text")
+    val n = AlignPublishPipeline.materializeUtterances(utts, bookAudio, outDir)
+    assert(n == 2L)
+    val (cut1, sr1) = AudioOps.decodePcm16Wav(
+      Files.readAllBytes(Paths.get(outDir, "bookA_0001.wav")))
+    assert(sr1 == sr && cut1.length == sr / 2)
+    // byte-exact round-trip of the slice: re-encoding the decoded cut
+    // reproduces the file, and the cut equals the quantized source span
+    val expected = AudioOps.decodePcm16Wav(AudioOps.encodePcm16Wav(
+      AudioOps.sliceSeconds(samples, sr, 0.5, 1.0), sr))._1
+    assert(cut1.sameElements(expected))
+    assert(new String(Files.readAllBytes(Paths.get(outDir, "bookA_0002.txt")),
+      java.nio.charset.StandardCharsets.UTF_8) == "second utterance")
+  }
 }
