@@ -63,6 +63,10 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // F19 dict-merge semantics: {**a, **b} keeps the LAST value for a
+      // duplicate key (reference process_all.py:816); Spark's default
+      // map_concat policy is EXCEPTION.
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
   }

@@ -22,6 +22,30 @@ object VectorFns {
 
   def l2Norm(a: Column): Column = sqrt(sqNorm(a))
 
+  /** Σ a[i]*b[i] as a FLAT sum over a known dimension: element_at products
+    * reduced left-associatively — the association order of the oracle's
+    * no-init list_reduce. Higher-order-function lambdas are interpreted
+    * (they block whole-stage codegen), so for fixed-dim embedding columns
+    * this flat spelling is the hot-path form (same technique as
+    * SimilarityOps.lshBucket). */
+  def dotFlat(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(j =>
+      element_at(a, j + 1).cast("double") * element_at(b, j + 1).cast("double"))
+      .reduce(_ + _)
+
+  /** Σ a[i]^2 (double), flat fixed-dim form. */
+  def sqNormFlat(a: Column, dim: Int): Column =
+    (0 until dim).map { j =>
+      val x = element_at(a, j + 1).cast("double"); x * x
+    }.reduce(_ + _)
+
+  /** Σ (a[i]-b[i])^2 (double), flat fixed-dim form. */
+  def sqDistFlat(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map { j =>
+      val d = element_at(a, j + 1).cast("double") - element_at(b, j + 1).cast("double")
+      d * d
+    }.reduce(_ + _)
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Cosine when norms are precomputed columns (saves re-reduction in

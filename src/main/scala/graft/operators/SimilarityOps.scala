@@ -10,9 +10,10 @@ import graft.functions.VectorFns
   * brute-force cosine top-k as the correctness baseline, and a
   * random-hyperplane LSH-bucketed variant as the scale path.
   *
-  * Numeric determinism: every dot/norm is a strict LEFT FOLD in double
-  * (Spark `aggregate` with 0.0 init ≡ DuckDB `list_reduce`), so oracle
-  * comparisons are bit-exact, not approximate.
+  * Numeric determinism: every dot/norm is a strict LEFT FOLD in double —
+  * flat fixed-dim element_at sums (codegen'd, association order identical
+  * to DuckDB's no-init `list_reduce`) — so oracle comparisons are
+  * bit-exact, not approximate.
   *
   * Scale shapes:
   *   - bruteTopK broadcasts the (small) query set; the candidate table
@@ -28,6 +29,10 @@ object SimilarityOps {
 
   /** L2 norm as a left-fold (matches the oracle's list_reduce). */
   def norm(vecCol: Column): Column = sqrt(VectorFns.sqNorm(vecCol))
+
+  /** L2 norm as a flat fixed-dim codegen'd sum (hot-path form). */
+  def normFlat(vecCol: Column, dim: Int): Column =
+    sqrt(VectorFns.sqNormFlat(vecCol, dim))
 
   /** ±1 hyperplane component from md5 parity of "i_j" — the same value the
     * SQL oracle computes as (ascii(substr(md5(i||'_'||j),1,1)) % 2)*2-1.
@@ -59,15 +64,15 @@ object SimilarityOps {
     * Queries are broadcast; self-pairs excluded. */
   def bruteTopK(
       queries: DataFrame, candidates: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, dim: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .withColumn("q_norm", norm(col("q_vec")))
+      .withColumn("q_norm", normFlat(col("q_vec"), dim))
     val c = candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
-      .withColumn("c_norm", norm(col("c_vec")))
+      .withColumn("c_norm", normFlat(col("c_vec"), dim))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", VectorFns.cosineWithNorms(
-        VectorFns.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
+        VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
@@ -86,15 +91,15 @@ object SimilarityOps {
     val q = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("bucket", lshBucket("q_vec", nPlanes, dim))
-      .withColumn("q_norm", norm(col("q_vec")))
+      .withColumn("q_norm", normFlat(col("q_vec"), dim))
     val c = candidates
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", lshBucket("c_vec", nPlanes, dim))
-      .withColumn("c_norm", norm(col("c_vec")))
+      .withColumn("c_norm", normFlat(col("c_vec"), dim))
     q.join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", VectorFns.cosineWithNorms(
-        VectorFns.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
+        VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
       .filter(col("rank") <= k)
@@ -114,32 +119,28 @@ object SimilarityOps {
   def ivfTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 2, dim: Int = 64): DataFrame = {
     val cents = candidates.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }), lit(0.0), (acc, v) => acc + v)
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
       df.crossJoin(broadcast(cents))
         .withColumn("cell_rank", row_number().over(
           Window.partitionBy(id).orderBy(
-            sqDist(col(vec), col("cent_vec")), col("cent_id"))))
+            VectorFns.sqDistFlat(col(vec), col("cent_vec"), dim), col("cent_id"))))
         .filter(col("cell_rank") <= keep)
         .select(col(id), col(vec), col("cent_id").as("cell"))
     val c = assign(
       candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec")),
       "c_id", "c_vec", 1)
-      .withColumn("c_norm", norm(col("c_vec")))
+      .withColumn("c_norm", normFlat(col("c_vec"), dim))
     val q = assign(
       queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
       "q_id", "q_vec", nProbe)
-      .withColumn("q_norm", norm(col("q_vec")))
+      .withColumn("q_norm", normFlat(col("q_vec"), dim))
     q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", VectorFns.cosineWithNorms(
-        VectorFns.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")))
+        VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm")))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
       .filter(col("rank") <= k)
@@ -150,15 +151,15 @@ object SimilarityOps {
     * threshold, id_a < id_b. Quadratic within blocks only. */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, dim: Int = 64): DataFrame = {
     val prepped = df.select(col(idCol), col(blockCol).as("block"), col(vecCol).as("vec"))
-      .withColumn("nrm", norm(col("vec")))
+      .withColumn("nrm", normFlat(col("vec"), dim))
     val a = prepped.toDF("id_a", "block", "vec_a", "norm_a")
     val b = prepped.toDF("id_b", "block", "vec_b", "norm_b")
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorFns.cosineWithNorms(
-        VectorFns.dot(col("vec_a"), col("vec_b")), col("norm_a"), col("norm_b")))
+        VectorFns.dotFlat(col("vec_a"), col("vec_b"), dim), col("norm_a"), col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b")
   }

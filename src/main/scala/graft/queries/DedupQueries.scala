@@ -104,19 +104,40 @@ object DedupQueries {
 
   // ------------------------------------------------------------ jaccard
 
-  private val dedupJaccard: Q = (s, dir) =>
-    DedupOps.ngramJaccardPairs(corpus(s, dir), "doc_id", "t", "lang", 0.6)
+  /** Blocked on a one-band MinHash signature (2 md5 min-hashes over 3-gram
+    * shingles), NOT on a low-cardinality attribute like lang — a 2-value
+    * block is an all-pairs product over half the corpus at scale, while a
+    * band block's bucket sizes are controlled by the LSH parameters. The
+    * band is the standard candidate filter; Jaccard inside the block is
+    * the exact verify step. */
+  private val dedupJaccard: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    val blocks = DedupOps.minHashSignatures(c, "doc_id", "t",
+        shingleK = 3, numHashes = 2)
+      .select(col("doc_id"), md5(concat_ws(",", col("mh0"), col("mh1"))).as("mh_block"))
+    DedupOps.ngramJaccardPairs(c.join(blocks, Seq("doc_id")),
+        "doc_id", "t", "mh_block", 0.6)
       .orderBy("id_a", "id_b")
+  }
   private val dedupJaccardSql =
     "WITH " + corpusCte +
-    """, toksets AS (
-      |  SELECT doc_id, lang, list_distinct(regexp_extract_all(lower(t), '[a-z]+')) AS toks
-      |  FROM corpus)
+    """, toked AS (
+      |  SELECT doc_id, regexp_extract_all(lower(t), '[a-z0-9]+') AS stoks FROM corpus),
+      |blocks AS (
+      |  SELECT doc_id, md5(array_to_string(list_transform(range(2), i ->
+      |    list_min(list_transform(
+      |      list_transform(range(1, greatest(len(stoks) - 2, 1) + 1),
+      |        j -> array_to_string(stoks[j:j+2], ' ')),
+      |      sh -> md5(CAST(i AS VARCHAR) || ':' || sh)))), ',')) AS block
+      |  FROM toked),
+      |toksets AS (
+      |  SELECT c.doc_id, b.block, list_distinct(regexp_extract_all(lower(c.t), '[a-z]+')) AS toks
+      |  FROM corpus c JOIN blocks b USING (doc_id))
       |SELECT id_a, id_b, jaccard FROM (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    len(list_intersect(a.toks, b.toks)) /
       |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
-      |  FROM toksets a JOIN toksets b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |  FROM toksets a JOIN toksets b ON a.block = b.block AND a.doc_id < b.doc_id)
       |WHERE jaccard >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
 
@@ -139,17 +160,35 @@ object DedupQueries {
     s"list_reduce(list_transform(range(1, 65), j -> CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE)), (x, y) -> x + y)"
   private def sqlNorm(a: String) = s"sqrt(${sqlDot(a, a)})"
 
+  /** Blocked on a 16-plane LSH bucket (scan-side constant-folded
+    * hyperplanes), NOT on the ~2-value label column — within-block
+    * quadratic cost needs a key whose bucket sizes shrink as planes are
+    * added, and exact-copy near-dups always share their bucket. */
   private val embNearDup: Q = (s, dir) =>
-    SimilarityOps.cosineNearDupPairs(embCorpus(s, dir), "vec_id", "embedding",
-        "label", 0.999)
+    SimilarityOps.cosineNearDupPairs(
+      embCorpus(s, dir).withColumn("lsh_block",
+        SimilarityOps.lshBucket("embedding", nPlanes = 16, dim = 64)),
+      "vec_id", "embedding", "lsh_block", 0.999)
       .orderBy("id_a", "id_b")
   private val embNearDupSql =
     "WITH " + embCorpusCte +
-    s""", prepped AS (SELECT vec_id, label, embedding AS v, ${sqlNorm("embedding")} AS nrm FROM ecorp)
+    s""", planes AS (
+      |  SELECT i, list_transform(range(64), j ->
+      |    (ascii(substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS p
+      |  FROM range(16) t(i)),
+      |bkt AS (
+      |  SELECT vec_id, string_agg(
+      |      CASE WHEN list_reduce(list_transform(range(1, 65),
+      |             j -> CAST(e.embedding[j] AS DOUBLE) * p[j]), (x, y) -> x + y) >= 0
+      |           THEN '1' ELSE '0' END, '' ORDER BY i) AS bucket
+      |  FROM ecorp e, planes GROUP BY vec_id),
+      |prepped AS (
+      |  SELECT e.vec_id, b.bucket, e.embedding AS v, ${sqlNorm("e.embedding")} AS nrm
+      |  FROM ecorp e JOIN bkt b USING (vec_id))
       |SELECT id_a, id_b FROM (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |    ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) AS cosine
-      |  FROM prepped a JOIN prepped b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |  FROM prepped a JOIN prepped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       |WHERE cosine >= 0.999
       |ORDER BY id_a, id_b""".stripMargin
 

@@ -18,6 +18,29 @@ object MiscQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** 2.8-F19: map merge with dict {**row, **update} last-win semantics
+    * (process_all.py:816, tts_data_pipeline/file.py:94-102). The merged
+    * map is serialized to a sorted k=v string so the verify surface stays
+    * scalar; map_concat needs spark.sql.mapKeyDedupPolicy=LAST_WIN (set in
+    * Sessions.builder). The oracle constructs the expected merge directly,
+    * so it checks the last-win override, not just concatenation. */
+  private val f19: Q = (s, dir) =>
+    t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+      .withColumn("m1", map(
+        lit("status"), col("o_orderstatus"), lit("prio"), col("o_orderpriority")))
+      .withColumn("m2", map(
+        lit("prio"), concat(lit("X"), col("o_orderpriority")),
+        lit("cust"), col("o_custkey").cast("string")))
+      .select(col("o_orderkey"),
+        concat_ws(",", transform(array_sort(map_entries(map_concat(col("m1"), col("m2")))),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))).as("merged"))
+      .orderBy("o_orderkey")
+  private val f19Sql =
+    """SELECT o_orderkey,
+      |  'cust=' || CAST(o_custkey AS VARCHAR) || ',prio=X' || o_orderpriority ||
+      |    ',status=' || o_orderstatus AS merged
+      |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin
+
   /** 2.2-F8: non-mp3 files diverted to the unqualified set
     * (crawler/utils.py:107-111). */
   private val f8: Q = (s, dir) =>
@@ -201,6 +224,7 @@ object MiscQueries {
       |FROM nation""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "f19_map_merge" -> f19,
     "fn_unicode_unescape" -> f20,
     "f18_invalid_ratio" -> f18,
     "f8_file_type" -> f8,
@@ -213,6 +237,7 @@ object MiscQueries {
     "w5_chunked_batches" -> w5)
 
   val oracle: Map[String, String] = Map(
+    "f19_map_merge" -> f19Sql,
     "fn_unicode_unescape" -> f20Sql,
     "f18_invalid_ratio" -> f18Sql,
     "f8_file_type" -> f8Sql,

@@ -567,15 +567,21 @@ object RelationalQueries {
       |FROM lineitem WHERE l_orderkey % 200 = 0
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
-  /** W4 ★: global 0-based line numbering as a join key
-    * (aeneas_batch_align.py:384-403). */
+  /** W4 ★: 0-based line numbering as a join key
+    * (aeneas_batch_align.py:384-403). The reference numbers lines within
+    * one book's file, so the registered demo partitions by a synthetic
+    * book key — a single unpartitioned window would move the whole corpus
+    * to one task at scale. */
   private val w4: Q = (s, dir) =>
     t(s, dir, "documents")
-      .withColumn("line_no", row_number().over(Window.orderBy("doc_id")) - 1)
-      .select(col("doc_id"), col("line_no"))
+      .withColumn("book", (col("doc_id") % 50).cast("bigint"))
+      .withColumn("line_no",
+        row_number().over(Window.partitionBy("book").orderBy("doc_id")) - 1)
+      .select(col("doc_id"), col("book"), col("line_no"))
       .orderBy("doc_id")
   private val w4Sql =
-    """SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS line_no
+    """SELECT doc_id, doc_id % 50 AS book,
+      |  row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1 AS line_no
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ §2.6 O

@@ -135,7 +135,7 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, Array(0.9f, 0.1f, 0f, 0f)),
       (3L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
     val top = SimilarityOps.bruteTopK(vecs.filter($"vec_id" === 0), vecs,
-        "vec_id", "embedding", 2)
+        "vec_id", "embedding", 2, dim = 4)
       .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2)))
     assert(top.toSeq == Seq((1L, 1), (2L, 2)))
   }
