@@ -6,7 +6,9 @@ package graft.pipeline
   * real clients/models per partition; tests bind [[StubExternals]] —
   * deterministic fakes with the same signatures, so the surrounding
   * Spark plumbing (mapPartitions shape, schemas, partitioning) is
-  * exercised for real.
+  * exercised for real. [[JavaSoundExternals]] is a REAL audio-codec
+  * binding through the JDK's javax.sound SPI chain (wav/au/aiff/ULAW out
+  * of the box; mp3 with an SPI jar on the executor classpath).
   */
 trait Externals extends Serializable {
   /** Crawler metadata fetch (crawler/metadata.py:94-180). */

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import java.io.ByteArrayInputStream
+
+import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+/** [[Externals]] with a REAL compressed-audio decode binding: the JDK's
+  * `javax.sound.sampled` SPI chain (reference decodes mp3 via librosa,
+  * pre_processing/process_all.py:382-392). Out of the box the JDK SPIs
+  * cover wav/au/aiff in any PCM width plus ULAW/ALAW; dropping an mp3/ogg
+  * SPI jar on the executor classpath extends coverage with no code change
+  * — the point of the trait boundary. Everything non-audio still
+  * delegates to [[StubExternals]]' deterministic fakes.
+  *
+  * Decode path: container parse -> convert to 16-bit signed little-endian
+  * PCM at the source rate -> mono mixdown by channel average (librosa
+  * mono=True semantics, same as AudioOps.decodePcm16Wav).
+  */
+object JavaSoundExternals extends Externals {
+
+  override def fetchBookMetadata(url: String): BookMeta =
+    StubExternals.fetchBookMetadata(url)
+
+  override def extractPdfText(bytes: Array[Byte]): String =
+    StubExternals.extractPdfText(bytes)
+
+  override def transcribe(samples: Array[Float], refText: String): String =
+    StubExternals.transcribe(samples, refText)
+
+  override def decodeAudio(bytes: Array[Byte]): (Array[Float], Int) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val base = in.getFormat
+      val ch = math.max(base.getChannels, 1)
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        base.getSampleRate, 16, ch, ch * 2, base.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(target, in)
+      try {
+        val buf = pcm.readAllBytes()
+        val n = buf.length / 2 / ch
+        val out = new Array[Float](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0f
+          var c = 0
+          while (c < ch) {
+            val off = (i * ch + c) * 2
+            val s = ((buf(off) & 0xff) | (buf(off + 1) << 8)).toShort
+            acc += s / 32768.0f
+            c += 1
+          }
+          out(i) = acc / ch
+          i += 1
+        }
+        (out, base.getSampleRate.toInt)
+      } finally pcm.close()
+    } finally in.close()
+  }
+}
