@@ -70,4 +70,58 @@ object MultimodalOps {
       }
     }(Encoders.product[WavInfo]).toDF()
   }
+
+  final case class ImageInfo(path: String, format: String, width: Int, height: Int)
+
+  /** Image header probe — real byte parsing of PNG / BMP / GIF headers
+    * (magic + dimensions), no full decode, same pattern as [[wavProbe]].
+    * Unknown or truncated blobs report ("unknown", 0, 0) instead of
+    * throwing inside the task. */
+  def imageProbe(df: DataFrame, pathCol: String, contentCol: String): DataFrame = {
+    val in = df.select(col(pathCol).cast("string"), col(contentCol))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val path = r.getString(0)
+        val b = r.getAs[Array[Byte]](1)
+        def be32(o: Int) = ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+          ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+        def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+          ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+        def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+        if (b != null && b.length >= 24 && b.take(8).sameElements(png) &&
+            new String(b.slice(12, 16), "US-ASCII") == "IHDR")
+          ImageInfo(path, "png", be32(16), be32(20))
+        else if (b != null && b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte)
+          ImageInfo(path, "bmp", le32(18), le32(22))
+        else if (b != null && b.length >= 10 &&
+            new String(b.take(4), "US-ASCII") == "GIF8")
+          ImageInfo(path, "gif", le16(6), le16(8))
+        else ImageInfo(path, "unknown", 0, 0)
+      }
+    }(Encoders.product[ImageInfo]).toDF()
+  }
+
+  /** Frame sampling over an opaque "video" blob: the decode is a
+    * deterministic fake (fixed-size byte slices stand in for frames — no
+    * codec libs in this container) but the dataflow is the real 100 TB
+    * shape: pure codegen'd column expressions (sequence + posexplode +
+    * substring), frames never leave the executor that read the blob, and
+    * output volume is input/everyN — the knob a sampling stage must have.
+    * Keeps every `everyN`-th frame starting at frame 0. */
+  def frameSample(df: DataFrame, pathCol: String, contentCol: String,
+      frameBytes: Int, everyN: Int): DataFrame = {
+    require(frameBytes > 0 && everyN > 0)
+    df.select(col(pathCol).cast("string").as("path"), col(contentCol).as("__c"))
+      .withColumn("__nframes",
+        ceil(length(col("__c")).cast("double") / frameBytes).cast("int"))
+      .filter(col("__nframes") > 0) // empty blob -> no frames (range(0) semantics)
+      .select(col("path"), col("__c"),
+        posexplode(sequence(lit(0), col("__nframes") - 1))
+          .as(Seq("frame_idx", "__i")))
+      .filter(col("frame_idx") % everyN === 0)
+      .select(col("path"), col("frame_idx"),
+        substring(col("__c"), col("frame_idx") * frameBytes + 1, lit(frameBytes))
+          .as("frame"))
+  }
 }

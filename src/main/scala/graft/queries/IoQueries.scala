@@ -279,6 +279,72 @@ object IoQueries {
        |FROM read_blob('$fixRoot/mm_bin/*/*.txt')
        |ORDER BY fname""".stripMargin
 
+  /** Hand-rolled minimal image headers, dimensions encoded in the
+    * filename (the oracle's ground truth), one junk file for the
+    * unknown path. */
+  private def genImages(base: String): Unit = {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def be32(v: Int) = bytes(v >>> 24, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+    def le32(v: Int) = bytes(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, v >>> 24)
+    def le16(v: Int) = bytes(v & 0xff, (v >> 8) & 0xff)
+    for ((w, h) <- Seq((12, 8), (640, 480), (1, 1))) {
+      val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++ bytes(8, 6, 0, 0, 0)
+      Files.write(Paths.get(base, s"img_png_w${w}_h$h.png"), png)
+      val bmp = "BM".getBytes ++ le32(26) ++ le32(0) ++ le32(26) ++
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24)
+      Files.write(Paths.get(base, s"img_bmp_w${w}_h$h.bmp"), bmp)
+      val gif = "GIF89a".getBytes ++ le16(w) ++ le16(h) ++ bytes(0, 0, 0)
+      Files.write(Paths.get(base, s"img_gif_w${w}_h$h.gif"), gif)
+    }
+    Files.write(Paths.get(base, "img_unknown_w0_h0.dat"), "not an image".getBytes)
+  }
+
+  /** Multimodal image-header probe (decode-free dimensions, like the wav
+    * probe); oracle = filename-encoded ground truth. */
+  private val mmImage: Q = (s, dir) => {
+    val d = fixDir("mm_img")
+    genImages(d)
+    val files = s.read.format("binaryFile").load(d + "/*")
+    MultimodalOps.imageProbe(files, "path", "content")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("format"), col("width"), col("height"))
+      .orderBy("fname")
+  }
+  private val mmImageSql =
+    s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+       |  CASE WHEN filename LIKE '%.png' THEN 'png'
+       |       WHEN filename LIKE '%.bmp' THEN 'bmp'
+       |       WHEN filename LIKE '%.gif' THEN 'gif' ELSE 'unknown' END AS format,
+       |  CAST(regexp_extract(filename, '_w(\\d+)_', 1) AS INT) AS width,
+       |  CAST(regexp_extract(filename, '_h(\\d+)\\.', 1) AS INT) AS height
+       |FROM read_blob('$fixRoot/mm_img/*')
+       |ORDER BY fname""".stripMargin
+
+  /** Frame sampling over ASCII "video" blobs: every 3rd 16-byte frame,
+    * the oracle re-slices the same blobs with substr arithmetic. */
+  private val mmFrames: Q = (s, dir) => {
+    val d = fixDir("mm_vid")
+    for (i <- 1 to 4) {
+      val content = (0 until 40 * i + 7).map(j => ('a' + j % 26).toChar).mkString
+      Files.write(Paths.get(d, s"vid_$i.bin"), content.getBytes)
+    }
+    val files = s.read.format("binaryFile").load(d + "/*.bin")
+    MultimodalOps.frameSample(files, "path", "content", frameBytes = 16, everyN = 3)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("frame_idx"), col("frame").cast("string").as("frame"))
+      .orderBy("fname", "frame_idx")
+  }
+  private val mmFramesSql =
+    s"""WITH v AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+       |    CAST(content AS VARCHAR) AS c
+       |  FROM read_blob('$fixRoot/mm_vid/*.bin'))
+       |SELECT fname, CAST(i AS INT) AS frame_idx, substr(c, CAST(i AS INT) * 16 + 1, 16) AS frame
+       |FROM (SELECT fname, c, unnest(range((len(c) + 15) // 16)) AS i FROM v)
+       |WHERE i % 3 = 0
+       |ORDER BY fname, frame_idx""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -293,7 +359,9 @@ object IoQueries {
     "io_s8_text_lines" -> s8,
     "io_s9_binary_tree" -> s9,
     "mm_wav_probe" -> mmWav,
-    "mm_bin_features" -> mmBin)
+    "mm_bin_features" -> mmBin,
+    "mm_image_probe" -> mmImage,
+    "mm_frame_sample" -> mmFrames)
 
   val oracle: Map[String, String] = Map(
     "io_s1_csv" -> s1Sql,
@@ -307,5 +375,7 @@ object IoQueries {
     "io_s8_text_lines" -> s8Sql,
     "io_s9_binary_tree" -> s9Sql,
     "mm_wav_probe" -> mmWavSql,
-    "mm_bin_features" -> mmBinSql)
+    "mm_bin_features" -> mmBinSql,
+    "mm_image_probe" -> mmImageSql,
+    "mm_frame_sample" -> mmFramesSql)
 }

@@ -207,6 +207,38 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   // ----------------------------------------------------- MultimodalOps
+  test("MultimodalOps.imageProbe: PNG/BMP/GIF dims from headers, junk is unknown") {
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def le32(v: Int) = be32(v).reverse
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(320) ++ be32(200) ++ Array[Byte](8, 6, 0, 0, 0)
+    val bmp = "BM".getBytes ++ le32(26) ++ le32(0) ++ le32(26) ++
+      le32(40) ++ le32(100) ++ le32(50) ++ Array[Byte](1, 0, 24, 0)
+    val gif = "GIF89a".getBytes ++ Array[Byte](16, 0, 9, 0, 0)
+    val df = spark.createDataFrame(Seq(
+      ("p", png), ("b", bmp), ("g", gif), ("x", "junk".getBytes)))
+      .toDF("path", "content")
+    val out = MultimodalOps.imageProbe(df, "path", "content")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out("p") == (("png", 320, 200)))
+    assert(out("b") == (("bmp", 100, 50)))
+    assert(out("g") == (("gif", 16, 9)))
+    assert(out("x") == (("unknown", 0, 0)))
+  }
+
+  test("MultimodalOps.frameSample: every-Nth fixed-size frames, ragged tail, empty blob") {
+    val content = (0 until 40).map(i => ('a' + i % 26).toChar).mkString.getBytes
+    val df = spark.createDataFrame(Seq(("v", content), ("empty", Array.empty[Byte])))
+      .toDF("path", "content")
+    val out = MultimodalOps.frameSample(df, "path", "content", frameBytes = 16, everyN = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), new String(r.getAs[Array[Byte]](2))))
+      .sortBy(r => (r._1, r._2))
+    // ceil(40/16)=3 frames; keep idx 0 and 2; frame 2 is the 8-byte tail
+    assert(out.toSeq == Seq(
+      ("v", 0, new String(content.slice(0, 16))),
+      ("v", 2, new String(content.slice(32, 40)))))
+  }
+
   test("MultimodalOps.wavProbe: truncated data chunk is clamped, short blob yields zeros") {
     val samples = Array.fill[Float](100)(0.5f)
     val wav = AudioOps.encodePcm16Wav(samples, 8000)
