@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose hot keys overload single tasks at
+  * scale (SURVEY §6 scale risks; the crawler's source column has ~2
+  * values and book popularity is Zipfian). AQE's skew-join split handles
+  * sort-merge cases adaptively; this operator is the explicit salting
+  * form for when the small side fits in memory per key but a hot key's
+  * rows must still spread over many tasks — e.g. joining utterances to
+  * per-book metadata where one book dominates a crawl batch.
+  */
+object SkewOps {
+
+  /** Equi-join `large ⋈ small` on `keys`, with the large side's rows
+    * scattered over `saltBuckets` sub-keys and the small side replicated
+    * once per bucket. Result is row-identical to the plain inner join;
+    * the shuffle key becomes (keys..., salt) so a hot key occupies
+    * `saltBuckets` tasks instead of one. Replication cost is
+    * |small| × saltBuckets — size saltBuckets to the observed skew
+    * factor, not higher.
+    *
+    * The salt is `pmod(hash(*), saltBuckets)` over the large side's whole
+    * row (cheap, deterministic per row content, uniform enough); rand()
+    * would also work but makes task retries non-deterministic.
+    */
+  def saltedInnerJoin(
+      large: DataFrame, small: DataFrame, keys: Seq[String],
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    require(keys.nonEmpty, "need at least one join key")
+    val salted = large.withColumn("__salt",
+      pmod(hash(large.columns.map(col): _*), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+}

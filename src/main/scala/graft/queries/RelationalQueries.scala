@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{EncodeOps, MergeOps, WerAgg}
+import graft.operators.{EncodeOps, MergeOps, SkewOps, WerAgg}
 
 /** The relational core (SURVEY §2.2–2.7) expressed over the driver's
   * TPC-H-ish tables, one named query per ★ operator, each paired with a
@@ -395,6 +395,25 @@ object RelationalQueries {
       |ON s.book = l.book AND s.seg_id - 1 = l.line_no
       |ORDER BY s.book, s.seg_id""".stripMargin
 
+  /** J9 (scale path): salted skew join — result must be row-identical to
+    * the plain inner join, which is exactly what the oracle checks; the
+    * salt only changes the shuffle key distribution. Aggregated so the
+    * verify surface stays small while covering every joined row. */
+  private val j9: Q = (s, dir) => {
+    val large = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"), col("l_quantity"))
+    val small = t(s, dir, "orders")
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    SkewOps.saltedInnerJoin(large, small, Seq("okey"), saltBuckets = 8)
+      .groupBy("o_orderpriority")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+  private val j9Sql =
+    """SELECT o_orderpriority, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------ §2.4 A
 
   /** A1 ★: group by derived key + sorted collect_list (crawler/utils.py:85-122).
@@ -717,6 +736,7 @@ object RelationalQueries {
     "j5_anti" -> j5a,
     "j6_keyset_exclusion" -> j6,
     "j7_lineid_arith" -> j7,
+    "j9_salted_skew_join" -> j9,
     "a1_group_collect" -> a1,
     "a2_group_ordered_collect" -> a2,
     "a3_group_source_collect" -> a3,
@@ -761,6 +781,7 @@ object RelationalQueries {
     "j5_anti" -> j5aSql,
     "j6_keyset_exclusion" -> j6Sql,
     "j7_lineid_arith" -> j7Sql,
+    "j9_salted_skew_join" -> j9Sql,
     "a1_group_collect" -> a1Sql,
     "a2_group_ordered_collect" -> a2Sql,
     "a3_group_source_collect" -> a3Sql,

@@ -206,6 +206,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("book-a", "x"), ("book-b", "y")))
   }
 
+  // ----------------------------------------------------------- SkewOps
+  test("SkewOps.saltedInnerJoin: row-identical to the plain join under skew") {
+    // hot key: 900 of 1000 large rows share key "hot"
+    val large = (0 until 1000)
+      .map(i => (if (i < 900) "hot" else s"k$i", i.toLong)).toDF("k", "v")
+    val small = Seq(("hot", "H"), ("k950", "A"), ("missing", "X")).toDF("k", "tag")
+    val salted = SkewOps.saltedInnerJoin(large, small, Seq("k"), saltBuckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    val plain = large.join(small, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq && plain.length == 901)
+  }
+
   // ----------------------------------------------------- MultimodalOps
   test("MultimodalOps.imageProbe: PNG/BMP/GIF dims from headers, junk is unknown") {
     def be32(v: Int) = Array((v >>> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
