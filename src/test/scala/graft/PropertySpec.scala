@@ -4,7 +4,8 @@ import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
 import graft.functions.TextFns
-import graft.operators.WerAgg
+import graft.operators.{AudioOps, WerAgg}
+import graft.streaming.StreamingRegroup
 
 /** ScalaCheck properties for the pure scalar/agg kernels (SURVEY §5.2). */
 object KernelProps extends Properties("graft.kernels") {
@@ -55,6 +56,51 @@ object KernelProps extends Properties("graft.kernels") {
       val once = TextFns.normalizeName(s)
       TextFns.normalizeName(once) == once &&
         !once.exists(_.isUpper) && !once.contains(" ")
+    }
+
+  // ----------------------------------------- wav encode/decode laws
+  private val samples: Gen[Array[Float]] =
+    Gen.listOf(Gen.chooseNum(-1.0f, 1.0f)).map(_.toArray)
+
+  property("encodePcm16Wav: decode∘encode∘decode∘encode is byte-stable") =
+    forAll(samples, Gen.oneOf(8000, 16000, 24000)) { (xs: Array[Float], sr: Int) =>
+      // one quantization pass may move values; after it, the pair is exact
+      val once = AudioOps.encodePcm16Wav(xs, sr)
+      val (decoded, sr2) = AudioOps.decodePcm16Wav(once)
+      val twice = AudioOps.encodePcm16Wav(decoded, sr2)
+      sr2 == sr && twice.sameElements(once)
+    }
+
+  property("encodePcm16Wav: quantization error bounded by half an LSB") =
+    forAll(samples) { (raw: Array[Float]) =>
+      // clamp into the representable range [-1, 32767/32768]; +1.0 itself
+      // saturates to full scale with a whole-LSB error by design
+      val xs = raw.map(x => math.max(-1f, math.min(x, 32767f / 32768f)))
+      val (decoded, _) = AudioOps.decodePcm16Wav(AudioOps.encodePcm16Wav(xs, 8000))
+      decoded.zip(xs).forall { case (d, x) => math.abs(d - x) <= 0.5f / 32768f + 1e-7f }
+    }
+
+  // ------------------------------------- streaming regroup == batch fold
+  /** Splitting a sentence stream at ANY batch boundaries and folding with
+    * StreamingRegroup.advance must equal the single-shot fold — the
+    * property that makes the streaming operator trustworthy. */
+  private val sentenceSeq: Gen[List[(Int, Int)]] =
+    Gen.listOf(Gen.choose(1, 12)).map(_.zipWithIndex.map { case (wc, i) => (i + 1, wc) })
+  property("streaming regroup: arbitrary batch splits are fold-invariant") =
+    forAll(sentenceSeq, Gen.choose(5, 25), Gen.choose(1, 5)) {
+      (sents: List[(Int, Int)], threshold: Int, nSplits: Int) =>
+        val evs = sents.map { case (rn, wc) =>
+          StreamingRegroup.Sentence("d", rn.toLong, s"s$rn", wc.toLong) }
+        val oneShot = StreamingRegroup.advance("d", StreamingRegroup.emptyBuf, evs, threshold)
+        val chunks = if (evs.isEmpty) List(Nil) else evs.grouped(
+          math.max(1, evs.size / nSplits)).toList
+        val folded = chunks.foldLeft(
+          (StreamingRegroup.emptyBuf, List.empty[StreamingRegroup.GroupOut])) {
+          case ((buf, acc), chunk) =>
+            val (b2, out) = StreamingRegroup.advance("d", buf, chunk, threshold)
+            (b2, acc ++ out)
+        }
+        folded._1 == oneShot._1 && folded._2 == oneShot._2
     }
 
   // -------------------------------------------------- W3 fold model
