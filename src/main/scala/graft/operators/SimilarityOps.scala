@@ -47,17 +47,36 @@ object SimilarityOps {
     (hex.charAt(0).toInt % 2) * 2 - 1
   }
 
-  /** Random-hyperplane LSH bucket id: bit i = (v · h_i >= 0). The dot is a
-    * left-assoc sum of element_at products — identical association order
-    * to the oracle's list_reduce, so the bucket strings match exactly. */
+  /** Random-hyperplane LSH bucket id as an INTEGER: bit (nPlanes-1-i) of
+    * the result = (v · h_i >= 0). An int bucket shuffles and compares as
+    * 4 bytes where a bit-string key is nPlanes chars — the difference is
+    * real at billions of vectors.
+    *
+    * Implemented as a Scala UDF over the precomputed ±1 sign matrix — a
+    * deliberate exception to the functions-over-UDFs rule: the column
+    * form is a single (nPlanes × dim)-term arithmetic expression, and one
+    * fused expression cannot be method-split by codegen, so at 8×64 terms
+    * sharing a stage with the flat norms it blows Janino's 64 KB method
+    * limit and the whole stage silently falls back to interpretation. A
+    * tight compiled double loop has no such cliff and is faster than
+    * either. Left-assoc accumulation from 0.0 matches the oracle's
+    * no-init list_reduce bit-for-bit (0.0 + x == x in IEEE). */
   def lshBucket(vecCol: String, nPlanes: Int = 8, dim: Int = 64): Column = {
-    val bits = (0 until nPlanes).map { i =>
-      val dotP = (0 until dim).map { j =>
-        element_at(col(vecCol), j + 1).cast("double") * lit(planeSign(i, j))
-      }.reduce(_ + _)
-      when(dotP >= 0, lit("1")).otherwise(lit("0"))
+    require(nPlanes <= 31, "int bucket holds at most 31 plane bits")
+    val signs = Array.tabulate(nPlanes, dim)((i, j) => planeSign(i, j).toDouble)
+    val bucketOf = udf { (v: Seq[Float]) =>
+      var bucket = 0
+      var i = 0
+      while (i < nPlanes) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += v(j).toDouble * signs(i)(j); j += 1 }
+        bucket = (bucket << 1) | (if (acc >= 0) 1 else 0)
+        i += 1
+      }
+      bucket
     }
-    concat(bits: _*)
+    bucketOf(col(vecCol))
   }
 
   /** Brute-force cosine top-k: every (query, candidate) pair, ranked.

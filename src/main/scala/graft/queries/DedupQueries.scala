@@ -177,10 +177,10 @@ object DedupQueries {
       |    (ascii(substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS p
       |  FROM range(16) t(i)),
       |bkt AS (
-      |  SELECT vec_id, string_agg(
+      |  SELECT vec_id, CAST(SUM(
       |      CASE WHEN list_reduce(list_transform(range(1, 65),
       |             j -> CAST(e.embedding[j] AS DOUBLE) * p[j]), (x, y) -> x + y) >= 0
-      |           THEN '1' ELSE '0' END, '' ORDER BY i) AS bucket
+      |           THEN (1 << (15 - i)) ELSE 0 END) AS INT) AS bucket
       |  FROM ecorp e, planes GROUP BY vec_id),
       |prepped AS (
       |  SELECT e.vec_id, b.bucket, e.embedding AS v, ${sqlNorm("e.embedding")} AS nrm
@@ -224,10 +224,10 @@ object DedupQueries {
        |    (ascii(substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS p
        |  FROM range(8) t(i)),
        |bkt AS (
-       |  SELECT vec_id, string_agg(
+       |  SELECT vec_id, CAST(SUM(
        |      CASE WHEN list_reduce(list_transform(range(1, 65),
        |             j -> CAST(e.embedding[j] AS DOUBLE) * p[j]), (x, y) -> x + y) >= 0
-       |           THEN '1' ELSE '0' END, '' ORDER BY i) AS bucket
+       |           THEN (1 << (7 - i)) ELSE 0 END) AS INT) AS bucket
        |  FROM embeddings e, planes GROUP BY vec_id),
        |v AS (SELECT e.vec_id, bucket, embedding AS vv, ${sqlNorm("embedding")} AS nrm
        |      FROM embeddings e JOIN bkt ON e.vec_id = bkt.vec_id),

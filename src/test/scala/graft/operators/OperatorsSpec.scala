@@ -140,13 +140,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq((1L, 1), (2L, 2)))
   }
 
-  test("SimilarityOps.lshBucket: deterministic bit-string of plane count length") {
+  test("SimilarityOps.lshBucket: deterministic int bucket within plane-bit range") {
     val vecs = Seq((0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)))
       .toDF("vec_id", "embedding")
     val buckets = vecs.select(SimilarityOps.lshBucket("embedding").as("b"))
-      .as[String].collect()
-    assert(buckets(0).length == 8 && buckets(0).forall(c => c == '0' || c == '1'))
+      .as[Int].collect()
+    assert(buckets(0) >= 0 && buckets(0) < (1 << 8))
     assert(buckets(0) == buckets(1))
+    // bit (7-i) of the bucket is exactly the sign of the plane-i dot product
+    val v = Array.fill(64)(0.5)
+    val expected = (0 until 8).map { i =>
+      val dot = (0 until 64).map(j => v(j) * SimilarityOps.planeSign(i, j)).sum
+      if (dot >= 0) 1 << (7 - i) else 0
+    }.sum
+    assert(buckets(0) == expected)
   }
 
   test("SimilarityOps.planeSign matches the md5-parity formula") {
