@@ -37,6 +37,28 @@ class FileStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("streamingExactDedup: first occurrence kept across micro-batches, canonical-form match") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val docs = mem.toDS().toDF("text", "ts")
+    val q = FileStream.streamingExactDedup(docs, "text", "ts", "10 minutes")
+      .select("text")
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+      mem.addData(("hello world", t0), ("  Hello   WORLD ", t0)) // same canonical form
+      q.processAllAvailable()
+      assert(spark.table("sdedup_out").count() == 1)
+      mem.addData(("hello world", t0), ("fresh doc", t0)) // dup across batches + new
+      q.processAllAvailable()
+      val texts = spark.table("sdedup_out").as[String].collect().sorted
+      assert(texts.toSeq == Seq("fresh doc", "hello world"))
+    } finally q.stop()
+  }
+
   test("windowed event counts with watermark (batch-mode semantics check)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val agg = FileStream.windowedEventCounts(ev, "ts", "event_type", "1 hour", "10 minutes")
