@@ -125,6 +125,38 @@ object SimilarityOps {
       .select("q_id", "c_id", "rank")
   }
 
+  /** Multi-probe variant of [[bucketedTopK]]: each query additionally
+    * probes the nPlanes Hamming-1 neighbors of its bucket (one plane-bit
+    * flipped), the standard recall repair for single-probe hyperplane LSH
+    * — a near-dup separated by exactly one plane is still found. Cost is
+    * bounded and explicit: (nPlanes+1)× the query-side rows, candidate
+    * side untouched, still one shuffle on the int bucket, never a cross
+    * product. */
+  def multiProbeTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val probes = array(lit(0) +: (0 until nPlanes).map(b => lit(1 << b)): _*)
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("__home", lshBucket("q_vec", nPlanes, dim))
+      .withColumn("__mask", explode(probes))
+      .withColumn("bucket", col("__home").bitwiseXOR(col("__mask")))
+      .withColumn("q_norm", normFlat(col("q_vec"), dim))
+    val c = candidates
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("bucket", lshBucket("c_vec", nPlanes, dim))
+      .withColumn("c_norm", normFlat(col("c_vec"), dim))
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", VectorFns.cosineWithNorms(
+        VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank")
+  }
+
   /** IVF-style top-k: a coarse quantizer assigns every vector to its
     * nearest of nCells centroid vectors; queries probe their nProbe
     * nearest cells and rank only candidates inside those cells.

@@ -242,6 +242,39 @@ object DedupQueries {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  private val annMultiProbe: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    SimilarityOps.multiProbeTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", 5, nPlanes = 8, dim = 64)
+      .orderBy("q_id", "rank")
+  }
+  private val annMultiProbeSql =
+    s"""WITH planes AS (
+       |  SELECT i, list_transform(range(64), j ->
+       |    (ascii(substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS p
+       |  FROM range(8) t(i)),
+       |bkt AS (
+       |  SELECT vec_id, CAST(SUM(
+       |      CASE WHEN list_reduce(list_transform(range(1, 65),
+       |             j -> CAST(e.embedding[j] AS DOUBLE) * p[j]), (x, y) -> x + y) >= 0
+       |           THEN (1 << (7 - i)) ELSE 0 END) AS INT) AS bucket
+       |  FROM embeddings e, planes GROUP BY vec_id),
+       |v AS (SELECT e.vec_id, bucket, embedding AS vv, ${sqlNorm("embedding")} AS nrm
+       |      FROM embeddings e JOIN bkt ON e.vec_id = bkt.vec_id),
+       |qprobe AS (
+       |  SELECT vec_id, CAST(xor(bucket, CAST(m AS INT)) AS INT) AS bucket, vv, nrm
+       |  FROM v, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) t(m)
+       |  WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${sqlDot("q.vv", "c.vv")} / (q.nrm * c.nrm) AS cosine
+       |  FROM qprobe q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+       |SELECT q_id, c_id, rank FROM (
+       |  SELECT q_id, c_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   private val annIvf: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
     SimilarityOps.ivfTopK(e.filter(col("vec_id") < 10), e,
@@ -288,6 +321,7 @@ object DedupQueries {
     "emb_near_dup" -> embNearDup,
     "ann_brute_topk" -> annBrute,
     "ann_bucketed_topk" -> annBucketed,
+    "ann_multiprobe_topk" -> annMultiProbe,
     "ann_ivf_topk" -> annIvf)
 
   val oracle: Map[String, String] = Map(
@@ -298,5 +332,6 @@ object DedupQueries {
     "emb_near_dup" -> embNearDupSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_bucketed_topk" -> annBucketedSql,
+    "ann_multiprobe_topk" -> annMultiProbeSql,
     "ann_ivf_topk" -> annIvfSql)
 }

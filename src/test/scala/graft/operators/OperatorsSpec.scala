@@ -156,6 +156,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(buckets(0) == expected)
   }
 
+  test("SimilarityOps.multiProbeTopK: finds at least what single-probe finds") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(SimilarityOps.bucketedTopK(qs, vecs, "vec_id", "embedding", 5))
+    val multi = pairs(SimilarityOps.multiProbeTopK(qs, vecs, "vec_id", "embedding", 5))
+    // every single-probe selection comes from the home bucket, which
+    // multiprobe also probes — with equal k, multiprobe's per-query result
+    // can only draw from an equal-or-larger candidate pool
+    assert(multi.size >= single.size)
+  }
+
   test("SimilarityOps.planeSign matches the md5-parity formula") {
     // ascii(first hex char of md5("0_0")) parity -> ±1; stable across engines
     val md5hex = java.security.MessageDigest.getInstance("MD5")
