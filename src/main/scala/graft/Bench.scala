@@ -29,7 +29,7 @@ object Bench {
     "j1_inner_equi", "j3_upsert", "j5_semi", "j7_lineid_arith",
     "w1_row_number", "o4_group_sample",
     "dedup_exact", "dedup_minhash_lsh",
-    "ann_brute_topk", "ann_bucketed_topk", "ann_ivf_topk",
+    "ann_brute_topk", "ann_bucketed_topk", "ann_multiprobe_topk", "ann_ivf_topk",
     "t_lang_id", "t_quality", "t_token_count", "a8_corpus_wer")
 
   private val Runs = 3
