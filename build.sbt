@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNprefixed: the driver parses the
+// bench's single JSON line from stdout, and sbt's default logger wraps
+// every forked-process line in "[info] " (BENCH_r02/r03 "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -31,4 +35,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // cause multi-10s nondeterministic stalls (measured 3-6x on bench);
   // C1-only trades ~15% steady-state for bounded, predictable runs.
   "-XX:TieredStopAtLevel=1",
+  // C1-only halves the default cache, and janino emits a class per stage:
+  // the 48 MB default fills mid-suite and the JVM DISABLES compilation
+  // ("CodeCache is full" in the r4 test run) — everything after runs
+  // interpreted, which is exactly the nondeterministic slowdown the C1
+  // pin was meant to remove.
+  "-XX:ReservedCodeCacheSize=256m",
 )

@@ -95,14 +95,18 @@ object IoOps {
   /** K3: one JSON file per row, named by `nameCol` (__init__.py:331-340).
     * Executor-side foreach writer — rows never collect to the driver. */
   def writeJsonPerRow(df: DataFrame, nameCol: String, dir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val named = df.select(col(nameCol).cast("string").as("__name"),
       to_json(struct(df.columns.map(col): _*)).as("__json"))
-    named.foreach { r =>
-      val p = java.nio.file.Paths.get(dir, r.getString(0) + ".json")
-      java.nio.file.Files.write(p,
-        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ()
+    named.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      // Directory creation must happen on the EXECUTOR (idempotent, once
+      // per partition): on a real cluster a driver-side mkdir only exists
+      // on the driver's filesystem and every task would fail.
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      rows.foreach { r =>
+        val p = java.nio.file.Paths.get(dir, r.getString(0) + ".json")
+        java.nio.file.Files.write(p,
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
   }
 
@@ -115,14 +119,17 @@ object IoOps {
     * collect to the driver; `dir` must be executor-visible storage. */
   def writeWavPerRow(df: DataFrame, nameCol: String, samplesCol: String,
       srCol: String, dir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     df.select(col(nameCol).cast("string"), col(samplesCol), col(srCol).cast("int"))
-      .foreach { r =>
-        val bytes = graft.operators.AudioOps.encodePcm16Wav(
-          r.getSeq[Float](1).toArray, r.getInt(2))
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, r.getString(0) + ".wav"), bytes)
-        ()
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        // Executor-side mkdir (idempotent, per partition) — see
+        // writeJsonPerRow; dir must be executor-visible storage.
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        rows.foreach { r =>
+          val bytes = graft.operators.AudioOps.encodePcm16Wav(
+            r.getSeq[Float](1).toArray, r.getInt(2))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, r.getString(0) + ".wav"), bytes)
+        }
       }
   }
 

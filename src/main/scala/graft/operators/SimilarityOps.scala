@@ -64,17 +64,24 @@ object SimilarityOps {
   def lshBucket(vecCol: String, nPlanes: Int = 8, dim: Int = 64): Column = {
     require(nPlanes <= 31, "int bucket holds at most 31 plane bits")
     val signs = Array.tabulate(nPlanes, dim)((i, j) => planeSign(i, j).toDouble)
-    val bucketOf = udf { (v: Seq[Float]) =>
-      var bucket = 0
-      var i = 0
-      while (i < nPlanes) {
-        var acc = 0.0
-        var j = 0
-        while (j < dim) { acc += v(j).toDouble * signs(i)(j); j += 1 }
-        bucket = (bucket << 1) | (if (acc >= 0) 1 else 0)
-        i += 1
+    // Declared over Seq[Double] so the analyzer casts array<float> AND
+    // array<double> inputs (a Seq[Float] binding rejects double vectors
+    // at runtime); null-propagating like the expression form it replaced
+    // — a null or short vector yields a null bucket, never an NPE.
+    val bucketOf = udf { (v: Seq[java.lang.Double]) =>
+      if (v == null || v.length < dim || v.contains(null)) None
+      else {
+        var bucket = 0
+        var i = 0
+        while (i < nPlanes) {
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += v(j) * signs(i)(j); j += 1 }
+          bucket = (bucket << 1) | (if (acc >= 0) 1 else 0)
+          i += 1
+        }
+        Some(bucket)
       }
-      bucket
     }
     bucketOf(col(vecCol))
   }

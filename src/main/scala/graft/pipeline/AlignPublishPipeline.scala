@@ -96,13 +96,16 @@ object AlignPublishPipeline {
     */
   def materializeUtterances(
       utts: DataFrame, bookAudio: DataFrame, outDir: String): Long = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val spans = utts.groupBy("book_id").agg(
       collect_list(struct(col("utt_idx"), col("start"), col("end"), col("text")))
         .as("spans"))
     val joined = spans.join(bookAudio, Seq("book_id"))
       .select(col("book_id"), col("spans"), col("samples"), col("sr").cast("int"))
     val perBook = joined.mapPartitions { rows =>
+      // Executor-side mkdir (idempotent, once per partition): a
+      // driver-side mkdir only exists on the driver's filesystem on a
+      // real cluster and every writing task would fail.
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
       rows.map { r =>
         val book = r.getString(0)
         val samples = r.getSeq[Float](2).toArray

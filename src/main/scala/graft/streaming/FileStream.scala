@@ -33,19 +33,22 @@ object FileStream {
 
   /** Streaming exact dedup: keep the first row per canonical-text
     * fingerprint (the streaming form of DedupOps.exactDedup) over an
-    * unbounded document stream. `dropDuplicates` keys state on the
-    * 128-bit fingerprint; the event-time watermark bounds that state —
-    * a fingerprint older than the watermark is evicted, so memory scales
-    * with the dedup horizon, not the corpus. A duplicate arriving after
-    * its original aged out is re-emitted: that horizon/exactness trade is
-    * the price of unbounded input, and the watermark is the knob. */
+    * unbounded document stream. `dropDuplicatesWithinWatermark` keys
+    * state on the 128-bit fingerprint and evicts an entry once the
+    * watermark passes the event time it was recorded at — plain
+    * `dropDuplicates` would only evict when the event-time column is
+    * itself a dedup key, so its state grows with the corpus and OOMs on
+    * an unbounded stream. Memory therefore scales with the dedup
+    * horizon, not the corpus; a duplicate arriving after its original
+    * aged out is re-emitted. That horizon/exactness trade is the price
+    * of unbounded input, and the watermark is the knob. */
   def streamingExactDedup(
       docs: DataFrame, textCol: String, tsCol: String,
       watermark: String): DataFrame =
     docs
       .withColumn("fingerprint", graft.functions.TextFns.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("fingerprint")
+      .dropDuplicatesWithinWatermark("fingerprint")
 
   /** Event-time windowed counts with a watermark — the streaming-native
     * shape of the reference's per-stage success/fail counters (§2.4 A5).

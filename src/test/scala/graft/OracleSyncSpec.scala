@@ -41,4 +41,17 @@ class OracleSyncSpec extends AnyFunSuite {
   test("every query has an oracle and every oracle has a query") {
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
+
+  test("each oracle key appears exactly once in the SparkEntry source text") {
+    // A static first-match parser of the source must see the same map the
+    // compiled Map does (Scala Map keeps the LAST duplicate — a broken
+    // splice once left 12 accumulated copies where the first was stale).
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala"))
+    for (k <- SparkEntry.oracleSql.keySet) {
+      val needle = "\"" + k + "\" ->"
+      val n = needle.r.findAllMatchIn(src).size
+      assert(n == 1, s"key $k appears $n times in SparkEntry.scala source")
+    }
+  }
 }

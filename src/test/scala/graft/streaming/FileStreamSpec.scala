@@ -56,6 +56,18 @@ class FileStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       val texts = spark.table("sdedup_out").as[String].collect().sorted
       assert(texts.toSeq == Seq("fresh doc", "hello world"))
+      // Eviction: advance the watermark well past t0 + the 10-minute
+      // horizon, then re-send the original. Its state has aged out, so
+      // the late duplicate is re-emitted — bounded state is the contract
+      // that keeps this viable on an unbounded stream.
+      val t1 = java.sql.Timestamp.valueOf("2026-01-01 12:00:00")
+      mem.addData(("advance the clock", t1))
+      q.processAllAvailable()
+      mem.addData(("hello world", t1))
+      q.processAllAvailable()
+      val hellos = spark.table("sdedup_out").as[String].collect()
+        .count(_ == "hello world")
+      assert(hellos == 2, "duplicate arriving after state eviction must re-emit")
     } finally q.stop()
   }
 

@@ -9,8 +9,12 @@ entry = root / "src/main/scala/graft/SparkEntry.scala"
 body = (root / "tools/oracle_map_body.scala.txt").read_text().rstrip()
 
 src = entry.read_text()
+# Comment-line subpattern must be single-line ([^\n]*, not .*): under
+# re.S a `.` crosses newlines, so the old `(?:\s*// .*\n)*` swallowed the
+# whole generated body into the kept prefix and every regen APPENDED a
+# fresh copy instead of replacing (12 accumulated copies by round 3).
 pat = re.compile(
-    r"(// ORACLE-BODY-BEGIN.*?\n(?:\s*// .*\n)*)(.*?)(\n\s*// ORACLE-BODY-END)",
+    r"(// ORACLE-BODY-BEGIN[^\n]*\n(?:[ \t]*//[^\n]*\n)*)(.*?)(\n\s*// ORACLE-BODY-END)",
     re.S,
 )
 m = pat.search(src)
