@@ -30,6 +30,7 @@ object Bench {
     "w1_row_number", "o4_group_sample",
     "dedup_exact", "dedup_minhash_lsh",
     "ann_brute_topk", "ann_bucketed_topk", "ann_multiprobe_topk", "ann_ivf_topk",
+    "ann_kmeans_cells",
     "t_lang_id", "t_quality", "t_token_count", "a8_corpus_wer")
 
   private val Runs = 3

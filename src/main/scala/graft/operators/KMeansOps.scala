@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means over an `array<float>` embedding column — the trained
+  * coarse quantizer that [[SimilarityOps.ivfTopK]]'s deterministic
+  * stand-in points at (reference context: IVF cell assignment for ANN;
+  * the reference has no trainer, so the algorithm spec here is chosen
+  * for distributed determinism).
+  *
+  * Spark shapes per iteration:
+  *   - ASSIGN is map-side only: the k×dim centroid matrix rides the
+  *     closure (collected between iterations — k·dim doubles, the same
+  *     driver-resident model state MLlib keeps), and a compiled loop
+  *     picks the nearest centroid per row. No shuffle, no codegen cliff
+  *     (k×dim fused expressions would blow Janino's method limit — see
+  *     ARCHITECTURE.md on the lshBucket cliff).
+  *   - UPDATE shuffles only k·dim partial sums: posexplode → groupBy
+  *     (cell, pos) runs with map-side combine, so executors exchange
+  *     one partial row per (partition, cell, dim), never the vectors.
+  *
+  * Determinism spec (what makes this oracle-replayable bit-for-bit):
+  *   - init = the k lowest-id vectors, widened float→double (exact);
+  *   - distance = left-fold double sum of squared diffs, j ascending —
+  *     identical association to DuckDB's no-init `list_reduce`;
+  *   - ties in distance break toward the lower cell id;
+  *   - centroid update = per-dimension mean computed as an EXACT
+  *     fixed-point DECIMAL(25,10) sum cast to double, divided by the
+  *     cell count: decimal addition is order-independent, so the
+  *     distributed partial-agg order can't perturb the result (a double
+  *     sum would be partition-order-dependent and unreplayable);
+  *   - a cell left empty by an iteration is dropped (standard Lloyd's
+  *     degeneracy handling), deterministically on both engines.
+  */
+object KMeansOps {
+
+  /** Train: returns the (cellId, centroid) pairs after `iters` Lloyd
+    * iterations. Cell ids are the init vectors' ids. */
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int): Seq[(Long, Array[Double])] = {
+    var cents: Seq[(Long, Array[Double])] =
+      df.select(col(idCol).cast("long"), col(vecCol))
+        .orderBy(col(idCol)).limit(k).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+        .toSeq
+    for (_ <- 1 to iters) {
+      val assigned = df.withColumn("__cell", assignUdf(cents, dim)(col(vecCol)))
+      val parts = assigned
+        .filter(col("__cell").isNotNull) // unassignable (null/short) vectors
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy("__cell", "__pos")
+        .agg(sum(col("__v").cast("decimal(25,10)")).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+      cents = parts.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+        case (cell, rows) =>
+          val c = new Array[Double](dim)
+          rows.foreach { r =>
+            c(r.getInt(1)) = r.getDecimal(2).doubleValue() / r.getLong(3)
+          }
+          (cell, c)
+      }
+    }
+    cents
+  }
+
+  /** Assign every row to its nearest trained centroid: adds `cell`. */
+  def assign(df: DataFrame, cents: Seq[(Long, Array[Double])],
+      vecCol: String, dim: Int): DataFrame =
+    df.withColumn("cell", assignUdf(cents, dim)(col(vecCol)))
+
+  /** fit + assign in one call (the common path). */
+  def fitAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, dim: Int): DataFrame =
+    assign(df, fit(df, idCol, vecCol, k, iters, dim), vecCol, dim)
+
+  /** Nearest-centroid UDF over the broadcast-by-closure matrix; compiled
+    * loop, left-assoc double fold, tie -> lower cell id, null-safe. */
+  private def assignUdf(cents: Seq[(Long, Array[Double])], dim: Int) = {
+    val ids = cents.map(_._1).toArray
+    val mat = cents.map(_._2).toArray
+    udf { (v: Seq[java.lang.Double]) =>
+      if (v == null || v.length < dim || v.contains(null)) None
+      else {
+        var bestId = -1L
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < mat.length) {
+          var acc = 0.0
+          var j = 0
+          while (j < dim) {
+            val d = v(j) - mat(c)(j)
+            acc += d * d
+            j += 1
+          }
+          if (acc < bestD) { bestD = acc; bestId = ids(c) }
+          c += 1
+        }
+        Some(bestId)
+      }
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators (SURVEY §2.6 O3/O4; reference
+  * whisper_qc.py:231-239 per-group fractional sample, crawler/utils.py
+  * :61-65 random.sample). Randomness is md5-keyed so reruns and the
+  * DuckDB oracle draw identical rows (SURVEY §7.4).
+  */
+object SampleOps {
+
+  /** Per-group fractional sample with a minimum of one row per group:
+    * keeps the `ceil(pct * n)`-smallest-by-md5 rows of each group — the
+    * reference's `int(n*pct) or 1` clamp (whisper_qc.py:231-239), with
+    * `floor` + `greatest(_, 1)` spelling that rule.
+    *
+    * Scale shape: the naive form ranks EVERY row in a single window —
+    * per-group parallelism, full-table sort. Selecting the k smallest
+    * hashes only needs the rows whose hash can possibly rank <= k, so:
+    *
+    *   1. one pre-aggregation per group computes `cnt` (exact n) and
+    *      `scnt`, the rows whose 2-hex-digit md5 prefix falls at or
+    *      below `cutoff` (a superset fraction of pct — "0a" keeps
+    *      11/256 ~ 4.3% for pct = 1%);
+    *   2. the ranking window then sorts ONLY prefix-survivor rows —
+    *      lexicographic md5 order means the k smallest full hashes all
+    *      carry a prefix <= cutoff whenever scnt >= k;
+    *   3. any group where scnt < k (tiny groups, where the min-1 clamp
+    *      lives) is kept WHOLE, so the rank is exact there too — no
+    *      probabilistic gamble, the fallback is part of the plan.
+    *
+    * The group-stats side is a broadcast (one row per group), so the
+    * only shuffle of real data is the window over ~4% of the input.
+    */
+  def groupFractionalSample(
+      df: DataFrame, groupCols: Seq[String], hashCol: Column,
+      tieCols: Seq[Column], pct: Double = 0.01,
+      cutoff: String = "0a"): DataFrame = {
+    require(pct > 0 && pct <= 1, "pct must be in (0, 1]")
+    val gcols = groupCols.map(col)
+    val k = greatest(floor(col("cnt") * pct), lit(1L))
+    val stats = df.groupBy(gcols: _*).agg(
+      count(lit(1)).as("cnt"),
+      count(when(substring(hashCol, 1, 2) <= cutoff, 1)).as("scnt"))
+    df.join(broadcast(stats), groupCols)
+      .filter(substring(hashCol, 1, 2) <= cutoff || col("scnt") < k)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(gcols: _*).orderBy(hashCol +: tieCols: _*)))
+      .filter(col("__rn") <= k)
+      .drop("cnt", "scnt", "__rn")
+  }
+}

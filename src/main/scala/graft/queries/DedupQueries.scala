@@ -311,6 +311,57 @@ object DedupQueries {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** Trained IVF quantizer: 2 Lloyd iterations of k-means (k=8) over the
+    * embeddings, output = every vector's trained cell. The oracle replays
+    * the iterations as unrolled CTEs; bit-exact parity rests on the
+    * determinism spec in KMeansOps (left-fold distances, fixed-point
+    * decimal centroid means, tie -> lower cell id). */
+  private val annKmeans: Q = (s, dir) =>
+    graft.operators.KMeansOps.fitAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  /** sqdist against an already-double centroid list. */
+  private def sqlSqDistD(e: String, c: String) =
+    s"list_reduce(list_transform(range(1, 65), j -> " +
+    s"(CAST($e[j] AS DOUBLE) - $c[j]) * (CAST($e[j] AS DOUBLE) - $c[j])), (x, y) -> x + y)"
+  private val annKmeansSql =
+    s"""WITH c0 AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings ORDER BY vec_id LIMIT 8),
+       |a1 AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlSqDistD("e.embedding", "c.cv")}, c.cid) AS rn
+       |    FROM embeddings e, c0 c) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT cid, list(mu ORDER BY pos) AS cv FROM (
+       |    SELECT cell AS cid, j AS pos,
+       |      CAST(SUM(CAST(embedding[j] AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS mu
+       |    FROM a1, range(1, 65) t(j) GROUP BY cell, j)
+       |  GROUP BY cid),
+       |a2 AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlSqDistD("e.embedding", "c.cv")}, c.cid) AS rn
+       |    FROM embeddings e, c1 c) WHERE rn = 1),
+       |c2 AS (
+       |  SELECT cid, list(mu ORDER BY pos) AS cv FROM (
+       |    SELECT cell AS cid, j AS pos,
+       |      CAST(SUM(CAST(embedding[j] AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS mu
+       |    FROM a2, range(1, 65) t(j) GROUP BY cell, j)
+       |  GROUP BY cid),
+       |a3 AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlSqDistD("e.embedding", "c.cv")}, c.cid) AS rn
+       |    FROM embeddings e, c2 c) WHERE rn = 1)
+       |SELECT vec_id, cell FROM a3 ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -322,7 +373,8 @@ object DedupQueries {
     "ann_brute_topk" -> annBrute,
     "ann_bucketed_topk" -> annBucketed,
     "ann_multiprobe_topk" -> annMultiProbe,
-    "ann_ivf_topk" -> annIvf)
+    "ann_ivf_topk" -> annIvf,
+    "ann_kmeans_cells" -> annKmeans)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -333,5 +385,6 @@ object DedupQueries {
     "ann_brute_topk" -> annBruteSql,
     "ann_bucketed_topk" -> annBucketedSql,
     "ann_multiprobe_topk" -> annMultiProbeSql,
-    "ann_ivf_topk" -> annIvfSql)
+    "ann_ivf_topk" -> annIvfSql,
+    "ann_kmeans_cells" -> annKmeansSql)
 }

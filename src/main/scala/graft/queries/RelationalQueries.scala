@@ -635,18 +635,16 @@ object RelationalQueries {
       |ORDER BY o_orderkey""".stripMargin
 
   /** O4 ★: per-group fractional sample with min 1 (whisper_qc.py:231-239):
-    * int(n*pct) clamped to >= 1. */
-  private val o4: Q = (s, dir) => {
-    val w = Window.partitionBy("l_returnflag")
-    val sampled = t(s, dir, "lineitem")
-      .withColumn("rn", row_number().over(w.orderBy(
-        md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))),
-        col("l_orderkey"), col("l_linenumber"))))
-      .withColumn("cnt", count(lit(1)).over(w))
-      .filter(col("rn") <= greatest(floor(col("cnt") * 0.01), lit(1)))
-    sampled.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    * int(n*pct) clamped to >= 1. The operator ranks only hash-prefix
+    * survivors (~4% of rows) instead of window-sorting the full table —
+    * see SampleOps.groupFractionalSample for the exactness argument. */
+  private val o4: Q = (s, dir) =>
+    graft.operators.SampleOps.groupFractionalSample(
+      t(s, dir, "lineitem"), Seq("l_returnflag"),
+      md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"))),
+      Seq(col("l_orderkey"), col("l_linenumber")), pct = 0.01)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
       .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
-  }
   private val o4Sql =
     """SELECT l_returnflag, l_orderkey, l_linenumber FROM (
       |  SELECT l_returnflag, l_orderkey, l_linenumber,
