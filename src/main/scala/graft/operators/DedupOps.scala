@@ -42,13 +42,29 @@ object DedupOps {
     * (possibly empty) shingle is produced so empty docs keep a signature
     * (mirrors the greatest(...,1) in the oracle SQL). */
   def shingles(textCol: String, k: Int): Column =
-    expr(s"transform(sequence(1, greatest(" +
-      s"size(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)) - ${k - 1}, 1)), " +
-      s"j -> concat_ws(' ', slice(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0), j, $k)))")
+    shinglesOfTokens(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)", k)
 
-  /** MinHash signature: numHashes mins over md5('<i>:<shingle>'). The
-    * "hash family" is md5 with the function index baked into the input —
-    * deterministic, seedless, and reproducible in any engine with md5.
+  /** Shingles over an already-tokenized expression. Callers on a hot
+    * path should project the token array into its OWN column first and
+    * pass that column's name: higher-order functions are interpreted,
+    * so a tokenizer inlined here re-runs PER ELEMENT of the sequence
+    * (~shingle-count regex evaluations per row, measured ~2x the whole
+    * minhash query) — while a column reference is computed once per row
+    * and CollapseProject keeps multi-referenced aliases materialized. */
+  def shinglesOfTokens(toksExpr: String, k: Int): Column =
+    expr(s"transform(sequence(1, greatest(size($toksExpr) - ${k - 1}, 1)), " +
+      s"j -> concat_ws(' ', slice($toksExpr, j, $k)))")
+
+  /** MinHash signature: numHashes mins over a chunked-md5 hash family —
+    * lane i draws its value from an 8-hex-char (32-bit) slice of
+    * md5('<i/4>:<shingle>'), so FOUR lanes share one digest. md5's
+    * output bits are uniformly mixed, so disjoint 32-bit chunks behave
+    * as independent hash functions (the one-permutation-hashing
+    * argument), and 32 bits is ample for a min over a document's
+    * shingle set. Versus one-md5-per-lane this computes 4x fewer
+    * digests AND min-aggregates 4x shorter strings — both terms of the
+    * dominant cost. Deterministic, seedless, reproducible in any
+    * engine with md5 + substring.
     *
     * Computed EXPLODED, not as nested array lambdas: higher-order
     * functions are interpreted (no whole-stage codegen), so
@@ -61,10 +77,17 @@ object DedupOps {
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {
+    val nDigests = (numHashes + 3) / 4
+    val digests = (0 until nDigests).map(d =>
+      md5(concat(lit(d.toString), lit(":"), col("__sh"))).as(s"__h$d"))
     val exploded = df
-      .select(col(idCol), explode(shingles(textCol, shingleK)).as("__sh"))
+      .select(col(idCol),
+        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)").as("__toks"))
+      .select(col(idCol),
+        explode(shinglesOfTokens("__toks", shingleK)).as("__sh"))
+      .select(col(idCol) +: digests: _*)
     val mins = (0 until numHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit(":"), col("__sh")))).as(s"mh$i"))
+      min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"mh$i"))
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 

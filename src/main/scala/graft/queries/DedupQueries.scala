@@ -67,7 +67,8 @@ object DedupQueries {
       |      list_min(list_transform(
       |        list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
       |          j -> array_to_string(toks[j:j+2], ' ')),
-      |        sh -> md5(CAST(i AS VARCHAR) || ':' || sh)))) AS mh
+      |        sh -> substr(md5(CAST(i // 4 AS VARCHAR) || ':' || sh),
+      |                     (i % 4) * 8 + 1, 8)))) AS mh
       |  FROM toked),
       |bands AS (
       |  SELECT doc_id, CAST(b.i AS INT) AS band,
