@@ -414,6 +414,35 @@ object RelationalQueries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** J10: as-of join — every purchase event stamped with the user's most
+    * recent at-or-before view (AsofOps union+one-window shape, never a
+    * range cross-product; DuckDB replays with its native ASOF JOIN).
+    * Right side pre-aggregated unique per (user, ts) per the operator
+    * contract; events carry no null keys/times (asserted in testdata). */
+  private val j10: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"),
+        max_by(col("value"), col("event_id")).as("view_value"))
+    graft.operators.AsofOps
+      .asofJoin(purchases, views, "user_id", "ts", Seq("view_id", "view_value"))
+      .select(col("event_id"), col("user_id"), col("view_id"), col("view_value"))
+      .orderBy("event_id")
+  }
+  private val j10Sql =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |v AS (
+      |  SELECT user_id, ts, MAX(event_id) AS view_id,
+      |    arg_max(value, event_id) AS view_value
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+      |SELECT p.event_id, p.user_id, v.view_id, v.view_value
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
   // ------------------------------------------------------------ §2.4 A
 
   /** A1 ★: group by derived key + sorted collect_list (crawler/utils.py:85-122).
@@ -735,6 +764,7 @@ object RelationalQueries {
     "j6_keyset_exclusion" -> j6,
     "j7_lineid_arith" -> j7,
     "j9_salted_skew_join" -> j9,
+    "j10_asof_join" -> j10,
     "a1_group_collect" -> a1,
     "a2_group_ordered_collect" -> a2,
     "a3_group_source_collect" -> a3,
@@ -780,6 +810,7 @@ object RelationalQueries {
     "j6_keyset_exclusion" -> j6Sql,
     "j7_lineid_arith" -> j7Sql,
     "j9_salted_skew_join" -> j9Sql,
+    "j10_asof_join" -> j10Sql,
     "a1_group_collect" -> a1Sql,
     "a2_group_ordered_collect" -> a2Sql,
     "a3_group_source_collect" -> a3Sql,

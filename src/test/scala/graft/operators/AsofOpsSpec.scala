@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsofOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asofJoin: latest at-or-before match per key, null when none precedes") {
+    val left = Seq((1, "k1", 10L), (2, "k1", 20L), (3, "k1", 5L), (4, "k2", 10L))
+      .toDF("lid", "k", "t")
+    val right = Seq(("k1", 8L, "a"), ("k1", 15L, "b"), ("k3", 1L, "z"))
+      .toDF("k", "t", "tag")
+    val out = AsofOps.asofJoin(left, right, "k", "t", Seq("tag"))
+      .select("lid", "tag").as[(Int, Option[String])].collect().toMap
+    assert(out(1) == Some("a"))  // 8 <= 10 < 15
+    assert(out(2) == Some("b"))  // latest of {8, 15}
+    assert(out(3) == None)       // nothing at-or-before 5
+    assert(out(4) == None)       // no right rows for k2 at all
+  }
+
+  test("asofJoin: equal timestamps match (<= semantics, like an inclusive ASOF)") {
+    val left = Seq((1, "k", 10L)).toDF("lid", "k", "t")
+    val right = Seq(("k", 10L, 99)).toDF("k", "t", "v")
+    val out = AsofOps.asofJoin(left, right, "k", "t", Seq("v"))
+      .select("lid", "v").as[(Int, Option[Int])].collect().toMap
+    assert(out(1) == Some(99))
+  }
+
+  test("asofJoin: left columns survive untouched, payload can be multi-column") {
+    val left = Seq((1, "k", 10L, "keep")).toDF("lid", "k", "t", "extra")
+    val right = Seq(("k", 3L, 7, "m")).toDF("k", "t", "v", "w")
+    val row = AsofOps.asofJoin(left, right, "k", "t", Seq("v", "w")).collect()(0)
+    assert(row.getAs[String]("extra") == "keep")
+    assert(row.getAs[Int]("v") == 7 && row.getAs[String]("w") == "m")
+  }
+}
