@@ -632,6 +632,43 @@ object RelationalQueries {
       |  row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) - 1 AS line_no
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** W6: gap-based sessionization via Spark's native session_window —
+    * events of a user belong to one session while consecutive gaps stay
+    * under 30 minutes; the window closes 30 minutes after the last
+    * event. The streaming-native form of per-user activity grouping
+    * (the same groupBy runs unchanged under readStream + watermark).
+    * Oracle replays it as gaps-and-islands: lag-diff >= gap starts a new
+    * island, running sum numbers them. Times emitted as unix micros so
+    * the comparator sees plain ints; the value sum is decimal-routed
+    * (order-independent) per the oracle-parity rules. */
+  private val w6: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,10)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  private val w6Sql =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT user_id, epoch_us(MIN(ts)) AS session_start,
+      |  epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
   // ------------------------------------------------------------ §2.6 O
 
   /** O1 ★: global sort by name (aeneas_batch_align.py:652-653). */
@@ -765,6 +802,7 @@ object RelationalQueries {
     "j7_lineid_arith" -> j7,
     "j9_salted_skew_join" -> j9,
     "j10_asof_join" -> j10,
+    "w6_session_window" -> w6,
     "a1_group_collect" -> a1,
     "a2_group_ordered_collect" -> a2,
     "a3_group_source_collect" -> a3,
@@ -811,6 +849,7 @@ object RelationalQueries {
     "j7_lineid_arith" -> j7Sql,
     "j9_salted_skew_join" -> j9Sql,
     "j10_asof_join" -> j10Sql,
+    "w6_session_window" -> w6Sql,
     "a1_group_collect" -> a1Sql,
     "a2_group_ordered_collect" -> a2Sql,
     "a3_group_source_collect" -> a3Sql,

@@ -50,6 +50,24 @@ object FileStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Gap-based sessionization on an unbounded stream: the SAME
+    * session_window groupBy as the batch w6 query, plus a watermark so
+    * the engine can close (and emit, in append mode) a session once no
+    * in-horizon event can extend it, reclaiming its state. Session state
+    * is per open session, not per event — the property that keeps this
+    * viable on an unbounded stream. */
+  def sessionizedEventStats(
+      events: DataFrame, tsCol: String, userCol: String,
+      gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(25,10)")).cast("double").as("sum_value"))
+      .select(col(userCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Event-time windowed counts with a watermark — the streaming-native
     * shape of the reference's per-stage success/fail counters (§2.4 A5).
     * Late rows beyond the watermark are dropped by the engine; state for

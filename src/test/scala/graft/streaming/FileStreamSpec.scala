@@ -71,6 +71,33 @@ class FileStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization: a session is emitted closed once the watermark passes its gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val events = mem.toDS().toDF("user", "ts", "value")
+    val q = FileStream.sessionizedEventStats(events, "ts", "user", "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      def ts(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $m:00")
+      // two events 10 min apart -> one session; then an event far enough
+      // ahead to push the watermark past session_end + gap
+      mem.addData(("u1", ts("10:00"), 1.0), ("u1", ts("10:10"), 2.0))
+      q.processAllAvailable()
+      mem.addData(("u1", ts("12:00"), 5.0))
+      q.processAllAvailable()
+      mem.addData(("u1", ts("14:00"), 0.0)) // advance watermark again
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user", "n_events", "sum_value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains(("u1", 2L, 3.0)), s"closed first session missing from $rows")
+      assert(rows.contains(("u1", 1L, 5.0)), s"closed second session missing from $rows")
+    } finally q.stop()
+  }
+
   test("windowed event counts with watermark (batch-mode semantics check)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val agg = FileStream.windowedEventCounts(ev, "ts", "event_type", "1 hour", "10 minutes")
