@@ -129,7 +129,8 @@ object DedupQueries {
       |    list_min(list_transform(
       |      list_transform(range(1, greatest(len(stoks) - 2, 1) + 1),
       |        j -> array_to_string(stoks[j:j+2], ' ')),
-      |      sh -> md5(CAST(i AS VARCHAR) || ':' || sh)))), ',')) AS block
+      |      sh -> substr(md5(CAST(i // 4 AS VARCHAR) || ':' || sh),
+      |                   (i % 4) * 8 + 1, 8)))), ',')) AS block
       |  FROM toked),
       |toksets AS (
       |  SELECT c.doc_id, b.block, list_distinct(regexp_extract_all(lower(c.t), '[a-z]+')) AS toks

@@ -54,6 +54,44 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("o4 sampling rank-windows only prefix survivors, not the full table") {
+    // The window's input must carry the hash-prefix filter (plus the
+    // small-group fallback disjunct) — a full-table window here is the
+    // parallelism-collapses-to-#groups regression SampleOps exists to
+    // prevent.
+    val p = plan("o4_group_sample")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0)
+    assert(p.indexOf("<= 0a") >= 0 || p.contains("substring"),
+      s"o4 window input lost the prefix prefilter:\n${p.take(800)}")
+  }
+
+  test("as-of join plans one exchange over the union, never a range join") {
+    val p = plan("j10_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"asof join regressed to a range product:\n${p.take(600)}")
+    assert(p.contains("Window"), "asof join lost its window encoding")
+    // Union feeds the window: both sides sort-merge through ONE
+    // hash-partitioning on the key, visible as a single window over union
+    assert(p.contains("Union"), "asof join lost the tagged union")
+  }
+
+  test("k-means assignment is map-side: no shuffle between scan and cell udf") {
+    // fitAssign's final assignment plan: scan -> project(UDF). Any
+    // Exchange would mean vectors re-shuffle per iteration.
+    val df = graft.operators.KMeansOps.fitAssign(
+      Tables.load(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      k = 4, iters = 1, dim = 64)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"k-means assignment shuffles:\n${p.take(600)}")
+  }
+
+  test("session windows partition by user before sessionizing") {
+    val p = plan("w6_session_window")
+    assert(p.contains("user_id"), "session window lost its user partitioning")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("parquet scans prune columns (ReadSchema is a strict subset)") {
     val p = plan("p6_two_col_project")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
