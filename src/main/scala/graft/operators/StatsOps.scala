@@ -37,8 +37,10 @@ object StatsOps {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(broadcast(totals), Seq(groupCol))
     val picks = qs.map { q =>
-      val label = "p" + BigDecimal(q * 100).underlying.stripTrailingZeros.toPlainString
-        .replace(".", "_")
+      // setScale before strip: q*100 in double arithmetic yields values
+      // like 99.00000000000001, which would leak into the column name.
+      val label = "p" + BigDecimal(q * 100).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.stripTrailingZeros.toPlainString.replace(".", "_")
       min(when(col("__cf") >= ceil(col("__n") * q), col(valueCol))).as(label)
     }
     cum.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)

@@ -361,6 +361,35 @@ object TextQueries {
     s"""SELECT doc_id, len(regexp_extract_all(text, '${TextFns.bpeTokenPat.replace("\\", "\\")}')) AS n_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus distribution stats: exact p50/p90/p99 token counts per lang
+    * (StatsOps.exactPercentiles — histogram-reduce shape, the inputs a
+    * QC stage derives its thresholds from). Discrete type-1 quantile:
+    * smallest value whose cumulative frequency reaches ceil(q*n),
+    * replayed as plain SQL. */
+  private val tLenStats: Q = (s, dir) =>
+    graft.operators.StatsOps.exactPercentiles(
+      t(s, dir, "documents")
+        .select(col("lang"), TextFns.token_count(col("text")).cast("bigint").as("n_tokens")),
+      "lang", "n_tokens", Seq(0.5, 0.9, 0.99))
+      .orderBy("lang")
+  private val tLenStatsSql =
+    s"""WITH wc AS (
+       |  SELECT lang, len(regexp_extract_all(text, '${TextFns.bpeTokenPat.replace("\\", "\\")}')) AS n_tokens
+       |  FROM documents),
+       |freq AS (
+       |  SELECT lang, n_tokens, COUNT(*) AS f FROM wc GROUP BY lang, n_tokens),
+       |cum AS (
+       |  SELECT lang, n_tokens,
+       |    SUM(f) OVER (PARTITION BY lang ORDER BY n_tokens
+       |      ROWS UNBOUNDED PRECEDING) AS cf,
+       |    SUM(f) OVER (PARTITION BY lang) AS n
+       |  FROM freq)
+       |SELECT lang,
+       |  MIN(CASE WHEN cf >= CEIL(n * 0.5) THEN n_tokens END) AS p50,
+       |  MIN(CASE WHEN cf >= CEIL(n * 0.9) THEN n_tokens END) AS p90,
+       |  MIN(CASE WHEN cf >= CEIL(n * 0.99) THEN n_tokens END) AS p99
+       |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
+
   private val tFp: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
@@ -389,6 +418,7 @@ object TextQueries {
     "t_lang_id" -> tLang,
     "t_quality" -> tQuality,
     "t_token_count" -> tTok,
+    "t_length_stats" -> tLenStats,
     "t_fingerprint" -> tFp)
 
   val oracle: Map[String, String] = Map(
@@ -409,5 +439,6 @@ object TextQueries {
     "t_lang_id" -> tLangSql,
     "t_quality" -> tQualitySql,
     "t_token_count" -> tTokSql,
+    "t_length_stats" -> tLenStatsSql,
     "t_fingerprint" -> tFpSql)
 }
