@@ -220,6 +220,28 @@ object IoQueries {
        |FROM read_blob('$fixRoot/s9_tree/*/*.txt')
        |ORDER BY speaker_id, utt_idx""".stripMargin
 
+  // ---------------------------------------------------------- S14 + K9
+  /** Hive-partitioned parquet round-trip: partitionBy(lang) on write,
+    * then a read filtered on the partition column. THE storage-layout
+    * lever at 100 TB — the predicate prunes whole directories before any
+    * I/O happens (plan shows PartitionFilters, asserted in
+    * PlanShapeSpec); a fleet reading one language touches 1/|langs| of
+    * the bytes. Oracle reads the same tree with hive_partitioning. */
+  private val s14: Q = (s, dir) => {
+    val d = fixDir("s14_part")
+    t(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(d)
+    s.read.parquet(d)
+      .filter(col("lang") === "vi")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .orderBy("doc_id")
+  }
+  private val s14Sql =
+    s"""SELECT doc_id, source, n_chars, lang
+       |FROM read_parquet('$fixRoot/s14_part/*/*.parquet', hive_partitioning=true)
+       |WHERE lang = 'vi' ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- multimodal
   private def genWavs(base: String): Unit =
     (0 until 12).foreach { k =>
@@ -358,6 +380,7 @@ object IoQueries {
     "io_s7_delim_lines" -> s7,
     "io_s8_text_lines" -> s8,
     "io_s9_binary_tree" -> s9,
+    "io_s14_partitioned" -> s14,
     "mm_wav_probe" -> mmWav,
     "mm_bin_features" -> mmBin,
     "mm_image_probe" -> mmImage,
@@ -374,6 +397,7 @@ object IoQueries {
     "io_s7_delim_lines" -> s7Sql,
     "io_s8_text_lines" -> s8Sql,
     "io_s9_binary_tree" -> s9Sql,
+    "io_s14_partitioned" -> s14Sql,
     "mm_wav_probe" -> mmWavSql,
     "mm_bin_features" -> mmBinSql,
     "mm_image_probe" -> mmImageSql,

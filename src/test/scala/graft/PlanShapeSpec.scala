@@ -92,6 +92,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("partition-column predicates prune directories (PartitionFilters, not data filters)") {
+    val p = plan("io_s14_partitioned")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("lang"),
+      s"io_s14 lost partition pruning — lang predicate not in PartitionFilters:\n${p.take(800)}")
+  }
+
   test("parquet scans prune columns (ReadSchema is a strict subset)") {
     val p = plan("p6_two_col_project")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
