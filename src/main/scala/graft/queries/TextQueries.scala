@@ -352,6 +352,45 @@ object TextQueries {
       |            FROM documents))
       |ORDER BY doc_id""".stripMargin
 
+  /** Characteristic terms per document: top-3 tokens by an integer-scaled
+    * tf/df score — score = (tf * 1e6) div df, integer division, so both
+    * engines rank identical integers (a float idf's ln() is not
+    * guaranteed bit-identical across libm implementations; rarity
+    * weighting survives the simplification). Scale shape: one explode ->
+    * two aggregations (doc-term tf with map-side combine; term df over
+    * the doc-term pairs) -> shuffle join on term -> top-k window
+    * partitioned by doc (high-cardinality key). */
+  private val tTopTerms: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docTerm = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]{3,}', 0)")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
+    docTerm.join(df_, Seq("term"))
+      .withColumn("score", expr("(tf * 1000000L) div df"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+  private val tTopTermsSql =
+    """WITH dt AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+      |    FROM documents)
+      |  GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term)
+      |SELECT doc_id, rk, term, tf, df, score FROM (
+      |  SELECT dt.doc_id, dt.term, dt.tf, dfreq.df,
+      |    (dt.tf * 1000000) // dfreq.df AS score,
+      |    CAST(row_number() OVER (PARTITION BY dt.doc_id
+      |      ORDER BY (dt.tf * 1000000) // dfreq.df DESC, dt.term) AS INT) AS rk
+      |  FROM dt JOIN dfreq USING (term))
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   private val tTok: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -419,6 +458,7 @@ object TextQueries {
     "t_quality" -> tQuality,
     "t_token_count" -> tTok,
     "t_length_stats" -> tLenStats,
+    "t_top_terms" -> tTopTerms,
     "t_fingerprint" -> tFp)
 
   val oracle: Map[String, String] = Map(
@@ -440,5 +480,6 @@ object TextQueries {
     "t_quality" -> tQualitySql,
     "t_token_count" -> tTokSql,
     "t_length_stats" -> tLenStatsSql,
+    "t_top_terms" -> tTopTermsSql,
     "t_fingerprint" -> tFpSql)
 }
