@@ -68,6 +68,47 @@ object FileStream {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** CDC-style streaming upsert: each micro-batch MERGEs into a parquet
+    * base table via foreachBatch — the streaming composition of
+    * MergeOps.upsert (reference semantics: later metadata snapshots
+    * overwrite earlier rows, new keys append). Each batch rewrites the
+    * base ONCE through the broadcast-safe merge plan (updates are the
+    * small side), and the read-modify-write is serialized by the
+    * streaming engine — foreachBatch is the idiomatic seam for sinks
+    * Spark cannot transactionally MERGE into natively. The batch is
+    * deduplicated to the last row per key (batch order is
+    * last-writer-wins within a micro-batch, keyed by `orderCol`). */
+  def streamingUpsert(
+      updates: DataFrame, basePath: String, keys: Seq[String],
+      updateCols: Seq[String], orderCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+        val keyed = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val merged = graft.operators.MergeOps.upsert(
+          spark.read.parquet(basePath), keyed, keys, updateCols,
+          broadcastUpdates = true)
+        // write-then-swap: parquet cannot be read and overwritten in one
+        // job, so materialize to a temp dir and atomically repoint
+        val tmp = basePath + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = new java.io.File(basePath)
+        val bak = new java.io.File(basePath + ".old")
+        if (bak.exists()) { def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); () }
+          rm(bak) }
+        fs.renameTo(bak)
+        new java.io.File(tmp).renameTo(fs)
+        ()
+      }
+      .start()
+
   /** Event-time windowed counts with a watermark — the streaming-native
     * shape of the reference's per-stage success/fail counters (§2.4 A5).
     * Late rows beyond the watermark are dropped by the engine; state for

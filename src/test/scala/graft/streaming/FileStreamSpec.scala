@@ -98,6 +98,31 @@ class FileStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming upsert: micro-batches merge into the parquet base, last writer wins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("supsert").toString
+    val base = s"$root/base"
+    Seq((1, "a", 0L), (2, "b", 0L)).toDF("k", "v", "seq")
+      .write.parquet(base)
+    val mem = MemoryStream[(Int, String, Long)]
+    val q = FileStream.streamingUpsert(
+      mem.toDS().toDF("k", "v", "seq"), base, Seq("k"), Seq("v", "seq"),
+      orderCol = "seq", checkpoint = s"$root/ckpt")
+    try {
+      // batch 1: update k=2 twice (seq 1 then 2 -> "b2" wins), insert k=3
+      mem.addData((2, "b1", 1L), (2, "b2", 2L), (3, "c", 1L))
+      q.processAllAvailable()
+      // batch 2: update k=1
+      mem.addData((1, "a9", 3L))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(base)
+        .select("k", "v").as[(Int, String)].collect().toMap
+      assert(rows == Map(1 -> "a9", 2 -> "b2", 3 -> "c"))
+    } finally q.stop()
+  }
+
   test("windowed event counts with watermark (batch-mode semantics check)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val agg = FileStream.windowedEventCounts(ev, "ts", "event_type", "1 hour", "10 minutes")
