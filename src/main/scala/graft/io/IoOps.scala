@@ -141,4 +141,31 @@ object IoOps {
   /** K5: text-lines sink, one column one line (process_all.py:351-356). */
   def writeTextLines(df: DataFrame, column: String, dir: String): Unit =
     df.select(col(column)).coalesce(1).write.mode("overwrite").text(dir)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes/target)-sized files. Streaming sinks and per-batch
+    * upserts accrete small files; at fleet scale the scan-planning and
+    * NameNode/listing overhead of millions of small files dominates
+    * actual I/O, so periodic compaction is part of the engine surface.
+    * Write-then-swap (same pattern as the streaming upsert) because
+    * parquet cannot be read and overwritten in one job. Returns the
+    * file count after compaction. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+      dir: String, targetBytes: Long = 128L << 20): Int = {
+    val src = new java.io.File(dir)
+    val bytes = Option(src.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = dir + ".compact"
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(src)
+    new java.io.File(tmp).renameTo(src)
+    Option(src.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
 }

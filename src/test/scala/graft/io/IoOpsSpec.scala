@@ -14,6 +14,21 @@ class IoOpsSpec extends AnyFunSuite {
   private def tmp(): String =
     Files.createTempDirectory("graft_io_spec").toString
 
+  test("compactParquet: many small files become few, rows intact") {
+    val d = tmp() + "/frag"
+    val df = (1 to 1000).map(i => (i, s"row$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(d) // 40 small files
+    val before = new java.io.File(d).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before >= 30)
+    val after = IoOps.compactParquet(spark, d, targetBytes = 1L << 20)
+    assert(after < before && after >= 1, s"$before -> $after")
+    val back = spark.read.parquet(d)
+    assert(back.count() == 1000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).collect()(0).getLong(0)
+      == (1 to 1000).map(_.toLong).sum)
+  }
+
   test("CSV roundtrip (K1 -> S1) preserves rows and types") {
     val d = tmp()
     val src = Seq((1, "alpha", 2.5), (2, "beta", 3.5)).toDF("id", "name", "v")
