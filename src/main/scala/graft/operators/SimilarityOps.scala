@@ -178,15 +178,19 @@ object SimilarityOps {
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 2, dim: Int = 64): DataFrame = {
+    // Centroids are collected to the driver and ride the assignment
+    // closure (k-means-style): nCells×dim doubles of model state. The
+    // former encoding — crossJoin(broadcast(cents)) + per-id rank
+    // window — materialized an nCells× row blowup and a shuffle just to
+    // compute an argmin; the compiled loop assigns map-side in one pass
+    // with the identical ordering (left-fold double sqdist, tie toward
+    // the lower centroid id — the oracle's ORDER BY sqdist, cent_id).
     val cents = candidates.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("cell_rank", row_number().over(
-          Window.partitionBy(id).orderBy(
-            VectorFns.sqDistFlat(col(vec), col("cent_vec"), dim), col("cent_id"))))
-        .filter(col("cell_rank") <= keep)
-        .select(col(id), col(vec), col("cent_id").as("cell"))
+      df.withColumn("__cells", nearestCellsUdf(cents, dim, keep)(col(vec)))
+        .select(col(id), col(vec), explode(col("__cells")).as("cell"))
     val c = assign(
       candidates.select(col(idCol).as("c_id"), col(vecCol).as("c_vec")),
       "c_id", "c_vec", 1)
@@ -203,6 +207,35 @@ object SimilarityOps {
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
       .filter(col("rank") <= k)
       .select("q_id", "c_id", "rank")
+  }
+
+  /** The `keep` nearest centroid ids for a vector, ordered by
+    * (left-fold double sqdist, centroid id) — a compiled selection loop
+    * over the closure-resident centroid matrix; null/short vectors get
+    * an empty probe list (the row drops out of the cell join, matching
+    * SQL inequality semantics). */
+  private def nearestCellsUdf(
+      cents: Array[(Long, Array[Double])], dim: Int, keep: Int) = {
+    val ids = cents.map(_._1)
+    val mat = cents.map(_._2)
+    udf { (v: Seq[java.lang.Double]) =>
+      if (v == null || v.length < dim || v.contains(null)) Seq.empty[Long]
+      else {
+        val dists = new Array[Double](mat.length)
+        var c = 0
+        while (c < mat.length) {
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { val d = v(j) - mat(c)(j); acc += d * d; j += 1 }
+          dists(c) = acc
+          c += 1
+        }
+        // selection of `keep` smallest by (dist, id): centroids iterate
+        // in ascending id order, so stable selection keeps the tie rule
+        val order = dists.indices.sortBy(i => (dists(i), ids(i)))
+        order.take(keep).map(ids(_))
+      }
+    }
   }
 
   /** Embedding near-duplicate pairs within a blocking column: cosine above
