@@ -152,20 +152,20 @@ object IoOps {
     * file count after compaction. */
   def compactParquet(spark: org.apache.spark.sql.SparkSession,
       dir: String, targetBytes: Long = 128L << 20): Int = {
-    val src = new java.io.File(dir)
-    val bytes = Option(src.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.length).sum
+    // Hadoop FileSystem throughout (not java.io.File) so sizing and the
+    // swap work on whatever store `dir` lives on, not just the driver's
+    // local disk.
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val bytes = parquetFiles(dirP).map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = dir + ".compact"
+    val tmpP = new org.apache.hadoop.fs.Path(dir + ".compact")
     spark.read.parquet(dir).repartition(nFiles)
-      .write.mode("overwrite").parquet(tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(); ()
-    }
-    rm(src)
-    new java.io.File(tmp).renameTo(src)
-    Option(src.listFiles()).getOrElse(Array.empty)
-      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      .write.mode("overwrite").parquet(tmpP.toString)
+    fs.delete(dirP, true)
+    fs.rename(tmpP, dirP)
+    parquetFiles(dirP).length
   }
 }

@@ -95,16 +95,17 @@ object FileStream {
           spark.read.parquet(basePath), keyed, keys, updateCols,
           broadcastUpdates = true)
         // write-then-swap: parquet cannot be read and overwritten in one
-        // job, so materialize to a temp dir and atomically repoint
+        // job, so materialize to a temp dir and repoint. Hadoop
+        // FileSystem (not java.io.File) so the swap works on whatever
+        // store basePath lives on, not just the driver's local disk.
         val tmp = basePath + ".next"
         merged.write.mode("overwrite").parquet(tmp)
-        val fs = new java.io.File(basePath)
-        val bak = new java.io.File(basePath + ".old")
-        if (bak.exists()) { def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); () }
-          rm(bak) }
-        fs.renameTo(bak)
-        new java.io.File(tmp).renameTo(fs)
+        val baseP = new org.apache.hadoop.fs.Path(basePath)
+        val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bakP = new org.apache.hadoop.fs.Path(basePath + ".old")
+        if (fs.exists(bakP)) fs.delete(bakP, true)
+        fs.rename(baseP, bakP)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), baseP)
         ()
       }
       .start()
