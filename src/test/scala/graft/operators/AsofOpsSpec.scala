@@ -29,6 +29,27 @@ class AsofOpsSpec extends AnyFunSuite {
     assert(out(1) == Some(99))
   }
 
+  test("seeded random inputs: matches the in-memory reference model") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val keys = (0 until 5).map(i => s"k$i")
+      val left = (1 to 300).map(i =>
+        (i, keys(rnd.nextInt(keys.size)), rnd.nextInt(1000).toLong))
+      // unique (k, t) on the right, per the operator contract
+      val right = rnd.shuffle(
+        (for (k <- keys; t <- 0 until 1000 by (3 + rnd.nextInt(5))) yield (k, t.toLong))
+      ).take(200).distinct.map { case (k, t) => (k, t, s"$k@$t") }
+      val model: Map[Int, Option[String]] = left.map { case (lid, k, t) =>
+        lid -> right.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      val out = AsofOps.asofJoin(
+          left.toDF("lid", "k", "t"), right.toDF("k", "t", "tag"), "k", "t", Seq("tag"))
+        .select("lid", "tag").as[(Int, Option[String])].collect().toMap
+      assert(out == model, s"trial $trial")
+    }
+  }
+
   test("asofJoin: left columns survive untouched, payload can be multi-column") {
     val left = Seq((1, "k", 10L, "keep")).toDF("lid", "k", "t", "extra")
     val right = Seq(("k", 3L, 7, "m")).toDF("k", "t", "v", "w")

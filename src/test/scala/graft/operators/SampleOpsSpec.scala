@@ -45,6 +45,21 @@ class SampleOpsSpec extends AnyFunSuite {
     assert(got.collect().toSet == naive(df, 0.01).collect().toSet)
   }
 
+  test("seeded random inputs: fast == naive for every draw") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val nGroups = 1 + rnd.nextInt(30)
+      val rows = (1 to 2000).map { i =>
+        (s"g${rnd.nextInt(nGroups)}", i * 7 + rnd.nextInt(5))
+      }.distinct
+      val df = rows.toDF("g", "id")
+      val pct = Seq(0.01, 0.03, 0.2)(trial % 3)
+      val exp = naive(df, pct).collect().toSet
+      val got = fast(df, pct).collect().toSet
+      assert(got == exp, s"trial $trial (nGroups=$nGroups pct=$pct)")
+    }
+  }
+
   test("mixed group sizes agree with naive across pct values") {
     val df = ((1 to 3000).map(i => ("a", i)) ++ (1 to 700).map(i => ("b", 10000 + i)) ++
       (1 to 3).map(i => ("c", 20000 + i))).toDF("g", "id")
