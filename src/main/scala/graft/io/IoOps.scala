@@ -95,6 +95,11 @@ object IoOps {
   /** K3: one JSON file per row, named by `nameCol` (__init__.py:331-340).
     * Executor-side foreach writer — rows never collect to the driver. */
   def writeJsonPerRow(df: DataFrame, nameCol: String, dir: String): Unit = {
+    // Driver-side mkdir TOO (not instead — see the executor-side one
+    // below): an empty/zero-partition input never runs the partition
+    // closure, and callers that list `dir` after a legitimately-empty
+    // run should find an empty directory, not NoSuchFileException.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val named = df.select(col(nameCol).cast("string").as("__name"),
       to_json(struct(df.columns.map(col): _*)).as("__json"))
     named.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
@@ -119,6 +124,8 @@ object IoOps {
     * collect to the driver; `dir` must be executor-visible storage. */
   def writeWavPerRow(df: DataFrame, nameCol: String, samplesCol: String,
       srCol: String, dir: String): Unit = {
+    // Driver-side mkdir for the empty-input case — see writeJsonPerRow.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     df.select(col(nameCol).cast("string"), col(samplesCol), col(srCol).cast("int"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         // Executor-side mkdir (idempotent, per partition) — see
@@ -154,7 +161,11 @@ object IoOps {
       dir: String, targetBytes: Long = 128L << 20): Int = {
     // Hadoop FileSystem throughout (not java.io.File) so sizing and the
     // swap work on whatever store `dir` lives on, not just the driver's
-    // local disk.
+    // local disk. Hadoop signals rename/delete failure by RETURNING
+    // FALSE, not throwing — every step is checked, and the original
+    // data is parked at `.old` (never deleted before the new data is
+    // in place) so the worst crash window leaves a recoverable backup,
+    // not a hole.
     val dirP = new org.apache.hadoop.fs.Path(dir)
     val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parquetFiles(p: org.apache.hadoop.fs.Path) =
@@ -164,8 +175,10 @@ object IoOps {
     val tmpP = new org.apache.hadoop.fs.Path(dir + ".compact")
     spark.read.parquet(dir).repartition(nFiles)
       .write.mode("overwrite").parquet(tmpP.toString)
-    fs.delete(dirP, true)
-    fs.rename(tmpP, dirP)
+    val bakP = new org.apache.hadoop.fs.Path(dir + ".old")
+    if (fs.exists(bakP)) require(fs.delete(bakP, true), s"cannot clear $bakP")
+    require(fs.rename(dirP, bakP), s"cannot park $dirP at $bakP")
+    require(fs.rename(tmpP, dirP), s"cannot move $tmpP to $dirP — original preserved at $bakP")
     parquetFiles(dirP).length
   }
 }

@@ -39,10 +39,14 @@ object KMeansOps {
     * iterations. Cell ids are the init vectors' ids. */
   def fit(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, dim: Int): Seq[(Long, Array[Double])] = {
+    // Seeds: the k lowest-id WELL-FORMED vectors (null or wrong-length
+    // rows can't seed a centroid), collected through an array<double>
+    // cast so float and double vector columns both work.
     var cents: Seq[(Long, Array[Double])] =
-      df.select(col(idCol).cast("long"), col(vecCol))
+      df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>").as("__v"))
+        .filter(col("__v").isNotNull && size(col("__v")) === dim)
         .orderBy(col(idCol)).limit(k).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
         .toSeq
     for (_ <- 1 to iters) {
       val assigned = df.withColumn("__cell", assignUdf(cents, dim)(col(vecCol)))
@@ -76,12 +80,15 @@ object KMeansOps {
     assign(df, fit(df, idCol, vecCol, k, iters, dim), vecCol, dim)
 
   /** Nearest-centroid UDF over the broadcast-by-closure matrix; compiled
-    * loop, left-assoc double fold, tie -> lower cell id, null-safe. */
+    * loop, left-assoc double fold, tie -> lower cell id, null-safe. A
+    * vector whose length is not EXACTLY dim gets a null cell — an
+    * over-length vector would otherwise be assigned and then overflow
+    * the dim-sized centroid accumulators in the update step. */
   private def assignUdf(cents: Seq[(Long, Array[Double])], dim: Int) = {
     val ids = cents.map(_._1).toArray
     val mat = cents.map(_._2).toArray
     udf { (v: Seq[java.lang.Double]) =>
-      if (v == null || v.length < dim || v.contains(null)) None
+      if (v == null || v.length != dim || v.contains(null)) None
       else {
         var bestId = -1L
         var bestD = Double.PositiveInfinity

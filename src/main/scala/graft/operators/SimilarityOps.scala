@@ -185,9 +185,14 @@ object SimilarityOps {
     // compute an argmin; the compiled loop assigns map-side in one pass
     // with the identical ordering (left-fold double sqdist, tie toward
     // the lower centroid id — the oracle's ORDER BY sqdist, cent_id).
-    val cents = candidates.orderBy(col(idCol)).limit(nCells)
-      .select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    // array<double> cast + well-formedness filter: float and double
+    // vector columns both collect, and a null/short vector among the
+    // lowest ids cannot poison the centroid matrix.
+    val cents = candidates
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull && size(col("__v")) === dim)
+      .orderBy(col(idCol)).limit(nCells).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
       df.withColumn("__cells", nearestCellsUdf(cents, dim, keep)(col(vec)))
         .select(col(id), col(vec), explode(col("__cells")).as("cell"))

@@ -30,7 +30,10 @@ object StatsOps {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
     val freq = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("__f"))
-    val totals = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // Totals come from the histogram, NOT a second scan of df — the
+    // input's rows are touched exactly once (the combine above); this
+    // aggregation runs over histogram-sized data.
+    val totals = freq.groupBy(col(groupCol)).agg(sum(col("__f")).as("__n"))
     val cum = freq
       .withColumn("__cf", sum(col("__f")).over(
         Window.partitionBy(groupCol).orderBy(valueCol)

@@ -58,12 +58,13 @@ object FileStream {
     * viable on an unbounded stream. */
   def sessionizedEventStats(
       events: DataFrame, tsCol: String, userCol: String,
-      gap: String, watermark: String): DataFrame =
+      gap: String, watermark: String,
+      valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(col(userCol), session_window(col(tsCol), gap))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(25,10)")).cast("double").as("sum_value"))
+        sum(col(valueCol).cast("decimal(25,10)")).cast("double").as("sum_value"))
       .select(col(userCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
@@ -100,12 +101,22 @@ object FileStream {
         // store basePath lives on, not just the driver's local disk.
         val tmp = basePath + ".next"
         merged.write.mode("overwrite").parquet(tmp)
+        // Hadoop rename/delete signal failure by RETURNING FALSE — an
+        // unchecked false first rename would make the second rename
+        // nest the new data INSIDE the still-existing base and silently
+        // drop the merge. Checked failures throw, which fails the batch
+        // and lets the streaming engine retry it; a crash between the
+        // renames leaves the merged data at `.next` and the previous
+        // base at `.old` for manual repoint (plain file stores have no
+        // atomic two-dir swap — a table format is the transactional
+        // answer; this is the best a bare directory can do).
         val baseP = new org.apache.hadoop.fs.Path(basePath)
         val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val bakP = new org.apache.hadoop.fs.Path(basePath + ".old")
-        if (fs.exists(bakP)) fs.delete(bakP, true)
-        fs.rename(baseP, bakP)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), baseP)
+        if (fs.exists(bakP)) require(fs.delete(bakP, true), s"cannot clear $bakP")
+        require(fs.rename(baseP, bakP), s"cannot park $baseP at $bakP")
+        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), baseP),
+          s"cannot move $tmp to $baseP — previous base preserved at $bakP")
         ()
       }
       .start()

@@ -59,10 +59,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // small-group fallback disjunct) — a full-table window here is the
     // parallelism-collapses-to-#groups regression SampleOps exists to
     // prevent.
+    // Positional: the plan string prints parents before children, so the
+    // prefix filter must occur AFTER the Window node — i.e. in the
+    // window's INPUT. A filter applied after the window (the
+    // full-table-sort regression) would precede it in the text.
     val p = plan("o4_group_sample")
     val winIdx = p.indexOf("Window")
     assert(winIdx >= 0)
-    assert(p.indexOf("<= 0a") >= 0 || p.contains("substring"),
+    val filterBelowWindow = p.indexOf("substring", winIdx) >= 0
+    assert(filterBelowWindow,
       s"o4 window input lost the prefix prefilter:\n${p.take(800)}")
   }
 
