@@ -230,6 +230,52 @@ object TextFns {
     * Cheap canonical-form exact-dup key (training-data pipeline surface). */
   def fingerprint(c: Column): Column = md5(lower(ws_collapse(c)))
 
+  /** Winnowing fingerprints (the MOSS scheme): polynomial rolling hashes
+    * of char k-grams over the cleaned text, then the minimum VALUE of
+    * each w-hash window, distinct + sorted (keeping values, not
+    * positions, makes the selection tie-insensitive).
+    * The standard guarantee: two documents sharing any substring of at
+    * least w + k - 1 cleaned chars share at least one fingerprint —
+    * a local, position-independent near-dup signal (vs the md5
+    * canonical-form key, which only catches whole-doc duplicates).
+    * Pure 64-bit integer math (base 257 mod 1e9+7, products bounded by
+    * ~2.6e11), so any engine replays it exactly. */
+  def winnowFingerprints(text: String, k: Int = 5, w: Int = 4): Seq[Long] = {
+    if (text == null) return Seq.empty
+    // ASCII [a-z0-9] only (NOT isLetterOrDigit, which admits Unicode
+    // letters) so the clean step is exactly the oracle's regex class.
+    val clean = text.toLowerCase.filter(ch =>
+      (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9'))
+    val n = clean.length - k + 1
+    if (n <= 0) return Seq.empty
+    val M = 1000000007L
+    val B = 257L
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * B + clean.charAt(i + j).toLong) % M; j += 1 }
+      hashes(i) = h
+      i += 1
+    }
+    val nWin = math.max(n - w + 1, 1)
+    val picked = scala.collection.mutable.SortedSet.empty[Long]
+    var s = 0
+    while (s < nWin) {
+      var best = hashes(s)
+      var j = s + 1
+      val end = math.min(s + w, n)
+      while (j < end) { if (hashes(j) < best) best = hashes(j); j += 1 }
+      picked += best
+      s += 1
+    }
+    picked.toSeq
+  }
+  val winnowFingerprintUdf = udf { (s: String) =>
+    winnowFingerprints(s).mkString(",")
+  }
+
   // --------------------------------------------------- language id
   /** Tiny rule-based language scorer: stopword-regex hit counts per
     * language, argmax with alphabetical tie-break. Deterministic and
@@ -316,6 +362,7 @@ object TextFns {
     spark.udf.register("normalize_dates", normalizeDatesUdf)
     spark.udf.register("normalize_vi", normalizeTextUdf)
     spark.udf.register("py_literal_to_json", pyLiteralToJsonUdf)
+    spark.udf.register("winnow_fingerprint", winnowFingerprintUdf)
   }
 }
 

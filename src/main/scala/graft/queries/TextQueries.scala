@@ -429,6 +429,35 @@ object TextQueries {
        |  MIN(CASE WHEN cf >= CEIL(n * 0.99) THEN n_tokens END) AS p99
        |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Winnowing (rolling-hash) fingerprints: k=5 char-gram polynomial
+    * hashes, w=4 window minima, distinct+sorted, comma-joined. The
+    * 300-char prefix keeps the oracle's interpreted list lambdas cheap;
+    * the operator itself has no such limit. Pure integer math — both
+    * engines compute identical longs. */
+  private val tWinnow: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFns.winnowFingerprintUdf(substring(col("text"), 1, 300)).as("fp"))
+      .orderBy("doc_id")
+  private val tWinnowSql =
+    """WITH c AS (
+      |  SELECT doc_id, regexp_replace(lower(substr(text, 1, 300)), '[^a-z0-9]', '', 'g') AS cl
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, len(cl) - 4 AS n,
+      |    list_transform(range(1, greatest(len(cl) - 4, 0) + 1), i ->
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(5), j -> CAST(unicode(substr(cl, i + j, 1)) AS BIGINT))),
+      |        (a, x) -> (a * 257 + x) % 1000000007)) AS hs
+      |  FROM c)
+      |SELECT doc_id,
+      |  CASE WHEN cl IS NULL OR n <= 0 THEN '' ELSE
+      |    array_to_string(list_sort(list_distinct(
+      |      list_transform(range(1, greatest(n - 3, 1) + 1), s ->
+      |        list_min(hs[s : least(s + 3, n)])))), ',')
+      |  END AS fp
+      |FROM h JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
+
   private val tFp: Q = (s, dir) =>
     t(s, dir, "documents")
       .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
@@ -459,6 +488,7 @@ object TextQueries {
     "t_token_count" -> tTok,
     "t_length_stats" -> tLenStats,
     "t_top_terms" -> tTopTerms,
+    "t_winnow_fingerprint" -> tWinnow,
     "t_fingerprint" -> tFp)
 
   val oracle: Map[String, String] = Map(
@@ -481,5 +511,6 @@ object TextQueries {
     "t_token_count" -> tTokSql,
     "t_length_stats" -> tLenStatsSql,
     "t_top_terms" -> tTopTermsSql,
+    "t_winnow_fingerprint" -> tWinnowSql,
     "t_fingerprint" -> tFpSql)
 }

@@ -42,6 +42,25 @@ object KernelProps extends Properties("graft.kernels") {
           WerAgg.levenshtein(a, b) + WerAgg.levenshtein(b, c)
     }
 
+  // ---------------------------------------------- winnowing guarantee
+  private val alnumStr: Gen[String] =
+    Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+  property("winnowing: docs sharing a >= w+k-1 char substring share a fingerprint") =
+    forAll(alnumStr, alnumStr, alnumStr) { (pre: String, shared0: String, post: String) =>
+      // k=5, w=4: guarantee threshold is 8 cleaned chars
+      val shared = (shared0 + "qzjxkvwm").take(12)
+      val a = TextFns.winnowFingerprints(pre + shared)
+      val b = TextFns.winnowFingerprints(shared + post)
+      a.toSet.intersect(b.toSet).nonEmpty
+    }
+
+  property("winnowing: sorted, distinct, position-shift invariant on whole docs") =
+    forAll(alnumStr.suchThat(_.length >= 12)) { (s: String) =>
+      val fp = TextFns.winnowFingerprints(s)
+      fp == fp.sorted && fp.distinct == fp &&
+        TextFns.winnowFingerprints("!! " + s + " ??") == fp // non-alnum stripped
+    }
+
   // ---------------------------------------------- pyLiteral round-trip
   private val pyStr = Gen.alphaNumStr.map(_.take(8))
   property("pyLiteralToJson: flat dicts parse to canonical JSON") =
