@@ -102,6 +102,27 @@ object MultimodalOps {
     }(Encoders.product[ImageInfo]).toDF()
   }
 
+  final case class ResizedImage(
+    path: String, width: Int, height: Int, n_bytes: Long, resized: Array[Byte])
+
+  /** Image resize stage: binary in -> binary out at (w, h), executed
+    * over mapPartitions with the per-partition handle pattern (a real
+    * binding would hold one decoder/scaler per partition — see
+    * Externals.resizeImage for the codec seam; the pixel work is
+    * stubbed in this container, the dataflow is real: blobs never
+    * leave their executor, output schema carries the typed dims). */
+  def resizeImages(df: DataFrame, pathCol: String, contentCol: String,
+      w: Int, h: Int,
+      ext: graft.pipeline.Externals = graft.pipeline.StubExternals): DataFrame = {
+    val in = df.select(col(pathCol).cast("string"), col(contentCol))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val out = ext.resizeImage(r.getAs[Array[Byte]](1), w, h)
+        ResizedImage(r.getString(0), w, h, out.length.toLong, out)
+      }
+    }(Encoders.product[ResizedImage]).toDF()
+  }
+
   /** Frame sampling over an opaque "video" blob: the decode is a
     * deterministic fake (fixed-size byte slices stand in for frames — no
     * codec libs in this container) but the dataflow is the real 100 TB

@@ -20,6 +20,12 @@ trait Externals extends Serializable {
   def decodeAudio(bytes: Array[Byte]): (Array[Float], Int)
   /** ASR transcription (whisper_qc.py:285-307). */
   def transcribe(samples: Array[Float], refText: String): String
+  /** Image resize: encoded image bytes -> encoded bytes at (w, h). No
+    * image codec ships in this container, so only [[StubExternals]]
+    * binds it (deterministic fake); production would bind ImageIO/
+    * libvips here. The Spark-side plumbing (batching, partitioning,
+    * binary->binary schema) is real and tested either way. */
+  def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
 }
 
 final case class BookMeta(
@@ -55,4 +61,15 @@ object StubExternals extends Externals {
   override def transcribe(samples: Array[Float], refText: String): String =
     refText.split("\\s+").zipWithIndex
       .collect { case (w, i) if i % 7 != 6 => w }.mkString(" ")
+
+  /** Deterministic fake resize: an 8-byte big-endian (w, h) header
+    * followed by the first 16 input bytes — content-keyed, so tests and
+    * the SQL oracle can rebuild the exact bytes without a codec (or a
+    * blob-capable hash, which DuckDB's md5 is not). */
+  override def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val head = bytes.take(16)
+    val bb = java.nio.ByteBuffer.allocate(8 + head.length)
+    bb.putInt(w).putInt(h).put(head)
+    bb.array()
+  }
 }

@@ -27,6 +27,9 @@ object JavaSoundExternals extends Externals {
   override def transcribe(samples: Array[Float], refText: String): String =
     StubExternals.transcribe(samples, refText)
 
+  override def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    StubExternals.resizeImage(bytes, w, h)
+
   override def decodeAudio(bytes: Array[Byte]): (Array[Float], Int) = {
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {

@@ -343,6 +343,29 @@ object IoQueries {
        |FROM read_blob('$fixRoot/mm_img/*')
        |ORDER BY fname""".stripMargin
 
+  /** Image resize stage over the image fixtures: the stubbed "resize"
+    * emits int32(w) ++ int32(h) ++ first-16-bytes (Externals.resizeImage),
+    * so the oracle rebuilds the exact bytes from a header blob literal
+    * and a blob slice, and both engines hex-compare them. Exercises the
+    * binary-in/binary-out mapPartitions plumbing end to end. */
+  private val mmResize: Q = (s, dir) => {
+    val d = fixDir("mm_img_rs")
+    genImages(d)
+    val files = s.read.format("binaryFile").load(d + "/*")
+    MultimodalOps.resizeImages(files, "path", "content", w = 64, h = 48)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("width"), col("height"), col("n_bytes"),
+        hex(col("resized")).as("resized_hex"))
+      .orderBy("fname")
+  }
+  private val mmResizeSql =
+    s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+       |  64 AS width, 48 AS height,
+       |  CAST(8 + least(16, octet_length(content)) AS BIGINT) AS n_bytes,
+       |  '0000004000000030' || substr(hex(content), 1, 32) AS resized_hex
+       |FROM read_blob('$fixRoot/mm_img_rs/*')
+       |ORDER BY fname""".stripMargin
+
   /** Frame sampling over ASCII "video" blobs: every 3rd 16-byte frame,
     * the oracle re-slices the same blobs with substr arithmetic. */
   private val mmFrames: Q = (s, dir) => {
@@ -384,6 +407,7 @@ object IoQueries {
     "mm_wav_probe" -> mmWav,
     "mm_bin_features" -> mmBin,
     "mm_image_probe" -> mmImage,
+    "mm_image_resize" -> mmResize,
     "mm_frame_sample" -> mmFrames)
 
   val oracle: Map[String, String] = Map(
@@ -401,5 +425,6 @@ object IoQueries {
     "mm_wav_probe" -> mmWavSql,
     "mm_bin_features" -> mmBinSql,
     "mm_image_probe" -> mmImageSql,
+    "mm_image_resize" -> mmResizeSql,
     "mm_frame_sample" -> mmFramesSql)
 }
