@@ -244,7 +244,10 @@ object TextFns {
     if (text == null) return Seq.empty
     // ASCII [a-z0-9] only (NOT isLetterOrDigit, which admits Unicode
     // letters) so the clean step is exactly the oracle's regex class.
-    val clean = text.toLowerCase.filter(ch =>
+    // Locale.ROOT: default-locale lowercasing is JVM-environment-dependent
+    // (Turkish 'I' -> dotless 'ı', which the ASCII filter then drops) while
+    // the oracle's lower() is locale-independent.
+    val clean = text.toLowerCase(java.util.Locale.ROOT).filter(ch =>
       (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9'))
     val n = clean.length - k + 1
     if (n <= 0) return Seq.empty

@@ -168,14 +168,30 @@ object IoOps {
     // not a hole.
     val dirP = new org.apache.hadoop.fs.Path(dir)
     val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hidden(name: String) = name.startsWith(".") || name.startsWith("_")
+    // Hive-partitioned tree (subdirectories like `bucket=3/`): compact each
+    // partition directory independently so the layout — and downstream
+    // partition pruning — is preserved. The naive single-dir rewrite would
+    // silently flatten partition columns into data columns. Reading a leaf
+    // directly never re-infers its partition value, so each leaf rewrite is
+    // a pure data-file compaction.
+    val subdirs = fs.listStatus(dirP)
+      .filter(s => s.isDirectory && !hidden(s.getPath.getName))
+    if (subdirs.nonEmpty)
+      return subdirs.map(s => compactParquet(spark, s.getPath.toString, targetBytes)).sum
     def parquetFiles(p: org.apache.hadoop.fs.Path) =
       fs.listStatus(p).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val bytes = parquetFiles(dirP).map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmpP = new org.apache.hadoop.fs.Path(dir + ".compact")
+    // Tmp/backup siblings are dot-prefixed: inside a partitioned tree a
+    // visible sibling (`bucket=3.old`) would parse as a bogus partition
+    // value during discovery; hidden names are skipped by Spark and Hadoop
+    // listings alike.
+    val parent = dirP.getParent
+    val tmpP = new org.apache.hadoop.fs.Path(parent, "." + dirP.getName + ".compact")
     spark.read.parquet(dir).repartition(nFiles)
       .write.mode("overwrite").parquet(tmpP.toString)
-    val bakP = new org.apache.hadoop.fs.Path(dir + ".old")
+    val bakP = new org.apache.hadoop.fs.Path(parent, "." + dirP.getName + ".old")
     if (fs.exists(bakP)) require(fs.delete(bakP, true), s"cannot clear $bakP")
     require(fs.rename(dirP, bakP), s"cannot park $dirP at $bakP")
     require(fs.rename(tmpP, dirP), s"cannot move $tmpP to $dirP — original preserved at $bakP")

@@ -35,6 +35,12 @@ object AsofOps {
 
   def asofJoin(left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String, payloadCols: Seq[String]): DataFrame = {
+    // The output is left.* ++ payloadCols by name; a payload name colliding
+    // with a left column would emit a silently duplicated column that breaks
+    // later by-name references, so reject it up front.
+    val collisions = payloadCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"payload columns collide with left columns: ${collisions.mkString(", ")} — rename on one side first")
     val r = right.select(col(keyCol).as("__k"), col(timeCol).as("__t"),
       struct(payloadCols.map(col): _*).as("__p"))
     val l = left.select(col(keyCol).as("__k"), col(timeCol).as("__t"),

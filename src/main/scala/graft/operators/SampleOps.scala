@@ -39,16 +39,22 @@ object SampleOps {
       tieCols: Seq[Column], pct: Double = 0.01,
       cutoff: String = "0a"): DataFrame = {
     require(pct > 0 && pct <= 1, "pct must be in (0, 1]")
+    // Internal columns are __-prefixed so an input that already carries a
+    // `cnt`/`scnt` column cannot alias into the stats join. Null group keys
+    // are EXCLUDED (inner equi-join semantics) — same policy as SQL GROUP BY
+    // feeding a join; filter/coalesce null keys upstream if they must sample.
+    require(!groupCols.exists(c => c == "__cnt" || c == "__scnt" || c == "__rn"),
+      "group columns may not use reserved __cnt/__scnt/__rn names")
     val gcols = groupCols.map(col)
-    val k = greatest(floor(col("cnt") * pct), lit(1L))
+    val k = greatest(floor(col("__cnt") * pct), lit(1L))
     val stats = df.groupBy(gcols: _*).agg(
-      count(lit(1)).as("cnt"),
-      count(when(substring(hashCol, 1, 2) <= cutoff, 1)).as("scnt"))
+      count(lit(1)).as("__cnt"),
+      count(when(substring(hashCol, 1, 2) <= cutoff, 1)).as("__scnt"))
     df.join(broadcast(stats), groupCols)
-      .filter(substring(hashCol, 1, 2) <= cutoff || col("scnt") < k)
+      .filter(substring(hashCol, 1, 2) <= cutoff || col("__scnt") < k)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(gcols: _*).orderBy(hashCol +: tieCols: _*)))
       .filter(col("__rn") <= k)
-      .drop("cnt", "scnt", "__rn")
+      .drop("__cnt", "__scnt", "__rn")
   }
 }

@@ -28,7 +28,13 @@ object StatsOps {
       df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1))
-    val freq = df.groupBy(col(groupCol), col(valueCol))
+    // Null policy: null values are excluded from the distribution AND from
+    // __n. Without the filter the two engines disagree silently — Spark's
+    // window orderBy sorts NULLS FIRST (inflating every cumulative count)
+    // while DuckDB sorts NULLS LAST — so the contract is explicit:
+    // percentiles are over non-null measurements only.
+    val freq = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("__f"))
     // Totals come from the histogram, NOT a second scan of df — the
     // input's rows are touched exactly once (the combine above); this

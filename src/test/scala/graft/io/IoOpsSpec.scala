@@ -29,6 +29,27 @@ class IoOpsSpec extends AnyFunSuite {
       == (1 to 1000).map(_.toLong).sum)
   }
 
+  test("compactParquet: hive-partitioned tree keeps layout, compacts per leaf") {
+    val d = tmp() + "/part"
+    val df = (1 to 1000).map(i => (i, i % 4, s"row$i")).toDF("id", "bucket", "v")
+    df.repartition(10).write.partitionBy("bucket").parquet(d)
+    val leaves = new java.io.File(d).listFiles.filter(_.getName.startsWith("bucket="))
+    assert(leaves.length == 4)
+    val beforePerLeaf = leaves.map(_.listFiles.count(_.getName.endsWith(".parquet")))
+    assert(beforePerLeaf.forall(_ >= 5))
+    val after = IoOps.compactParquet(spark, d, targetBytes = 1L << 20)
+    assert(after == 4, s"expected one file per partition, got $after")
+    // layout preserved: same partition dirs, partition column still prunes
+    val dirsAfter = new java.io.File(d).listFiles
+      .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      .map(_.getName).sorted
+    assert(dirsAfter.sameElements(Array("bucket=0", "bucket=1", "bucket=2", "bucket=3")))
+    val back = spark.read.parquet(d)
+    assert(back.columns.toSet == Set("id", "bucket", "v"))
+    assert(back.count() == 1000)
+    assert(back.filter($"bucket" === 2).count() == 250)
+  }
+
   test("CSV roundtrip (K1 -> S1) preserves rows and types") {
     val d = tmp()
     val src = Seq((1, "alpha", 2.5), (2, "beta", 3.5)).toDF("id", "name", "v")

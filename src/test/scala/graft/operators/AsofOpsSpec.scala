@@ -57,4 +57,13 @@ class AsofOpsSpec extends AnyFunSuite {
     assert(row.getAs[String]("extra") == "keep")
     assert(row.getAs[Int]("v") == 7 && row.getAs[String]("w") == "m")
   }
+
+  test("asofJoin: payload name colliding with a left column is rejected") {
+    val left = Seq((1, "k", 10L, "x")).toDF("lid", "k", "t", "v")
+    val right = Seq(("k", 3L, 7)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofOps.asofJoin(left, right, "k", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
 }

@@ -69,4 +69,13 @@ class SampleOpsSpec extends AnyFunSuite {
       assert(got == exp, s"pct=$pct")
     }
   }
+
+  test("input columns named cnt/scnt do not collide with internals") {
+    val df = (1 to 500).map(i => ("g", i, i * 2L, i * 3L))
+      .toDF("g", "id", "cnt", "scnt")
+    val got = SampleOps.groupFractionalSample(
+      df, Seq("g"), md5(col("id").cast("string")), Seq(col("id")), 0.01)
+    assert(got.columns.toSet == Set("g", "id", "cnt", "scnt"))
+    assert(got.count() == 5) // floor(500 * 0.01), user cols untouched
+  }
 }

@@ -26,6 +26,16 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out("b") == ((7L, 7L)))   // singleton group: every percentile is the value
   }
 
+  test("null values are excluded from the distribution and the count") {
+    // g: 1..4 plus 6 nulls. With nulls excluded n=4 -> p50 = 2nd value = 2.
+    // (Counting nulls toward n would give ceil(.5*10)=5 -> p50 = NULL/4.)
+    val df = ((1 to 4).map(v => ("g", Some(v.toLong))) ++
+      Seq.fill(6)(("g", Option.empty[Long]))).toDF("grp", "v")
+    val row = StatsOps.exactPercentiles(df, "grp", "v", Seq(0.5, 1.0)).collect()(0)
+    assert(row.getAs[Long]("p50") == 2L)
+    assert(row.getAs[Long]("p100") == 4L)
+  }
+
   test("label formatting survives double arithmetic (0.99 -> p99, 0.999 -> p99_9)") {
     val df = Seq(("g", 1L)).toDF("grp", "v")
     val cols = StatsOps.exactPercentiles(df, "grp", "v", Seq(0.99, 0.999)).columns.toSet
