@@ -69,20 +69,53 @@ object FileStream {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
-  /** CDC-style streaming upsert: each micro-batch MERGEs into a parquet
-    * base table via foreachBatch — the streaming composition of
-    * MergeOps.upsert (reference semantics: later metadata snapshots
-    * overwrite earlier rows, new keys append). Each batch rewrites the
-    * base ONCE through the broadcast-safe merge plan (updates are the
-    * small side), and the read-modify-write is serialized by the
-    * streaming engine — foreachBatch is the idiomatic seam for sinks
-    * Spark cannot transactionally MERGE into natively. The batch is
-    * deduplicated to the last row per key (batch order is
-    * last-writer-wins within a micro-batch, keyed by `orderCol`). */
+  /** Partition column for the bucketed upsert base. No leading underscore:
+    * Spark/Hadoop file listings treat `_`/`.`-prefixed directory names as
+    * hidden, so an `__bucket=3` partition dir would be invisible on read. */
+  val BucketCol = "gbucket"
+
+  /** Deterministic bucket id for a key tuple: Murmur3 (Spark's `hash`) mod
+    * nBuckets — stable across sessions, partitioning, and cluster size,
+    * which is what lets every later micro-batch find a key's bucket without
+    * consulting the base. */
+  def bucketExpr(keys: Seq[String], nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(hash(keys.map(col): _*), lit(nBuckets))
+
+  /** Materialize an upsert base in the bucketed layout streamingUpsert
+    * requires: parquet files under `basePath/gbucket=K`, K = murmur3(keys)
+    * mod nBuckets. Pick nBuckets so one bucket's data is a comfortable rewrite
+    * unit (e.g. 100 TB / 4096 buckets ≈ 25 GB per bucket). */
+  def writeBucketedBase(
+      df: DataFrame, basePath: String, keys: Seq[String], nBuckets: Int): Unit = {
+    require(!df.columns.contains(BucketCol), s"input already has a $BucketCol column")
+    df.withColumn(BucketCol, bucketExpr(keys, nBuckets))
+      .write.partitionBy(BucketCol).parquet(basePath)
+  }
+
+  /** CDC-style streaming upsert: each micro-batch MERGEs into a
+    * hash-bucketed parquet base table via foreachBatch — the streaming
+    * composition of MergeOps.upsert (reference semantics: later metadata
+    * snapshots overwrite earlier rows, new keys append). The batch is
+    * deduplicated to the last row per key (last-writer-wins within a
+    * micro-batch, ordered by `orderCol`), and the read-modify-write is
+    * serialized by the streaming engine — foreachBatch is the idiomatic
+    * seam for sinks Spark cannot transactionally MERGE into natively.
+    *
+    * Scale shape: the base lives as `gbucket=K` hash partitions (see
+    * writeBucketedBase), and a micro-batch only ever touches the buckets
+    * its keys hash into — partition pruning keeps untouched buckets
+    * UNREAD, and the swap below keeps them UNWRITTEN. Per-batch cost is
+    * O(touched buckets + batch), not O(base): a trickle of CDC rows
+    * against a 100 TB base rewrites a few ~25 GB buckets, never the
+    * table. (The earlier design rewrote the whole base every batch.)
+    *
+    * `nBuckets` must match the value the base was written with — it is
+    * the same hash both times, asserted cheaply against the batch's own
+    * buckets each merge. */
   def streamingUpsert(
       updates: DataFrame, basePath: String, keys: Seq[String],
       updateCols: Seq[String], orderCol: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, nBuckets: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -92,31 +125,46 @@ object FileStream {
           .partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
         val keyed = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
+          .withColumn(BucketCol, bucketExpr(keys, nBuckets))
+          .localCheckpoint() // the batch is re-used 3× (touched set, merge,
+                             // anti-insert); pin it instead of re-planning
+        // Bounded collect: at most nBuckets ints — bucket IDS, never rows.
+        val touched = keyed.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).sorted
+        // Partition pruning on gbucket means ONLY the touched directories
+        // are listed and read; .explain shows PartitionFilters on gbucket.
+        val baseSlice = spark.read.parquet(basePath)
+          .where(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+        // gbucket rides as an updateCol so inserted rows land in their
+        // hash bucket; for matched rows update and base agree by
+        // construction (same keys -> same hash).
         val merged = graft.operators.MergeOps.upsert(
-          spark.read.parquet(basePath), keyed, keys, updateCols,
+          baseSlice, keyed, keys, updateCols :+ BucketCol,
           broadcastUpdates = true)
-        // write-then-swap: parquet cannot be read and overwritten in one
-        // job, so materialize to a temp dir and repoint. Hadoop
-        // FileSystem (not java.io.File) so the swap works on whatever
-        // store basePath lives on, not just the driver's local disk.
-        val tmp = basePath + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        // Hadoop rename/delete signal failure by RETURNING FALSE — an
-        // unchecked false first rename would make the second rename
-        // nest the new data INSIDE the still-existing base and silently
-        // drop the merge. Checked failures throw, which fails the batch
-        // and lets the streaming engine retry it; a crash between the
-        // renames leaves the merged data at `.next` and the previous
-        // base at `.old` for manual repoint (plain file stores have no
-        // atomic two-dir swap — a table format is the transactional
-        // answer; this is the best a bare directory can do).
+        // Write the merged TOUCHED buckets to a hidden sibling (dot prefix
+        // keeps partition discovery from ever seeing it), then swap each
+        // touched bucket directory individually. Hadoop FileSystem (not
+        // java.io.File) so the swap works on whatever store basePath lives
+        // on; rename/delete signal failure by RETURNING FALSE, and a
+        // checked failure throws -> the batch fails -> the streaming
+        // engine retries it. A crash mid-swap leaves each bucket either
+        // old, new, or parked at its `.old` backup — per-bucket
+        // recoverable (plain file stores have no atomic multi-dir swap; a
+        // table format is the transactional answer, this is the best a
+        // bare directory layout can do).
         val baseP = new org.apache.hadoop.fs.Path(basePath)
         val fs = baseP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val bakP = new org.apache.hadoop.fs.Path(basePath + ".old")
-        if (fs.exists(bakP)) require(fs.delete(bakP, true), s"cannot clear $bakP")
-        require(fs.rename(baseP, bakP), s"cannot park $baseP at $bakP")
-        require(fs.rename(new org.apache.hadoop.fs.Path(tmp), baseP),
-          s"cannot move $tmp to $baseP — previous base preserved at $bakP")
+        val tmpP = new org.apache.hadoop.fs.Path(baseP.getParent, "." + baseP.getName + ".next")
+        merged.write.mode("overwrite").partitionBy(BucketCol).parquet(tmpP.toString)
+        touched.foreach { b =>
+          val dir = new org.apache.hadoop.fs.Path(baseP, s"$BucketCol=$b")
+          val src = new org.apache.hadoop.fs.Path(tmpP, s"$BucketCol=$b")
+          val bak = new org.apache.hadoop.fs.Path(baseP, s".$BucketCol=$b.old")
+          if (fs.exists(bak)) require(fs.delete(bak, true), s"cannot clear $bak")
+          if (fs.exists(dir)) require(fs.rename(dir, bak), s"cannot park $dir at $bak")
+          require(fs.rename(src, dir), s"cannot move $src to $dir")
+        }
+        fs.delete(tmpP, true)
         ()
       }
       .start()

@@ -98,18 +98,19 @@ class FileStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming upsert: micro-batches merge into the parquet base, last writer wins") {
+  test("streaming upsert: micro-batches merge into the bucketed parquet base, last writer wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sql = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("supsert").toString
     val base = s"$root/base"
-    Seq((1, "a", 0L), (2, "b", 0L)).toDF("k", "v", "seq")
-      .write.parquet(base)
+    FileStream.writeBucketedBase(
+      Seq((1, "a", 0L), (2, "b", 0L)).toDF("k", "v", "seq"),
+      base, Seq("k"), nBuckets = 8)
     val mem = MemoryStream[(Int, String, Long)]
     val q = FileStream.streamingUpsert(
       mem.toDS().toDF("k", "v", "seq"), base, Seq("k"), Seq("v", "seq"),
-      orderCol = "seq", checkpoint = s"$root/ckpt")
+      orderCol = "seq", checkpoint = s"$root/ckpt", nBuckets = 8)
     try {
       // batch 1: update k=2 twice (seq 1 then 2 -> "b2" wins), insert k=3
       mem.addData((2, "b1", 1L), (2, "b2", 2L), (3, "c", 1L))
@@ -121,6 +122,95 @@ class FileStreamSpec extends AnyFunSuite {
         .select("k", "v").as[(Int, String)].collect().toMap
       assert(rows == Map(1 -> "a9", 2 -> "b2", 3 -> "c"))
     } finally q.stop()
+  }
+
+  test("streaming upsert: a batch touching 1 of N buckets rewrites ONLY that bucket's directory") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("supsert_pruned").toString
+    val base = s"$root/base"
+    val nB = 8
+    // 400 keys spread over all 8 buckets
+    FileStream.writeBucketedBase(
+      (1 to 400).map(k => (k, s"v$k", 0L)).toDF("k", "v", "seq"),
+      base, Seq("k"), nBuckets = nB)
+
+    def snapshot(): Map[String, (Long, String)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(base))
+        .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains("/."))
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+          f.getPath -> (f.length(), md.map("%02x".format(_)).mkString)
+        }.toMap
+    }
+    val before = snapshot()
+    val touchedBucket = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(org.apache.spark.sql.functions.lit(7)),
+        org.apache.spark.sql.functions.lit(nB))).collect()(0).getInt(0)
+
+    val mem = MemoryStream[(Int, String, Long)]
+    val q = FileStream.streamingUpsert(
+      mem.toDS().toDF("k", "v", "seq"), base, Seq("k"), Seq("v", "seq"),
+      orderCol = "seq", checkpoint = s"$root/ckpt", nBuckets = nB)
+    try {
+      mem.addData((7, "updated", 1L)) // single key -> single bucket
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = snapshot()
+
+    // every file OUTSIDE the touched bucket is byte-identical and still present
+    val untouchedBefore = before.filterNot(_._1.contains(s"/gbucket=$touchedBucket/"))
+    val untouchedAfter = after.filterNot(_._1.contains(s"/gbucket=$touchedBucket/"))
+    assert(untouchedBefore == untouchedAfter,
+      "untouched bucket directories must be byte-identical after the batch")
+    // the touched bucket WAS rewritten (different file set or bytes)
+    assert(before.view.filterKeys(_.contains(s"/gbucket=$touchedBucket/")).toMap !=
+      after.view.filterKeys(_.contains(s"/gbucket=$touchedBucket/")).toMap,
+      "touched bucket must have been rewritten")
+    // and the merge is correct
+    val rows = spark.read.parquet(base).select("k", "v").as[(Int, String)].collect().toMap
+    assert(rows(7) == "updated" && rows.size == 400 && rows(8) == "v8")
+  }
+
+  test("streaming upsert + compaction: accreted small files compact back to the target bound, layout intact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("supsert_compact").toString
+    val base = s"$root/base"
+    val nB = 4
+    FileStream.writeBucketedBase(
+      (1 to 200).map(k => (k, s"v$k", 0L)).toDF("k", "v", "seq"),
+      base, Seq("k"), nBuckets = nB)
+    val mem = MemoryStream[(Int, String, Long)]
+    val q = FileStream.streamingUpsert(
+      mem.toDS().toDF("k", "v", "seq"), base, Seq("k"), Seq("v", "seq"),
+      orderCol = "seq", checkpoint = s"$root/ckpt", nBuckets = nB)
+    try {
+      // several batches, each touching many buckets -> small files accrete
+      for (b <- 1 to 4) {
+        mem.addData((1 to 40).map(k => (200 + b * 100 + k, s"new$b-$k", b.toLong)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rowsBefore = spark.read.parquet(base).count()
+    assert(rowsBefore == 200 + 4 * 40)
+    // compact: per-leaf parquet files must land at ceil(bytes/target) = 1
+    // per bucket here (tiny data), with layout and rows preserved
+    val filesAfter = graft.io.IoOps.compactParquet(spark, base, targetBytes = 64L << 20)
+    assert(filesAfter == nB, s"expected 1 file per bucket, got $filesAfter")
+    val back = spark.read.parquet(base)
+    assert(back.count() == rowsBefore)
+    assert(back.columns.toSet == Set("k", "v", "seq", "gbucket"))
+    // bucket dirs intact -> partition pruning still applies
+    val dirs = new java.io.File(base).listFiles
+      .filter(f => f.isDirectory && !f.getName.startsWith(".")).map(_.getName).sorted
+    assert(dirs.toSeq == (0 until nB).map(b => s"gbucket=$b"))
   }
 
   test("windowed event counts with watermark (batch-mode semantics check)") {
