@@ -71,6 +71,109 @@ object MultimodalOps {
     }(Encoders.product[WavInfo]).toDF()
   }
 
+  final case class Mp3Info(
+    path: String, version: String, layer: Int, bitrate_kbps: Int,
+    sample_rate: Int, channels: Int, n_frames: Long, n_samples: Long,
+    duration_s: Double)
+
+  /** MP3 (MPEG audio) header probe — walks the frame-header chain
+    * (public ISO/IEC 11172-3 / 13818-3 framing: 11-bit sync, version /
+    * layer / bitrate-index / samplerate-index fields, per-frame length
+    * arithmetic), skipping a leading ID3v2 tag. No PCM decode: stock JDK
+    * javax.sound has no mp3 codec, so full decode stays behind the
+    * JavaSoundExternals SPI seam (any mp3 SPI jar on the executor
+    * classpath lights it up with zero code changes); the duration /
+    * rate / frame-count metadata a pipeline filters on is parsed
+    * natively here — the same header-only shape as [[wavProbe]]
+    * (reference probes duration without decoding, push_to_hf.py:125-130,
+    * over the mp3 parts it downloads, crawler/download.py:141-151).
+    *
+    * Reported version/layer/bitrate/rate/channels come from the first
+    * frame (CBR assumption for bitrate; frame walking itself handles VBR
+    * fine because each frame's length is derived from its own header).
+    * duration_s = total samples / first-frame rate, computed as ONE
+    * division at the end — a per-frame float accumulation would drift
+    * from any engine replaying it as n_frames * spf / rate. Truncated
+    * tails and garbage stop the walk; a malformed blob reports zeros
+    * rather than throwing inside the task. */
+  def mp3Probe(df: DataFrame, pathCol: String, contentCol: String): DataFrame = {
+    val in = df.select(col(pathCol).cast("string"), col(contentCol))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val path = r.getString(0)
+        val b = r.getAs[Array[Byte]](1)
+        if (b == null || b.length < 4) Mp3Info(path, "", 0, 0, 0, 0, 0L, 0L, 0.0)
+        else {
+          var o = 0
+          // ID3v2: "ID3" + 2 version bytes + flags + 4-byte syncsafe size
+          if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+            val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+              ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+            o = 10 + size
+          }
+          // kbps by (versionGroup: 0=MPEG1 1=MPEG2/2.5, layer, idx 1-14)
+          val kbps = Array(
+            Array( // MPEG1
+              Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448), // L1
+              Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),    // L2
+              Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)),    // L3
+            Array( // MPEG2 / 2.5
+              Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+              Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+              Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)))
+          val rates = Map( // by version bits
+            3 -> Array(44100, 48000, 32000), // MPEG1
+            2 -> Array(22050, 24000, 16000), // MPEG2
+            0 -> Array(11025, 12000, 8000))  // MPEG2.5
+          var nFrames = 0L
+          var nSamples = 0L
+          var v0, l0, br0, sr0, ch0 = 0
+          var ok = true
+          while (ok && o + 4 <= b.length) {
+            if ((b(o) & 0xff) != 0xff || (b(o + 1) & 0xe0) != 0xe0) ok = false
+            else {
+              val ver = (b(o + 1) >> 3) & 3         // 3=MPEG1 2=MPEG2 0=MPEG2.5
+              val layer = 4 - ((b(o + 1) >> 1) & 3) // 1..3; bits 0 = reserved
+              val brIdx = (b(o + 2) >> 4) & 0xf
+              val srIdx = (b(o + 2) >> 2) & 3
+              val pad = (b(o + 2) >> 1) & 1
+              val mono = ((b(o + 3) >> 6) & 3) == 3
+              if (ver == 1 || layer == 4 || brIdx == 0 || brIdx == 15 || srIdx == 3) ok = false
+              else {
+                val vg = if (ver == 3) 0 else 1
+                val br = kbps(vg)(layer - 1)(brIdx - 1) * 1000
+                val sr = rates(ver)(srIdx)
+                val spf =
+                  if (layer == 1) 384
+                  else if (layer == 2) 1152
+                  else if (ver == 3) 1152 else 576 // L3: MPEG1 vs MPEG2/2.5
+                val len =
+                  if (layer == 1) (12 * br / sr + pad) * 4
+                  else spf / 8 * br / sr + pad
+                if (len < 4 || o + len > b.length) ok = false // truncated tail
+                else {
+                  if (nFrames == 0) {
+                    v0 = ver; l0 = layer; br0 = br / 1000; sr0 = sr
+                    ch0 = if (mono) 1 else 2
+                  }
+                  nFrames += 1
+                  nSamples += spf
+                  o += len
+                }
+              }
+            }
+          }
+          val vName = v0 match {
+            case 3 => "MPEG1"; case 2 => "MPEG2"; case 0 => "MPEG2.5"; case _ => ""
+          }
+          val dur = if (sr0 > 0) nSamples.toDouble / sr0 else 0.0
+          Mp3Info(path, vName, if (nFrames > 0) l0 else 0, br0, sr0, ch0,
+            nFrames, nSamples, dur)
+        }
+      }
+    }(Encoders.product[Mp3Info]).toDF()
+  }
+
   final case class ImageInfo(path: String, format: String, width: Int, height: Int)
 
   /** Image header probe — real byte parsing of PNG / BMP / GIF headers

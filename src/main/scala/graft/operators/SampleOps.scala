@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object SampleOps {
 
   /** Per-group fractional sample with a minimum of one row per group:
-    * keeps the `ceil(pct * n)`-smallest-by-md5 rows of each group — the
+    * keeps the `ceil(pct * n)`-smallest-by-hash rows of each group — the
     * reference's `int(n*pct) or 1` clamp (whisper_qc.py:231-239), with
     * `floor` + `greatest(_, 1)` spelling that rule.
     *
@@ -21,23 +21,30 @@ object SampleOps {
     * hashes only needs the rows whose hash can possibly rank <= k, so:
     *
     *   1. one pre-aggregation per group computes `cnt` (exact n) and
-    *      `scnt`, the rows whose 2-hex-digit md5 prefix falls at or
-    *      below `cutoff` (a superset fraction of pct — "0a" keeps
-    *      11/256 ~ 4.3% for pct = 1%);
-    *   2. the ranking window then sorts ONLY prefix-survivor rows —
-    *      lexicographic md5 order means the k smallest full hashes all
-    *      carry a prefix <= cutoff whenever scnt >= k;
+    *      `scnt`, the rows satisfying `survivor(hash)` — a prefix of the
+    *      hash order covering a superset fraction of pct (the default
+    *      keeps the 2-hex-digit md5 prefixes <= "0a": 11/256 ~ 4.3%,
+    *      for pct = 1%);
+    *   2. the ranking window then sorts ONLY the survivor rows — because
+    *      the survivor set is a prefix of the hash order, the k smallest
+    *      hashes are all survivors whenever scnt >= k;
     *   3. any group where scnt < k (tiny groups, where the min-1 clamp
     *      lives) is kept WHOLE, so the rank is exact there too — no
     *      probabilistic gamble, the fallback is part of the plan.
     *
     * The group-stats side is a broadcast (one row per group), so the
     * only shuffle of real data is the window over ~4% of the input.
+    *
+    * `survivor` MUST be a threshold on the hash order (h <= bound) or the
+    * prefix argument above breaks. The default md5-prefix test is fully
+    * portable; for hot paths prefer a cheap arithmetic hash column with
+    * `h => h <= lit(bound)` — a crypto hash buys nothing for sampling and
+    * costs ~10x the integer mix on every row of both scans.
     */
   def groupFractionalSample(
       df: DataFrame, groupCols: Seq[String], hashCol: Column,
       tieCols: Seq[Column], pct: Double = 0.01,
-      cutoff: String = "0a"): DataFrame = {
+      survivor: Column => Column = h => substring(h, 1, 2) <= "0a"): DataFrame = {
     require(pct > 0 && pct <= 1, "pct must be in (0, 1]")
     // Internal columns are __-prefixed so an input that already carries a
     // `cnt`/`scnt` column cannot alias into the stats join. Null group keys
@@ -49,9 +56,9 @@ object SampleOps {
     val k = greatest(floor(col("__cnt") * pct), lit(1L))
     val stats = df.groupBy(gcols: _*).agg(
       count(lit(1)).as("__cnt"),
-      count(when(substring(hashCol, 1, 2) <= cutoff, 1)).as("__scnt"))
+      count(when(survivor(hashCol), 1)).as("__scnt"))
     df.join(broadcast(stats), groupCols)
-      .filter(substring(hashCol, 1, 2) <= cutoff || col("__scnt") < k)
+      .filter(survivor(hashCol) || col("__scnt") < k)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(gcols: _*).orderBy(hashCol +: tieCols: _*)))
       .filter(col("__rn") <= k)

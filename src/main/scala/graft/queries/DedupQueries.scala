@@ -364,6 +364,108 @@ object DedupQueries {
        |    FROM embeddings e, c2 c) WHERE rn = 1)
        |SELECT vec_id, cell FROM a3 ORDER BY vec_id""".stripMargin
 
+  /** Measured retrieval quality: recall@5 of each approximate ANN path
+    * against the brute-force truth on the SAME query set (vec_id < 20,
+    * k = 5). The per-method oracles replay the same buckets, so they can
+    * stay green while a hyperplane or probe change silently craters what
+    * the index actually retrieves — this query turns recall into a
+    * driver-checked number (and RecallSpec pins floors). Counts are kept
+    * as integers and recall as basis points (n_hits * 10000 // n_brute)
+    * so the hash-compare never meets a float rounding edge. */
+  private val annRecall: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val q20 = e.filter(col("vec_id") < 20)
+    val brute = SimilarityOps.bruteTopK(q20, e, "vec_id", "embedding", 5)
+      .select("q_id", "c_id")
+    def rec(name: String, m: DataFrame): DataFrame = {
+      val hits = brute.join(m.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+      brute.agg(count(lit(1)).as("n_brute"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(name).as("method"), col("n_brute"), col("n_hits"),
+          floor(col("n_hits") * 10000 / col("n_brute")).cast("long").as("recall_bp"))
+    }
+    rec("bucketed",
+        SimilarityOps.bucketedTopK(q20, e, "vec_id", "embedding", 5, nPlanes = 8, dim = 64))
+      .unionByName(rec("multiprobe",
+        SimilarityOps.multiProbeTopK(q20, e, "vec_id", "embedding", 5, nPlanes = 8, dim = 64)))
+      .unionByName(rec("ivf",
+        SimilarityOps.ivfTopK(q20, e, "vec_id", "embedding", 5, nCells = 16, nProbe = 2)))
+      .orderBy("method")
+  }
+  private val annRecallSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, ${sqlNorm("embedding")} AS qn
+       |           FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv, ${sqlNorm("embedding")} AS cn FROM embeddings),
+       |brute AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY
+       |        ${sqlDot("qv", "cv")} / (qn * cn) DESC, c_id) AS rank
+       |    FROM q, c WHERE q_id <> c_id) WHERE rank <= 5),
+       |planes AS (
+       |  SELECT i, list_transform(range(64), j ->
+       |    (ascii(substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS p
+       |  FROM range(8) t(i)),
+       |bkt AS (
+       |  SELECT vec_id, CAST(SUM(
+       |      CASE WHEN list_reduce(list_transform(range(1, 65),
+       |             j -> CAST(e.embedding[j] AS DOUBLE) * p[j]), (x, y) -> x + y) >= 0
+       |           THEN (1 << (7 - i)) ELSE 0 END) AS INT) AS bucket
+       |  FROM embeddings e, planes GROUP BY vec_id),
+       |v AS (SELECT e.vec_id, bucket, embedding AS vv, ${sqlNorm("embedding")} AS nrm
+       |      FROM embeddings e JOIN bkt ON e.vec_id = bkt.vec_id),
+       |bucketed AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.vv", "c.vv")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+       |    FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 20) WHERE rank <= 5),
+       |qprobe AS (
+       |  SELECT vec_id, CAST(xor(bucket, CAST(m AS INT)) AS INT) AS bucket, vv, nrm
+       |  FROM v, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) t(m)
+       |  WHERE vec_id < 20),
+       |multiprobe AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.vv", "c.vv")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+       |    FROM qprobe q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id) WHERE rank <= 5),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+       |  ORDER BY vec_id LIMIT 16),
+       |cassign AS (
+       |  SELECT c_id2, c_vec, cell, ${sqlNorm("c_vec")} AS c_norm FROM (
+       |    SELECT e.vec_id AS c_id2, e.embedding AS c_vec, cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlSqDist("e.embedding", "cent_vec")}, cent_id) AS rn
+       |    FROM embeddings e, cents)
+       |  WHERE rn = 1),
+       |qassign AS (
+       |  SELECT q_id2, q_vec, cell, ${sqlNorm("q_vec")} AS q_norm FROM (
+       |    SELECT e.vec_id AS q_id2, e.embedding AS q_vec, cent_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlSqDist("e.embedding", "cent_vec")}, cent_id) AS rn
+       |    FROM embeddings e, cents WHERE e.vec_id < 20)
+       |  WHERE rn <= 2),
+       |ivf AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id2 AS q_id, c_id2 AS c_id,
+       |      row_number() OVER (PARTITION BY q_id2 ORDER BY
+       |        ${sqlDot("q_vec", "c_vec")} / (q_norm * c_norm) DESC, c_id2) AS rank
+       |    FROM qassign q JOIN cassign c USING (cell) WHERE q_id2 <> c_id2) WHERE rank <= 5),
+       |rows_out AS (
+       |  SELECT 'bucketed' AS method,
+       |    (SELECT COUNT(*) FROM brute) AS n_brute,
+       |    (SELECT COUNT(*) FROM brute b JOIN bucketed m USING (q_id, c_id)) AS n_hits
+       |  UNION ALL SELECT 'multiprobe',
+       |    (SELECT COUNT(*) FROM brute),
+       |    (SELECT COUNT(*) FROM brute b JOIN multiprobe m USING (q_id, c_id))
+       |  UNION ALL SELECT 'ivf',
+       |    (SELECT COUNT(*) FROM brute),
+       |    (SELECT COUNT(*) FROM brute b JOIN ivf m USING (q_id, c_id)))
+       |SELECT method, n_brute, n_hits, n_hits * 10000 // n_brute AS recall_bp
+       |FROM rows_out ORDER BY method""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -376,7 +478,8 @@ object DedupQueries {
     "ann_bucketed_topk" -> annBucketed,
     "ann_multiprobe_topk" -> annMultiProbe,
     "ann_ivf_topk" -> annIvf,
-    "ann_kmeans_cells" -> annKmeans)
+    "ann_kmeans_cells" -> annKmeans,
+    "ann_recall" -> annRecall)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -388,5 +491,6 @@ object DedupQueries {
     "ann_bucketed_topk" -> annBucketedSql,
     "ann_multiprobe_topk" -> annMultiProbeSql,
     "ann_ivf_topk" -> annIvfSql,
-    "ann_kmeans_cells" -> annKmeansSql)
+    "ann_kmeans_cells" -> annKmeansSql,
+    "ann_recall" -> annRecallSql)
 }

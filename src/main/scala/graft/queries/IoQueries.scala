@@ -261,6 +261,75 @@ object IoQueries {
       Files.write(Paths.get(base, s"sr${sr}_ch${ch}_$k.wav"), bb.array())
     }
 
+  /** Synthesized CBR MPEG-audio streams: valid frame-header chains (sync,
+    * version/layer/bitrate/samplerate fields, per-frame length arithmetic)
+    * with zero payloads — the parser walks real framing; ground truth
+    * rides in the filename. vg=1 -> MPEG1 Layer III (1152 samples/frame),
+    * vg=2 -> MPEG2 Layer III (576). Half the files carry an ID3v2 tag the
+    * probe must skip. */
+  private def genMp3s(base: String): Unit = {
+    val cases = Seq(
+      // (vg, sr, brKbps, brIdx, nFrames, id3)
+      (1, 44100, 128, 9, 200, false),
+      (1, 32000, 192, 11, 150, true),
+      (1, 48000, 64, 5, 120, false),
+      (2, 22050, 64, 8, 100, true),
+      (2, 16000, 32, 4, 80, false))
+    val srIdx = Map(44100 -> 0, 48000 -> 1, 32000 -> 2, // MPEG1 table
+      22050 -> 0, 24000 -> 1, 16000 -> 2)               // MPEG2 table
+    cases.foreach { case (vg, sr, br, brIdx, nf, id3) =>
+      val spf = if (vg == 1) 1152 else 576
+      val frameLen = spf / 8 * (br * 1000) / sr // pad = 0
+      val b1 = if (vg == 1) 0xfb else 0xf3 // sync|version|LayerIII|noCRC
+      val tag = if (id3) {
+        val t = new Array[Byte](110) // "ID3" + syncsafe size 100 + body
+        t(0) = 'I'; t(1) = 'D'; t(2) = '3'; t(3) = 4; t(9) = 100
+        t
+      } else Array.empty[Byte]
+      val out = new Array[Byte](tag.length + nf * frameLen)
+      System.arraycopy(tag, 0, out, 0, tag.length)
+      (0 until nf).foreach { i =>
+        val o = tag.length + i * frameLen
+        out(o) = 0xff.toByte
+        out(o + 1) = b1.toByte
+        out(o + 2) = ((brIdx << 4) | (srIdx(sr) << 2)).toByte // no padding
+        out(o + 3) = 0 // stereo
+      }
+      val id3s = if (id3) "id3" else "raw"
+      Files.write(Paths.get(base, s"mp3_v${vg}_sr${sr}_br${br}_nf${nf}_$id3s.mp3"), out)
+    }
+  }
+
+  /** MP3 frame-header walk over binary files (MultimodalOps.mp3Probe);
+    * the oracle replays duration/frame arithmetic from filename-encoded
+    * ground truth — so a parser that miscounts frames, misreads a
+    * bitrate table, or fails to skip ID3v2 diverges. */
+  private val mmMp3: Q = (s, dir) => {
+    val d = fixDir("mm_mp3")
+    genMp3s(d)
+    val files = s.read.format("binaryFile").load(d + "/*.mp3")
+    MultimodalOps.mp3Probe(files, "path", "content")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("version"), col("sample_rate"), col("bitrate_kbps"),
+        col("channels"), col("n_frames"), col("n_samples"), col("duration_s"))
+      .orderBy("fname")
+  }
+  private val mmMp3Sql =
+    s"""SELECT fname, CASE vg WHEN 1 THEN 'MPEG1' ELSE 'MPEG2' END AS version,
+       |  sr AS sample_rate, br AS bitrate_kbps, 2 AS channels,
+       |  nf AS n_frames, nf * spf AS n_samples,
+       |  CAST(nf * spf AS DOUBLE) / sr AS duration_s
+       |FROM (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+       |    CAST(regexp_extract(filename, '_v(\\d+)_', 1) AS INT) AS vg,
+       |    CAST(regexp_extract(filename, '_sr(\\d+)_', 1) AS INT) AS sr,
+       |    CAST(regexp_extract(filename, '_br(\\d+)_', 1) AS INT) AS br,
+       |    CAST(regexp_extract(filename, '_nf(\\d+)_', 1) AS BIGINT) AS nf,
+       |    CASE CAST(regexp_extract(filename, '_v(\\d+)_', 1) AS INT)
+       |      WHEN 1 THEN 1152 ELSE 576 END AS spf
+       |  FROM read_blob('$fixRoot/mm_mp3/*.mp3'))
+       |ORDER BY fname""".stripMargin
+
   /** Real RIFF header parsing over binary files; the oracle checks against
     * filename-encoded ground truth + byte-size arithmetic. */
   private val mmWav: Q = (s, dir) => {
@@ -405,6 +474,7 @@ object IoQueries {
     "io_s9_binary_tree" -> s9,
     "io_s14_partitioned" -> s14,
     "mm_wav_probe" -> mmWav,
+    "mm_mp3_probe" -> mmMp3,
     "mm_bin_features" -> mmBin,
     "mm_image_probe" -> mmImage,
     "mm_image_resize" -> mmResize,
@@ -423,6 +493,7 @@ object IoQueries {
     "io_s9_binary_tree" -> s9Sql,
     "io_s14_partitioned" -> s14Sql,
     "mm_wav_probe" -> mmWavSql,
+    "mm_mp3_probe" -> mmMp3Sql,
     "mm_bin_features" -> mmBinSql,
     "mm_image_probe" -> mmImageSql,
     "mm_image_resize" -> mmResizeSql,

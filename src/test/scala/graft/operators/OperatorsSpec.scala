@@ -274,6 +274,46 @@ class OperatorsSpec extends AnyFunSuite {
       ("v", 2, new String(content.slice(32, 40)))))
   }
 
+  test("MultimodalOps.mp3Probe: frame walk, ID3v2 skip, truncation and garbage stop cleanly") {
+    // one MPEG1 Layer III frame @ 44100/128k: 144*128000/44100 = 417 bytes
+    def frame(): Array[Byte] = {
+      val f = new Array[Byte](417)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x90.toByte; f(3) = 0
+      f
+    }
+    val clean = Array.concat(Seq.fill(10)(frame()): _*)
+    val id3 = {
+      val t = new Array[Byte](30) // syncsafe size 20
+      t(0) = 'I'; t(1) = 'D'; t(2) = '3'; t(3) = 4; t(9) = 20
+      Array.concat(t, clean)
+    }
+    val truncated = clean.take(417 * 3 + 100) // 3 whole frames + partial 4th
+    val garbage = "not an mpeg stream at all".getBytes
+    val freeBitrate = { val f = frame(); f(2) = 0x00; f } // brIdx 0 = free
+    val df = spark.createDataFrame(Seq(
+      ("clean", clean), ("id3", id3), ("trunc", truncated),
+      ("junk", garbage), ("free", freeBitrate)))
+      .toDF("path", "content")
+    val out = MultimodalOps.mp3Probe(df, "path", "content")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_frames"), r.getAs[Int]("sample_rate"),
+          r.getAs[Double]("duration_s"))).toMap
+    assert(out("clean") == ((10L, 44100, 10 * 1152.0 / 44100)))
+    assert(out("id3") == ((10L, 44100, 10 * 1152.0 / 44100)))
+    assert(out("trunc") == ((3L, 44100, 3 * 1152.0 / 44100)))
+    assert(out("junk")._1 == 0L && out("free")._1 == 0L)
+  }
+
+  test("ANN recall floors: multiprobe >= bucketed, ivf above half of brute truth") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = graft.queries.DedupQueries.queries("ann_recall")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("recall_bp")).toMap
+    assert(rows("multiprobe") >= rows("bucketed"),
+      s"multi-probe must retrieve at least what single-probe does: $rows")
+    assert(rows("ivf") >= 5000L, s"IVF nProbe=2 recall@5 should stay above 50%: $rows")
+    assert(rows.values.forall(bp => bp >= 0 && bp <= 10000))
+  }
+
   test("MultimodalOps.wavProbe: truncated data chunk is clamped, short blob yields zeros") {
     val samples = Array.fill[Float](100)(0.5f)
     val wav = AudioOps.encodePcm16Wav(samples, 8000)
