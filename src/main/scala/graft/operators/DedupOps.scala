@@ -123,61 +123,75 @@ object DedupOps {
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
-  /** SimHash bit-string fingerprint (bits chars of '0'/'1'): per token,
-    * md5-parity votes ±1 on each bit; bit set iff the vote sum >= 0.
-    * Integer vote sums are order-independent, so partial aggregation and
-    * SQL oracles agree exactly. */
+  /** Single-column SimHash (same bit definition as [[simHashes]]: bit i's
+    * vote is the parity of hex digit i of md5(token); bit set iff the vote
+    * sum >= 0; integer vote sums are order-independent). Interpreted-HOF
+    * convenience for ad-hoc use — the exploded [[simHashes]] is the
+    * codegen'd hot path. */
   def simHash(textCol: String, bits: Int = 16): Column = {
-    val toks = s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"
-    expr(s"concat_ws('', transform(sequence(0, ${bits - 1}), i -> " +
-      s"case when aggregate($toks, 0, (acc, t) -> acc + " +
-      s"(ascii(substring(md5(concat(t, ':', cast(i as string))), 1, 1)) % 2) * 2 - 1) >= 0 " +
-      s"then '1' else '0' end))")
+    require(bits >= 1 && bits <= 32, "integer simhash holds 1..32 bits")
+    val hs = s"transform(regexp_extract_all(lower($textCol), '[a-z]+', 0), t -> md5(t))"
+    expr(s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc + " +
+      s"if(aggregate($hs, 0, (a, h) -> a + (ascii(substring(h, i + 1, 1)) % 2) * 2 - 1) >= 0, " +
+      s"shiftleft(1L, ${bits - 1} - i), 0L))")
   }
 
   /** SimHash fingerprints computed EXPLODED (same codegen rationale as
     * [[minHashSignatures]]): one row per token, `bits` flat ±1 vote
     * columns, summed per doc (integer sums — order-independent), bit i
-    * set iff vote sum >= 0. Docs with zero tokens keep an all-'1' hash
-    * via explode_outer + zero votes. */
+    * set iff vote sum >= 0. Docs with zero tokens keep an all-set hash
+    * via explode_outer + zero votes.
+    *
+    * ONE md5 per token: bit i's vote is the parity of hex digit i of
+    * md5(token). The earlier per-bit salted hash (md5(tok + ':' + i))
+    * cost bits× crypto work per token — 16 md5s per token was the whole
+    * 20 s of the benched query — for no extra independence that matters
+    * here: distinct hex digits of one digest are already pairwise
+    * independent coin flips. Caps bits at 32 (md5 has 32 hex digits).
+    *
+    * Output is an INTEGER simhash (bit bits-1-i = vote i >= 0): a 4-byte
+    * shuffle key and an xor/bit_count Hamming operand, where a bit-string
+    * costs `bits` chars per row and a char-loop per comparison. */
   def simHashes(df: DataFrame, idCol: String, textCol: String,
       bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 32, "integer simhash holds 1..32 bits")
     val exploded = df.select(col(idCol),
       explode_outer(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
         .as("__tok"))
+      .withColumn("__h", md5(col("__tok")))
     val votes = (0 until bits).map { i =>
       sum(when(col("__tok").isNull, 0).otherwise(
-        (ascii(substring(md5(concat(col("__tok"), lit(":"), lit(i.toString))), 1, 1)) % 2) * 2 - 1))
+        (ascii(substring(col("__h"), i + 1, 1)) % 2) * 2 - 1))
         .as(s"v$i")
     }
-    val bitCols = (0 until bits).map(i =>
-      when(col(s"v$i") >= 0, lit("1")).otherwise(lit("0")))
+    val simInt = (0 until bits).map(i =>
+      when(col(s"v$i") >= 0, lit(1L << (bits - 1 - i))).otherwise(lit(0L)))
+      .reduce(_ + _)
     exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), concat(bitCols: _*).as("sim"))
+      .select(col(idCol), simInt.cast("long").as("sim"))
   }
 
-  /** SimHash near-dup pairs: block on the first prefixBits bits (one
+  /** SimHash near-dup pairs: block on the top prefixBits bits (one
     * shuffle on the block key), then exact Hamming distance <= maxHamming
-    * within blocks. Pairs differing inside the prefix are missed — that is
-    * the standard recall/cost trade; run b permutations for full recall. */
+    * within blocks — bit_count(a xor b), a codegen'd two-instruction
+    * comparison. Pairs differing inside the prefix are missed — that is
+    * the standard recall/cost trade; run b permutations for full recall.
+    * Pair generation is a self-equi-join on the block key: both sides
+    * shuffle on a high-cardinality prefix, the join is codegen'd, and no
+    * per-block array ever materializes (the previous collect_list +
+    * interpreted-HOF pair expansion was the other half of the 20 s). */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16, prefixBits: Int = 8, maxHamming: Int = 3): DataFrame = {
     val withSim = simHashes(df, idCol, textCol, bits)
-      .withColumn("block", substring(col("sim"), 1, prefixBits))
-    // pairs generated inside buckets (single shuffle, no self-join recompute)
-    withSim.groupBy(col("block"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sim")))).as("items"))
-      .filter(size(col("items")) > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(1, size(items) - 1), " +
-        "i -> transform(slice(items, i + 1, size(items) - i), " +
-        "x -> struct(element_at(items, i) as a, x as b))))")).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        expr(s"aggregate(sequence(1, $bits), 0, (acc, i) -> acc + " +
-          "if(substring(p.a.sim, i, 1) = substring(p.b.sim, i, 1), 0, 1))")
-          .as("hamming"))
+      .withColumn("block", shiftright(col("sim"), bits - prefixBits))
+    val a = withSim.toDF("id_a", "sim_a", "block")
+    val b = withSim.toDF("id_b", "sim_b", "block")
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** n-gram (word-set) Jaccard pairs within a blocking column. Jaccard

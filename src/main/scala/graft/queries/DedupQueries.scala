@@ -88,19 +88,18 @@ object DedupQueries {
     "WITH " + corpusCte +
     """, sims AS (
       |  SELECT doc_id,
-      |    array_to_string(list_transform(range(16), i ->
-      |      CASE WHEN list_sum(list_transform(
-      |             regexp_extract_all(lower(t), '[a-z]+'),
-      |             tok -> (ascii(substr(md5(tok || ':' || CAST(i AS VARCHAR)), 1, 1)) % 2) * 2 - 1)) >= 0
-      |           THEN '1' ELSE '0' END), '') AS sim
-      |  FROM corpus),
-      |blocked AS (SELECT doc_id, sim, substr(sim, 1, 8) AS block FROM sims)
+      |    list_sum(list_transform(range(16), i ->
+      |      CASE WHEN COALESCE(list_sum(list_transform(hs,
+      |             h -> (ascii(substr(h, i + 1, 1)) % 2) * 2 - 1)), 0) >= 0
+      |           THEN 1 << (15 - i) ELSE 0 END)) AS sim
+      |  FROM (SELECT doc_id,
+      |          list_transform(regexp_extract_all(lower(t), '[a-z]+'), tok -> md5(tok)) AS hs
+      |        FROM corpus)),
+      |blocked AS (SELECT doc_id, sim, sim >> 8 AS block FROM sims)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(list_sum(list_transform(range(1, 17),
-      |    i -> CASE WHEN substr(a.sim, i, 1) = substr(b.sim, i, 1) THEN 0 ELSE 1 END)) AS INT) AS hamming
+      |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
       |FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
-      |WHERE list_sum(list_transform(range(1, 17),
-      |    i -> CASE WHEN substr(a.sim, i, 1) = substr(b.sim, i, 1) THEN 0 ELSE 1 END)) <= 3
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------------ jaccard

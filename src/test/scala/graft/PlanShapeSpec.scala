@@ -66,7 +66,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("o4_group_sample")
     val winIdx = p.indexOf("Window")
     assert(winIdx >= 0)
-    val filterBelowWindow = p.indexOf("substring", winIdx) >= 0
+    // survivor cutoff of the arithmetic sample hash (hash mod 999999937
+    // <= 42968747) — its literal below the Window node is the prefilter
+    val filterBelowWindow = p.indexOf("42968747", winIdx) >= 0
     assert(filterBelowWindow,
       s"o4 window input lost the prefix prefilter:\n${p.take(800)}")
   }

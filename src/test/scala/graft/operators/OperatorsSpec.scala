@@ -107,13 +107,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
-  test("DedupOps.simHashes: identical docs share hash; zero-token doc gets all-ones") {
+  test("DedupOps.simHashes: identical docs share hash; zero-token doc gets all bits set") {
     val df = Seq((1L, "same words here"), (2L, "same words here"), (3L, "12345 !!!"))
       .toDF("id", "t")
     val sims = DedupOps.simHashes(df, "id", "t", 16)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(sims(1L) == sims(2L))
-    assert(sims(3L) == "1" * 16)
+    assert(sims(3L) == 0xffffL) // zero votes on every bit -> all >= 0
+    // column-form convenience agrees with the exploded hot path
+    val colSims = df.select(col("id"), DedupOps.simHash("t", 16).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(colSims == sims)
   }
 
   test("DedupOps.ngramJaccardPairs: exact blocks, threshold respected") {
