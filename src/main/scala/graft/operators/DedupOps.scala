@@ -183,11 +183,16 @@ object DedupOps {
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16, prefixBits: Int = 8, maxHamming: Int = 3): DataFrame = {
+    // Repartition on the block + shuffle-hash hint: identical exchange
+    // subtrees on both join sides let AQE reuse the shuffled signature
+    // stage, so tokenize+hash+vote runs ONCE (see
+    // SimilarityOps.cosineNearDupPairs for the full rationale).
     val withSim = simHashes(df, idCol, textCol, bits)
       .withColumn("block", shiftright(col("sim"), bits - prefixBits))
+      .repartition(col("block"))
     val a = withSim.toDF("id_a", "sim_a", "block")
     val b = withSim.toDF("id_b", "sim_b", "block")
-    a.join(b, Seq("block"))
+    a.hint("shuffle_hash").join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
@@ -202,10 +207,13 @@ object DedupOps {
       threshold: Double): DataFrame = {
     val toks = array_distinct(
       expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+    // same exchange-reuse self-join shape as simHashPairs: the regexp
+    // tokenization runs once, not once per join side
     val prepped = df.select(col(idCol), col(blockCol).as("block"), toks.as("toks"))
+      .repartition(col("block"))
     val a = prepped.toDF("id_a", "block", "toks_a")
     val b = prepped.toDF("id_b", "block", "toks_b")
-    a.join(b, Seq("block"))
+    a.hint("shuffle_hash").join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("jaccard",

@@ -244,15 +244,25 @@ object SimilarityOps {
   }
 
   /** Embedding near-duplicate pairs within a blocking column: cosine above
-    * threshold, id_a < id_b. Quadratic within blocks only. */
+    * threshold, id_a < id_b. Quadratic within blocks only.
+    *
+    * Join shape: both sides are the SAME plan repartitioned on the block
+    * key, joined with a shuffle-hash hint. Identical exchange subtrees
+    * let AQE reuse the shuffled signature stage, so the prep (norms +
+    * buckets over the full corpus) is computed ONCE — a broadcast self-
+    * join would recompute it per side, and at corpus scale neither side
+    * is broadcastable anyway. This is the materialized-signature-table
+    * shape without any explicit caching. */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double, dim: Int = 64): DataFrame = {
     val prepped = df.select(col(idCol), col(blockCol).as("block"), col(vecCol).as("vec"))
       .withColumn("nrm", normFlat(col("vec"), dim))
+      .select(col(idCol), col("block"), col("vec"), col("nrm"))
+      .repartition(col("block"))
     val a = prepped.toDF("id_a", "block", "vec_a", "norm_a")
     val b = prepped.toDF("id_b", "block", "vec_b", "norm_b")
-    a.join(b, Seq("block"))
+    a.hint("shuffle_hash").join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorFns.cosineWithNorms(
         VectorFns.dotFlat(col("vec_a"), col("vec_b"), dim), col("norm_a"), col("norm_b")))

@@ -467,6 +467,22 @@ object DedupQueries {
 
   // ------------------------------------------------------------ registry
 
+  /** Bench-only forms: the global ORDER BY on pair outputs exists purely
+    * for the oracle's deterministic hash-compare (see
+    * RelationalQueries.benchVariants). */
+  val benchVariants: Map[String, Q] = Map(
+    "dedup_simhash" -> ((s, dir) =>
+      DedupOps.simHashPairs(corpus(s, dir), "doc_id", "t",
+        bits = 16, prefixBits = 8, maxHamming = 3)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
+        shingleK = 3, numHashes = 8, bands = 2)),
+    "emb_near_dup" -> ((s, dir) =>
+      SimilarityOps.cosineNearDupPairs(
+        embCorpus(s, dir).withColumn("lsh_block",
+          SimilarityOps.lshBucket("embedding", nPlanes = 16, dim = 64)),
+        "vec_id", "embedding", "lsh_block", 0.999)))
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhash,
