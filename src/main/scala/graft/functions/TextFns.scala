@@ -34,7 +34,7 @@ object TextFns {
           idx += 1
         }
       }
-      unit.toLowerCase match {
+      unit.toLowerCase(java.util.Locale.ROOT) match {
         case "second" => Some(total.toDouble)
         case "minute" => Some(round4(total / 60.0))
         case "hour"   => Some(round4(total / 3600.0))
@@ -67,7 +67,11 @@ object TextFns {
       if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
     }
     // Python \w is unicode-aware; Java needs (?U)
-    sb.toString.replaceAll("(?U)[^\\w\\s\\-]", "").toLowerCase.replace(" ", "-")
+    // Locale.ROOT everywhere case is folded: Python's str.lower/upper are
+    // locale-independent, and a Turkish-locale JVM would otherwise fold
+    // I<->ı differently than the reference and the SQL oracle.
+    sb.toString.replaceAll("(?U)[^\\w\\s\\-]", "")
+      .toLowerCase(java.util.Locale.ROOT).replace(" ", "-")
   }
   val normalizeNameUdf = udf((s: String) => Option(s).map(normalizeName))
   def normalize_name(c: Column): Column = Column(NormalizeNameExpr(expression(c)))
@@ -135,7 +139,8 @@ object TextFns {
       // Replicated exactly (process_all.py:235-238), quirk and all.
       v = v.replace("đ", "VND").replace("vnđ", "VND")
         .replace("$", "USD").replace("₫", "VND")
-      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(v.toUpperCase))
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+        v.toUpperCase(java.util.Locale.ROOT)))
     }
     m.appendTail(sb)
     sb.toString
@@ -206,7 +211,7 @@ object TextFns {
       try viDigits(numStr.toLong)
       catch { case _: Exception => mr.group() }
     }
-    t.trim.replaceAll("\\s+", " ").toLowerCase
+    t.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
   }
   val normalizeTextUdf = udf((s: String) => Option(s).map(normalizeText))
 

@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
+  /** Dense copy of the first `dim` elements of a UDF-side vector. Call
+    * AFTER validating null/length — this does no checks. Catalyst hands
+    * Scala UDFs a linked List for array columns (Scala 2.13), so a
+    * positional `v(j)` inner loop is O(j) per access = O(dim²) list-node
+    * hops per row — measured as 4.1 s of a 4.5 s ANN stage at sf0.1.
+    * One iterator pass into a primitive array restores O(dim). */
+  def densePrefix(v: Seq[java.lang.Double], dim: Int): Array[Double] = {
+    val arr = new Array[Double](dim)
+    val it = v.iterator
+    var j = 0
+    while (j < dim) { arr(j) = it.next(); j += 1 }
+    arr
+  }
+
   /** Σ a[i]*b[i], computed in double. */
   def dot(a: Column, b: Column): Column =
     aggregate(

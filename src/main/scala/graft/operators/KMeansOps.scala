@@ -90,6 +90,9 @@ object KMeansOps {
     udf { (v: Seq[java.lang.Double]) =>
       if (v == null || v.length != dim || v.contains(null)) None
       else {
+        // densePrefix: positional access on the UDF-side List would be
+        // O(dim²) per row (see VectorFns.densePrefix)
+        val a = graft.functions.VectorFns.densePrefix(v, dim)
         var bestId = -1L
         var bestD = Double.PositiveInfinity
         var c = 0
@@ -97,7 +100,7 @@ object KMeansOps {
           var acc = 0.0
           var j = 0
           while (j < dim) {
-            val d = v(j) - mat(c)(j)
+            val d = a(j) - mat(c)(j)
             acc += d * d
             j += 1
           }

@@ -71,12 +71,15 @@ object SimilarityOps {
     val bucketOf = udf { (v: Seq[java.lang.Double]) =>
       if (v == null || v.length < dim || v.contains(null)) None
       else {
+        // densePrefix: the incoming Seq is a linked List; v(j) in the
+        // inner loop would be O(dim²) node hops per row (see VectorFns)
+        val a = VectorFns.densePrefix(v, dim)
         var bucket = 0
         var i = 0
         while (i < nPlanes) {
           var acc = 0.0
           var j = 0
-          while (j < dim) { acc += v(j) * signs(i)(j); j += 1 }
+          while (j < dim) { acc += a(j) * signs(i)(j); j += 1 }
           bucket = (bucket << 1) | (if (acc >= 0) 1 else 0)
           i += 1
         }
@@ -164,6 +167,78 @@ object SimilarityOps {
       .select("q_id", "c_id", "rank")
   }
 
+  /** All nTables bucket ids of a vector in one compiled pass — table t's
+    * planes are seeded "t_i_j" (independent of the single-table "i_j"
+    * family), so tables are genuinely independent hash functions. One UDF
+    * call does nTables×nPlanes×dim multiply-adds; a per-table column would
+    * re-read the vector nTables times. */
+  private[operators] def lshTableBuckets(
+      vecCol: String, nTables: Int, nPlanes: Int, dim: Int): Column = {
+    require(nPlanes <= 31, "int bucket holds at most 31 plane bits")
+    val signs = Array.tabulate(nTables, nPlanes, dim) { (t, i, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${t}_${i}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ((hex.charAt(0).toInt % 2) * 2 - 1).toDouble
+    }
+    val bucketsOf = udf { (v: Seq[java.lang.Double]) =>
+      if (v == null || v.length < dim || v.contains(null)) None
+      else {
+        val a = VectorFns.densePrefix(v, dim)
+        Some((0 until nTables).map { t =>
+          var bucket = 0
+          var i = 0
+          while (i < nPlanes) {
+            var acc = 0.0
+            var j = 0
+            while (j < dim) { acc += a(j) * signs(t)(i)(j); j += 1 }
+            bucket = (bucket << 1) | (if (acc >= 0) 1 else 0)
+            i += 1
+          }
+          bucket
+        })
+      }
+    }
+    bucketsOf(col(vecCol))
+  }
+
+  /** Multi-table LSH top-k: L independent hyperplane tables (the classic
+    * E2LSH construction) — a candidate is retrieved if it collides with
+    * the query in ANY table, so per-table miss probability multiplies:
+    * recall 1-(1-p^nPlanes)^nTables instead of single-table p^nPlanes.
+    * This is the standard recall knob that multi-probe alone can't reach:
+    * probing Hamming-1 neighbors repairs one flipped plane, more tables
+    * repair arbitrarily-unlucky plane draws.
+    *
+    * Scale shape: both sides explode to nTables (table, bucket) rows —
+    * an explicit, bounded nTables× shuffle-volume cost — then ONE shuffle
+    * on the (table, bucket) key, never a cross product. Pairs colliding
+    * in several tables are deduped BEFORE scoring so each survivor's
+    * cosine is computed once and ranks stay distinct. */
+  def multiTableTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nTables: Int = 8, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    def explodeTables(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_vec"))
+        .withColumn("__tb", lshTableBuckets(s"${side}_vec", nTables, nPlanes, dim))
+        .select(col(s"${side}_id"), col(s"${side}_vec"),
+          posexplode(col("__tb")).as(Seq("tbl", "bucket")))
+    val q = explodeTables(queries, "q")
+    val c = explodeTables(candidates, "c")
+    q.join(c, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id", "q_vec", "c_vec")
+      .dropDuplicates("q_id", "c_id")
+      .withColumn("cosine", VectorFns.cosineWithNorms(
+        VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim),
+        normFlat(col("q_vec"), dim), normFlat(col("c_vec"), dim)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank")
+  }
+
   /** IVF-style top-k: a coarse quantizer assigns every vector to its
     * nearest of nCells centroid vectors; queries probe their nProbe
     * nearest cells and rank only candidates inside those cells.
@@ -226,12 +301,13 @@ object SimilarityOps {
     udf { (v: Seq[java.lang.Double]) =>
       if (v == null || v.length < dim || v.contains(null)) Seq.empty[Long]
       else {
+        val a = VectorFns.densePrefix(v, dim)
         val dists = new Array[Double](mat.length)
         var c = 0
         while (c < mat.length) {
           var acc = 0.0
           var j = 0
-          while (j < dim) { val d = v(j) - mat(c)(j); acc += d * d; j += 1 }
+          while (j < dim) { val d = a(j) - mat(c)(j); acc += d * d; j += 1 }
           dists(c) = acc
           c += 1
         }

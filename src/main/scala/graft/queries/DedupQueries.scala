@@ -276,6 +276,40 @@ object DedupQueries {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  private val annMultiTable: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    SimilarityOps.multiTableTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", 5, nTables = 8, nPlanes = 6, dim = 64)
+      .orderBy("q_id", "rank")
+  }
+  /** Tables are seeded "t_i_j" (vs the single-table family's "i_j"), so
+    * the 8 tables are independent hash draws; candidate = collision in
+    * ANY table, deduped before scoring. */
+  private val annMultiTableSql =
+    s"""WITH tplanes AS (
+       |  SELECT t, i, list_transform(range(64), j ->
+       |    (ascii(substr(md5(CAST(t AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS p
+       |  FROM range(8) tt(t), range(6) ii(i)),
+       |tbkt AS (
+       |  SELECT vec_id, t, CAST(SUM(
+       |      CASE WHEN list_reduce(list_transform(range(1, 65),
+       |             j -> CAST(e.embedding[j] AS DOUBLE) * p[j]), (x, y) -> x + y) >= 0
+       |           THEN (1 << (5 - i)) ELSE 0 END) AS INT) AS bucket
+       |  FROM embeddings e, tplanes GROUP BY vec_id, t),
+       |pairs AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+       |  FROM tbkt q JOIN tbkt c ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 20),
+       |v AS (SELECT vec_id, embedding AS vv, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |scored AS (
+       |  SELECT p.q_id, p.c_id, ${sqlDot("vq.vv", "vc.vv")} / (vq.nrm * vc.nrm) AS cosine
+       |  FROM pairs p JOIN v vq ON p.q_id = vq.vec_id JOIN v vc ON p.c_id = vc.vec_id)
+       |SELECT q_id, c_id, rank FROM (
+       |  SELECT q_id, c_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   private val annIvf: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
     SimilarityOps.ivfTopK(e.filter(col("vec_id") < 10), e,
@@ -387,6 +421,9 @@ object DedupQueries {
         SimilarityOps.bucketedTopK(q20, e, "vec_id", "embedding", 5, nPlanes = 8, dim = 64))
       .unionByName(rec("multiprobe",
         SimilarityOps.multiProbeTopK(q20, e, "vec_id", "embedding", 5, nPlanes = 8, dim = 64)))
+      .unionByName(rec("multitable",
+        SimilarityOps.multiTableTopK(q20, e, "vec_id", "embedding", 5,
+          nTables = 8, nPlanes = 6, dim = 64)))
       .unionByName(rec("ivf",
         SimilarityOps.ivfTopK(q20, e, "vec_id", "embedding", 5, nCells = 16, nProbe = 2)))
       .orderBy("method")
@@ -452,6 +489,27 @@ object DedupQueries {
        |      row_number() OVER (PARTITION BY q_id2 ORDER BY
        |        ${sqlDot("q_vec", "c_vec")} / (q_norm * c_norm) DESC, c_id2) AS rank
        |    FROM qassign q JOIN cassign c USING (cell) WHERE q_id2 <> c_id2) WHERE rank <= 5),
+       |tplanes AS (
+       |  SELECT t, i, list_transform(range(64), j ->
+       |    (ascii(substr(md5(CAST(t AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS p
+       |  FROM range(8) tt(t), range(6) ii(i)),
+       |tbkt AS (
+       |  SELECT vec_id, t, CAST(SUM(
+       |      CASE WHEN list_reduce(list_transform(range(1, 65),
+       |             j -> CAST(e.embedding[j] AS DOUBLE) * p[j]), (x, y) -> x + y) >= 0
+       |           THEN (1 << (5 - i)) ELSE 0 END) AS INT) AS bucket
+       |  FROM embeddings e, tplanes GROUP BY vec_id, t),
+       |mtpairs AS (
+       |  SELECT DISTINCT tq.vec_id AS q_id, tc.vec_id AS c_id
+       |  FROM tbkt tq JOIN tbkt tc ON tq.t = tc.t AND tq.bucket = tc.bucket AND tq.vec_id <> tc.vec_id
+       |  WHERE tq.vec_id < 20),
+       |multitable AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT p.q_id, p.c_id,
+       |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+       |        ${sqlDot("vq.vv", "vc.vv")} / (vq.nrm * vc.nrm) DESC, p.c_id) AS rank
+       |    FROM mtpairs p JOIN v vq ON p.q_id = vq.vec_id JOIN v vc ON p.c_id = vc.vec_id)
+       |  WHERE rank <= 5),
        |rows_out AS (
        |  SELECT 'bucketed' AS method,
        |    (SELECT COUNT(*) FROM brute) AS n_brute,
@@ -459,6 +517,9 @@ object DedupQueries {
        |  UNION ALL SELECT 'multiprobe',
        |    (SELECT COUNT(*) FROM brute),
        |    (SELECT COUNT(*) FROM brute b JOIN multiprobe m USING (q_id, c_id))
+       |  UNION ALL SELECT 'multitable',
+       |    (SELECT COUNT(*) FROM brute),
+       |    (SELECT COUNT(*) FROM brute b JOIN multitable m USING (q_id, c_id))
        |  UNION ALL SELECT 'ivf',
        |    (SELECT COUNT(*) FROM brute),
        |    (SELECT COUNT(*) FROM brute b JOIN ivf m USING (q_id, c_id)))
@@ -492,6 +553,7 @@ object DedupQueries {
     "ann_brute_topk" -> annBrute,
     "ann_bucketed_topk" -> annBucketed,
     "ann_multiprobe_topk" -> annMultiProbe,
+    "ann_multitable_topk" -> annMultiTable,
     "ann_ivf_topk" -> annIvf,
     "ann_kmeans_cells" -> annKmeans,
     "ann_recall" -> annRecall)
@@ -505,6 +567,7 @@ object DedupQueries {
     "ann_brute_topk" -> annBruteSql,
     "ann_bucketed_topk" -> annBucketedSql,
     "ann_multiprobe_topk" -> annMultiProbeSql,
+    "ann_multitable_topk" -> annMultiTableSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_kmeans_cells" -> annKmeansSql,
     "ann_recall" -> annRecallSql)

@@ -308,12 +308,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("junk")._1 == 0L && out("free")._1 == 0L)
   }
 
-  test("ANN recall floors: multiprobe >= bucketed, ivf above half of brute truth") {
+  test("ANN recall floors: multiprobe >= bucketed, multitable > multiprobe, ivf above half") {
     val dir = "/root/testdata/sf0.01"
     val rows = graft.queries.DedupQueries.queries("ann_recall")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("recall_bp")).toMap
     assert(rows("multiprobe") >= rows("bucketed"),
       s"multi-probe must retrieve at least what single-probe does: $rows")
+    // 8 independent 6-plane tables: not a candidate superset of the
+    // single-table family (different seeds), so pin the measured value
+    // with margin rather than a structural inequality against bucketed
+    assert(rows("multitable") > rows("multiprobe"),
+      s"8x6-plane multi-table should beat single-table multi-probe: $rows")
     assert(rows("ivf") >= 5000L, s"IVF nProbe=2 recall@5 should stay above 50%: $rows")
     assert(rows.values.forall(bp => bp >= 0 && bp <= 10000))
   }
