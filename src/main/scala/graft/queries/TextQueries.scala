@@ -315,11 +315,21 @@ object TextQueries {
 
   // ------------------------------------------------- text analysis ops
 
-  private val tLang: Q = (s, dir) =>
-    t(s, dir, "documents")
-      .groupBy(TextFns.lang_id(col("text")).as("pred_lang"))
+  /** Two-step shape: project the five regexp_count scores ONCE, then
+    * argmax over the projected columns — the inline lang_id form repeats
+    * each regexp per cascade branch and codegen CSE does not save it
+    * (measured 2.5x slower at sf0.1; see TextFns.lang_id). */
+  private val tLang: Q = (s, dir) => {
+    val scored = t(s, dir, "documents").select(
+      (col("text") +: TextFns.lang_scores(col("text")).map {
+        case (l, c) => c.as(s"s_$l")
+      }): _*)
+    val refs = TextFns.langStopwords.map { case (l, _) => l -> col(s"s_$l") }
+    scored
+      .groupBy(TextFns.lang_argmax(col("text"), refs).as("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy("pred_lang")
+  }
   private val tLangSql = {
     val scores = TextFns.langStopwords.map { case (l, pat) =>
       s"len(regexp_extract_all(text, '$pat')) AS s_$l"

@@ -19,7 +19,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("no cartesian product in any candidate-generation or join query") {
     for (q <- Seq("j1_inner_equi", "j9_salted_skew_join", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_ngram_jaccard", "emb_near_dup",
-        "ann_bucketed_topk", "ann_multiprobe_topk")) {
+        "ann_bucketed_topk", "ann_multiprobe_topk", "ann_multitable_topk")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
@@ -34,8 +34,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // brute ANN broadcasts the query set; IVF broadcasts its nCells
     // centroids for the assignment cross — both bounded by construction
     assert(plan("ann_brute_topk").contains("BroadcastNestedLoopJoin"))
-    for (q <- Seq("ann_bucketed_topk", "ann_multiprobe_topk"))
+    for (q <- Seq("ann_bucketed_topk", "ann_multiprobe_topk", "ann_multitable_topk"))
       assert(!plan(q).contains("BroadcastNestedLoopJoin"), s"$q nested-loops")
+  }
+
+  test("multi-table ANN joins on the (table, bucket) key") {
+    // The E2LSH shape: candidates meet queries ONLY through the exploded
+    // (tbl, bucket) equi-join — visible as join keys tbl + bucket — and
+    // pairs dedup BEFORE scoring (a distinct/aggregate on q_id, c_id).
+    val p = plan("ann_multitable_topk")
+    assert(p.contains("tbl") && p.contains("bucket"),
+      s"multitable join lost its (table, bucket) key:\n${p.take(600)}")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      "multitable lost its pair dedup before scoring")
   }
 
   test("windows in registered queries are partitioned (no single-task window)") {
