@@ -30,7 +30,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "a4_sum", "a5_cond_count", "a10_ordered_concat",
     "j1_inner_equi", "j3_upsert", "j5_semi", "j7_lineid_arith",
-    "j10_asof_join", "w1_row_number", "w6_session_window",
+    "j10_asof_join", "j11_bloom_prefilter_join",
+    "w1_row_number", "w6_session_window",
     "o4_group_sample",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "emb_near_dup",
     "ann_brute_topk", "ann_bucketed_topk", "ann_multiprobe_topk",

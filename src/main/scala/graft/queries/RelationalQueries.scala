@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{EncodeOps, MergeOps, SkewOps, WerAgg}
+import graft.operators.{BloomJoinOps, EncodeOps, MergeOps, SkewOps, WerAgg}
 
 /** The relational core (SURVEY §2.2–2.7) expressed over the driver's
   * TPC-H-ish tables, one named query per ★ operator, each paired with a
@@ -448,6 +448,29 @@ object RelationalQueries {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** J11: bloom-prefiltered join — dim keys sketched, fact rows that
+    * cannot match dropped BEFORE the join exchange. The selective dim
+    * (urgent multiples of 7: ~2% of orders) is the regime where the
+    * prefilter pays; false positives die in the exact join, so the
+    * oracle is the plain inner join. Aggregated per priority to keep
+    * the verify surface small while covering every joined row. */
+  private val j11: Q = (s, dir) => {
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val dim = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    BloomJoinOps.bloomPrefilteredJoin(fact, dim, "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+  private val j11Sql =
+    """SELECT o_orderpriority, SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 7 = 0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------ §2.4 A
 
   /** A1 ★: group by derived key + sorted collect_list (crawler/utils.py:85-122).
@@ -819,6 +842,7 @@ object RelationalQueries {
     "j6_keyset_exclusion" -> j6,
     "j7_lineid_arith" -> j7,
     "j9_salted_skew_join" -> j9,
+    "j11_bloom_prefilter_join" -> j11,
     "j10_asof_join" -> j10,
     "w6_session_window" -> w6,
     "a1_group_collect" -> a1,
@@ -879,6 +903,7 @@ object RelationalQueries {
     "j6_keyset_exclusion" -> j6Sql,
     "j7_lineid_arith" -> j7Sql,
     "j9_salted_skew_join" -> j9Sql,
+    "j11_bloom_prefilter_join" -> j11Sql,
     "j10_asof_join" -> j10Sql,
     "w6_session_window" -> w6Sql,
     "a1_group_collect" -> a1Sql,

@@ -38,6 +38,17 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!plan(q).contains("BroadcastNestedLoopJoin"), s"$q nested-loops")
   }
 
+  test("bloom prefilter sits below the join, on the fact scan side") {
+    // Parents print before children: the mightContain UDF filter must
+    // appear AFTER the join node (i.e. in the join's INPUT), so the
+    // exchange/broadcast only ever carries probable matches.
+    val p = plan("j11_bloom_prefilter_join")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, "j11 lost its join")
+    assert(p.indexOf("UDF", joinIdx) >= 0,
+      s"j11 bloom prefilter not below the join:\n${p.take(800)}")
+  }
+
   test("multi-table ANN joins on the (table, bucket) key") {
     // The E2LSH shape: candidates meet queries ONLY through the exploded
     // (tbl, bucket) equi-join — visible as join keys tbl + bucket — and

@@ -308,6 +308,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("junk")._1 == 0L && out("free")._1 == 0L)
   }
 
+  test("BloomJoinOps: bloom-prefiltered join is exactly the plain inner join") {
+    // fact: 2000 rows incl. null keys and keys with no dim match; dim:
+    // sparse key set. With fpp=0.5 false positives are near-certain at
+    // the prefilter — they must all die in the exact join.
+    val fact = spark.range(0, 2000)
+      .select(when(col("id") % 13 === 0, lit(null)).otherwise(col("id")).as("fk"),
+        (col("id") * 3).as("payload"))
+    val dim = spark.range(0, 2000).filter(col("id") % 17 === 0)
+      .select(col("id").as("dk"), lit("d").as("tag"))
+    val viaBloom = BloomJoinOps
+      .bloomPrefilteredJoin(fact, dim, "fk", "dk", expectedKeys = 256, fpp = 0.5)
+      .select("fk", "payload", "dk", "tag")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "dk", "tag")
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
+    // the prefilter itself: keeps every true match, drops null keys
+    val kept = BloomJoinOps.bloomPrefilter(fact, dim, "fk", "dk",
+      expectedKeys = 256, fpp = 0.01)
+    assert(kept.filter(col("fk").isNull).count() == 0L)
+    // every matchable key (in dim AND non-null in fact) must survive
+    val matchable = dim.select("dk").as[Long].collect().toSet
+      .filter(_ % 13 != 0)
+    val keptKeys = kept.select("fk").as[Long].collect().toSet
+    assert(matchable.subsetOf(keptKeys), "prefilter dropped a true match")
+  }
+
   test("ANN recall floors: multiprobe >= bucketed, multitable > multiprobe, ivf above half") {
     val dir = "/root/testdata/sf0.01"
     val rows = graft.queries.DedupQueries.queries("ann_recall")(spark, dir)
