@@ -35,7 +35,7 @@ object Bench {
     "o4_group_sample",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "emb_near_dup",
     "ann_brute_topk", "ann_bucketed_topk", "ann_multiprobe_topk",
-    "ann_multitable_topk", "ann_ivf_topk", "ann_kmeans_cells",
+    "ann_multitable_topk", "ann_pq_topk", "ann_ivf_topk", "ann_kmeans_cells",
     "t_lang_id", "t_quality", "t_token_count", "t_top_terms",
     "t_winnow_fingerprint", "t_length_stats", "a8_corpus_wer",
     "mm_wav_probe", "mm_image_probe", "mm_image_resize",

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Product quantization (PQ) for embedding columns: split each dim-d
+  * vector into M contiguous subvectors, quantize every subvector against
+  * a per-subspace codebook of ks entries, and store the vector as M
+  * one-byte codes — dim×4 bytes shrink to M bytes (32× at 64-float/8-code).
+  *
+  * This is the memory half of the ANN-at-scale story: 100 TB of raw
+  * float embeddings collapse to ~3 TB of codes, which is what makes an
+  * exhaustive (or IVF-pruned) scan feasible at all. Queries stay
+  * uncompressed and score candidates by ADC (asymmetric distance
+  * computation): per query, an M×ks table of subspace distances is
+  * precomputed, and each candidate's distance is M table lookups — no
+  * float math per candidate at all in a production layout.
+  *
+  * Determinism spec (what makes it oracle-replayable, same discipline as
+  * KMeansOps): codebook for subspace m = the subvectors of the first ks
+  * vectors by id (a production build would k-means each subspace; the
+  * dataflow is identical); encode argmin ties -> lower code id; every
+  * sqdist is a strict left fold in double over the subspace dims; the
+  * total ADC distance folds subspaces in ascending m order.
+  */
+object PqOps {
+
+  /** Codebooks as model state: (M, ks, dim/M) doubles collected
+    * driver-side from the first ks well-formed vectors by id — bounded
+    * like the k-means centroid matrix, never row data at scale. */
+  private[operators] def trainCodebooks(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ks: Int): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    val rows = candidates
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull && size(col("__v")) === dim)
+      .orderBy(col(idCol)).limit(ks).collect()
+      .map(_.getSeq[Double](1).toArray)
+    Array.tabulate(m, ks) { (mi, c) =>
+      rows(c).slice(mi * sub, (mi + 1) * sub)
+    }
+  }
+
+  /** PQ codes for every vector: array<int> of length M, code[m] =
+    * argmin over the subspace-m codebook (left-fold double sqdist, tie
+    * -> lower code id). Map-side only — the compiled loop mirrors
+    * KMeansOps.assignUdf with a per-subspace stride. */
+  private[operators] def encodeUdf(books: Array[Array[Array[Double]]], dim: Int) = {
+    val m = books.length
+    val ks = books(0).length
+    val sub = dim / m
+    udf { (v: Seq[java.lang.Double]) =>
+      if (v == null || v.length < dim || v.contains(null)) None
+      else {
+        val a = VectorFns.densePrefix(v, dim)
+        Some((0 until m).map { mi =>
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < ks) {
+            var acc = 0.0
+            var j = 0
+            while (j < sub) {
+              val d = a(mi * sub + j) - books(mi)(c)(j)
+              acc += d * d
+              j += 1
+            }
+            if (acc < bestD) { bestD = acc; best = c }
+            c += 1
+          }
+          best
+        })
+      }
+    }
+  }
+
+  /** ADC inner product: Σ_m dot(query subvector m, codebook[m][code[m]]),
+    * folded in ascending m. In a production layout this is M lookups
+    * into a per-query M×ks table; here the table rows are computed
+    * inline (same arithmetic, same result). */
+  private[operators] def adcIpUdf(books: Array[Array[Array[Double]]], dim: Int) = {
+    val m = books.length
+    val sub = dim / m
+    udf { (q: Seq[java.lang.Double], codes: Seq[Int]) =>
+      if (q == null || q.length < dim || q.contains(null) ||
+          codes == null || codes.length != m) None
+      else {
+        val a = VectorFns.densePrefix(q, dim)
+        val codeArr = codes.toArray
+        var total = 0.0
+        var mi = 0
+        while (mi < m) {
+          val cb = books(mi)(codeArr(mi))
+          var acc = 0.0
+          var j = 0
+          while (j < sub) { acc += a(mi * sub + j) * cb(j); j += 1 }
+          total += acc
+          mi += 1
+        }
+        Some(total)
+      }
+    }
+  }
+
+  /** PQ-compressed exhaustive top-k under approximate cosine: candidates
+    * are stored as M byte-codes PLUS their exact norm (the "PQ with
+    * stored norms" layout for cosine/MIPS retrieval — codes approximate
+    * the direction, the stored float restores the magnitude), queries
+    * stay uncompressed. Score = ADC inner product / (q_norm × stored
+    * c_norm), ranked DESC with id tie-break — the same metric the rest
+    * of the ANN ladder uses, so ann_recall measures pure quantization
+    * loss. Encode is map-side; candidate vectors never shuffle — only
+    * codes + one float do. Compose with ivfTopK's cell assignment to
+    * prune the scan as well. */
+  def pqTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      dim: Int = 64, m: Int = 8, ks: Int = 16): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into M subspaces")
+    val books = trainCodebooks(candidates, idCol, vecCol, dim, m, ks)
+    val enc = encodeUdf(books, dim)
+    val adc = adcIpUdf(books, dim)
+    val c = candidates
+      .select(col(idCol).as("c_id"), enc(col(vecCol)).as("codes"),
+        SimilarityOps.normFlat(col(vecCol), dim).as("c_norm"))
+      .filter(col("codes").isNotNull)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_norm", SimilarityOps.normFlat(col("q_vec"), dim))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("score", adc(col("q_vec"), col("codes")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "rank")
+  }
+}

@@ -346,6 +346,50 @@ object DedupQueries {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  private val annPq: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    graft.operators.PqOps.pqTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", 5, dim = 64, m = 8, ks = 16)
+      .orderBy("q_id", "rank")
+  }
+  /** PQ replay: codebook m = subvectors [m*8+1 .. m*8+8] of the first 16
+    * vectors by id; encode = per-(vector, subspace) argmin of the
+    * left-fold sqdist (tie -> lower code); score = per-subspace ADC
+    * inner products folded in ascending m, over (q_norm × stored
+    * c_norm). Same determinism discipline as the k-means oracle. */
+  private val annPqSql =
+    s"""WITH cb AS (
+       |  SELECT m, rn - 1 AS c,
+       |    list_transform(range(1, 9), j -> CAST(embedding[m * 8 + j] AS DOUBLE)) AS cv
+       |  FROM (SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn
+       |        FROM embeddings ORDER BY vec_id LIMIT 16),
+       |       range(8) t(m)),
+       |enc AS (
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT e.vec_id, cb.m, cb.c,
+       |      row_number() OVER (PARTITION BY e.vec_id, cb.m ORDER BY
+       |        list_reduce(list_transform(range(1, 9), j ->
+       |          (CAST(e.embedding[cb.m * 8 + j] AS DOUBLE) - cb.cv[j]) * (CAST(e.embedding[cb.m * 8 + j] AS DOUBLE) - cb.cv[j])),
+       |          (x, y) -> x + y), cb.c) AS rn
+       |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+       |nrm AS (SELECT vec_id, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |ip AS (
+       |  SELECT q_id, c_id, list_reduce(list(ipm ORDER BY m), (x, y) -> x + y) AS adc_ip
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, en.vec_id AS c_id, en.m AS m,
+       |      list_reduce(list_transform(range(1, 9), j ->
+       |        CAST(q.embedding[en.m * 8 + j] AS DOUBLE) * cb.cv[j]), (x, y) -> x + y) AS ipm
+       |    FROM embeddings q CROSS JOIN enc en
+       |    JOIN cb ON cb.m = en.m AND cb.c = en.code
+       |    WHERE q.vec_id < 20 AND q.vec_id <> en.vec_id)
+       |  GROUP BY q_id, c_id)
+       |SELECT q_id, c_id, rank FROM (
+       |  SELECT q_id, c_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY
+       |      adc_ip / (qn.nrm * cn.nrm) DESC, c_id) AS INT) AS rank
+       |  FROM ip JOIN nrm qn ON ip.q_id = qn.vec_id JOIN nrm cn ON ip.c_id = cn.vec_id)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** Trained IVF quantizer: 2 Lloyd iterations of k-means (k=8) over the
     * embeddings, output = every vector's trained cell. The oracle replays
     * the iterations as unrolled CTEs; bit-exact parity rests on the
@@ -426,6 +470,9 @@ object DedupQueries {
           nTables = 8, nPlanes = 6, dim = 64)))
       .unionByName(rec("ivf",
         SimilarityOps.ivfTopK(q20, e, "vec_id", "embedding", 5, nCells = 16, nProbe = 2)))
+      .unionByName(rec("pq",
+        graft.operators.PqOps.pqTopK(q20, e, "vec_id", "embedding", 5,
+          dim = 64, m = 8, ks = 16)))
       .orderBy("method")
   }
   private val annRecallSql =
@@ -510,6 +557,37 @@ object DedupQueries {
        |        ${sqlDot("vq.vv", "vc.vv")} / (vq.nrm * vc.nrm) DESC, p.c_id) AS rank
        |    FROM mtpairs p JOIN v vq ON p.q_id = vq.vec_id JOIN v vc ON p.c_id = vc.vec_id)
        |  WHERE rank <= 5),
+       |pqcb AS (
+       |  SELECT m, rn - 1 AS c,
+       |    list_transform(range(1, 9), j -> CAST(embedding[m * 8 + j] AS DOUBLE)) AS cv
+       |  FROM (SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn
+       |        FROM embeddings ORDER BY vec_id LIMIT 16),
+       |       range(8) t(m)),
+       |pqenc AS (
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT e.vec_id, pqcb.m, pqcb.c,
+       |      row_number() OVER (PARTITION BY e.vec_id, pqcb.m ORDER BY
+       |        list_reduce(list_transform(range(1, 9), j ->
+       |          (CAST(e.embedding[pqcb.m * 8 + j] AS DOUBLE) - pqcb.cv[j]) * (CAST(e.embedding[pqcb.m * 8 + j] AS DOUBLE) - pqcb.cv[j])),
+       |          (x, y) -> x + y), pqcb.c) AS rn
+       |    FROM embeddings e CROSS JOIN pqcb) WHERE rn = 1),
+       |pqip AS (
+       |  SELECT q_id, c_id, list_reduce(list(ipm ORDER BY m), (x, y) -> x + y) AS adc_ip
+       |  FROM (
+       |    SELECT qe.vec_id AS q_id, en.vec_id AS c_id, en.m AS m,
+       |      list_reduce(list_transform(range(1, 9), j ->
+       |        CAST(qe.embedding[en.m * 8 + j] AS DOUBLE) * pqcb.cv[j]), (x, y) -> x + y) AS ipm
+       |    FROM embeddings qe CROSS JOIN pqenc en
+       |    JOIN pqcb ON pqcb.m = en.m AND pqcb.c = en.code
+       |    WHERE qe.vec_id < 20 AND qe.vec_id <> en.vec_id)
+       |  GROUP BY q_id, c_id),
+       |pq AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY
+       |        adc_ip / (vq.nrm * vc.nrm) DESC, c_id) AS rank
+       |    FROM pqip JOIN v vq ON pqip.q_id = vq.vec_id JOIN v vc ON pqip.c_id = vc.vec_id)
+       |  WHERE rank <= 5),
        |rows_out AS (
        |  SELECT 'bucketed' AS method,
        |    (SELECT COUNT(*) FROM brute) AS n_brute,
@@ -522,7 +600,10 @@ object DedupQueries {
        |    (SELECT COUNT(*) FROM brute b JOIN multitable m USING (q_id, c_id))
        |  UNION ALL SELECT 'ivf',
        |    (SELECT COUNT(*) FROM brute),
-       |    (SELECT COUNT(*) FROM brute b JOIN ivf m USING (q_id, c_id)))
+       |    (SELECT COUNT(*) FROM brute b JOIN ivf m USING (q_id, c_id))
+       |  UNION ALL SELECT 'pq',
+       |    (SELECT COUNT(*) FROM brute),
+       |    (SELECT COUNT(*) FROM brute b JOIN pq m USING (q_id, c_id)))
        |SELECT method, n_brute, n_hits, n_hits * 10000 // n_brute AS recall_bp
        |FROM rows_out ORDER BY method""".stripMargin
 
@@ -554,6 +635,7 @@ object DedupQueries {
     "ann_bucketed_topk" -> annBucketed,
     "ann_multiprobe_topk" -> annMultiProbe,
     "ann_multitable_topk" -> annMultiTable,
+    "ann_pq_topk" -> annPq,
     "ann_ivf_topk" -> annIvf,
     "ann_kmeans_cells" -> annKmeans,
     "ann_recall" -> annRecall)
@@ -568,6 +650,7 @@ object DedupQueries {
     "ann_bucketed_topk" -> annBucketedSql,
     "ann_multiprobe_topk" -> annMultiProbeSql,
     "ann_multitable_topk" -> annMultiTableSql,
+    "ann_pq_topk" -> annPqSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_kmeans_cells" -> annKmeansSql,
     "ann_recall" -> annRecallSql)

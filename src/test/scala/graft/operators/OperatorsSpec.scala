@@ -346,6 +346,9 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows("multitable") > rows("multiprobe"),
       s"8x6-plane multi-table should beat single-table multi-probe: $rows")
     assert(rows("ivf") >= 5000L, s"IVF nProbe=2 recall@5 should stay above 50%: $rows")
+    // exhaustive scan over 32x-compressed codes with an untrained
+    // first-16 codebook: measured 30% — pin from below with margin
+    assert(rows("pq") >= 2000L, s"PQ ADC recall@5 collapsed: $rows")
     assert(rows.values.forall(bp => bp >= 0 && bp <= 10000))
   }
 
