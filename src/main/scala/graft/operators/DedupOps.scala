@@ -91,6 +91,35 @@ object DedupOps {
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Row-local MinHash signature: the SAME hash family and lane layout as
+    * [[minHashSignatures]] (lane i = min over shingles of an 8-hex-char
+    * slice of md5('<i/4>:<shingle>')) computed entirely within the row —
+    * no explode, no aggregation, no shuffle. The batch path explodes
+    * because codegen'd flat columns beat interpreted HOFs ~100x at full
+    * scan scale; this form exists for STREAMING, where staying stateless
+    * ahead of the one dedup state store is worth the per-row HOF
+    * interpretation. Signatures are bit-identical across the two forms
+    * (asserted in FileStreamSpec), so batch and streaming dedup agree.
+    * Expects the token array already projected as column `toksCol` (the
+    * inline-tokenizer-re-runs-per-element trap, see shinglesOfTokens). */
+  def rowLocalDigests(toksCol: String, shingleK: Int, numHashes: Int): Column = {
+    val nDigests = (numHashes + 3) / 4
+    val digestsOf: Column => Column = sh =>
+      concat((0 until nDigests).map(d => md5(concat(lit(s"$d:"), sh))): _*)
+    transform(shinglesOfTokens(toksCol, shingleK), digestsOf)
+  }
+
+  /** Lane mins over an ALREADY-PROJECTED digest-array column — the
+    * two-step shape, because each of the numHashes lane expressions
+    * references the digests and an inline form would re-run the md5
+    * transform once per lane (the lang_id CSE trap). */
+  def rowLocalSignature(digsCol: String, numHashes: Int): Column = {
+    val lanes = (0 until numHashes).map(i =>
+      array_min(transform(col(digsCol),
+        d => substring(d, (i / 4) * 32 + (i % 4) * 8 + 1, 8))))
+    concat_ws(",", lanes: _*)
+  }
+
   /** LSH banding: candidate near-dup pairs (idA < idB) that share at least
     * one band signature. One shuffle on (band, sig) to group buckets, pairs
     * generated inside each bucket — no cartesian, no recomputing self-join. */

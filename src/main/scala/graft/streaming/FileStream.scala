@@ -50,6 +50,35 @@ object FileStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming near-exact dedup: keep the first document per FULL
+    * MinHash signature within the watermark horizon. Signature equality
+    * (all numHashes lane minima agree ⇒ Jaccard ≈ 1: reorderings,
+    * whitespace/punctuation/case variants) is the state-bounded
+    * streaming stand-in for batch LSH banding — OR-across-bands
+    * candidate semantics would need one state store per band (chained
+    * stateful operators), while the full signature is ONE
+    * dropDuplicatesWithinWatermark key. Band-level candidate pairs stay
+    * a batch concern (DedupOps.minHashLshPairs). The signature is
+    * computed ROW-LOCALLY (DedupOps.rowLocalDigests/rowLocalSignature):
+    * per-row interpreted HOFs cost more CPU than the batch explode+agg,
+    * but keep the stage stateless ahead of the dedup store — the right
+    * trade on an unbounded stream. Signatures are bit-identical to the
+    * batch form, so a batch backfill and the stream agree on what is a
+    * duplicate (asserted in FileStreamSpec). */
+  def streamingSignatureDedup(
+      docs: DataFrame, textCol: String, tsCol: String, watermark: String,
+      shingleK: Int = 3, numHashes: Int = 8): DataFrame = {
+    import graft.operators.DedupOps
+    docs
+      .withColumn("__toks",
+        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+      .withColumn("__digs", DedupOps.rowLocalDigests("__toks", shingleK, numHashes))
+      .withColumn("minhash_sig", md5(DedupOps.rowLocalSignature("__digs", numHashes)))
+      .drop("__toks", "__digs")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("minhash_sig")
+  }
+
   /** Gap-based sessionization on an unbounded stream: the SAME
     * session_window groupBy as the batch w6 query, plus a watermark so
     * the engine can close (and emit, in append mode) a session once no

@@ -71,6 +71,43 @@ class FileStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSignatureDedup: token-level variants collapse; signature matches the batch form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val docs = mem.toDS().toDF("text", "ts")
+    val q = FileStream.streamingSignatureDedup(docs, "text", "ts", "10 minutes")
+      .select("text", "minhash_sig")
+      .writeStream.format("memory").queryName("sigdedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+      mem.addData(
+        ("Hello, World! This is a test document", t0),
+        ("hello WORLD -- this is: a TEST document?!", t0), // same token stream
+        ("completely different content sits here instead", t0))
+      q.processAllAvailable()
+      assert(spark.table("sigdedup_out").count() == 2,
+        "punctuation/case variants share every token 3-gram and must collapse")
+      mem.addData(("HELLO world (this is a test document)", t0)) // dup across batches
+      q.processAllAvailable()
+      assert(spark.table("sigdedup_out").count() == 2)
+      // batch parity: the streaming minhash_sig IS md5 of the batch
+      // minHashSignatures lane concat — backfill and stream agree
+      val kept = spark.table("sigdedup_out")
+        .select("text", "minhash_sig").as[(String, String)].collect().toMap
+      val batch = graft.operators.DedupOps
+        .minHashSignatures(kept.keys.toSeq.toDF("text")
+          .withColumn("doc_id", col("text")), "doc_id", "text",
+          shingleK = 3, numHashes = 8)
+      val batchSigs = batch.select(col("doc_id"),
+          md5(concat_ws(",", (0 until 8).map(i => col(s"mh$i")): _*)).as("sig"))
+        .as[(String, String)].collect().toMap
+      assert(batchSigs == kept, "streaming and batch signatures diverge")
+    } finally q.stop()
+  }
+
   test("streaming sessionization: a session is emitted closed once the watermark passes its gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
