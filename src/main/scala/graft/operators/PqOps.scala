@@ -40,6 +40,8 @@ object PqOps {
       .filter(col("__v").isNotNull && size(col("__v")) === dim)
       .orderBy(col(idCol)).limit(ks).collect()
       .map(_.getSeq[Double](1).toArray)
+    require(rows.length == ks,
+      s"PQ codebook needs $ks well-formed $dim-dim vectors, found ${rows.length}")
     Array.tabulate(m, ks) { (mi, c) =>
       rows(c).slice(mi * sub, (mi + 1) * sub)
     }

@@ -175,6 +175,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(multi.size >= single.size)
   }
 
+  test("PqOps: ADC ranking of the true vector is exact when every codeword is a data vector") {
+    // 16 vectors, ks=16: each vector IS a codeword, so encode is lossless
+    // (code = own index), ADC inner product = exact inner product, and
+    // PQ top-k must equal brute-force cosine top-k on the same metric.
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 16L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pq = pairs(PqOps.pqTopK(qs, vecs, "vec_id", "embedding", 5, dim = 64, m = 8, ks = 16))
+    val brute = pairs(SimilarityOps.bruteTopK(qs, vecs, "vec_id", "embedding", 5))
+    assert(pq == brute, "lossless-codebook PQ must reproduce brute ranking exactly")
+  }
+
+  test("PqOps: IVF cell filter composes with PQ scoring; codebook underflow fails fast") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 300L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 5)
+    // compose: restrict candidates to the queries' IVF cells, then PQ-rank
+    val cells = SimilarityOps.ivfTopK(qs, vecs, "vec_id", "embedding", 300,
+      nCells = 8, nProbe = 2).select($"c_id".as("vec_id")).distinct()
+    val pruned = vecs.join(cells, "vec_id")
+    val out = PqOps.pqTopK(qs, pruned, "vec_id", "embedding", 3, dim = 64, m = 8, ks = 16)
+    assert(out.groupBy("q_id").count().collect().forall(_.getLong(1) <= 3))
+    assert(out.count() > 0)
+    val err = intercept[IllegalArgumentException] {
+      PqOps.pqTopK(qs, vecs.filter($"vec_id" < 10), "vec_id", "embedding", 3,
+        dim = 64, m = 8, ks = 16)
+    }
+    assert(err.getMessage.contains("well-formed"))
+  }
+
   test("SimilarityOps.planeSign matches the md5-parity formula") {
     // ascii(first hex char of md5("0_0")) parity -> ±1; stable across engines
     val md5hex = java.security.MessageDigest.getInstance("MD5")
