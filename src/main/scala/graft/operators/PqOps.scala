@@ -47,6 +47,47 @@ object PqOps {
     }
   }
 
+  /** k-means-trained codebooks: Lloyd's per subspace, ALL M subspaces in
+    * one pass per iteration. Init = [[trainCodebooks]] (first-ks
+    * subvectors); assignment reuses the encode UDF (map-side, no
+    * shuffle); the update shuffles only M×ks×(dim/M) = ks×dim decimal
+    * partial sums via posexplode + groupBy(m, code, j) with map-side
+    * combine — vectors never shuffle. Same determinism spec as
+    * KMeansOps (left-fold distances, tie -> lower code, exact
+    * DECIMAL(25,10) sums so partial-agg order can't perturb means), with
+    * one divergence: a code left empty keeps its PREVIOUS codeword
+    * instead of being dropped — PQ codes are positional indices, so the
+    * codebook must stay exactly ks entries. */
+  def trainCodebooksKMeans(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ks: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    var books = trainCodebooks(candidates, idCol, vecCol, dim, m, ks)
+    for (_ <- 1 to iters) {
+      val enc = encodeUdf(books, dim)
+      val parts = candidates
+        .select(enc(col(vecCol)).as("__codes"),
+          col(vecCol).cast("array<double>").as("__v"))
+        .filter(col("__codes").isNotNull)
+        .select(col("__codes"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .select(
+          (col("__pos") / lit(sub)).cast("int").as("__m"),
+          pmod(col("__pos"), lit(sub)).as("__j"),
+          element_at(col("__codes"), (col("__pos") / lit(sub)).cast("int") + 1).as("__c"),
+          col("__x"))
+        .groupBy("__m", "__c", "__j")
+        .agg(sum(col("__x").cast("decimal(25,10)")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      parts.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDecimal(3).doubleValue() / r.getLong(4)
+      }
+      books = next
+    }
+    books
+  }
+
   /** PQ codes for every vector: array<int> of length M, code[m] =
     * argmin over the subspace-m codebook (left-fold double sqdist, tie
     * -> lower code id). Map-side only — the compiled loop mirrors
@@ -123,7 +164,16 @@ object PqOps {
       idCol: String, vecCol: String, k: Int,
       dim: Int = 64, m: Int = 8, ks: Int = 16): DataFrame = {
     require(dim % m == 0, "dim must split evenly into M subspaces")
-    val books = trainCodebooks(candidates, idCol, vecCol, dim, m, ks)
+    pqTopKWithBooks(queries, candidates, idCol, vecCol, k,
+      trainCodebooks(candidates, idCol, vecCol, dim, m, ks), dim)
+  }
+
+  /** [[pqTopK]] with caller-supplied codebooks (e.g. k-means-trained via
+    * [[trainCodebooksKMeans]], or trained offline on a sample). */
+  def pqTopKWithBooks(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      books: Array[Array[Array[Double]]], dim: Int = 64): DataFrame = {
     val enc = encodeUdf(books, dim)
     val adc = adcIpUdf(books, dim)
     val c = candidates

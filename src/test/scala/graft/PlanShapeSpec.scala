@@ -32,8 +32,11 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("nested-loop joins appear only where a tiny side is broadcast by design") {
     // brute ANN broadcasts the query set; IVF broadcasts its nCells
-    // centroids for the assignment cross — both bounded by construction
+    // centroids for the assignment cross — both bounded by construction.
+    // PQ's exhaustive ADC scan broadcasts the query set the same way —
+    // the candidate side streams compressed codes map-side.
     assert(plan("ann_brute_topk").contains("BroadcastNestedLoopJoin"))
+    assert(plan("ann_pq_topk").contains("BroadcastNestedLoopJoin"))
     for (q <- Seq("ann_bucketed_topk", "ann_multiprobe_topk", "ann_multitable_topk"))
       assert(!plan(q).contains("BroadcastNestedLoopJoin"), s"$q nested-loops")
   }

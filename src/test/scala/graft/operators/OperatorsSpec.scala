@@ -210,6 +210,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("well-formed"))
   }
 
+  test("PqOps.trainCodebooksKMeans: deterministic, and training reduces quantization error") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val init = PqOps.trainCodebooks(e, "vec_id", "embedding", 64, 8, 16)
+    val trained = PqOps.trainCodebooksKMeans(e, "vec_id", "embedding", 64, 8, 16, 3)
+    val again = PqOps.trainCodebooksKMeans(e, "vec_id", "embedding", 64, 8, 16, 3)
+    def flat(b: Array[Array[Array[Double]]]): Seq[Double] =
+      b.toSeq.flatMap(_.toSeq.flatMap(_.toSeq))
+    assert(flat(trained) == flat(again),
+      "decimal-mean updates must make training replayable bit-for-bit")
+    // Lloyd's contract: total quantization error (sum over vectors and
+    // subspaces of the min sqdist to any codeword) is non-increasing;
+    // NOTE recall@5 does NOT reliably improve on these unclustered
+    // synthetic embeddings — distortion is the trainer's contract.
+    val vecs = e.select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    def distortion(books: Array[Array[Array[Double]]]): Double = {
+      val sub = 8
+      vecs.map { v =>
+        (0 until 8).map { m =>
+          books(m).map { cw =>
+            (0 until sub).map { j =>
+              val d = v(m * sub + j) - cw(j); d * d
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    val d0 = distortion(init)
+    val d1 = distortion(trained)
+    assert(d1 < d0, f"training must cut quantization error: init=$d0%.3f trained=$d1%.3f")
+  }
+
   test("SimilarityOps.planeSign matches the md5-parity formula") {
     // ascii(first hex char of md5("0_0")) parity -> ±1; stable across engines
     val md5hex = java.security.MessageDigest.getInstance("MD5")
