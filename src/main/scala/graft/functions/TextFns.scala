@@ -328,6 +328,23 @@ object TextFns {
     round(lenScore * 0.6 + wordLenScore * 0.4, 4)
   }
 
+  // --------------------------------------------------- PII redaction
+  /** Replace URLs, emails, and phone-like digit runs with typed tags —
+    * the standard pre-training scrub pass. Order matters and is fixed:
+    * URLs first (an email-shaped substring inside a URL must become part
+    * of <URL>, not <EMAIL>), then emails, then phones. RE2-compatible
+    * patterns (no lookarounds/backrefs) so the DuckDB oracle replays the
+    * same three regexp_replace passes verbatim. */
+  val piiUrlPat = "https?://[^\\s]+"
+  val piiEmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhonePat = "\\+?[0-9][0-9 .-]{7,}[0-9]"
+  def redact_pii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, piiUrlPat, "<URL>"),
+        piiEmailPat, "<EMAIL>"),
+      piiPhonePat, "<PHONE>")
+
   // --------------------------------------------------- token counting
   /** BPE-ish token count: letter runs, single digits, single non-space
     * punctuation. RE2-compatible pattern so the DuckDB oracle matches. */

@@ -476,6 +476,58 @@ object TextQueries {
     """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII scrub over a constructed corpus: every doc gets a planted
+    * email, phone, and URL appended to a real-text prefix; both engines
+    * run the same three ordered regexp_replace passes (URL first so an
+    * email-shaped substring inside a URL stays part of <URL>). */
+  private val tPii: Q = (s, dir) => {
+    val raw = concat(substring(col("text"), 1, 80),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +84 90 123 45"),
+      pmod(col("doc_id"), lit(100)), lit(" at https://ex.vn/b/"), col("doc_id"), lit(" ok"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), raw.as("raw"), TextFns.redact_pii(raw).as("redacted"))
+      .orderBy("doc_id")
+  }
+  private val tPiiSql =
+    s"""SELECT doc_id, raw,
+       |  regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '${TextFns.piiUrlPat}', '<URL>', 'g'),
+       |    '${TextFns.piiEmailPat}', '<EMAIL>', 'g'),
+       |    '${TextFns.piiPhonePat}', '<PHONE>', 'g') AS redacted
+       |FROM (
+       |  SELECT doc_id, substr(text, 1, 80) || ' contact user' || doc_id ||
+       |    '@example.com or +84 90 123 45' || (doc_id % 100) ||
+       |    ' at https://ex.vn/b/' || doc_id || ' ok' AS raw
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Boilerplate strip over a corpus with a planted shared header and
+    * footer (df = corpus size) around unique per-doc lines. */
+  private val tBoiler: Q = (s, dir) => {
+    val corp = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("SHARED HEADER\n"), substring(col("text"), 1, 60),
+        lit("\nDOC "), col("doc_id"), lit(" BODY\nCOMMON FOOTER")).as("raw"))
+    graft.operators.CorpusOps.stripBoilerplate(corp, "doc_id", "raw", minDocs = 100L)
+      .orderBy("doc_id")
+  }
+  private val tBoilerSql =
+    """WITH raw AS (
+      |  SELECT doc_id, 'SHARED HEADER' || chr(10) || substr(text, 1, 60) || chr(10) ||
+      |    'DOC ' || doc_id || ' BODY' || chr(10) || 'COMMON FOOTER' AS raw
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, gs - 1 AS pos, line FROM (
+      |    SELECT doc_id, unnest(string_split(raw, chr(10))) AS line,
+      |           generate_subscripts(string_split(raw, chr(10)), 1) AS gs FROM raw)),
+      |boiler AS (
+      |  SELECT line FROM (
+      |    SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines
+      |    WHERE trim(line) <> '' GROUP BY line)
+      |  WHERE df >= 100),
+      |kept AS (SELECT l.* FROM lines l ANTI JOIN boiler b USING (line))
+      |SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text
+      |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -499,7 +551,9 @@ object TextQueries {
     "t_length_stats" -> tLenStats,
     "t_top_terms" -> tTopTerms,
     "t_winnow_fingerprint" -> tWinnow,
-    "t_fingerprint" -> tFp)
+    "t_fingerprint" -> tFp,
+    "t_pii_redact" -> tPii,
+    "t_boilerplate" -> tBoiler)
 
   val oracle: Map[String, String] = Map(
     "fn_duration_hours" -> fnDurSql,
@@ -522,5 +576,7 @@ object TextQueries {
     "t_length_stats" -> tLenStatsSql,
     "t_top_terms" -> tTopTermsSql,
     "t_winnow_fingerprint" -> tWinnowSql,
-    "t_fingerprint" -> tFpSql)
+    "t_fingerprint" -> tFpSql,
+    "t_pii_redact" -> tPiiSql,
+    "t_boilerplate" -> tBoilerSql)
 }

@@ -375,6 +375,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("junk")._1 == 0L && out("free")._1 == 0L)
   }
 
+  test("CorpusOps.stripBoilerplate: shared lines drop, order + blanks survive, all-boiler docs vanish") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha\n\nbeta\nFOOTER"),
+      (2L, "HEADER\ngamma\nFOOTER"),
+      (3L, "HEADER\ndelta\nFOOTER"),
+      (4L, "HEADER\nFOOTER")).toDF("doc_id", "text")
+    val out = CorpusOps.stripBoilerplate(docs, "doc_id", "text", minDocs = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // HEADER/FOOTER occur in 4 docs >= 3 -> stripped everywhere; the
+    // blank line in doc 1 survives (blanks are never boilerplate); doc 4
+    // was ENTIRELY boilerplate and drops out of the corpus
+    assert(out == Map(1L -> "alpha\n\nbeta", 2L -> "gamma", 3L -> "delta"),
+      s"got $out")
+  }
+
+  test("TextFns.redact_pii: url swallows embedded email; order fixed url->email->phone") {
+    val df = Seq(
+      ("see https://ex.vn/u/a@b.co?x=1 then mail a@b.co or call +84 90 123 4567 end", 1)
+    ).toDF("t", "i")
+    val out = df.select(graft.functions.TextFns.redact_pii($"t")).as[String].head()
+    assert(out == "see <URL> then mail <EMAIL> or call <PHONE> end", out)
+  }
+
   test("BloomJoinOps: bloom-prefiltered join is exactly the plain inner join") {
     // fact: 2000 rows incl. null keys and keys with no dim match; dim:
     // sparse key set. With fpp=0.5 false positives are near-certain at
