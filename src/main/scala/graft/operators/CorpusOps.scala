@@ -25,6 +25,36 @@ object CorpusOps {
     * are preserved verbatim through reassembly. A document consisting
     * ENTIRELY of boilerplate drops out of the result (it has no content
     * left to carry). */
+  /** Benchmark-contamination scores: for every document, the fraction of
+    * its DISTINCT token `shingleK`-grams that appear anywhere in the
+    * benchmark set — the standard eval-decontamination signal. Same
+    * tokenizer and shingle construction as the MinHash dedup family, so
+    * the DuckDB oracle reuses that replay verbatim.
+    *
+    * Scale shape: the benchmark n-gram set is SMALL BY DEFINITION (eval
+    * suites are a few MB against a 100 TB corpus) — broadcast-hinted, so
+    * the corpus side never shuffles its n-grams; the only wide exchange
+    * is the per-doc distinct + count on (doc, gram), one shuffle. */
+  def contaminationScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, shingleK: Int = 3): DataFrame = {
+    def grams(df: DataFrame, textC: String, keep: Seq[Column]): DataFrame =
+      df.withColumn("__toks",
+          expr(s"regexp_extract_all(lower($textC), '[a-z0-9]+', 0)"))
+        .select(keep :+ explode(
+          DedupOps.shinglesOfTokens("__toks", shingleK)).as("__ng"): _*)
+    val benchSet = grams(bench, benchTextCol, Seq.empty)
+      .select(col("__ng")).distinct()
+      .withColumn("__hit", lit(1))
+    val docGrams = grams(docs, textCol, Seq(col(idCol)))
+      .select(col(idCol), col("__ng")).distinct()
+    docGrams.join(broadcast(benchSet), Seq("__ng"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_grams"))
+  }
+
   def stripBoilerplate(
       df: DataFrame, idCol: String, textCol: String, minDocs: Long): DataFrame = {
     val lines = df.select(col(idCol),

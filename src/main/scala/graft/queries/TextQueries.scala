@@ -528,6 +528,37 @@ object TextQueries {
       |SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS text
       |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Decontamination scores: benchmark = the five lowest-id documents,
+    * so those five score 1.0 by construction and everything else scores
+    * its true 3-gram overlap. Same tokenizer/shingle replay as the
+    * MinHash oracle family. */
+  private val tDecon: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    graft.operators.CorpusOps.contaminationScores(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 5), "text", shingleK = 3)
+      .orderBy("doc_id")
+  }
+  private val tDeconSql =
+    """WITH bset AS (
+      |  SELECT DISTINCT ng FROM (
+      |    SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      j -> array_to_string(toks[j:j+2], ' '))) AS ng
+      |    FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |          FROM documents WHERE doc_id < 5))),
+      |dng AS (
+      |  SELECT DISTINCT doc_id, ng FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      j -> array_to_string(toks[j:j+2], ' '))) AS ng
+      |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |          FROM documents)))
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  COUNT(CASE WHEN b.ng IS NOT NULL THEN 1 END) AS n_hit,
+      |  CAST(COUNT(CASE WHEN b.ng IS NOT NULL THEN 1 END) AS DOUBLE) / COUNT(*)
+      |    AS contamination
+      |FROM dng d LEFT JOIN bset b USING (ng)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -553,7 +584,8 @@ object TextQueries {
     "t_winnow_fingerprint" -> tWinnow,
     "t_fingerprint" -> tFp,
     "t_pii_redact" -> tPii,
-    "t_boilerplate" -> tBoiler)
+    "t_boilerplate" -> tBoiler,
+    "t_decontaminate" -> tDecon)
 
   val oracle: Map[String, String] = Map(
     "fn_duration_hours" -> fnDurSql,
@@ -578,5 +610,6 @@ object TextQueries {
     "t_winnow_fingerprint" -> tWinnowSql,
     "t_fingerprint" -> tFpSql,
     "t_pii_redact" -> tPiiSql,
-    "t_boilerplate" -> tBoilerSql)
+    "t_boilerplate" -> tBoilerSql,
+    "t_decontaminate" -> tDeconSql)
 }

@@ -52,6 +52,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"j11 bloom prefilter not below the join:\n${p.take(800)}")
   }
 
+  test("decontamination broadcasts the benchmark n-gram set") {
+    // The corpus side must never shuffle its n-grams to meet the
+    // benchmark — the benchmark set is broadcast by design.
+    val p = plan("t_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t_decontaminate lost its broadcast:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("multi-table ANN joins on the (table, bucket) key") {
     // The E2LSH shape: candidates meet queries ONLY through the exploded
     // (tbl, bucket) equi-join — visible as join keys tbl + bucket — and
