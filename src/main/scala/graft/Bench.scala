@@ -38,7 +38,7 @@ object Bench {
     "ann_multitable_topk", "ann_pq_topk", "ann_ivf_topk", "ann_kmeans_cells",
     "t_lang_id", "t_quality", "t_token_count", "t_top_terms",
     "t_winnow_fingerprint", "t_length_stats", "t_pii_redact",
-    "t_boilerplate", "t_decontaminate", "a8_corpus_wer",
+    "t_boilerplate", "t_decontaminate", "t_repetition", "a8_corpus_wer",
     "mm_wav_probe", "mm_image_probe", "mm_image_resize",
     "mm_frame_sample", "mm_bin_features")
 

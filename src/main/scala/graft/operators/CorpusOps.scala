@@ -10,6 +10,39 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** Intra-document repetition signals (the Gopher-family quality
+    * filters): per document, the fraction of non-blank lines that are
+    * repeats of an earlier line, and the share of the most common token
+    * bigram among all bigram occurrences — high values of either mark
+    * templated/spammy text. Shapes: two per-doc aggregations (one
+    * shuffle each on (doc, line) / (doc, gram)), joined on doc id; no
+    * corpus-wide state, so the operator scales linearly and partitions
+    * by document hash. Divisions are double-cast on both engines for a
+    * bit-exact oracle. */
+  def repetitionSignals(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lineStats = docs
+      .select(col(idCol), explode(expr(
+        s"filter(split($textCol, '\n'), x -> trim(x) <> '')")).as("__line"))
+      .groupBy(col(idCol), col("__line")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_lines"),
+        (sum(col("__c")) - count(lit(1))).as("n_dup_lines"))
+    val gramStats = docs
+      .withColumn("__toks",
+        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+      .select(col(idCol),
+        explode(DedupOps.shinglesOfTokens("__toks", 2)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("top_bigram_cnt"), sum(col("__c")).as("n_bigrams"))
+    lineStats.join(gramStats, Seq(idCol))
+      .select(col(idCol), col("n_lines"), col("n_dup_lines"),
+        (col("n_dup_lines").cast("double") / col("n_lines")).as("dup_line_frac"),
+        col("top_bigram_cnt"), col("n_bigrams"),
+        (col("top_bigram_cnt").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
+  }
+
   /** Remove lines that occur in at least `minDocs` distinct documents,
     * preserving each document's remaining line order.
     *

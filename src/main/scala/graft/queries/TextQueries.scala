@@ -559,6 +559,47 @@ object TextQueries {
       |FROM dng d LEFT JOIN bset b USING (ng)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Repetition signals over a corpus with planted repetition: every
+    * third doc gets its first 40 chars appended twice as extra lines, so
+    * duplicate-line and bigram-dominance signals are non-trivially
+    * exercised on both engines. */
+  private val tRepetition: Q = (s, dir) => {
+    val corp = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
+          lit("\n"), substring(col("text"), 1, 40)))
+        .otherwise(col("text")).as("raw"))
+    graft.operators.CorpusOps.repetitionSignals(corp, "doc_id", "raw")
+      .orderBy("doc_id")
+  }
+  private val tRepetitionSql =
+    """WITH raw AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+      |    THEN text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+      |    ELSE text END AS raw
+      |  FROM documents),
+      |lstat AS (
+      |  SELECT doc_id, SUM(c) AS n_lines, SUM(c) - COUNT(*) AS n_dup_lines FROM (
+      |    SELECT doc_id, line, COUNT(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_filter(string_split(raw, chr(10)),
+      |        x -> trim(x) <> '')) AS line FROM raw)
+      |    GROUP BY doc_id, line)
+      |  GROUP BY doc_id),
+      |gstat AS (
+      |  SELECT doc_id, MAX(c) AS top_bigram_cnt, SUM(c) AS n_bigrams FROM (
+      |    SELECT doc_id, g, COUNT(*) AS c FROM (
+      |      SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+      |        j -> array_to_string(toks[j:j+1], ' '))) AS g
+      |      FROM (SELECT doc_id, regexp_extract_all(lower(raw), '[a-z0-9]+') AS toks
+      |            FROM raw))
+      |    GROUP BY doc_id, g)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_lines, n_dup_lines,
+      |  CAST(n_dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
+      |  top_bigram_cnt, n_bigrams,
+      |  CAST(top_bigram_cnt AS DOUBLE) / n_bigrams AS top_bigram_frac
+      |FROM lstat JOIN gstat USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -585,7 +626,8 @@ object TextQueries {
     "t_fingerprint" -> tFp,
     "t_pii_redact" -> tPii,
     "t_boilerplate" -> tBoiler,
-    "t_decontaminate" -> tDecon)
+    "t_decontaminate" -> tDecon,
+    "t_repetition" -> tRepetition)
 
   val oracle: Map[String, String] = Map(
     "fn_duration_hours" -> fnDurSql,
@@ -611,5 +653,6 @@ object TextQueries {
     "t_fingerprint" -> tFpSql,
     "t_pii_redact" -> tPiiSql,
     "t_boilerplate" -> tBoilerSql,
-    "t_decontaminate" -> tDeconSql)
+    "t_decontaminate" -> tDeconSql,
+    "t_repetition" -> tRepetitionSql)
 }
