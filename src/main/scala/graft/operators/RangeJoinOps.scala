@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned (bucketized) range join: points joined to intervals on
+  * `start <= point <= end` WITHOUT the non-equi-join trap.
+  *
+  * Spark plans a bare inequality join as BroadcastNestedLoop (or a
+  * cartesian product) — O(|points| x |intervals|) compared pairs, the
+  * classic 100 TB cliff. The standard repair is to quantize the domain
+  * into fixed-width bins: an interval is exploded to every bin it
+  * overlaps, a point belongs to exactly one bin, and the join becomes an
+  * EQUI-join on the bin id plus a cheap residual `between` filter. Each
+  * qualifying (interval, point) pair meets in exactly one bin — the
+  * point's — so no post-join dedup is needed.
+  *
+  * Scale shape: one shuffle on the bin id for each side; compared pairs
+  * collapse from |P| x |I| to sum over bins of |P_bin| x |I_bin|. Pick
+  * `binWidth` near the typical interval length: the explode fan-out is
+  * ceil(len/width) + 1 per interval (bounded), while a too-wide bin
+  * degrades toward the cartesian corner case. Calendar-skewed loads
+  * (all intervals in one hot hour) concentrate in few bins — compose
+  * with SkewOps salting on the bin key if the histogram says so.
+  *
+  * Beyond-reference operator (SURVEY §2.11): the reference filters rows
+  * to scalar duration bands (§2.2 F4); joining two SETS on interval
+  * containment is its relational generalization.
+  */
+object RangeJoinOps {
+
+  /** Join `points` (long column `ptCol`) to `intervals` (long columns
+    * `startCol`/`endCol`, inclusive ends) on containment. Emits
+    * points-side columns plus the interval columns; rows with null
+    * point/bounds never match (SQL inequality semantics).
+    */
+  def binnedRangeJoin(
+      points: DataFrame, intervals: DataFrame,
+      ptCol: String, startCol: String, endCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"point/interval column names collide: ${overlap.mkString(", ")} — rename one side first")
+    // floorDiv, not `/` or `div`-on-doubles: negative epochs must land in
+    // the bin to their left, and both sides must agree bit-for-bit.
+    def bin(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    val iv = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
+      .withColumn("__bin", explode(sequence(bin(col(startCol)), bin(col(endCol)))))
+    val pt = points
+      .filter(col(ptCol).isNotNull)
+      .withColumn("__bin", bin(col(ptCol)))
+    pt.join(iv, pt("__bin") === iv("__bin") &&
+        col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop(pt("__bin")).drop(iv("__bin"))
+  }
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.{PackOps, QuotaOps, RangeJoinOps, SketchOps}
+
+/** Round-5 beyond-reference scale operators (SURVEY §2.11): sequence
+  * packing, binned range join, portable KMV distinct sketch, quota
+  * sampling to a target mix. Each oracle replays the operator's exact
+  * arithmetic — including the sketch ESTIMATE, which is why the sketches
+  * here are built on portable hashes rather than opaque HLL binaries.
+  */
+object ScaleQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- w7
+
+  /** W7: concat-and-chunk sequence packing of the documents corpus into
+    * 512-token training sequences, sharded by source. Pure prefix
+    * arithmetic over one per-shard window — see PackOps. */
+  private val budget = 512
+  private val w7: Q = (s, dir) =>
+    PackOps.packSequences(
+        t(s, dir, "documents"), "source", Seq("doc_id"),
+        TextFns.token_count(col("text")), budget)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("tok_start"),
+        col("seq_first"), col("seq_offset"), col("seq_last"), col("n_seqs"))
+      .orderBy("source", "doc_id")
+  private val w7Sql =
+    s"""SELECT source, doc_id, n_tok, tok_start,
+       |  tok_start // $budget AS seq_first,
+       |  tok_start % $budget AS seq_offset,
+       |  (tok_start + n_tok - 1) // $budget AS seq_last,
+       |  (tok_start + n_tok - 1) // $budget - tok_start // $budget + 1 AS n_seqs
+       |FROM (
+       |  SELECT source, doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS tok_start
+       |  FROM (
+       |    SELECT source, doc_id,
+       |      CAST(len(regexp_extract_all(text, '${TextFns.bpeTokenPat.replace("\\", "\\")}')) AS BIGINT) AS n_tok
+       |    FROM documents)
+       |  WHERE n_tok > 0)
+       |ORDER BY source, doc_id""".stripMargin
+
+  // --------------------------------------------------------------- j12
+
+  /** J12: events joined to maintenance-window intervals on timestamp
+    * containment via the binned equi-join (RangeJoinOps) — never a
+    * nested-loop or cartesian plan (pinned in PlanShapeSpec). Interval
+    * bounds are exact epoch-microsecond longs derived from orders, so
+    * both engines do pure integer math. Bin width 15 min ~ the max
+    * interval length (11 min), keeping explode fan-out <= 2. */
+  private val epoch20240101Us = 1704067200000000L
+  private val rjBinUs = 900L * 1000000L
+  private def rjIntervals(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") % 40 === 0)
+      .select(col("o_orderkey").as("iv_id"),
+        (lit(epoch20240101Us) +
+          (col("o_orderkey") * 7919L % 2500000L) * 1000000L).as("start_us"))
+      .withColumn("end_us",
+        col("start_us") + (lit(60L) + col("iv_id") % 600L) * 1000000L)
+  private val j12: Q = (s, dir) => {
+    val pts = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("pt_us"))
+    RangeJoinOps.binnedRangeJoin(
+        pts, rjIntervals(s, dir), "pt_us", "start_us", "end_us", rjBinUs)
+      .select(col("iv_id"), col("event_id"), col("pt_us"),
+        col("start_us"), col("end_us"))
+      .orderBy("iv_id", "event_id")
+  }
+  private val j12Sql =
+    s"""WITH iv AS (
+       |  SELECT o_orderkey AS iv_id,
+       |    $epoch20240101Us + ((o_orderkey * 7919) % 2500000) * 1000000 AS start_us,
+       |    $epoch20240101Us + ((o_orderkey * 7919) % 2500000) * 1000000
+       |      + (60 + o_orderkey % 600) * 1000000 AS end_us
+       |  FROM orders WHERE o_orderkey % 40 = 0),
+       |pt AS (SELECT event_id, epoch_us(ts) AS pt_us FROM events)
+       |SELECT iv_id, event_id, pt_us, start_us, end_us
+       |FROM pt JOIN iv ON pt_us BETWEEN start_us AND end_us
+       |ORDER BY iv_id, event_id""".stripMargin
+
+  // ------------------------------------------------------------- t_kmv
+
+  /** T-KMV: per-event-type distinct-user estimate via the portable
+    * k-minimum-values sketch (k=64), alongside the exact count and the
+    * error in basis points — retrieval-quality-style measured invariant,
+    * same spirit as ann_recall: the sketch's accuracy is an oracle-exact
+    * OUTPUT, not an assumption. All integer math; the DuckDB oracle
+    * replays the estimate bit-for-bit. */
+  private val kmvK = 64
+  private val tKmv: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val est = SketchOps.kmvDistinct(ev, Seq("event_type"), col("user_id"), kmvK)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("exact_distinct"), col("n_kept"),
+        col("kth_hash"), col("est_distinct"),
+        expr("abs(est_distinct - exact_distinct) * 10000 div exact_distinct")
+          .as("err_bp"))
+      .orderBy("event_type")
+  }
+  private val tKmvSql =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    ((user_id % 999999937 + 999999937) * 123456791 + 7919) % 999999937 AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT event_type, h,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nh,
+       |  MAX(CASE WHEN rn = $kmvK THEN h END) AS hk FROM r GROUP BY event_type),
+       |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+       |  FROM events GROUP BY event_type),
+       |est AS (
+       |  SELECT event_type, exact_distinct,
+       |    CASE WHEN nh < $kmvK THEN nh ELSE $kmvK END AS n_kept,
+       |    CASE WHEN nh < $kmvK THEN 999999937 ELSE hk END AS kth_hash,
+       |    CASE WHEN nh < $kmvK THEN nh ELSE (${(kmvK - 1).toLong * SketchOps.hashM}) // hk END AS est_distinct
+       |  FROM st JOIN ex USING (event_type))
+       |SELECT event_type, exact_distinct, n_kept, kth_hash, est_distinct,
+       |  abs(est_distinct - exact_distinct) * 10000 // exact_distinct AS err_bp
+       |FROM est ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------- t_sampled_quantiles
+
+  /** T-SQ: per-event-type p50/p95 of `value` over a deterministic 1-in-8
+    * hash sample of event ids. The scale story: an exact percentile of a
+    * metric column needs the full value histogram (StatsOps) — for
+    * high-cardinality doubles that histogram is the data. A hash-threshold
+    * sample bounds it at sample size while staying REPLAYABLE: both
+    * engines draw the identical sample, so the quantiles (picked data
+    * elements, not interpolations) compare bit-exactly. Same family as
+    * KMV: the portable-hash order IS the sampling randomness. */
+  private val sqCut = SketchOps.hashM / 8 // 1-in-8 keep threshold
+  private val tSq: Q = (s, dir) => {
+    val sm = Tables.events(s, dir)
+      .filter(SketchOps.portableHash(col("event_id")) < sqCut)
+      .filter(col("value").isNotNull)
+    val pct = graft.operators.StatsOps.exactPercentiles(
+      sm, "event_type", "value", Seq(0.5, 0.95))
+    val ns = sm.groupBy(col("event_type")).agg(count(lit(1)).as("n_sample"))
+    pct.join(ns, "event_type")
+      .select(col("event_type"), col("p50"), col("p95"), col("n_sample"))
+      .orderBy("event_type")
+  }
+  private val tSqSql =
+    s"""WITH sm AS (
+       |  SELECT event_type, value FROM events
+       |  WHERE ((event_id % 999999937 + 999999937) * 123456791 + 7919) % 999999937 < $sqCut
+       |    AND value IS NOT NULL),
+       |freq AS (SELECT event_type, value, COUNT(*) AS f FROM sm GROUP BY event_type, value),
+       |cum AS (
+       |  SELECT event_type, value,
+       |    SUM(f) OVER (PARTITION BY event_type ORDER BY value
+       |      ROWS UNBOUNDED PRECEDING) AS cf,
+       |    SUM(f) OVER (PARTITION BY event_type) AS n
+       |  FROM freq),
+       |ns AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample FROM sm GROUP BY event_type)
+       |SELECT event_type,
+       |  MIN(CASE WHEN cf >= CEIL(n * 0.5) THEN value END) AS p50,
+       |  MIN(CASE WHEN cf >= CEIL(n * 0.95) THEN value END) AS p95,
+       |  n_sample
+       |FROM cum JOIN ns USING (event_type)
+       |GROUP BY event_type, n_sample ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- o6
+
+  /** O6: quota sampling of documents to a target language mix (Pile/
+    * Dolma-style mixture weights). fr's quota (75) exceeds its corpus
+    * count at sf0.01 (64), exercising the short-stratum cap. */
+  private val o6Weights = Seq(
+    "en" -> 0.30, "de" -> 0.20, "es" -> 0.20, "fr" -> 0.25, "zh" -> 0.15)
+  private val o6TotalN = 300L
+  private val o6: Q = (s, dir) =>
+    QuotaOps.quotaSample(
+        t(s, dir, "documents"), "lang", o6Weights.toMap, o6TotalN,
+        SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")))
+      .select(col("lang"), col("doc_id"), col("source"))
+      .orderBy("lang", "doc_id")
+  private val o6Quota = o6Weights.map { case (s, w) =>
+    s"WHEN '$s' THEN ${math.ceil(o6TotalN * w).toLong}"
+  }.mkString(" ")
+  private val o6Sql =
+    s"""SELECT lang, doc_id, source FROM (
+       |  SELECT lang, doc_id, source,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ((doc_id % 999999937 + 999999937) * 123456791 + 7919) % 999999937,
+       |               doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= CASE lang $o6Quota ELSE 0 END
+       |ORDER BY lang, doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "w7_sequence_pack" -> w7,
+    "j12_range_join" -> j12,
+    "t_kmv_distinct" -> tKmv,
+    "t_sampled_quantiles" -> tSq,
+    "o6_quota_sample" -> o6)
+
+  val oracle: Map[String, String] = Map(
+    "w7_sequence_pack" -> w7Sql,
+    "j12_range_join" -> j12Sql,
+    "t_kmv_distinct" -> tKmvSql,
+    "t_sampled_quantiles" -> tSqSql,
+    "o6_quota_sample" -> o6Sql)
+
+  /** Sort-free forms for the bench (global ORDER BY exists only for the
+    * oracle's deterministic hash-compare). */
+  val benchVariants: Map[String, Q] = Map(
+    "w7_sequence_pack" -> ((s, dir) =>
+      PackOps.packSequences(
+        t(s, dir, "documents"), "source", Seq("doc_id"),
+        TextFns.token_count(col("text")), budget)),
+    "j12_range_join" -> ((s, dir) => {
+      val pts = Tables.events(s, dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("pt_us"))
+      RangeJoinOps.binnedRangeJoin(
+        pts, rjIntervals(s, dir), "pt_us", "start_us", "end_us", rjBinUs)
+    }),
+    "o6_quota_sample" -> ((s, dir) =>
+      QuotaOps.quotaSample(
+        t(s, dir, "documents"), "lang", o6Weights.toMap, o6TotalN,
+        SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")))))
+}

@@ -19,7 +19,7 @@ object GenOracleBody {
   def union: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ IoQueries.oracle ++
-      StatefulQueries.oracle ++ MiscQueries.oracle
+      StatefulQueries.oracle ++ MiscQueries.oracle ++ ScaleQueries.oracle
 
   /** Whitespace-collapse: safe because no oracle SQL string literal
     * contains a newline or a run of 2+ spaces (asserted in OracleSyncSpec).

@@ -133,6 +133,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("binned range join is an equi-join: no nested loop, no cartesian") {
+    // The whole point of RangeJoinOps: Spark's native plan for an
+    // inequality join is BNLJ/cartesian; the binned rewrite must meet
+    // on the __bin equi-key with the BETWEEN as residual only.
+    val p = plan("j12_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"j12 regressed to a range product:\n${p.take(600)}")
+    assert(p.contains("Join"), "j12 lost its join entirely")
+  }
+
+  test("KMV sketch aggregates with map-side partial merge (one shuffle on the group key)") {
+    // Two HashAggregates (partial + final) around ONE exchange: the
+    // bounded k-array buffers merge map-side, so shuffle bytes per group
+    // per partition stay <= 8k regardless of input rows.
+    val p = plan("t_kmv_distinct")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"), "t_kmv lost its aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sequence packing windows per shard, never globally") {
+    val p = plan("w7_sequence_pack")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.nonEmpty, "w7 has no window")
+    assert(winLines.forall(_.contains("source")),
+      s"w7 window not partitioned by shard:\n${winLines.mkString("\n")}")
+  }
+
   test("partition-column predicates prune directories (PartitionFilters, not data filters)") {
     val p = plan("io_s14_partitioned")
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")

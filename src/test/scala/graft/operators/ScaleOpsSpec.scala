@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Round-5 scale operators: sequence packing, binned range join, KMV
+  * distinct sketch, quota sampling. Each test pins the property that the
+  * operator's scale shape must not change: packing covers the token
+  * stream exactly; the binned join equals the naive inequality join; the
+  * KMV estimate is partitioning-invariant and within its error bound;
+  * quota sampling respects quotas, caps, and determinism. */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ PackOps
+
+  private def packed(budget: Int) = {
+    val docs = Seq(
+      ("s1", 1L, 100L), ("s1", 2L, 500L), ("s1", 3L, 12L), ("s1", 4L, 1024L),
+      ("s2", 10L, 1L), ("s2", 11L, 0L), ("s2", 12L, 511L), ("s2", 13L, 2L))
+      .toDF("shard", "doc_id", "n")
+    PackOps.packSequences(docs, "shard", Seq("doc_id"), col("n"), budget)
+  }
+
+  test("packSequences: token stream is covered contiguously, no gaps or overlaps") {
+    val rows = packed(512)
+      .select("shard", "doc_id", "n_tok", "tok_start", "seq_first",
+        "seq_offset", "seq_last", "n_seqs")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(t => (t._1, t._2))
+    // zero-token doc 11 is dropped
+    assert(!rows.exists(_._2 == 11L))
+    // per shard: tok_start of doc i == tok_start + n_tok of doc i-1
+    rows.groupBy(_._1).foreach { case (_, ds) =>
+      ds.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 == a._4 + a._3)
+        case _         =>
+      }
+      assert(ds.head._4 == 0L)
+    }
+    rows.foreach { case (_, _, n, start, first, off, last, nseqs) =>
+      assert(first == start / 512 && off == start % 512)
+      assert(last == (start + n - 1) / 512)
+      assert(nseqs == last - first + 1)
+    }
+    // doc 4 (1024 tok starting at 612) spans sequences 1..3
+    val d4 = rows.find(_._2 == 4L).get
+    assert(d4._5 == 1L && d4._7 == 3L && d4._8 == 3L)
+  }
+
+  test("packSequences: shards pack independently — ids never cross shards") {
+    val byShard = packed(512).groupBy("shard")
+      .agg(min("seq_first").as("mn")).collect()
+    byShard.foreach(r => assert(r.getLong(1) == 0L)) // each shard restarts at seq 0
+  }
+
+  // ------------------------------------------------------- RangeJoinOps
+
+  test("binnedRangeJoin equals the naive inequality join, any bin width") {
+    val pts = (0L until 400L).map(i => (i, i * 13 % 1000)).toDF("pid", "pt")
+    val ivs = (0L until 60L).map { i =>
+      val s = i * 37 % 950
+      (i, s, s + 5 + i % 90)
+    }.toDF("ivid", "lo", "hi")
+    val naive = pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("pid", "ivid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 7L, 64L, 1000L, 5000L)) {
+      val got = RangeJoinOps.binnedRangeJoin(pts, ivs, "pt", "lo", "hi", w)
+        .select("pid", "ivid").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"binWidth=$w")
+    }
+  }
+
+  test("binnedRangeJoin: null and inverted intervals never match") {
+    val pts = Seq(Tuple1(5L), Tuple1(50L)).toDF("pt")
+    val ivs = Seq((1L, Some(0L), Some(10L)), (2L, Some(60L), Some(40L)),
+      (3L, None, Some(10L))).toDF("ivid", "lo", "hi")
+    val got = RangeJoinOps.binnedRangeJoin(pts, ivs, "pt", "lo", "hi", 16L)
+      .select("ivid", "pt").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 5L)))
+  }
+
+  // ---------------------------------------------------------- SketchOps
+
+  test("KMV: below-k groups are exact; full groups estimate within 4x1/sqrt(k) rel err") {
+    val df = (0L until 20000L).map { i =>
+      if (i % 2 == 0) ("small", i % 40L) else ("big", i % 5000L)
+    }.toDF("g", "v")
+    val rows = SketchOps.kmvDistinct(df, Seq("g"), col("v"), 64)
+      .select("g", "n_kept", "est_distinct")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("small") == ((20L, 20L))) // 20 distinct (even i % 40) < k: exact
+    val (kept, est) = rows("big")
+    assert(kept == 64L)
+    // true distinct = 2500 (odd i % 5000 hits only odd residues);
+    // 1/sqrt(k-2) ~ 12.7%; 4-sigma bound, deterministic data so no flake
+    assert(math.abs(est - 2500L) < 2500L * 0.51, s"est=$est")
+  }
+
+  test("KMV stays accurate on small consecutive ids (regression: unwrapped affine hash)") {
+    // 150 consecutive ids overflowed nothing and wrapped nothing in the
+    // original a=1048573 hash — h was monotonic in v and the estimator
+    // read ~950. With the wrapping multiplier it must sit near 150.
+    val df = (0L until 10000L).map(i => ("g", i % 150L)).toDF("g", "v")
+    val est = SketchOps.kmvDistinct(df, Seq("g"), col("v"), 64)
+      .select("est_distinct").as[Long].head()
+    assert(math.abs(est - 150L) <= 40L, s"est=$est")
+  }
+
+  test("KMV estimate is invariant under repartitioning (order-independent merge)") {
+    val df = (0L until 9999L).map(i => ("g", i * 31 % 2500)).toDF("g", "v")
+    val a = SketchOps.kmvDistinct(df.repartition(1), Seq("g"), col("v"), 32)
+      .select("est_distinct").as[Long].head()
+    val b = SketchOps.kmvDistinct(df.repartition(17, col("v") % 7), Seq("g"), col("v"), 32)
+      .select("est_distinct").as[Long].head()
+    assert(a == b)
+  }
+
+  // ----------------------------------------------------------- QuotaOps
+
+  test("quotaSample: quotas filled when data allows, capped at stratum size, unknown strata dropped") {
+    val df = (0L until 1000L).map(i =>
+      (if (i < 700) "a" else if (i < 980) "b" else "c", i)).toDF("lang", "id")
+    val got = QuotaOps.quotaSample(df, "lang",
+        Map("a" -> 0.5, "b" -> 0.4, "c" -> 0.1), 100L,
+        SketchOps.portableHash(col("id")), Seq(col("id")))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") == 50L) // quota 50, have 700
+    assert(got("b") == 40L) // quota 40, have 280
+    assert(got("c") == 10L) // quota 10, have 20
+    val df2 = df.filter(col("lang") =!= "c")
+      .union(Seq(("c", 5000L), ("c", 5001L)).toDF("lang", "id"))
+    val capped = QuotaOps.quotaSample(df2, "lang",
+        Map("a" -> 0.5, "b" -> 0.4, "c" -> 0.1), 100L,
+        SketchOps.portableHash(col("id")), Seq(col("id")))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped("c") == 2L) // short stratum contributes everything it has
+    // a stratum with no weight entry is excluded entirely
+    val noW = QuotaOps.quotaSample(df, "lang", Map("a" -> 0.5), 100L,
+      SketchOps.portableHash(col("id")), Seq(col("id")))
+    assert(noW.filter(col("lang") =!= "a").count() == 0L)
+  }
+
+  test("quotaSample is deterministic: same draw on rerun and under repartition") {
+    val df = (0L until 500L).map(i => (s"s${i % 3}", i)).toDF("lang", "id")
+    def draw(d: org.apache.spark.sql.DataFrame) =
+      QuotaOps.quotaSample(d, "lang", Map("s0" -> 0.3, "s1" -> 0.3, "s2" -> 0.4),
+          60L, SketchOps.portableHash(col("id")), Seq(col("id")))
+        .select("lang", "id").as[(String, Long)].collect().toSet
+    assert(draw(df) == draw(df.repartition(13)))
+  }
+}
