@@ -57,9 +57,10 @@ object DedupQueries {
     DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
         shingleK = 3, numHashes = 8, bands = 2)
       .orderBy("id_a", "id_b")
-  private val dedupMinhashSql =
-    "WITH " + corpusCte +
-    """, toked AS (
+  /** Shared CTE chain producing the MinHash LSH candidate pairs (used by
+    * the pair query and by the connected-components clustering oracle). */
+  private val minhashPairCtes =
+    """toked AS (
       |  SELECT doc_id, regexp_extract_all(lower(t), '[a-z0-9]+') AS toks FROM corpus),
       |sig AS (
       |  SELECT doc_id,
@@ -73,10 +74,45 @@ object DedupQueries {
       |bands AS (
       |  SELECT doc_id, CAST(b.i AS INT) AS band,
       |    md5(array_to_string(mh[b.i * 4 + 1 : b.i * 4 + 4], ',')) AS s
-      |  FROM sig, range(2) b(i))
-      |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig, range(2) b(i))""".stripMargin
+  private val dedupMinhashSql =
+    "WITH " + corpusCte + ", " + minhashPairCtes + "\n" +
+    """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------- connected components
+
+  /** Near-dup CLUSTERS from the MinHash pair graph: GraphOps transitive
+    * closure, component id = min doc_id, survivor = the min member (the
+    * keep-first rule a dedup pipeline applies per cluster). The oracle
+    * replays the closure as a recursive reachability CTE — tractable at
+    * oracle scale because clusters are small; the Spark side is the
+    * O(log n)-round star algorithm that survives corpus scale. */
+  private val dedupCc: Q = (s, dir) => {
+    val pairs = DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
+      shingleK = 3, numHashes = 8, bands = 2)
+    graft.operators.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+        (col("node") === col("component")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+  private val dedupCcSql =
+    "WITH RECURSIVE " + corpusCte + ", " + minhashPairCtes + "," +
+    """
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(node, m) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b)
+      |SELECT node AS doc_id, MIN(m) AS cluster_id,
+      |  (node = MIN(m)) AS is_survivor
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ simhash
 
@@ -628,6 +664,7 @@ object DedupQueries {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhash,
+    "dedup_cc_clusters" -> dedupCc,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "emb_near_dup" -> embNearDup,
@@ -643,6 +680,7 @@ object DedupQueries {
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashSql,
+    "dedup_cc_clusters" -> dedupCcSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql,
     "emb_near_dup" -> embNearDupSql,

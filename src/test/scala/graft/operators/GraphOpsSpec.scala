@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Connected components (large-star/small-star): correctness on chains,
+  * forests, and messy inputs, plus the properties the clustering contract
+  * depends on — component id = min member, partitioning invariance. */
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]) =
+    GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("chains collapse to their minimum (the case label propagation is slow on)") {
+    // one 200-node path + one 3-node path; star rounds must label every
+    // path node with the path min well inside the iteration cap
+    val path = (0L until 199L).map(i => (i, i + 1))
+    val other = Seq((1000L, 1001L), (1001L, 1002L))
+    val got = cc(path ++ other)
+    assert(got.size == 203)
+    (0L to 199L).foreach(n => assert(got(n) == 0L, s"node $n"))
+    (1000L to 1002L).foreach(n => assert(got(n) == 1000L))
+  }
+
+  test("duplicate, reversed, and self-loop edges are tolerated") {
+    val got = cc(Seq((5L, 3L), (3L, 5L), (5L, 5L), (3L, 5L), (9L, 9L)))
+    // 9 only ever appears in a self-loop: isolated, its own component
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 9L))
+  }
+
+  test("star graphs and disjoint pairs keep distinct components") {
+    val star = (1L to 30L).map(i => (100L, 100L + i)) // hub = min
+    val pairs = Seq((500L, 501L), (600L, 601L))
+    val got = cc(star ++ pairs)
+    star.foreach { case (_, v) => assert(got(v) == 100L) }
+    assert(got(100L) == 100L && got(501L) == 500L && got(601L) == 600L)
+  }
+
+  test("result is invariant under input partitioning and edge order") {
+    val edges = ((0L until 50L).map(i => (i * 7 % 97, i * 13 % 97)) ++
+      Seq((200L, 201L))).toDF("a", "b")
+    val base = GraphOps.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    val shuffled = GraphOps.connectedComponents(
+        edges.repartition(11, col("b")).orderBy(desc("a")), "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(base == shuffled)
+  }
+
+  test("registered clustering query: survivors are cluster minima and cover every pair member") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.DedupQueries.queries("dedup_cc_clusters")(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid, s"cluster $cid id is not its min member")
+      assert(ms.count(_._3) == 1 && ms.find(_._3).get._1 == cid,
+        s"cluster $cid survivor is not exactly the min")
+    }
+    // planted near-dups (doc_id + 100000) cluster with their source doc
+    val planted = rows.filter(_._1 >= 100000L)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, cid, _) =>
+      assert(cid <= id - 100000L, s"planted $id not linked to its source")
+    }
+  }
+}
