@@ -242,6 +242,30 @@ object IoQueries {
        |FROM read_parquet('$fixRoot/s14_part/*/*.parquet', hive_partitioning=true)
        |WHERE lang = 'vi' ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------- S15 (ORC)
+  /** ORC round-trip: write supplier as ORC (second columnar format the
+    * engine speaks; Spark's reader gets the same pushdown/pruning
+    * machinery as parquet), read it back, aggregate. DuckDB has no ORC
+    * reader, so the oracle computes the identical aggregate from the
+    * parquet source — equality proves the ORC write+read is lossless
+    * across int32/int64/double/string. Decimal-sum keeps the double
+    * aggregation order-independent on both engines (w6 pattern). */
+  private val s15: Q = (s, dir) => {
+    val d = fixDir("s15_orc")
+    t(s, dir, "supplier").write.mode("overwrite").orc(d)
+    s.read.orc(d)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_acctbal").cast(DecimalType(25, 10))).cast("double").as("sum_bal"),
+        min(col("s_name")).as("first_name"))
+      .orderBy("s_nationkey")
+  }
+  private val s15Sql =
+    """SELECT s_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(25,10))) AS DOUBLE) AS sum_bal,
+      |  MIN(s_name) AS first_name
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   // ---------------------------------------------------------- multimodal
   private def genWavs(base: String): Unit =
     (0 until 12).foreach { k =>
@@ -473,6 +497,7 @@ object IoQueries {
     "io_s8_text_lines" -> s8,
     "io_s9_binary_tree" -> s9,
     "io_s14_partitioned" -> s14,
+    "io_s15_orc" -> s15,
     "mm_wav_probe" -> mmWav,
     "mm_mp3_probe" -> mmMp3,
     "mm_bin_features" -> mmBin,
@@ -492,6 +517,7 @@ object IoQueries {
     "io_s8_text_lines" -> s8Sql,
     "io_s9_binary_tree" -> s9Sql,
     "io_s14_partitioned" -> s14Sql,
+    "io_s15_orc" -> s15Sql,
     "mm_wav_probe" -> mmWavSql,
     "mm_mp3_probe" -> mmMp3Sql,
     "mm_bin_features" -> mmBinSql,

@@ -213,4 +213,34 @@ object FileStream {
         col(typeCol))
       .agg(count(lit(1)).as("n"),
         sum(col("value")).as("sum_value"))
+
+  /** Watermarked stream-stream interval join: each left event joined to
+    * the right events sharing its key whose event time falls within
+    * [left_ts - horizon, left_ts] (attribution-style: a purchase joined
+    * to the views that preceded it). BOTH sides carry watermarks and the
+    * join condition bounds the right event time RELATIVE to the left's —
+    * the two facts Spark's state manager needs to compute when a
+    * buffered row can no longer match, so both join buffers are evicted
+    * as the watermark advances. An unconstrained stream-stream join
+    * buffers both streams forever; the time bound is what makes this
+    * viable unbounded. Inner join (append mode): a left event with no
+    * right match in the horizon emits nothing.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      horizon: String, watermarkDelay: String): DataFrame = {
+    require(leftTsCol != rightTsCol,
+      "left/right event-time columns must be distinctly named")
+    val collisions = left.columns.toSet.intersect(right.columns.toSet) - keyCol
+    require(collisions.isEmpty,
+      s"payload columns collide across sides: ${collisions.mkString(", ")}")
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+      .withColumnRenamed(keyCol, "__rkey")
+    l.join(r, col(keyCol) === col("__rkey") &&
+        col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $horizon") &&
+        col(rightTsCol) <= col(leftTsCol))
+      .drop("__rkey")
+  }
 }

@@ -257,4 +257,41 @@ class FileStreamSpec extends AnyFunSuite {
     val total = agg.agg(sum("n")).collect()(0).getLong(0)
     assert(total == ev.count())
   }
+
+  test("stream-stream interval join: purchases attribute to in-horizon views only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = FileStream.intervalJoin(
+      purchases.toDS().toDF("user_id", "pts", "amount"),
+      views.toDS().toDF("user_id", "vts", "page"),
+      "user_id", "pts", "vts",
+      horizon = "30 minutes", watermarkDelay = "10 minutes")
+    val q = joined.select("user_id", "amount", "page")
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (1L, ts("2026-01-01 10:00:00"), "in_horizon"),
+        (1L, ts("2026-01-01 09:00:00"), "too_old"),
+        (2L, ts("2026-01-01 10:05:00"), "no_purchase"))
+      purchases.addData(
+        (1L, ts("2026-01-01 10:10:00"), 42.0),
+        (3L, ts("2026-01-01 10:00:00"), 7.0)) // no views: inner join drops
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_out")
+        .as[(Long, Double, String)].collect().toSet
+      assert(got == Set((1L, 42.0, "in_horizon")))
+      // a view arriving in a later micro-batch still joins a buffered
+      // purchase while the watermark allows it
+      views.addData((1L, ts("2026-01-01 10:09:00"), "late_batch_view"))
+      q.processAllAvailable()
+      val got2 = spark.table("ssjoin_out")
+        .as[(Long, Double, String)].collect().toSet
+      assert(got2 == Set((1L, 42.0, "in_horizon"), (1L, 42.0, "late_batch_view")))
+    } finally q.stop()
+  }
 }
