@@ -198,6 +198,25 @@ object ScaleQueries {
        |WHERE rn <= CASE lang $o6Quota ELSE 0 END
        |ORDER BY lang, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- a14
+
+  /** A14: top-3 longest documents per language via the bounded-buffer
+    * top-k aggregator (TopKOps) — one shuffle of k-row partial buffers,
+    * never a per-group full sort. The oracle replays it as the window
+    * form it replaces. */
+  private val a14: Q = (s, dir) =>
+    graft.operators.TopKOps.topKByValue(
+        t(s, dir, "documents"), Seq("lang"),
+        col("n_chars"), col("doc_id"), k = 3,
+        orderName = "n_chars", tieName = "doc_id")
+      .orderBy("lang", "rank")
+  private val a14Sql =
+    """SELECT lang, CAST(rn AS INT) AS rank, n_chars, doc_id FROM (
+      |  SELECT lang, n_chars, doc_id,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -205,14 +224,16 @@ object ScaleQueries {
     "j12_range_join" -> j12,
     "t_kmv_distinct" -> tKmv,
     "t_sampled_quantiles" -> tSq,
-    "o6_quota_sample" -> o6)
+    "o6_quota_sample" -> o6,
+    "a14_topk_per_group" -> a14)
 
   val oracle: Map[String, String] = Map(
     "w7_sequence_pack" -> w7Sql,
     "j12_range_join" -> j12Sql,
     "t_kmv_distinct" -> tKmvSql,
     "t_sampled_quantiles" -> tSqSql,
-    "o6_quota_sample" -> o6Sql)
+    "o6_quota_sample" -> o6Sql,
+    "a14_topk_per_group" -> a14Sql)
 
   /** Sort-free forms for the bench (global ORDER BY exists only for the
     * oracle's deterministic hash-compare). */
@@ -230,5 +251,10 @@ object ScaleQueries {
     "o6_quota_sample" -> ((s, dir) =>
       QuotaOps.quotaSample(
         t(s, dir, "documents"), "lang", o6Weights.toMap, o6TotalN,
-        SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")))))
+        SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")))),
+    "a14_topk_per_group" -> ((s, dir) =>
+      graft.operators.TopKOps.topKByValue(
+        t(s, dir, "documents"), Seq("lang"),
+        col("n_chars"), col("doc_id"), k = 3,
+        orderName = "n_chars", tieName = "doc_id")))
 }

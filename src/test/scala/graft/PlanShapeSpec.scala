@@ -153,6 +153,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bounded top-k aggregates without a window sort (the shape it replaces)") {
+    // TopKOps' contract: k-row partial buffers merged map-side, ONE
+    // shuffle on the group key — never row_number over a sorted group.
+    val p = plan("a14_topk_per_group")
+    assert(!p.contains("windowspecdefinition"),
+      "a14 regressed to the window formulation")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "a14 lost its aggregate")
+  }
+
   test("sequence packing windows per shard, never globally") {
     val p = plan("w7_sequence_pack")
     val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList

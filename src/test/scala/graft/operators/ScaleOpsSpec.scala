@@ -147,6 +147,35 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(noW.filter(col("lang") =!= "a").count() == 0L)
   }
 
+  // ------------------------------------------------------------ TopKOps
+
+  test("topKByValue equals the window formulation it replaces") {
+    val df = (0L until 5000L).map(i =>
+      (s"g${i % 7}", i * 131 % 997, i)).toDF("g", "v", "id")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(desc("v"), asc("id"))
+    val expected = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("g"), col("rank"), col("v").as("n"), col("id"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    val got = TopKOps.topKByValue(df, Seq("g"), col("v"), col("id"), 5,
+        orderName = "n", tieName = "id")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("topKByValue: short groups keep everything; result is partitioning-invariant") {
+    val df = (0L until 300L).map(i => (s"g${i % 100}", i % 13, i)).toDF("g", "v", "id")
+    val a = TopKOps.topKByValue(df, Seq("g"), col("v"), col("id"), 5)
+      .as[(String, Int, Long, Long)].collect().toSet
+    val b = TopKOps.topKByValue(df.repartition(23, col("id") % 11), Seq("g"),
+        col("v"), col("id"), 5)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(a == b)
+    // 100 groups x 3 rows each, k=5 > 3: all 300 rows survive, ranked
+    assert(a.size == 300)
+  }
+
   test("quotaSample is deterministic: same draw on rerun and under repartition") {
     val df = (0L until 500L).map(i => (s"s${i % 3}", i)).toDF("lang", "id")
     def draw(d: org.apache.spark.sql.DataFrame) =
