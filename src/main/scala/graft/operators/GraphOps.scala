@@ -43,23 +43,28 @@ object GraphOps {
       maxIter: Int = 50): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
 
-    // Nodes of the input graph (captured before star rounds rewrite the
-    // edge set): isolated self-loop nodes still get a component row.
-    val inputNodes = edges0
-      .select(col(srcCol).cast("long").as("n"))
-      .union(edges0.select(col(dstCol).cast("long").as("n")))
-      .filter(col("n").isNotNull)
-      .distinct()
-
     def canon(df: DataFrame): DataFrame =
       df.filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"),
           greatest(col("u"), col("v")).as("v"))
         .distinct()
 
-    var edges = canon(edges0.select(
-        col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
+    // Materialize the (possibly expensive) upstream ONCE — node capture
+    // and edge canonicalization both read this checkpoint, not the
+    // input lineage (a candidate-pair generator would otherwise run
+    // twice).
+    val raw = edges0
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .localCheckpoint(true)
+
+    // Nodes of the input graph (captured before star rounds rewrite the
+    // edge set): isolated self-loop nodes still get a component row.
+    val inputNodes = raw
+      .select(col("u").as("n")).union(raw.select(col("v").as("n")))
+      .filter(col("n").isNotNull)
+      .distinct()
+
+    var edges = canon(raw).localCheckpoint(true)
 
     // Cheap fixpoint signature: (|E|, xor of a 64-bit edge hash) — xor,
     // not sum, because it is order-independent AND cannot overflow under
@@ -102,7 +107,15 @@ object GraphOps {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // Adaptive parallelism: the signature already told us |E|, so a
+      // small edge set (every late round, and every round at test/sf
+      // scale) runs its star ops on a handful of tasks instead of
+      // paying full-width task overhead per round. Same idea as AQE's
+      // partition coalescing, driven by a count we get for free; large
+      // edge sets keep their native width.
+      val base =
+        if (sig._1 <= 2_000_000L) edges.coalesce(4) else edges
+      val next = smallStar(largeStar(base)).localCheckpoint(true)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

@@ -655,6 +655,10 @@ object DedupQueries {
     "dedup_minhash_lsh" -> ((s, dir) =>
       DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
         shingleK = 3, numHashes = 8, bands = 2)),
+    "dedup_cc_clusters" -> ((s, dir) =>
+      graft.operators.GraphOps.connectedComponents(
+        DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
+          shingleK = 3, numHashes = 8, bands = 2), "id_a", "id_b")),
     "emb_near_dup" -> ((s, dir) =>
       SimilarityOps.cosineNearDupPairs(
         embCorpus(s, dir).withColumn("lsh_block",
