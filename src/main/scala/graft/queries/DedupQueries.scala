@@ -114,6 +114,43 @@ object DedupQueries {
       |  (node = MIN(m)) AS is_survivor
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ sparse tf-cosine
+
+  /** Term-space near-dup pairs via the inverted-index posting join
+    * (SparseSimOps): cosine over exact-integer tf vectors on the
+    * df≤400-filtered vocabulary, threshold 0.8. Every arithmetic step
+    * is either exact integer math or a correctly-rounded IEEE op, so
+    * the cosine DOUBLE itself hash-compares across engines. */
+  private val dedupSparse: Q = (s, dir) =>
+    graft.operators.SparseSimOps.tfCosinePairs(
+        corpus(s, dir), "doc_id", "t", minCosine = 0.8, dfCap = 400L)
+      .orderBy("id_a", "id_b")
+  private val dedupSparseSql =
+    "WITH " + corpusCte +
+    """, tf AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(t), '[a-z0-9]+')) AS term
+      |        FROM corpus)
+      |  GROUP BY doc_id, term),
+      |kept AS (
+      |  SELECT tf.* FROM tf
+      |  JOIN (SELECT term, COUNT(*) AS df FROM tf GROUP BY term) d USING (term)
+      |  WHERE d.df <= 400),
+      |norms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM kept GROUP BY doc_id),
+      |dots AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS dot
+      |  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id_a, id_b, cosine FROM (
+      |  SELECT id_a, id_b,
+      |    CAST(dot AS DOUBLE) /
+      |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+      |  FROM dots
+      |  JOIN norms na ON na.doc_id = id_a
+      |  JOIN norms nb ON nb.doc_id = id_b)
+      |WHERE cosine >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------------ simhash
 
   private val dedupSimhash: Q = (s, dir) =>
@@ -659,6 +696,9 @@ object DedupQueries {
       graft.operators.GraphOps.connectedComponents(
         DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
           shingleK = 3, numHashes = 8, bands = 2), "id_a", "id_b")),
+    "dedup_sparse_cosine" -> ((s, dir) =>
+      graft.operators.SparseSimOps.tfCosinePairs(
+        corpus(s, dir), "doc_id", "t", minCosine = 0.8, dfCap = 400L)),
     "emb_near_dup" -> ((s, dir) =>
       SimilarityOps.cosineNearDupPairs(
         embCorpus(s, dir).withColumn("lsh_block",
@@ -669,6 +709,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_cc_clusters" -> dedupCc,
+    "dedup_sparse_cosine" -> dedupSparse,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "emb_near_dup" -> embNearDup,
@@ -685,6 +726,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashSql,
     "dedup_cc_clusters" -> dedupCcSql,
+    "dedup_sparse_cosine" -> dedupSparseSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql,
     "emb_near_dup" -> embNearDupSql,

@@ -147,6 +147,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(noW.filter(col("lang") =!= "a").count() == 0L)
   }
 
+  // -------------------------------------------------------- SparseSimOps
+
+  test("tfCosinePairs matches a hand-computed cosine; shared-term-only pairs") {
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha beta beta gamma"),   // exact dup of 1 -> cosine 1.0
+      (3L, "alpha beta delta"),        // partial overlap with 1/2
+      (4L, "zeta eta theta"))          // no shared terms -> never paired
+      .toDF("id", "txt")
+    val got = SparseSimOps.tfCosinePairs(docs, "id", "txt", 0.1, 100L)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-12)
+    // doc1 = {alpha:1, beta:2, gamma:1} |v|=sqrt(6); doc3 = {alpha:1, beta:1, delta:1}
+    // dot = 1 + 2 = 3; cosine = 3 / (sqrt(6)*sqrt(3))
+    val expected13 = 3.0 / (math.sqrt(6.0) * math.sqrt(3.0))
+    assert(math.abs(got((1L, 3L)) - expected13) < 1e-12)
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("tfCosinePairs: dfCap removes a term from vectors AND norms on both sides") {
+    // 'common' appears in all 3 docs; with dfCap=2 it is dropped, making
+    // docs 1/2 identical over the remaining vocabulary -> cosine 1.0
+    val docs = Seq(
+      (1L, "common unique1 shared"),
+      (2L, "common unique1 shared"),
+      (3L, "common other words")).toDF("id", "txt")
+    val capped = SparseSimOps.tfCosinePairs(docs, "id", "txt", 0.99, 2L)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(capped == Set((1L, 2L)))
+  }
+
   // ------------------------------------------------------------ TopKOps
 
   test("topKByValue equals the window formulation it replaces") {
