@@ -39,7 +39,7 @@ object Bench {
     "t_lang_id", "t_quality", "t_token_count", "t_top_terms",
     "t_winnow_fingerprint", "t_length_stats", "t_pii_redact",
     "t_boilerplate", "t_decontaminate", "t_repetition", "a8_corpus_wer",
-    "w7_sequence_pack", "j12_range_join", "t_kmv_distinct",
+    "w7_sequence_pack", "w8_chunk_overlap", "j12_range_join", "t_kmv_distinct",
     "t_sampled_quantiles", "o6_quota_sample", "dedup_cc_clusters",
     "a14_topk_per_group", "dedup_sparse_cosine",
     "mm_wav_probe", "mm_image_probe", "mm_image_resize",

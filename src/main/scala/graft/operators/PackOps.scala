@@ -59,4 +59,38 @@ object PackOps {
       .withColumn("seq_last", expr(s"(tok_start + n_tok - 1) div $budget"))
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1L)
   }
+
+  /** Sliding-window token chunking with overlap — the retrieval/context-
+    * window counterpart to packSequences: instead of cutting a
+    * concatenated stream at exact budgets, each DOCUMENT is split into
+    * `size`-token chunks whose starts advance by `stride` (< size ⇒
+    * overlapping chunks, the standard RAG/window layout). Entirely
+    * row-local (tokenize, enumerate starts, slice — no shuffle at all);
+    * the fan-out is ceil(n/stride) rows per doc. `tokArrayCol` must
+    * evaluate to an array of token strings.
+    *
+    * Output per chunk: chunk_idx (0-based), tok_start, n_tok (= size
+    * except at the tail), chunk (space-joined tokens). Docs with zero
+    * tokens emit nothing.
+    */
+  def chunkOverlap(
+      df: DataFrame, tokArrayCol: Column, size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size (stride > size would skip tokens)")
+    df.withColumn("__toks", tokArrayCol)
+      .filter(size_(col("__toks")) > 0)
+      .select(df.columns.map(col) :+ posexplode(expr(
+        s"""transform(sequence(0, size(__toks) - 1, $stride),
+           |  s -> struct(
+           |    CAST(s AS BIGINT) AS tok_start,
+           |    size(slice(__toks, s + 1, $size)) AS n_tok,
+           |    array_join(slice(__toks, s + 1, $size), ' ') AS chunk))"""
+          .stripMargin)).as(Seq("__pos", "__c")): _*)
+      .select(df.columns.map(col) :+
+        col("__pos").cast("int").as("chunk_idx") :+
+        col("__c.tok_start") :+ col("__c.n_tok") :+ col("__c.chunk"): _*)
+  }
+
+  // scala.Predef-vs-functions disambiguation for functions.size
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

@@ -44,10 +44,41 @@ object ScaleQueries {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS tok_start
        |  FROM (
        |    SELECT source, doc_id,
-       |      CAST(len(regexp_extract_all(text, '${TextFns.bpeTokenPat.replace("\\", "\\")}')) AS BIGINT) AS n_tok
+       |      CAST(len(regexp_extract_all(text, '${TextFns.bpeTokenPat}')) AS BIGINT) AS n_tok
        |    FROM documents)
        |  WHERE n_tok > 0)
        |ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- w8
+
+  /** W8: overlapping 64-token chunks, stride 48 (25% overlap), per
+    * document — row-local fan-out, no shuffle (PackOps.chunkOverlap).
+    * The oracle re-slices the same token arrays with DuckDB list math. */
+  private val w8Size = 64
+  private val w8Stride = 48
+  // Column form with lit(), NOT expr("... '\s' ..."): Spark SQL string
+  // literals escape-process backslashes, which would corrupt the pattern.
+  private val w8: Q = (s, dir) =>
+    PackOps.chunkOverlap(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        regexp_extract_all(col("text"), lit(TextFns.bpeTokenPat), lit(0)),
+        w8Size, w8Stride)
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
+        col("n_tok"), col("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+  private val w8Sql =
+    s"""SELECT doc_id, CAST(s // $w8Stride AS INT) AS chunk_idx,
+       |  CAST(s AS BIGINT) AS tok_start,
+       |  CAST(least($w8Size, n - s) AS INT) AS n_tok,
+       |  array_to_string(toks[s + 1 : s + $w8Size], ' ') AS chunk
+       |FROM (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    unnest(range(0, len(toks), $w8Stride)) AS s
+       |  FROM (SELECT doc_id,
+       |          regexp_extract_all(text, '${TextFns.bpeTokenPat}') AS toks
+       |        FROM documents)
+       |  WHERE len(toks) > 0)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
 
   // --------------------------------------------------------------- j12
 
@@ -221,6 +252,7 @@ object ScaleQueries {
 
   val queries: Map[String, Q] = Map(
     "w7_sequence_pack" -> w7,
+    "w8_chunk_overlap" -> w8,
     "j12_range_join" -> j12,
     "t_kmv_distinct" -> tKmv,
     "t_sampled_quantiles" -> tSq,
@@ -229,6 +261,7 @@ object ScaleQueries {
 
   val oracle: Map[String, String] = Map(
     "w7_sequence_pack" -> w7Sql,
+    "w8_chunk_overlap" -> w8Sql,
     "j12_range_join" -> j12Sql,
     "t_kmv_distinct" -> tKmvSql,
     "t_sampled_quantiles" -> tSqSql,
@@ -256,5 +289,10 @@ object ScaleQueries {
       graft.operators.TopKOps.topKByValue(
         t(s, dir, "documents"), Seq("lang"),
         col("n_chars"), col("doc_id"), k = 3,
-        orderName = "n_chars", tieName = "doc_id")))
+        orderName = "n_chars", tieName = "doc_id")),
+    "w8_chunk_overlap" -> ((s, dir) =>
+      PackOps.chunkOverlap(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        regexp_extract_all(col("text"), lit(TextFns.bpeTokenPat), lit(0)),
+        w8Size, w8Stride)))
 }

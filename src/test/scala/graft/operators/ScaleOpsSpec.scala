@@ -58,6 +58,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     byShard.foreach(r => assert(r.getLong(1) == 0L)) // each shard restarts at seq 0
   }
 
+  test("chunkOverlap: starts advance by stride, every token covered, tail chunk short") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, ""))
+      .toDF("id", "txt")
+    // regex tokenizer, not split: split('', ' ') is [''] — one empty token
+    val rows = PackOps.chunkOverlap(docs,
+        expr("regexp_extract_all(txt, '[a-z0-9]+', 0)"), size = 4, stride = 3)
+      .select("id", "chunk_idx", "tok_start", "n_tok", "chunk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    // empty doc 2 emits nothing; doc 1 (10 tokens): starts 0,3,6,9
+    assert(rows.forall(_._1 == 1L) && rows.length == 4)
+    assert(rows.map(_._3).toSeq == Seq(0L, 3L, 6L, 9L))
+    assert(rows.map(_._4).toSeq == Seq(4, 4, 4, 1)) // tail = 1 token
+    assert(rows(0)._5 == "t1 t2 t3 t4" && rows(3)._5 == "t10")
+    // overlap: each chunk after the first repeats size-stride=1 token
+    assert(rows(1)._5.startsWith("t4 "))
+  }
+
   // ------------------------------------------------------- RangeJoinOps
 
   test("binnedRangeJoin equals the naive inequality join, any bin width") {
