@@ -248,6 +248,70 @@ object ScaleQueries {
       |  FROM documents)
       |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin
 
+  // --------------------------------------------------------- pipe (flagship)
+
+  /** End-to-end pre-training pass, composed from the verified operators
+    * as ONE declarative plan: PII redaction → exact dedup (canonical-form
+    * keep-first) → quota sample to the target language mix → sequence
+    * packing at a 512-token budget, sharded by language. The point is
+    * compositionality: each stage is the same operator its own query
+    * verifies, Catalyst plans the whole chain together (the scrub runs
+    * inside the dedup's scan, the pack window reads the sample's
+    * shuffle), and the oracle replays the identical composition in SQL. */
+  private val pipeWeights = Seq(
+    "en" -> 0.40, "de" -> 0.30, "es" -> 0.30, "fr" -> 0.30, "zh" -> 0.20)
+  private val pipeN = 400L
+  private val pipe: Q = (s, dir) => {
+    val clean = t(s, dir, "documents")
+      .withColumn("text", TextFns.redact_pii(col("text")))
+    val ded = graft.operators.DedupOps.exactDedup(clean, "text", "doc_id")
+    val mixed = QuotaOps.quotaSample(ded, "lang", pipeWeights.toMap, pipeN,
+      SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")))
+    PackOps.packSequences(mixed, "lang", Seq("doc_id"),
+        TextFns.token_count(col("text")), budget)
+      .select(col("lang"), col("doc_id"), col("n_tok"), col("tok_start"),
+        col("seq_first"), col("seq_offset"), col("n_seqs"))
+      .orderBy("lang", "doc_id")
+  }
+  private val pipeQuotaCase = pipeWeights.map { case (s, w) =>
+    s"WHEN '$s' THEN ${math.ceil(pipeN * w).toLong}"
+  }.mkString(" ")
+  private val pipeSql =
+    s"""WITH clean AS (
+       |  SELECT doc_id, lang,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      'https?://[^\\s]+', '<URL>', 'g'),
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |      '\\+?[0-9][0-9 .-]{7,}[0-9]', '<PHONE>', 'g') AS text
+       |  FROM documents),
+       |ded AS (
+       |  SELECT doc_id, lang, text FROM clean
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+       |    ORDER BY doc_id) = 1),
+       |mixed AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      row_number() OVER (PARTITION BY lang
+       |        ORDER BY ((doc_id % 999999937 + 999999937) * 123456791 + 7919) % 999999937,
+       |                 doc_id) AS rn
+       |    FROM ded)
+       |  WHERE rn <= CASE lang $pipeQuotaCase ELSE 0 END)
+       |SELECT lang, doc_id, n_tok, tok_start,
+       |  tok_start // $budget AS seq_first,
+       |  tok_start % $budget AS seq_offset,
+       |  (tok_start + n_tok - 1) // $budget - tok_start // $budget + 1 AS n_seqs
+       |FROM (
+       |  SELECT lang, doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS tok_start
+       |  FROM (
+       |    SELECT lang, doc_id,
+       |      CAST(len(regexp_extract_all(text, '${TextFns.bpeTokenPat}')) AS BIGINT) AS n_tok
+       |    FROM mixed)
+       |  WHERE n_tok > 0)
+       |ORDER BY lang, doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -257,7 +321,8 @@ object ScaleQueries {
     "t_kmv_distinct" -> tKmv,
     "t_sampled_quantiles" -> tSq,
     "o6_quota_sample" -> o6,
-    "a14_topk_per_group" -> a14)
+    "a14_topk_per_group" -> a14,
+    "pipe_pretrain_pack" -> pipe)
 
   val oracle: Map[String, String] = Map(
     "w7_sequence_pack" -> w7Sql,
@@ -266,7 +331,8 @@ object ScaleQueries {
     "t_kmv_distinct" -> tKmvSql,
     "t_sampled_quantiles" -> tSqSql,
     "o6_quota_sample" -> o6Sql,
-    "a14_topk_per_group" -> a14Sql)
+    "a14_topk_per_group" -> a14Sql,
+    "pipe_pretrain_pack" -> pipeSql)
 
   /** Sort-free forms for the bench (global ORDER BY exists only for the
     * oracle's deterministic hash-compare). */
@@ -294,5 +360,14 @@ object ScaleQueries {
       PackOps.chunkOverlap(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         regexp_extract_all(col("text"), lit(TextFns.bpeTokenPat), lit(0)),
-        w8Size, w8Stride)))
+        w8Size, w8Stride)),
+    "pipe_pretrain_pack" -> ((s, dir) => {
+      val clean = t(s, dir, "documents")
+        .withColumn("text", TextFns.redact_pii(col("text")))
+      val ded = graft.operators.DedupOps.exactDedup(clean, "text", "doc_id")
+      val mixed = QuotaOps.quotaSample(ded, "lang", pipeWeights.toMap, pipeN,
+        SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")))
+      PackOps.packSequences(mixed, "lang", Seq("doc_id"),
+        TextFns.token_count(col("text")), budget)
+    }))
 }
