@@ -114,6 +114,40 @@ object DedupQueries {
       |  (node = MIN(m)) AS is_survivor
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  /** The deduplicated corpus itself: every document EXCEPT non-minimum
+    * members of a near-dup cluster (the delete set CC derives). This is
+    * the operator a pipeline actually runs — pairs → clusters →
+    * survivors — materialized end to end. */
+  private val dedupCcSurvivors: Q = (s, dir) => {
+    val pairs = DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
+      shingleK = 3, numHashes = 8, bands = 2)
+    val cc = graft.operators.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+    val deletes = cc.filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    corpus(s, dir).join(deletes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("t"))
+      .orderBy("doc_id")
+  }
+  private val dedupCcSurvivorsSql =
+    "WITH RECURSIVE " + corpusCte + ", " + minhashPairCtes + "," +
+    """
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(node, m) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b),
+      |deletes AS (
+      |  SELECT node FROM (SELECT node, MIN(m) AS comp FROM reach GROUP BY node)
+      |  WHERE node <> comp)
+      |SELECT c.doc_id, c.lang, c.t FROM corpus c
+      |ANTI JOIN deletes d ON c.doc_id = d.node
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ sparse tf-cosine
 
   /** Term-space near-dup pairs via the inverted-index posting join
@@ -710,6 +744,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_cc_clusters" -> dedupCc,
     "dedup_sparse_cosine" -> dedupSparse,
+    "dedup_cc_survivors" -> dedupCcSurvivors,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "emb_near_dup" -> embNearDup,
@@ -727,6 +762,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> dedupMinhashSql,
     "dedup_cc_clusters" -> dedupCcSql,
     "dedup_sparse_cosine" -> dedupSparseSql,
+    "dedup_cc_survivors" -> dedupCcSurvivorsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql,
     "emb_near_dup" -> embNearDupSql,
