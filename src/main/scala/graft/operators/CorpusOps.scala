@@ -66,21 +66,24 @@ object CorpusOps {
     *
     * Scale shape: the benchmark n-gram set is SMALL BY DEFINITION (eval
     * suites are a few MB against a 100 TB corpus) — broadcast-hinted, so
-    * the corpus side never shuffles its n-grams; the only wide exchange
-    * is the per-doc distinct + count on (doc, gram), one shuffle. */
+    * the corpus side never shuffles its n-grams. Per-doc n-gram
+    * DISTINCTness is row-local (`array_distinct` before the explode, a
+    * doc's grams all live in its own row) — a `.distinct()` there would
+    * shuffle every (doc, gram) row for a result each row already owns.
+    * The corpus side's only exchange is the final per-doc count
+    * aggregation of broadcast-join outputs. */
   def contaminationScores(
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, shingleK: Int = 3): DataFrame = {
     def grams(df: DataFrame, textC: String, keep: Seq[Column]): DataFrame =
       df.withColumn("__toks",
           expr(s"regexp_extract_all(lower($textC), '[a-z0-9]+', 0)"))
-        .select(keep :+ explode(
-          DedupOps.shinglesOfTokens("__toks", shingleK)).as("__ng"): _*)
+        .select(keep :+ explode(array_distinct(
+          DedupOps.shinglesOfTokens("__toks", shingleK))).as("__ng"): _*)
     val benchSet = grams(bench, benchTextCol, Seq.empty)
-      .select(col("__ng")).distinct()
+      .select(col("__ng")).distinct() // cross-DOC distinct: not row-local
       .withColumn("__hit", lit(1))
     val docGrams = grams(docs, textCol, Seq(col(idCol)))
-      .select(col(idCol), col("__ng")).distinct()
     docGrams.join(broadcast(benchSet), Seq("__ng"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
