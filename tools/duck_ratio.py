@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Marginal-cost audit: median DuckDB wall time of each benched query's
+oracle SQL on the same sf parquet, next to the Spark bench numbers.
+
+Reads bench.json (written by graft.Bench) and the oracle_sql.json a
+graft.Verify run dumps. Fixture-reading oracles (read_csv/read_blob over
+/tmp fixture trees) are skipped — DuckDB would be timing file IO the
+Spark side also re-creates, not the operator.
+
+Usage: python3 tools/duck_ratio.py <sfDir> <verifyOutDir>
+"""
+import json, sys, time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    sf, vdir = sys.argv[1], sys.argv[2]
+    oracle = json.load(open(f"{vdir}/oracle_sql.json"))
+    bench = json.load(open("bench.json"))
+    con = duckdb.connect()
+    con.execute("SET threads=32")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    rows, skipped = [], []
+    for q, spark_s in bench["queries"].items():
+        sql = oracle.get(q)
+        if not sql or any(m in sql for m in ("read_blob", "read_csv", "read_json", "'/tmp/")):
+            skipped.append(q)
+            continue
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            ts.append(time.time() - t0)
+        rows.append((spark_s / sorted(ts)[1], q, spark_s, sorted(ts)[1]))
+    rows.sort(reverse=True)
+    print(f"{'ratio':>7} {'query':30s} {'spark':>7} {'duck':>7}")
+    for r, q, s, d in rows:
+        print(f"{r:7.1f} {q:30s} {s:7.2f} {d:7.2f}")
+    print("skipped (fixture-bound):", " ".join(skipped))
+    st, dt = sum(r[2] for r in rows), sum(r[3] for r in rows)
+    print(f"totals: spark {st:.1f}s duck {dt:.1f}s aggregate ratio {st/dt:.1f}x")
+
+
+if __name__ == "__main__":
+    main()
