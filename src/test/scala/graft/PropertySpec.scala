@@ -123,6 +123,45 @@ object KernelProps extends Properties("graft.kernels") {
     }
 
   // -------------------------------------------------- W3 fold model
+  // --------------------------- bounded-buffer aggregator merge laws
+  // Partial-aggregation merge order is nondeterministic under real
+  // partitioning, so both bounded buffers must be exact set summaries:
+  // any partitioning of the input, reduced then merged in any grouping,
+  // must equal the single-pass fold.
+
+  private val longs = Gen.nonEmptyListOf(Gen.choose(-50L, 5000L))
+  private val splitPoints = Gen.choose(0, 100)
+
+  property("KMV buffer: merge of any split == single-pass fold") =
+    forAll(longs, splitPoints, Gen.oneOf(3, 8, 64)) { (vs, cut, k) =>
+      val agg = new graft.operators.SketchOps.KmvAgg(k)
+      def fold(xs: Seq[Long]) =
+        xs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+      val whole = fold(vs)
+      val (l, r) = vs.splitAt(cut % (vs.length + 1))
+      val merged = agg.merge(fold(l), fold(r))
+      val mergedRev = agg.merge(fold(r), fold(l))
+      Prop(merged.sameElements(whole)) :| "split==whole" &&
+        Prop(mergedRev.sameElements(whole)) :| "merge commutes"
+    }
+
+  property("TopK buffer: merge of any split == single-pass fold; ranked correctly") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 1000L))),
+        splitPoints, Gen.oneOf(1, 3, 7)) { (vs0, cut, k) =>
+      val vs = vs0.distinct // tie column must be unique per contract
+      val agg = new graft.operators.TopKOps.TopKAgg(k)
+      def fold(xs: Seq[(Long, Long)]) =
+        xs.foldLeft(agg.zero)((b, v) => agg.reduce(b, v))
+      val whole = fold(vs)
+      val (l, r) = vs.splitAt(cut % (vs.length + 1))
+      val merged = agg.merge(fold(l), fold(r))
+      // model: sort by (value desc, tie asc), take k, flatten
+      val model = vs.sortBy { case (v, t) => (-v, t) }.take(k)
+        .flatMap { case (v, t) => Seq(v, t) }.toArray
+      Prop(whole.sameElements(model)) :| "fold==model" &&
+        Prop(merged.sameElements(model)) :| "merge==model"
+    }
+
   /** Reference fold (process_all.py:305-335) as a tiny model: emitted
     * groups reach threshold; a kept tail is in [threshold/2, threshold);
     * concatenated kept text is a prefix-respecting subsequence. */
