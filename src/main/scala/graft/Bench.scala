@@ -53,14 +53,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Tables.registerAll(spark, sfDir)
     graft.functions.TextFns.registerAll(spark)
-    val qs = headline.filter(SparkEntry.queries.contains) match {
+    // Optional args = subset of query names to time (fast iteration on a
+    // single operator); no args = the full headline set.
+    val qs = (if (args.nonEmpty) headline.filter(args.contains)
+              else headline).filter(SparkEntry.queries.contains) match {
       case Seq() => SparkEntry.queries.keys.toSeq.sorted
       case hs    => hs
     }
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      // benchVariants drops harness-only global sorts; semantics identical
-      try SparkEntry.benchVariants.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
+      // benchVariants drops harness-only work a plain sort-strip can't
+      // express; stripRootSort then removes the oracle-determinism
+      // orderBy every registered query carries (see GraftBenchShim).
+      try org.apache.spark.sql.GraftBenchShim.stripRootSort(
+        SparkEntry.benchVariants.getOrElse(name, SparkEntry.queries(name))(spark, sfDir))
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
