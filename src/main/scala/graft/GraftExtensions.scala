@@ -4,7 +4,11 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DurationToHoursExpr, NormalizeNameExpr}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{AsciiTokensExpr, BpeCountExpr, BpeTokensExpr,
+  DurationToHoursExpr, NormalizeNameExpr, RepStatsExpr}
 
 /** SparkSessionExtensions hook (enable with
   * `spark.sql.extensions=graft.GraftExtensions`, set by [[Sessions.builder]]):
@@ -24,5 +28,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("duration_to_hours_native"),
       new ExpressionInfo(classOf[DurationToHoursExpr].getName, "duration_to_hours_native"),
       (children: Seq[Expression]) => DurationToHoursExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ascii_tokens"),
+      new ExpressionInfo(classOf[AsciiTokensExpr].getName, "ascii_tokens"),
+      (children: Seq[Expression]) =>
+        AsciiTokensExpr(children.head, withDigits = true, minLen = 1)))
+    ext.injectFunction((
+      FunctionIdentifier("ascii_alpha_tokens"),
+      new ExpressionInfo(classOf[AsciiTokensExpr].getName, "ascii_alpha_tokens"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => AsciiTokensExpr(c, withDigits = false, minLen = 1)
+        case Seq(c, Literal(m: Int, IntegerType)) =>
+          AsciiTokensExpr(c, withDigits = false, minLen = m)
+        case _ => throw new IllegalArgumentException(
+          "ascii_alpha_tokens(text[, minLen literal])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokensExpr].getName, "bpe_tokens"),
+      (children: Seq[Expression]) => BpeTokensExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeCountExpr].getName, "bpe_count"),
+      (children: Seq[Expression]) => BpeCountExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("rep_stats"),
+      new ExpressionInfo(classOf[RepStatsExpr].getName, "rep_stats"),
+      (children: Seq[Expression]) => RepStatsExpr(children.head)))
   }
 }

@@ -349,10 +349,8 @@ object TextFns {
   /** BPE-ish token count: letter runs, single digits, single non-space
     * punctuation. RE2-compatible pattern so the DuckDB oracle matches. */
   val bpeTokenPat = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
-  // group idx 0 (whole match) must be explicit: the 2-arg overload defaults
-  // to group 1, which throws because the pattern has no capture group.
   def token_count(c: Column): Column =
-    size(regexp_extract_all(c, lit(bpeTokenPat), lit(0)))
+    org.apache.spark.sql.functions.call_function("bpe_count", c)
 
   // ---------------------------------------------------------------- F20
   /** Unicode-escape decode: '\n','\t','\r','\\','\uXXXX','\xNN' sequences

@@ -1,0 +1,266 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hand-written tokenizer kernels replacing the java.util.regex hot paths
+  * (`regexp_extract_all(lower(text), '[a-z0-9]+', 0)` and the BPE-ish
+  * `[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]` pattern). Tokenization is the single
+  * largest CPU term of the dedup/text-quality surface — every MinHash
+  * shingle, SimHash vote, tf term and token count starts here — and a
+  * regex engine pays NFA bookkeeping per char for what is a one-pass byte
+  * scan. Semantics are EXACTLY the regex forms' (the DuckDB oracles keep
+  * the regex SQL, so oracle-exactness is the equivalence proof; a
+  * property test additionally pins kernel == regex on adversarial
+  * unicode input):
+  *
+  *   - [[TokenKernels.asciiRuns]]: maximal runs of [a-z0-9] (or [a-z])
+  *     bytes in `lower(s)`, lowercased by the SAME call Spark's `lower`
+  *     makes (UTF8String.toLowerCase). Multi-byte UTF-8 units all have
+  *     the high bit set, so they can never join an ASCII run — a byte
+  *     scan IS the per-code-point regex scan for this char class. A
+  *     `minLen` of n reproduces `[a-z]{n,}`: regex greed makes every
+  *     match a maximal run, so the quantifier is a run-length filter.
+  *   - [[TokenKernels.bpeTokens]]/[[TokenKernels.bpeCount]]: letter runs,
+  *     single digits, single non-space-non-alnum CODE POINTS (multi-byte
+  *     UTF-8 sequences step as one token, matching java.util.regex and
+  *     RE2 code-point semantics; \s here is ASCII whitespace in both
+  *     engines). bpeCount never materializes the token array — token
+  *     counting (w7/w8/t_length_stats/pipe packing) only needs the int.
+  *
+  * All exposed as codegen'd expressions (registered in GraftExtensions):
+  * whole-stage codegen calls the static kernel directly — no UDF
+  * encoder round-trip, no regex compilation per task.
+  */
+object TokenKernels {
+
+  private def inRun(b: Byte, digits: Boolean): Boolean =
+    (b >= 'a' && b <= 'z') || (digits && b >= '0' && b <= '9')
+
+  /** Maximal [a-z0-9]+ (withDigits) / [a-z]+ runs of length >= minLen in
+    * lower(s). Token UTF8Strings share the lowered string's byte array —
+    * no per-token copy. */
+  def asciiRuns(s0: UTF8String, withDigits: Boolean, minLen: Int): ArrayData = {
+    val s = s0.toLowerCase
+    val b = s.getBytes
+    val n = b.length
+    val out = new java.util.ArrayList[UTF8String](math.min(n >> 2, 64) + 4)
+    var i = 0
+    while (i < n) {
+      if (inRun(b(i), withDigits)) {
+        val start = i
+        i += 1
+        while (i < n && inRun(b(i), withDigits)) i += 1
+        if (i - start >= minLen) out.add(UTF8String.fromBytes(b, start, i - start))
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  private def isAsciiWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+  private def isLetter(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  /** UTF-8 sequence length from its leading byte (1 for ASCII and — for
+    * robustness on malformed input — for stray continuation bytes). */
+  private def seqLen(b: Byte): Int =
+    if ((b & 0x80) == 0) 1
+    else if ((b & 0xE0) == 0xC0) 2
+    else if ((b & 0xF0) == 0xE0) 3
+    else if ((b & 0xF8) == 0xF0) 4
+    else 1
+
+  /** Tokens of `[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]` over the raw (NOT
+    * lowered) string. */
+  def bpeTokens(s: UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    val out = new java.util.ArrayList[UTF8String](math.min(n >> 1, 128) + 4)
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (isLetter(c)) {
+        val start = i
+        i += 1
+        while (i < n && isLetter(b(i))) i += 1
+        out.add(UTF8String.fromBytes(b, start, i - start))
+      } else if (isDigit(c)) {
+        out.add(UTF8String.fromBytes(b, i, 1)); i += 1
+      } else if (isAsciiWs(c)) {
+        i += 1
+      } else {
+        val len = math.min(seqLen(c), n - i)
+        out.add(UTF8String.fromBytes(b, i, len)); i += len
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** size(bpeTokens(s)) without materializing the array. */
+  def bpeCount(s: UTF8String): Int = {
+    val b = s.getBytes
+    val n = b.length
+    var i = 0
+    var cnt = 0
+    while (i < n) {
+      val c = b(i)
+      if (isLetter(c)) {
+        cnt += 1; i += 1
+        while (i < n && isLetter(b(i))) i += 1
+      } else if (isDigit(c)) { cnt += 1; i += 1 }
+      else if (isAsciiWs(c)) i += 1
+      else { cnt += 1; i += math.min(seqLen(c), n - i) }
+    }
+    cnt
+  }
+
+  /** One-pass repetition signals for CorpusOps.repetitionSignals —
+    * replaces two explode+groupBy+groupBy branches (four shuffles) with a
+    * row-local kernel; the Gopher-style signals are per-DOCUMENT facts,
+    * and a document's text lives in one row. Returns
+    * (n_lines, n_dup_lines, top_bigram_cnt, n_bigrams), all longs
+    * (schema-identical to the aggregation form):
+    *
+    *   - lines: split on '\n'; blank = all-space (both engines' trim
+    *     strips ' ' only); duplicates are EXACT untrimmed repeats.
+    *   - bigrams: over asciiRuns(text, digits, 1), adjacent pairs; a doc
+    *     with <2 tokens has ONE degenerate gram (the lone token, or ""),
+    *     reproducing the shinglesOfTokens greatest(n-1, 1) convention the
+    *     oracle SQL replays.
+    */
+  def repStats(s: UTF8String): InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    // line pass
+    var nLines = 0L
+    val seen = new java.util.HashSet[UTF8String]()
+    var dup = 0L
+    var lineStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || b(i) == '\n') {
+        var blank = true
+        var j = lineStart
+        while (blank && j < i) { if (b(j) != ' ') blank = false; j += 1 }
+        if (!blank) {
+          nLines += 1
+          if (!seen.add(UTF8String.fromBytes(b, lineStart, i - lineStart))) dup += 1
+        }
+        lineStart = i + 1
+      }
+      i += 1
+    }
+    // bigram pass
+    val toks = asciiRuns(s, withDigits = true, minLen = 1)
+    val nt = toks.numElements()
+    var top = 1L
+    val nBigrams = math.max(nt - 1L, 1L)
+    if (nt >= 2) {
+      val counts = new java.util.HashMap[UTF8String, Long]()
+      var k = 0
+      while (k < nt - 1) {
+        val key = UTF8String.concat(
+          toks.getUTF8String(k), UTF8String.fromString(" "), toks.getUTF8String(k + 1))
+        val c = counts.merge(key, 1L, (a, bb) => a + bb)
+        if (c > top) top = c
+        k += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nLines, dup, top, nBigrams))
+  }
+}
+
+/** `ascii_tokens(s)` / `ascii_alpha_tokens(s[, minLen])`: codegen'd
+  * maximal-ASCII-run tokenizer (see [[TokenKernels.asciiRuns]]). */
+case class AsciiTokensExpr(child: Expression, withDigits: Boolean, minLen: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String =
+    if (withDigits) "ascii_tokens" else "ascii_alpha_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.asciiRuns(input.asInstanceOf[UTF8String], withDigits, minLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenKernels.asciiRuns($c, $withDigits, $minLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): AsciiTokensExpr =
+    copy(child = newChild)
+}
+
+/** `bpe_tokens(s)`: the BPE-ish mixed tokenizer as a codegen'd kernel
+  * (see [[TokenKernels.bpeTokens]]). */
+case class BpeTokensExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokens expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.bpeTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenKernels.bpeTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokensExpr =
+    copy(child = newChild)
+}
+
+/** `bpe_count(s)`: token COUNT without the token array (the packing /
+  * length-stats paths only consume the count). */
+case class BpeCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_count expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bpe_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.bpeCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenKernels.bpeCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
+/** `rep_stats(s)`: one-pass intra-document repetition signals (see
+  * [[TokenKernels.repStats]]). */
+case class RepStatsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rep_stats expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_dup_lines", LongType, nullable = false),
+    StructField("top_bigram_cnt", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false)))
+  override def prettyName: String = "rep_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.repStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenKernels.repStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepStatsExpr =
+    copy(child = newChild)
+}

@@ -14,34 +14,31 @@ object CorpusOps {
     * filters): per document, the fraction of non-blank lines that are
     * repeats of an earlier line, and the share of the most common token
     * bigram among all bigram occurrences — high values of either mark
-    * templated/spammy text. Shapes: two per-doc aggregations (one
-    * shuffle each on (doc, line) / (doc, gram)), joined on doc id; no
-    * corpus-wide state, so the operator scales linearly and partitions
-    * by document hash. Divisions are double-cast on both engines for a
-    * bit-exact oracle. */
+    * templated/spammy text.
+    *
+    * Scale shape: ZERO shuffles. These are per-DOCUMENT facts and a
+    * document's text lives in one row, so the whole computation is the
+    * row-local `rep_stats` kernel (TokenKernels.repStats) inside
+    * whole-stage codegen — the earlier two-branch explode + double
+    * groupBy + join form shuffled the corpus four times to aggregate
+    * values each row already owned. Docs whose text is null or has no
+    * non-blank line are dropped (the join-on-doc semantics of the
+    * aggregation form, which the oracle SQL replays). Divisions are
+    * double-cast on both engines for a bit-exact oracle. */
   def repetitionSignals(
-      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lineStats = docs
-      .select(col(idCol), explode(expr(
-        s"filter(split($textCol, '\n'), x -> trim(x) <> '')")).as("__line"))
-      .groupBy(col(idCol), col("__line")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__c")).as("n_lines"),
-        (sum(col("__c")) - count(lit(1))).as("n_dup_lines"))
-    val gramStats = docs
-      .withColumn("__toks",
-        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), expr(s"rep_stats($textCol)").as("__r"))
+      .filter(col("__r.n_lines") > 0)
       .select(col(idCol),
-        explode(DedupOps.shinglesOfTokens("__toks", 2)).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol))
-      .agg(max(col("__c")).as("top_bigram_cnt"), sum(col("__c")).as("n_bigrams"))
-    lineStats.join(gramStats, Seq(idCol))
-      .select(col(idCol), col("n_lines"), col("n_dup_lines"),
-        (col("n_dup_lines").cast("double") / col("n_lines")).as("dup_line_frac"),
-        col("top_bigram_cnt"), col("n_bigrams"),
-        (col("top_bigram_cnt").cast("double") / col("n_bigrams")).as("top_bigram_frac"))
-  }
+        col("__r.n_lines").as("n_lines"),
+        col("__r.n_dup_lines").as("n_dup_lines"),
+        (col("__r.n_dup_lines").cast("double") / col("__r.n_lines"))
+          .as("dup_line_frac"),
+        col("__r.top_bigram_cnt").as("top_bigram_cnt"),
+        col("__r.n_bigrams").as("n_bigrams"),
+        (col("__r.top_bigram_cnt").cast("double") / col("__r.n_bigrams"))
+          .as("top_bigram_frac"))
 
   /** Remove lines that occur in at least `minDocs` distinct documents,
     * preserving each document's remaining line order.
@@ -64,29 +61,40 @@ object CorpusOps {
     * tokenizer and shingle construction as the MinHash dedup family, so
     * the DuckDB oracle reuses that replay verbatim.
     *
-    * Scale shape: the benchmark n-gram set is SMALL BY DEFINITION (eval
-    * suites are a few MB against a 100 TB corpus) — broadcast-hinted, so
-    * the corpus side never shuffles its n-grams. Per-doc n-gram
-    * DISTINCTness is row-local (`array_distinct` before the explode, a
-    * doc's grams all live in its own row) — a `.distinct()` there would
-    * shuffle every (doc, gram) row for a result each row already owns.
-    * The corpus side's only exchange is the final per-doc count
-    * aggregation of broadcast-join outputs. */
+    * Scale shape: ZERO shuffles on the corpus side. The benchmark n-gram
+    * set is SMALL BY DEFINITION (eval suites are a few MB against a
+    * 100 TB corpus): it is collected once — bounded MODEL state, the same
+    * justification as the k-means/IVF centroid matrices — and shipped as
+    * a `SparkContext.broadcast` (one copy per executor; an
+    * expression-literal would instead ride every task's serialized plan,
+    * and the previous broadcast-JOIN form still exploded the corpus to
+    * one row per (doc, gram) and re-aggregated per doc — a full
+    * explode + hash-probe + shuffle to compute counts each row already
+    * owns). Per-doc distinct grams are row-local (`array_distinct`); the
+    * membership count is a UDF over the broadcast set — a UDF, not a
+    * native expression, precisely BECAUSE the set is a Broadcast handle
+    * (documented UDF-justification convention, see KMeansOps). */
   def contaminationScores(
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, shingleK: Int = 3): DataFrame = {
-    def grams(df: DataFrame, textC: String, keep: Seq[Column]): DataFrame =
-      df.withColumn("__toks",
-          expr(s"regexp_extract_all(lower($textC), '[a-z0-9]+', 0)"))
-        .select(keep :+ explode(array_distinct(
-          DedupOps.shinglesOfTokens("__toks", shingleK))).as("__ng"): _*)
-    val benchSet = grams(bench, benchTextCol, Seq.empty)
-      .select(col("__ng")).distinct() // cross-DOC distinct: not row-local
-      .withColumn("__hit", lit(1))
-    val docGrams = grams(docs, textCol, Seq(col(idCol)))
-    docGrams.join(broadcast(benchSet), Seq("__ng"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+    // Tokens are projected into their own column BEFORE shingling —
+    // shinglesOfTokens' slice lambda re-evaluates its operand per
+    // element, so an inlined tokenizer would re-run per shingle.
+    def withGrams(df: DataFrame, textC: String, keep: Seq[Column]): DataFrame =
+      df.withColumn("__toks", expr(s"ascii_tokens($textC)"))
+        .select(keep :+ array_distinct(
+          DedupOps.shinglesOfTokens("__toks", shingleK)).as("__ng"): _*)
+    // Bounded collect: the distinct benchmark n-gram set (model state).
+    val benchGrams: Array[String] = withGrams(bench, benchTextCol, Seq.empty)
+      .select(explode(col("__ng")).as("__g"))
+      .distinct() // cross-DOC distinct: not row-local
+      .collect().map(_.getString(0))
+    val bc = docs.sparkSession.sparkContext.broadcast(benchGrams.toSet)
+    val hitCount = udf((ngs: Seq[String]) => ngs.count(bc.value.contains))
+    withGrams(docs, textCol, Seq(col(idCol)))
+      .select(col(idCol),
+        size(col("__ng")).cast("long").as("n_grams"),
+        hitCount(col("__ng")).cast("long").as("n_hit"))
       .withColumn("contamination",
         col("n_hit").cast("double") / col("n_grams"))
   }

@@ -42,7 +42,7 @@ object DedupOps {
     * (possibly empty) shingle is produced so empty docs keep a signature
     * (mirrors the greatest(...,1) in the oracle SQL). */
   def shingles(textCol: String, k: Int): Column =
-    shinglesOfTokens(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)", k)
+    shinglesOfTokens(s"ascii_tokens($textCol)", k)
 
   /** Shingles over an already-tokenized expression. Callers on a hot
     * path should project the token array into its OWN column first and
@@ -82,7 +82,7 @@ object DedupOps {
       md5(concat(lit(d.toString), lit(":"), col("__sh"))).as(s"__h$d"))
     val exploded = df
       .select(col(idCol),
-        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)").as("__toks"))
+        expr(s"ascii_tokens($textCol)").as("__toks"))
       .select(col(idCol),
         explode(shinglesOfTokens("__toks", shingleK)).as("__sh"))
       .select(col(idCol) +: digests: _*)
@@ -159,7 +159,7 @@ object DedupOps {
     * codegen'd hot path. */
   def simHash(textCol: String, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 32, "integer simhash holds 1..32 bits")
-    val hs = s"transform(regexp_extract_all(lower($textCol), '[a-z]+', 0), t -> md5(t))"
+    val hs = s"transform(ascii_alpha_tokens($textCol), t -> md5(t))"
     expr(s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc + " +
       s"if(aggregate($hs, 0, (a, h) -> a + (ascii(substring(h, i + 1, 1)) % 2) * 2 - 1) >= 0, " +
       s"shiftleft(1L, ${bits - 1} - i), 0L))")
@@ -185,7 +185,7 @@ object DedupOps {
       bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 32, "integer simhash holds 1..32 bits")
     val exploded = df.select(col(idCol),
-      explode_outer(expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+      explode_outer(expr(s"ascii_alpha_tokens($textCol)"))
         .as("__tok"))
       .withColumn("__h", md5(col("__tok")))
     val votes = (0 until bits).map { i =>
@@ -235,7 +235,7 @@ object DedupOps {
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       threshold: Double): DataFrame = {
     val toks = array_distinct(
-      expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)"))
+      expr(s"ascii_alpha_tokens($textCol)"))
     // same exchange-reuse self-join shape as simHashPairs: the regexp
     // tokenization runs once, not once per join side
     val prepped = df.select(col(idCol), col(blockCol).as("block"), toks.as("toks"))

@@ -39,7 +39,7 @@ object SparseSimOps {
     require(dfCap >= 2, "dfCap < 2 drops every joinable term")
     val tf = docs
       .select(col(idCol).as("__id"),
-        explode(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+        explode(expr(s"ascii_tokens($textCol)"))
           .as("__term"))
       .groupBy("__id", "__term")
       .agg(count(lit(1)).as("__tf"))

@@ -56,12 +56,10 @@ object ScaleQueries {
     * The oracle re-slices the same token arrays with DuckDB list math. */
   private val w8Size = 64
   private val w8Stride = 48
-  // Column form with lit(), NOT expr("... '\s' ..."): Spark SQL string
-  // literals escape-process backslashes, which would corrupt the pattern.
   private val w8: Q = (s, dir) =>
     PackOps.chunkOverlap(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
-        regexp_extract_all(col("text"), lit(TextFns.bpeTokenPat), lit(0)),
+        call_function("bpe_tokens", col("text")),
         w8Size, w8Stride)
       .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
         col("n_tok"), col("chunk"))
@@ -359,7 +357,7 @@ object ScaleQueries {
     "w8_chunk_overlap" -> ((s, dir) =>
       PackOps.chunkOverlap(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
-        regexp_extract_all(col("text"), lit(TextFns.bpeTokenPat), lit(0)),
+        call_function("bpe_tokens", col("text")),
         w8Size, w8Stride)),
     "pipe_pretrain_pack" -> ((s, dir) => {
       val clean = t(s, dir, "documents")

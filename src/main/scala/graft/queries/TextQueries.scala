@@ -374,7 +374,7 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val docTerm = t(s, dir, "documents")
       .select(col("doc_id"),
-        explode(expr("regexp_extract_all(lower(text), '[a-z]{3,}', 0)")).as("term"))
+        explode(expr("ascii_alpha_tokens(text, 3)")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df_ = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
     docTerm.join(df_, Seq("term"))

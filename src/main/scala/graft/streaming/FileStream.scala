@@ -71,7 +71,7 @@ object FileStream {
     import graft.operators.DedupOps
     docs
       .withColumn("__toks",
-        expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+        expr(s"ascii_tokens($textCol)"))
       .withColumn("__digs", DedupOps.rowLocalDigests("__toks", shingleK, numHashes))
       .withColumn("minhash_sig", md5(DedupOps.rowLocalSignature("__digs", numHashes)))
       .drop("__toks", "__digs")
