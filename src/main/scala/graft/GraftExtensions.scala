@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{AsciiTokensExpr, BpeCountExpr, BpeTokensExpr,
-  DurationToHoursExpr, NormalizeNameExpr, RepStatsExpr}
+  DurationToHoursExpr, KGramsExpr, NormalizeNameExpr, RepStatsExpr,
+  SimHashExpr}
 
 /** SparkSessionExtensions hook (enable with
   * `spark.sql.extensions=graft.GraftExtensions`, set by [[Sessions.builder]]):
@@ -55,5 +56,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rep_stats"),
       new ExpressionInfo(classOf[RepStatsExpr].getName, "rep_stats"),
       (children: Seq[Expression]) => RepStatsExpr(children.head)))
+    def kgramsBuilder(distinct: Boolean): Seq[Expression] => Expression = {
+      case Seq(c, Literal(k: Int, IntegerType)) => KGramsExpr(c, k, distinct)
+      case _ => throw new IllegalArgumentException(
+        "kgrams/distinct_kgrams(tokens, k literal)")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("kgrams"),
+      new ExpressionInfo(classOf[KGramsExpr].getName, "kgrams"),
+      kgramsBuilder(distinct = false)))
+    ext.injectFunction((
+      FunctionIdentifier("distinct_kgrams"),
+      new ExpressionInfo(classOf[KGramsExpr].getName, "distinct_kgrams"),
+      kgramsBuilder(distinct = true)))
+    ext.injectFunction((
+      FunctionIdentifier("ascii_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "ascii_simhash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(b: Int, IntegerType)) => SimHashExpr(c, b)
+        case _ => throw new IllegalArgumentException(
+          "ascii_simhash(text, bits literal)")
+      }))
   }
 }

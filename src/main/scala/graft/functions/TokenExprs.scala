@@ -121,6 +121,81 @@ object TokenKernels {
     cnt
   }
 
+  /** Space-joined k-grams over a token array, with the degenerate
+    * >= 1-gram convention of DedupOps.shinglesOfTokens (a doc with fewer
+    * than k tokens yields ONE gram: the clipped join of what it has, ""
+    * when empty) — the convention every dedup oracle replays. One pass,
+    * no interpreted lambda: the transform(sequence, slice, concat_ws)
+    * HOF form this replaces re-evaluated its interpreted lambda per
+    * gram. `distinct` keeps first occurrences (array_distinct order). */
+  def kgrams(toks: ArrayData, k: Int, distinct: Boolean): ArrayData = {
+    val n = toks.numElements()
+    val out = math.max(n - k + 1, 1)
+    val space = UTF8String.fromString(" ")
+    val res = new java.util.ArrayList[UTF8String](out)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var j = 0
+    while (j < out) {
+      val m = math.min(k, n - j)
+      val parts = new Array[UTF8String](math.max(2 * m - 1, 0))
+      var i = 0
+      while (i < m) {
+        if (i > 0) parts(2 * i - 1) = space
+        parts(2 * i) = toks.getUTF8String(j + i)
+        i += 1
+      }
+      val g = if (m <= 0) UTF8String.EMPTY_UTF8 else UTF8String.concat(parts: _*)
+      if (seen == null || seen.add(g)) res.add(g)
+      j += 1
+    }
+    new GenericArrayData(res.toArray.asInstanceOf[Array[Any]])
+  }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Row-local SimHash over ascii_alpha_tokens(s): bit i of the result
+    * (bit position bits-1-i) is set iff the sum over tokens of
+    * (+1 if hex digit i of md5(token) has an odd CHAR CODE else -1) is
+    * >= 0 — the exact bit definition of the exploded DedupOps.simHashes
+    * aggregation and its DuckDB oracle (`(ascii(substr(h, i+1, 1)) % 2)
+    * * 2 - 1`). Zero tokens -> all votes 0 -> all bits set. Replaces an
+    * explode + md5 column + bits-wide sum aggregation: the votes were a
+    * SHUFFLE of one row per token; this is one codegen'd call per row.
+    * Hex-digit parity from the digest bytes directly: digit 2j is the
+    * high nibble of byte j — '0'..'9' codes 48+d (even base), 'a'..'f'
+    * codes 87+d (odd base), so char-code parity = d&1 for d<10, else
+    * ~d&1. */
+  def simHash(s: UTF8String, bits: Int): Long = {
+    val toks = asciiRuns(s, withDigits = false, minLen = 1)
+    val n = toks.numElements()
+    val votes = new Array[Int](bits)
+    val md = md5Local.get()
+    var t = 0
+    while (t < n) {
+      md.reset()
+      val digest = md.digest(toks.getUTF8String(t).getBytes)
+      var i = 0
+      while (i < bits) {
+        val b = digest(i >> 1)
+        val d = if ((i & 1) == 0) (b >> 4) & 0xF else b & 0xF
+        val codeEven = if (d < 10) (d & 1) == 0 else (d & 1) == 1
+        votes(i) += (if (codeEven) -1 else 1)
+        i += 1
+      }
+      t += 1
+    }
+    var sim = 0L
+    var i = 0
+    while (i < bits) {
+      if (votes(i) >= 0) sim |= 1L << (bits - 1 - i)
+      i += 1
+    }
+    sim
+  }
+
   /** One-pass repetition signals for CorpusOps.repetitionSignals —
     * replaces two explode+groupBy+groupBy branches (four shuffles) with a
     * row-local kernel; the Gopher-style signals are per-DOCUMENT facts,
@@ -238,6 +313,49 @@ case class BpeCountExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TokenKernels.bpeCount($c)")
 
   override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
+/** `kgrams(toks, k)` / `distinct_kgrams(toks, k)`: codegen'd shingle
+  * construction (see [[TokenKernels.kgrams]]). */
+case class KGramsExpr(child: Expression, k: Int, distinct: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<STRING>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = if (distinct) "distinct_kgrams" else "kgrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.kgrams(input.asInstanceOf[ArrayData], k, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenKernels.kgrams($c, $k, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): KGramsExpr =
+    copy(child = newChild)
+}
+
+/** `ascii_simhash(s, bits)`: row-local SimHash (see
+  * [[TokenKernels.simHash]]). */
+case class SimHashExpr(child: Expression, bits: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ascii_simhash expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ascii_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.simHash(input.asInstanceOf[UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenKernels.simHash($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
 }
 

@@ -40,21 +40,6 @@ object CorpusOps {
         (col("__r.top_bigram_cnt").cast("double") / col("__r.n_bigrams"))
           .as("top_bigram_frac"))
 
-  /** Remove lines that occur in at least `minDocs` distinct documents,
-    * preserving each document's remaining line order.
-    *
-    * Scale shape (100 TB): pass 1 aggregates distinct-doc counts with
-    * ONE shuffle on the line hash (map-side partial counts); the
-    * surviving boilerplate set is tiny BY CONSTRUCTION (a line must
-    * recur across >= minDocs documents to qualify), so pass 2's
-    * left_anti join broadcasts it against the exploded lines — AQE picks
-    * the broadcast automatically at that size. Reassembly sorts
-    * in-group: array_sort over (pos, line) structs inside the collected
-    * group, not a global sort. Blank lines are never treated as
-    * boilerplate (they'd match across every document trivially) — they
-    * are preserved verbatim through reassembly. A document consisting
-    * ENTIRELY of boilerplate drops out of the result (it has no content
-    * left to carry). */
   /** Benchmark-contamination scores: for every document, the fraction of
     * its DISTINCT token `shingleK`-grams that appear anywhere in the
     * benchmark set — the standard eval-decontamination signal. Same
@@ -82,8 +67,7 @@ object CorpusOps {
     // element, so an inlined tokenizer would re-run per shingle.
     def withGrams(df: DataFrame, textC: String, keep: Seq[Column]): DataFrame =
       df.withColumn("__toks", expr(s"ascii_tokens($textC)"))
-        .select(keep :+ array_distinct(
-          DedupOps.shinglesOfTokens("__toks", shingleK)).as("__ng"): _*)
+        .select(keep :+ expr(s"distinct_kgrams(__toks, $shingleK)").as("__ng"): _*)
     // Bounded collect: the distinct benchmark n-gram set (model state).
     val benchGrams: Array[String] = withGrams(bench, benchTextCol, Seq.empty)
       .select(explode(col("__ng")).as("__g"))
@@ -99,6 +83,21 @@ object CorpusOps {
         col("n_hit").cast("double") / col("n_grams"))
   }
 
+  /** Remove lines that occur in at least `minDocs` distinct documents,
+    * preserving each document's remaining line order.
+    *
+    * Scale shape (100 TB): pass 1 aggregates distinct-doc counts with
+    * ONE shuffle on the line hash (map-side partial counts); the
+    * surviving boilerplate set is tiny BY CONSTRUCTION (a line must
+    * recur across >= minDocs documents to qualify), so pass 2's
+    * left_anti join broadcasts it against the exploded lines — AQE picks
+    * the broadcast automatically at that size. Reassembly sorts
+    * in-group: array_sort over (pos, line) structs inside the collected
+    * group, not a global sort. Blank lines are never treated as
+    * boilerplate (they'd match across every document trivially) — they
+    * are preserved verbatim through reassembly. A document consisting
+    * ENTIRELY of boilerplate drops out of the result (it has no content
+    * left to carry). */
   def stripBoilerplate(
       df: DataFrame, idCol: String, textCol: String, minDocs: Long): DataFrame = {
     val lines = df.select(col(idCol),

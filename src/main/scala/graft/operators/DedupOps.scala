@@ -84,7 +84,7 @@ object DedupOps {
       .select(col(idCol),
         expr(s"ascii_tokens($textCol)").as("__toks"))
       .select(col(idCol),
-        explode(shinglesOfTokens("__toks", shingleK)).as("__sh"))
+        explode(expr(s"kgrams(__toks, $shingleK)")).as("__sh"))
       .select(col(idCol) +: digests: _*)
     val mins = (0 until numHashes).map(i =>
       min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"mh$i"))
@@ -106,7 +106,7 @@ object DedupOps {
     val nDigests = (numHashes + 3) / 4
     val digestsOf: Column => Column = sh =>
       concat((0 until nDigests).map(d => md5(concat(lit(s"$d:"), sh))): _*)
-    transform(shinglesOfTokens(toksCol, shingleK), digestsOf)
+    transform(expr(s"kgrams($toksCol, $shingleK)"), digestsOf)
   }
 
   /** Lane mins over an ALREADY-PROJECTED digest-array column — the
@@ -159,24 +159,20 @@ object DedupOps {
     * codegen'd hot path. */
   def simHash(textCol: String, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 32, "integer simhash holds 1..32 bits")
-    val hs = s"transform(ascii_alpha_tokens($textCol), t -> md5(t))"
-    expr(s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc + " +
-      s"if(aggregate($hs, 0, (a, h) -> a + (ascii(substring(h, i + 1, 1)) % 2) * 2 - 1) >= 0, " +
-      s"shiftleft(1L, ${bits - 1} - i), 0L))")
+    expr(s"ascii_simhash($textCol, $bits)")
   }
 
-  /** SimHash fingerprints computed EXPLODED (same codegen rationale as
-    * [[minHashSignatures]]): one row per token, `bits` flat ±1 vote
-    * columns, summed per doc (integer sums — order-independent), bit i
-    * set iff vote sum >= 0. Docs with zero tokens keep an all-set hash
-    * via explode_outer + zero votes.
-    *
-    * ONE md5 per token: bit i's vote is the parity of hex digit i of
-    * md5(token). The earlier per-bit salted hash (md5(tok + ':' + i))
-    * cost bits× crypto work per token — 16 md5s per token was the whole
-    * 20 s of the benched query — for no extra independence that matters
-    * here: distinct hex digits of one digest are already pairwise
-    * independent coin flips. Caps bits at 32 (md5 has 32 hex digits).
+  /** SimHash fingerprints, ROW-LOCAL (TokenKernels.simHash): one
+    * codegen'd kernel call per document — tokenize, one md5 per token,
+    * per-bit hex-digit-parity votes, bit i set iff the vote sum >= 0.
+    * Same bit definition as the DuckDB oracle replays. This replaces the
+    * round-2 exploded form (one row per token, `bits` flat ±1 vote
+    * columns, per-doc sum aggregation): the votes are per-DOCUMENT facts
+    * and the document lives in one row, so the explode + bits-wide
+    * partial aggregation was a SHUFFLE of one row per token for values
+    * the row already owned. Zero-token (or null-text) docs keep the
+    * all-set hash the exploded form produced. Caps bits at 32 (md5 has
+    * 32 hex digits).
     *
     * Output is an INTEGER simhash (bit bits-1-i = vote i >= 0): a 4-byte
     * shuffle key and an xor/bit_count Hamming operand, where a bit-string
@@ -184,20 +180,9 @@ object DedupOps {
   def simHashes(df: DataFrame, idCol: String, textCol: String,
       bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 32, "integer simhash holds 1..32 bits")
-    val exploded = df.select(col(idCol),
-      explode_outer(expr(s"ascii_alpha_tokens($textCol)"))
-        .as("__tok"))
-      .withColumn("__h", md5(col("__tok")))
-    val votes = (0 until bits).map { i =>
-      sum(when(col("__tok").isNull, 0).otherwise(
-        (ascii(substring(col("__h"), i + 1, 1)) % 2) * 2 - 1))
-        .as(s"v$i")
-    }
-    val simInt = (0 until bits).map(i =>
-      when(col(s"v$i") >= 0, lit(1L << (bits - 1 - i))).otherwise(lit(0L)))
-      .reduce(_ + _)
-    exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol), simInt.cast("long").as("sim"))
+    df.select(col(idCol),
+      coalesce(expr(s"ascii_simhash($textCol, $bits)"),
+        lit((1L << bits) - 1)).as("sim"))
   }
 
   /** SimHash near-dup pairs: block on the top prefixBits bits (one
