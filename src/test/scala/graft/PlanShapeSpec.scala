@@ -75,6 +75,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "multitable lost its pair dedup before scoring")
   }
 
+  test("repetition signals are row-local: no exchange but the harness sort") {
+    // rep_stats collapsed four shuffles into a per-row kernel; the only
+    // exchange allowed back is the oracle-determinism orderBy at the root
+    // (rangepartitioning), never a hash exchange.
+    val p = plan("t_repetition")
+    assert(!p.contains("hashpartitioning"),
+      s"t_repetition regained a shuffle:\n${p.take(600)}")
+    assert(!p.contains("Join"), "t_repetition regained a join")
+  }
+
+  test("simhash computes row-locally; pair join is the only exchange") {
+    // ascii_simhash removed the per-token vote aggregation entirely: the
+    // plan is scan -> kernel project -> block repartition -> self-join ->
+    // hamming filter, with NO aggregate anywhere.
+    val p = plan("dedup_simhash")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"),
+      s"dedup_simhash regained its vote aggregation:\n${p.take(800)}")
+  }
+
   test("windows in registered queries are partitioned (no single-task window)") {
     // WindowExec with an empty partition spec logs/plans a global window;
     // the textual marker is a windowspecdefinition starting with the

@@ -122,6 +122,69 @@ object KernelProps extends Properties("graft.kernels") {
         folded._1 == oneShot._1 && folded._2 == oneShot._2
     }
 
+  // --------------------------- tokenizer kernels vs java.util.regex
+  // The byte-scan kernels (TokenKernels) claim exact equivalence with
+  // the regex forms they replaced; random unicode (including astral
+  // code points and case-folding traps) pins it outside Spark.
+  private val uniString: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B', '.', '!', '-'),
+    1 -> Gen.oneOf('İ', 'ı', 'ß', 'Ǆ', 'ﬁ', 'Ａ', '数', '的', 'é', 'Ỵ'),
+    1 -> Gen.choose(0x10000, 0x10FFF).map(cp =>
+      new String(Character.toChars(cp)).charAt(0)) // high surrogate alone is
+    )).map(_.mkString) // repaired by UTF8String.fromString round-trip
+
+  private def utf8(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  private def arr(a: org.apache.spark.sql.catalyst.util.ArrayData): Seq[String] =
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+
+  property("asciiRuns == regexp_extract_all(lower, class) for all classes") =
+    forAll(uniString) { s =>
+      val low = utf8(s).toLowerCase.toString // the exact lower() Spark applies
+      def re(p: String) =
+        p.r.findAllIn(low).toSeq
+      arr(graft.functions.TokenKernels.asciiRuns(utf8(s), true, 1)) == re("[a-z0-9]+") &&
+        arr(graft.functions.TokenKernels.asciiRuns(utf8(s), false, 1)) == re("[a-z]+") &&
+        arr(graft.functions.TokenKernels.asciiRuns(utf8(s), false, 3)) == re("[a-z]{3,}")
+    }
+
+  property("bpeTokens/bpeCount == the BPE-ish regex") =
+    forAll(uniString) { s =>
+      val model = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]".r
+        .findAllIn(utf8(s).toString).toSeq // round-trip repairs lone surrogates
+      val toks = arr(graft.functions.TokenKernels.bpeTokens(utf8(s)))
+      toks == model &&
+        graft.functions.TokenKernels.bpeCount(utf8(s)) == model.size
+    }
+
+  property("kgrams == the transform/slice/concat_ws shingle model") =
+    forAll(Gen.listOf(Gen.oneOf("a", "bb", "c0", "dd")), Gen.oneOf(2, 3)) {
+      (toks, k) =>
+        val model = (1 to math.max(toks.size - k + 1, 1))
+          .map(j => toks.slice(j - 1, j - 1 + k).mkString(" "))
+        val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(utf8).toArray[Any])
+        arr(graft.functions.TokenKernels.kgrams(in, k, false)) == model &&
+          arr(graft.functions.TokenKernels.kgrams(in, k, true)) == model.distinct
+    }
+
+  property("simHash == per-token md5 hex-digit-parity vote model") =
+    forAll(uniString, Gen.oneOf(8, 16, 32)) { (s, bits) =>
+      val toks = arr(graft.functions.TokenKernels.asciiRuns(utf8(s), false, 1))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = Array.fill(bits)(0)
+      toks.foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        (0 until bits).foreach(i =>
+          votes(i) += (hex.charAt(i).toInt % 2) * 2 - 1)
+      }
+      val model = (0 until bits).map(i =>
+        if (votes(i) >= 0) 1L << (bits - 1 - i) else 0L).sum
+      graft.functions.TokenKernels.simHash(utf8(s), bits) == model
+    }
+
   // -------------------------------------------------- W3 fold model
   // --------------------------- bounded-buffer aggregator merge laws
   // Partial-aggregation merge order is nondeterministic under real
