@@ -42,6 +42,7 @@ object Bench {
     "w7_sequence_pack", "w8_chunk_overlap", "j12_range_join", "t_kmv_distinct",
     "t_sampled_quantiles", "o6_quota_sample", "dedup_cc_clusters",
     "a14_topk_per_group", "dedup_sparse_cosine", "pipe_pretrain_pack",
+    "dedup_semantic",
     "mm_wav_probe", "mm_image_probe", "mm_image_resize",
     "mm_frame_sample", "mm_bin_features")
 

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{AsciiTokensExpr, BpeCountExpr, BpeTokensExpr,
   DurationToHoursExpr, KGramsExpr, NormalizeNameExpr, RepStatsExpr,
-  SimHashExpr}
+  SimHashExpr, VecDotExpr, VecSqDistExpr, VecSqNormExpr}
 
 /** SparkSessionExtensions hook (enable with
   * `spark.sql.extensions=graft.GraftExtensions`, set by [[Sessions.builder]]):
@@ -76,6 +76,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(b: Int, IntegerType)) => SimHashExpr(c, b)
         case _ => throw new IllegalArgumentException(
           "ascii_simhash(text, bits literal)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b, Literal(d: Int, IntegerType)) => VecDotExpr(a, b, d)
+        case _ => throw new IllegalArgumentException("vec_dot(a, b, dim literal)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sqnorm"),
+      new ExpressionInfo(classOf[VecSqNormExpr].getName, "vec_sqnorm"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, Literal(d: Int, IntegerType)) => VecSqNormExpr(a, d)
+        case _ => throw new IllegalArgumentException("vec_sqnorm(a, dim literal)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[VecSqDistExpr].getName, "vec_sqdist"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b, Literal(d: Int, IntegerType)) => VecSqDistExpr(a, b, d)
+        case _ => throw new IllegalArgumentException("vec_sqdist(a, b, dim literal)")
       }))
   }
 }

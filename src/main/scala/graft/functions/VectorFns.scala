@@ -36,29 +36,25 @@ object VectorFns {
 
   def l2Norm(a: Column): Column = sqrt(sqNorm(a))
 
-  /** Σ a[i]*b[i] as a FLAT sum over a known dimension: element_at products
-    * reduced left-associatively — the association order of the oracle's
-    * no-init list_reduce. Higher-order-function lambdas are interpreted
-    * (they block whole-stage codegen), so for fixed-dim embedding columns
-    * this flat spelling is the hot-path form (same technique as
-    * SimilarityOps.lshBucket). */
+  /** Σ a[i]*b[i] over a known dimension, as the native vec_dot kernel
+    * (VectorKernels.dot — identical semantics to the flat element_at
+    * tree this built before round 5: per-element double cast, left-assoc
+    * no-init accumulation, element_at null/OOB -> null). One static call
+    * wherever the expression lands: the flat ~190-node tree was fine in
+    * a Project but got pushed into pair-join residual CONDITIONS, where
+    * it was evaluated per probed pair outside whole-stage codegen
+    * (~12 µs/pair interpreted — the whole cost of a near-dup pair
+    * stage). */
   def dotFlat(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map(j =>
-      element_at(a, j + 1).cast("double") * element_at(b, j + 1).cast("double"))
-      .reduce(_ + _)
+    call_function("vec_dot", a, b, lit(dim))
 
-  /** Σ a[i]^2 (double), flat fixed-dim form. */
+  /** Σ a[i]^2 (double), native kernel form. */
   def sqNormFlat(a: Column, dim: Int): Column =
-    (0 until dim).map { j =>
-      val x = element_at(a, j + 1).cast("double"); x * x
-    }.reduce(_ + _)
+    call_function("vec_sqnorm", a, lit(dim))
 
-  /** Σ (a[i]-b[i])^2 (double), flat fixed-dim form. */
+  /** Σ (a[i]-b[i])^2 (double), native kernel form. */
   def sqDistFlat(a: Column, b: Column, dim: Int): Column =
-    (0 until dim).map { j =>
-      val d = element_at(a, j + 1).cast("double") - element_at(b, j + 1).cast("double")
-      d * d
-    }.reduce(_ + _)
+    call_function("vec_sqdist", a, b, lit(dim))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 

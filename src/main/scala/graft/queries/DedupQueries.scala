@@ -548,6 +548,77 @@ object DedupQueries {
        |    FROM embeddings e, c2 c) WHERE rn = 1)
        |SELECT vec_id, cell FROM a3 ORDER BY vec_id""".stripMargin
 
+  /** SemDeDup-style semantic dedup (cluster-then-dedup, after Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): the trained k-means quantizer is the
+    * blocking key, within-cell cosine >= tau marks near-duplicate pairs,
+    * and the greedy keep-lowest-id rule deletes every vector that has a
+    * lower-id neighbor at or above the threshold. Runs on the planted
+    * near-dup corpus so the survivor set is non-trivially smaller.
+    *
+    * Scale shape: the quantizer is bounded model state (k x dim) trained
+    * in KMeansOps' one-pass-per-iteration shuffles; assignment is
+    * map-side; pair generation shuffles ONCE on the cell id (the
+    * quadratic term is bounded by cell population, the k-means analogue
+    * of an LSH bucket); the deleted-id set is tiny by construction, so
+    * the survivor anti-join broadcasts. Oracle: unrolled Lloyd CTEs
+    * (same determinism spec as ann_kmeans_cells) + within-cell pair
+    * replay + anti-join. */
+  private val dedupSemantic: Q = (s, dir) => {
+    val cells = graft.operators.KMeansOps.fitAssign(
+      embCorpus(s, dir), "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+    val pairs = SimilarityOps.cosineNearDupPairs(
+      cells, "vec_id", "embedding", "cell", 0.999)
+    val deleted = pairs.select(col("id_b").as("vec_id")).distinct()
+    cells.join(deleted, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+  private val dedupSemanticSql =
+    "WITH " + embCorpusCte +
+    s""", c0 AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM ecorp ORDER BY vec_id LIMIT 8),
+       |a1 AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlSqDistD("e.embedding", "c.cv")}, c.cid) AS rn
+       |    FROM ecorp e, c0 c) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT cid, list(mu ORDER BY pos) AS cv FROM (
+       |    SELECT cell AS cid, j AS pos,
+       |      CAST(SUM(CAST(embedding[j] AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS mu
+       |    FROM a1, range(1, 65) t(j) GROUP BY cell, j)
+       |  GROUP BY cid),
+       |a2 AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlSqDistD("e.embedding", "c.cv")}, c.cid) AS rn
+       |    FROM ecorp e, c1 c) WHERE rn = 1),
+       |c2 AS (
+       |  SELECT cid, list(mu ORDER BY pos) AS cv FROM (
+       |    SELECT cell AS cid, j AS pos,
+       |      CAST(SUM(CAST(embedding[j] AS DECIMAL(25,10))) AS DOUBLE) / COUNT(*) AS mu
+       |    FROM a2, range(1, 65) t(j) GROUP BY cell, j)
+       |  GROUP BY cid),
+       |a3 AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlSqDistD("e.embedding", "c.cv")}, c.cid) AS rn
+       |    FROM ecorp e, c2 c) WHERE rn = 1),
+       |prepped AS (
+       |  SELECT vec_id, cell, embedding AS v, ${sqlNorm("embedding")} AS nrm FROM a3),
+       |del AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM prepped a JOIN prepped b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${sqlDot("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.999)
+       |SELECT p.vec_id, p.cell FROM prepped p ANTI JOIN del d ON p.vec_id = d.vec_id
+       |ORDER BY vec_id""".stripMargin
+
   /** Measured retrieval quality: recall@5 of each approximate ANN path
     * against the brute-force truth on the SAME query set (vec_id < 20,
     * k = 5). The per-method oracles replay the same buckets, so they can
@@ -755,6 +826,7 @@ object DedupQueries {
     "ann_pq_topk" -> annPq,
     "ann_ivf_topk" -> annIvf,
     "ann_kmeans_cells" -> annKmeans,
+    "dedup_semantic" -> dedupSemantic,
     "ann_recall" -> annRecall)
 
   val oracle: Map[String, String] = Map(
@@ -773,5 +845,6 @@ object DedupQueries {
     "ann_pq_topk" -> annPqSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_kmeans_cells" -> annKmeansSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "ann_recall" -> annRecallSql)
 }
