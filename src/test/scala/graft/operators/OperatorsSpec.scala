@@ -442,6 +442,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.values.forall(bp => bp >= 0 && bp <= 10000))
   }
 
+  test("semantic dedup: exact copies lose to their lower-id original; uniques survive") {
+    // Hand-built corpus: two well-separated clusters, one exact copy and
+    // one slightly-perturbed copy inside cluster A, one unique in B.
+    // keep-lowest-id: the copies (ids 10, 11) must be deleted; everything
+    // else survives. k=2 so the quantizer actually separates the groups.
+    def v(base: Float, jitter: Float = 0f): Seq[Float] =
+      Seq.tabulate(8)(i => base + (if (i == 0) jitter else 0f))
+    val rows = Seq(
+      (0L, v(1.0f)), (1L, v(-1.0f)), (10L, v(1.0f)),
+      (11L, v(1.0f, 1e-4f)),
+      // same cluster as id 1 but a different DIRECTION (one flipped
+      // coordinate, cosine 0.75) — magnitude alone can't separate
+      // cosine duplicates
+      (12L, Seq.tabulate(8)(i => if (i == 7) 1f else -1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cells = KMeansOps.fitAssign(df, "vec_id", "embedding", k = 2, iters = 2, dim = 8)
+    val pairs = SimilarityOps.cosineNearDupPairs(
+      cells, "vec_id", "embedding", "cell", 0.999, dim = 8)
+    val deleted = pairs.select(col("id_b").as("vec_id")).distinct()
+    val survivors = cells.join(deleted, Seq("vec_id"), "left_anti")
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 1L, 12L), s"got $survivors")
+  }
+
   test("MultimodalOps.wavProbe: truncated data chunk is clamped, short blob yields zeros") {
     val samples = Array.fill[Float](100)(0.5f)
     val wav = AudioOps.encodePcm16Wav(samples, 8000)
