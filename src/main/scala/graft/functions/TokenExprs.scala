@@ -122,7 +122,7 @@ object TokenKernels {
   }
 
   /** Space-joined k-grams over a token array, with the degenerate
-    * >= 1-gram convention of DedupOps.shinglesOfTokens (a doc with fewer
+    * >= 1-gram convention of the dedup family (a doc with fewer
     * than k tokens yields ONE gram: the clipped join of what it has, ""
     * when empty) — the convention every dedup oracle replays. One pass,
     * no interpreted lambda: the transform(sequence, slice, concat_ws)
@@ -207,7 +207,7 @@ object TokenKernels {
     *     strips ' ' only); duplicates are EXACT untrimmed repeats.
     *   - bigrams: over asciiRuns(text, digits, 1), adjacent pairs; a doc
     *     with <2 tokens has ONE degenerate gram (the lone token, or ""),
-    *     reproducing the shinglesOfTokens greatest(n-1, 1) convention the
+    *     reproducing the kgrams greatest(n-1, 1) convention the
     *     oracle SQL replays.
     */
   def repStats(s: UTF8String): InternalRow = {

@@ -24,18 +24,6 @@ object VectorFns {
     arr
   }
 
-  /** Σ a[i]*b[i], computed in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
-  /** Σ a[i]^2 (double). */
-  def sqNorm(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
-
-  def l2Norm(a: Column): Column = sqrt(sqNorm(a))
-
   /** Σ a[i]*b[i] over a known dimension, as the native vec_dot kernel
     * (VectorKernels.dot — identical semantics to the flat element_at
     * tree this built before round 5: per-element double cast, left-assoc
@@ -55,8 +43,6 @@ object VectorFns {
   /** Σ (a[i]-b[i])^2 (double), native kernel form. */
   def sqDistFlat(a: Column, b: Column, dim: Int): Column =
     call_function("vec_sqdist", a, b, lit(dim))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Cosine when norms are precomputed columns (saves re-reduction in
     * pairwise joins — at scale, norm is computed once per vector, not once

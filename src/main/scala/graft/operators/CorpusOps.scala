@@ -62,9 +62,8 @@ object CorpusOps {
   def contaminationScores(
       docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, shingleK: Int = 3): DataFrame = {
-    // Tokens are projected into their own column BEFORE shingling —
-    // shinglesOfTokens' slice lambda re-evaluates its operand per
-    // element, so an inlined tokenizer would re-run per shingle.
+    // Tokens are projected into their own column before shingling so
+    // the kernel sees one materialized array per row.
     def withGrams(df: DataFrame, textC: String, keep: Seq[Column]): DataFrame =
       df.withColumn("__toks", expr(s"ascii_tokens($textC)"))
         .select(keep :+ expr(s"distinct_kgrams(__toks, $shingleK)").as("__ng"): _*)

@@ -42,18 +42,7 @@ object DedupOps {
     * (possibly empty) shingle is produced so empty docs keep a signature
     * (mirrors the greatest(...,1) in the oracle SQL). */
   def shingles(textCol: String, k: Int): Column =
-    shinglesOfTokens(s"ascii_tokens($textCol)", k)
-
-  /** Shingles over an already-tokenized expression. Callers on a hot
-    * path should project the token array into its OWN column first and
-    * pass that column's name: higher-order functions are interpreted,
-    * so a tokenizer inlined here re-runs PER ELEMENT of the sequence
-    * (~shingle-count regex evaluations per row, measured ~2x the whole
-    * minhash query) — while a column reference is computed once per row
-    * and CollapseProject keeps multi-referenced aliases materialized. */
-  def shinglesOfTokens(toksExpr: String, k: Int): Column =
-    expr(s"transform(sequence(1, greatest(size($toksExpr) - ${k - 1}, 1)), " +
-      s"j -> concat_ws(' ', slice($toksExpr, j, $k)))")
+    expr(s"kgrams(ascii_tokens($textCol), $k)")
 
   /** MinHash signature: numHashes mins over a chunked-md5 hash family —
     * lane i draws its value from an 8-hex-char (32-bit) slice of
@@ -100,8 +89,9 @@ object DedupOps {
     * ahead of the one dedup state store is worth the per-row HOF
     * interpretation. Signatures are bit-identical across the two forms
     * (asserted in FileStreamSpec), so batch and streaming dedup agree.
-    * Expects the token array already projected as column `toksCol` (the
-    * inline-tokenizer-re-runs-per-element trap, see shinglesOfTokens). */
+    * Expects the token array already projected as column `toksCol`
+    * (multi-referenced below; a column reference is computed once per
+    * row, CollapseProject keeps the alias materialized). */
   def rowLocalDigests(toksCol: String, shingleK: Int, numHashes: Int): Column = {
     val nDigests = (numHashes + 3) / 4
     val digestsOf: Column => Column = sh =>

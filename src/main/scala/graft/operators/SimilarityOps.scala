@@ -27,10 +27,7 @@ import graft.functions.VectorFns
   */
 object SimilarityOps {
 
-  /** L2 norm as a left-fold (matches the oracle's list_reduce). */
-  def norm(vecCol: Column): Column = sqrt(VectorFns.sqNorm(vecCol))
-
-  /** L2 norm as a flat fixed-dim codegen'd sum (hot-path form). */
+  /** L2 norm over the first `dim` elements (native vec_sqnorm kernel). */
   def normFlat(vecCol: Column, dim: Int): Column =
     sqrt(VectorFns.sqNormFlat(vecCol, dim))
 
