@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{AsciiTokensExpr, BpeCountExpr, BpeTokensExpr,
   DurationToHoursExpr, KGramsExpr, NormalizeNameExpr, RepStatsExpr,
-  SimHashExpr, VecDotExpr, VecSqDistExpr, VecSqNormExpr}
+  MinHashLanesExpr, SimHashExpr, VecDotExpr, VecSqDistExpr, VecSqNormExpr}
 
 /** SparkSessionExtensions hook (enable with
   * `spark.sql.extensions=graft.GraftExtensions`, set by [[Sessions.builder]]):
@@ -76,6 +76,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, Literal(b: Int, IntegerType)) => SimHashExpr(c, b)
         case _ => throw new IllegalArgumentException(
           "ascii_simhash(text, bits literal)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_lanes"),
+      new ExpressionInfo(classOf[MinHashLanesExpr].getName, "minhash_lanes"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, Literal(k: Int, IntegerType), Literal(n: Int, IntegerType)) =>
+          MinHashLanesExpr(c, k, n)
+        case _ => throw new IllegalArgumentException(
+          "minhash_lanes(tokens, k literal, numHashes literal)")
       }))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),

@@ -156,6 +156,79 @@ object TokenKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  private val hexDigits = "0123456789abcdef".getBytes
+
+  /** Row-local MinHash lanes: numHashes 8-hex-char lane minima over the
+    * k-gram shingles of `toks`, in the chunked-md5 family of the batch
+    * and streaming dedup paths — lane i is min over shingles of hex
+    * chars [(i%4)*8, +8) of md5('<i/4>:<shingle>'), four lanes per
+    * digest. Replaces the exploded form (one row per shingle, flat md5
+    * columns, per-doc min(string) SortAggregate): lane minima are
+    * per-DOCUMENT facts, so the explode shuffled ~shingle-count rows per
+    * doc through a variable-width sort aggregate for values the row
+    * already owned. One md5 call per (digest, shingle), minima tracked
+    * as the digest's RAW 4 bytes (hex encoding is order-preserving per
+    * byte, so unsigned byte comparison == the oracle's lexicographic
+    * hex-string min), hex-encoded once per winning lane. */
+  def minhashLanes(toks: ArrayData, k: Int, numHashes: Int): ArrayData = {
+    val grams = kgrams(toks, k, distinct = false)
+    val nDigests = (numHashes + 3) / 4
+    val mins = new Array[Array[Byte]](numHashes)
+    val md = md5Local.get()
+    var g = 0
+    val nGrams = grams.numElements()
+    while (g < nGrams) {
+      val gramBytes = grams.getUTF8String(g).getBytes
+      var d = 0
+      while (d < nDigests) {
+        md.reset()
+        md.update(('0' + d).toByte) // d < 10 always: numHashes <= 36
+        md.update(':'.toByte)
+        md.update(gramBytes)
+        val digest = md.digest()
+        var lane = d * 4
+        val laneEnd = math.min(lane + 4, numHashes)
+        while (lane < laneEnd) {
+          val off = (lane % 4) * 4
+          val cur = mins(lane)
+          var replace = cur == null
+          if (!replace) {
+            var i = 0
+            var cmp = 0
+            while (cmp == 0 && i < 4) {
+              cmp = (digest(off + i) & 0xFF) - (cur(i) & 0xFF)
+              i += 1
+            }
+            replace = cmp < 0
+          }
+          if (replace) {
+            val copy = new Array[Byte](4)
+            System.arraycopy(digest, off, copy, 0, 4)
+            mins(lane) = copy
+          }
+          lane += 1
+        }
+        d += 1
+      }
+      g += 1
+    }
+    val out = new Array[Any](numHashes)
+    var l = 0
+    while (l < numHashes) {
+      val raw = mins(l)
+      val hex = new Array[Byte](8)
+      var i = 0
+      while (i < 4) {
+        hex(2 * i) = hexDigits((raw(i) >> 4) & 0xF)
+        hex(2 * i + 1) = hexDigits(raw(i) & 0xF)
+        i += 1
+      }
+      out(l) = UTF8String.fromBytes(hex)
+      l += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Row-local SimHash over ascii_alpha_tokens(s): bit i of the result
     * (bit position bits-1-i) is set iff the sum over tokens of
     * (+1 if hex digit i of md5(token) has an odd CHAR CODE else -1) is
@@ -336,6 +409,31 @@ case class KGramsExpr(child: Expression, k: Int, distinct: Boolean)
       c => s"graft.functions.TokenKernels.kgrams($c, $k, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): KGramsExpr =
+    copy(child = newChild)
+}
+
+/** `minhash_lanes(toks, k, numHashes)`: row-local MinHash lane minima
+  * (see [[TokenKernels.minhashLanes]]). */
+case class MinHashLanesExpr(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(numHashes >= 1 && numHashes <= 36,
+    "minhash_lanes supports 1..36 lanes (single-char digest salt)")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_lanes expects ARRAY<STRING>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_lanes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.minhashLanes(input.asInstanceOf[ArrayData], k, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenKernels.minhashLanes($c, $k, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashLanesExpr =
     copy(child = newChild)
 }
 

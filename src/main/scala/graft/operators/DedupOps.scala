@@ -55,60 +55,36 @@ object DedupOps {
     * dominant cost. Deterministic, seedless, reproducible in any
     * engine with md5 + substring.
     *
-    * Computed EXPLODED, not as nested array lambdas: higher-order
-    * functions are interpreted (no whole-stage codegen), so
-    * transform-inside-transform is ~100x slower than exploding shingles
-    * to rows and min-aggregating flat codegen'd md5 columns. min(string)
-    * does plan a SortAggregate (variable-width buffer), which is why
-    * shingle-row VOLUME — not the hash function — is the cost knob.
-    * (Numeric mins were tried and rejected: conv() is slower than the
-    * sort, and inlined hex arithmetic re-evaluates md5 per digit.) */
+    * Computed ROW-LOCALLY (TokenKernels.minhashLanes, one codegen'd
+    * call per document): lane minima are per-document facts, so the
+    * round-2..4 exploded form (one row per shingle, flat codegen'd md5
+    * columns, per-doc min(string) SortAggregate) shuffled ~shingle-count
+    * rows per doc through a variable-width sort aggregate for values the
+    * row already owned. History of the shapes tried, for the record:
+    * nested array lambdas (interpreted HOFs, ~100x too slow), exploded
+    * flat columns (the previous best), numeric mins via conv() (slower
+    * than the string sort). Docs with null text produce no signature row
+    * (the explode-form drop semantics, which the oracles replay). */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {
-    val nDigests = (numHashes + 3) / 4
-    val digests = (0 until nDigests).map(d =>
-      md5(concat(lit(d.toString), lit(":"), col("__sh"))).as(s"__h$d"))
-    val exploded = df
-      .select(col(idCol),
-        expr(s"ascii_tokens($textCol)").as("__toks"))
-      .select(col(idCol),
-        explode(expr(s"kgrams(__toks, $shingleK)")).as("__sh"))
-      .select(col(idCol) +: digests: _*)
-    val mins = (0 until numHashes).map(i =>
-      min(substring(col(s"__h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"mh$i"))
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-  }
-
-  /** Row-local MinHash signature: the SAME hash family and lane layout as
-    * [[minHashSignatures]] (lane i = min over shingles of an 8-hex-char
-    * slice of md5('<i/4>:<shingle>')) computed entirely within the row —
-    * no explode, no aggregation, no shuffle. The batch path explodes
-    * because codegen'd flat columns beat interpreted HOFs ~100x at full
-    * scan scale; this form exists for STREAMING, where staying stateless
-    * ahead of the one dedup state store is worth the per-row HOF
-    * interpretation. Signatures are bit-identical across the two forms
-    * (asserted in FileStreamSpec), so batch and streaming dedup agree.
-    * Expects the token array already projected as column `toksCol`
-    * (multi-referenced below; a column reference is computed once per
-    * row, CollapseProject keeps the alias materialized). */
-  def rowLocalDigests(toksCol: String, shingleK: Int, numHashes: Int): Column = {
-    val nDigests = (numHashes + 3) / 4
-    val digestsOf: Column => Column = sh =>
-      concat((0 until nDigests).map(d => md5(concat(lit(s"$d:"), sh))): _*)
-    transform(expr(s"kgrams($toksCol, $shingleK)"), digestsOf)
-  }
-
-  /** Lane mins over an ALREADY-PROJECTED digest-array column — the
-    * two-step shape, because each of the numHashes lane expressions
-    * references the digests and an inline form would re-run the md5
-    * transform once per lane (the lang_id CSE trap). */
-  def rowLocalSignature(digsCol: String, numHashes: Int): Column = {
     val lanes = (0 until numHashes).map(i =>
-      array_min(transform(col(digsCol),
-        d => substring(d, (i / 4) * 32 + (i % 4) * 8 + 1, 8))))
-    concat_ws(",", lanes: _*)
+      element_at(col("__mh"), i + 1).as(s"mh$i"))
+    df.select(col(idCol),
+        expr(s"minhash_lanes(ascii_tokens($textCol), $shingleK, $numHashes)")
+          .as("__mh"))
+      .filter(col("__mh").isNotNull)
+      .select(col(idCol) +: lanes: _*)
   }
+
+  /** Row-local MinHash signature string "mh0,...,mhN-1" — the SAME
+    * kernel the batch path uses (TokenKernels.minhashLanes), joined with
+    * commas for a single state-store key. Batch and streaming signatures
+    * are identical BY CONSTRUCTION now that both call one kernel
+    * (still asserted in FileStreamSpec). Expects the token array already
+    * projected as column `toksCol`. */
+  def rowLocalSignature(toksCol: String, shingleK: Int, numHashes: Int): Column =
+    array_join(expr(s"minhash_lanes($toksCol, $shingleK, $numHashes)"), ",")
 
   /** LSH banding: candidate near-dup pairs (idA < idB) that share at least
     * one band signature. One shuffle on (band, sig) to group buckets, pairs

@@ -59,10 +59,9 @@ object FileStream {
     * stateful operators), while the full signature is ONE
     * dropDuplicatesWithinWatermark key. Band-level candidate pairs stay
     * a batch concern (DedupOps.minHashLshPairs). The signature is
-    * computed ROW-LOCALLY (DedupOps.rowLocalDigests/rowLocalSignature):
-    * per-row interpreted HOFs cost more CPU than the batch explode+agg,
-    * but keep the stage stateless ahead of the dedup store — the right
-    * trade on an unbounded stream. Signatures are bit-identical to the
+    * computed ROW-LOCALLY (DedupOps.rowLocalSignature, the same
+    * minhash_lanes kernel the batch path uses), keeping the stage
+    * stateless ahead of the dedup store. Signatures are bit-identical to the
     * batch form, so a batch backfill and the stream agree on what is a
     * duplicate (asserted in FileStreamSpec). */
   def streamingSignatureDedup(
@@ -72,9 +71,9 @@ object FileStream {
     docs
       .withColumn("__toks",
         expr(s"ascii_tokens($textCol)"))
-      .withColumn("__digs", DedupOps.rowLocalDigests("__toks", shingleK, numHashes))
-      .withColumn("minhash_sig", md5(DedupOps.rowLocalSignature("__digs", numHashes)))
-      .drop("__toks", "__digs")
+      .withColumn("minhash_sig",
+        md5(DedupOps.rowLocalSignature("__toks", shingleK, numHashes)))
+      .drop("__toks")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("minhash_sig")
   }

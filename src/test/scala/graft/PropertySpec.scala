@@ -169,6 +169,23 @@ object KernelProps extends Properties("graft.kernels") {
           arr(graft.functions.TokenKernels.kgrams(in, k, true)) == model.distinct
     }
 
+  property("minhashLanes == min-over-shingles of chunked md5 hex slices") =
+    forAll(Gen.listOf(Gen.oneOf("a", "bb", "c0", "dd", "ee1")),
+        Gen.oneOf(2, 3), Gen.oneOf(4, 8)) { (toks, k, nh) =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(utf8).toArray[Any])
+      val grams = (1 to math.max(toks.size - k + 1, 1))
+        .map(j => toks.slice(j - 1, j - 1 + k).mkString(" "))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def md5hex(x: String) =
+        md.digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val model = (0 until nh).map { i =>
+        grams.map(g => md5hex(s"${i / 4}:$g")
+          .substring((i % 4) * 8, (i % 4) * 8 + 8)).min
+      }
+      arr(graft.functions.TokenKernels.minhashLanes(in, k, nh)) == model
+    }
+
   property("simHash == per-token md5 hex-digit-parity vote model") =
     forAll(uniString, Gen.oneOf(8, 16, 32)) { (s, bits) =>
       val toks = arr(graft.functions.TokenKernels.asciiRuns(utf8(s), false, 1))
