@@ -9,7 +9,8 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{AsciiTokensExpr, BpeCountExpr, BpeTokensExpr,
   DurationToHoursExpr, KGramsExpr, NormalizeNameExpr, RepStatsExpr,
-  MinHashLanesExpr, SimHashExpr, VecDotExpr, VecSqDistExpr, VecSqNormExpr}
+  MinHashLanesExpr, SimHashExpr, TfMapExpr, VecDotExpr, VecSqDistExpr,
+  VecSqNormExpr}
 
 /** SparkSessionExtensions hook (enable with
   * `spark.sql.extensions=graft.GraftExtensions`, set by [[Sessions.builder]]):
@@ -52,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_count"),
       new ExpressionInfo(classOf[BpeCountExpr].getName, "bpe_count"),
       (children: Seq[Expression]) => BpeCountExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("tf_map"),
+      new ExpressionInfo(classOf[TfMapExpr].getName, "tf_map"),
+      (children: Seq[Expression]) => TfMapExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("rep_stats"),
       new ExpressionInfo(classOf[RepStatsExpr].getName, "rep_stats"),

@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData,
+  GenericArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -229,6 +230,37 @@ object TokenKernels {
     new GenericArrayData(out)
   }
 
+  /** Row-local term frequencies: token -> occurrence count, keys in
+    * first-occurrence order. Term frequency is a per-DOCUMENT fact, so
+    * the explode-then-groupBy(doc, term) form this replaces shuffled one
+    * row per token OCCURRENCE to aggregate what the row already owned;
+    * `explode(tf_map(toks))` emits one pre-counted row per DISTINCT term
+    * instead, with no exchange. Counts are identical to the groupBy's
+    * COUNT(*) by construction (same token stream, same equality). */
+  def tfMap(toks: ArrayData): MapData = {
+    val n = toks.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, Integer](
+      math.min(n, 64) * 2 + 4)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val c = m.get(t)
+      m.put(t, if (c == null) 1 else c + 1)
+      i += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey
+      vals(j) = e.getValue.intValue()
+      j += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
   /** Row-local SimHash over ascii_alpha_tokens(s): bit i of the result
     * (bit position bits-1-i) is set iff the sum over tokens of
     * (+1 if hex digit i of md5(token) has an odd CHAR CODE else -1) is
@@ -434,6 +466,28 @@ case class MinHashLanesExpr(child: Expression, k: Int, numHashes: Int)
       c => s"graft.functions.TokenKernels.minhashLanes($c, $k, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashLanesExpr =
+    copy(child = newChild)
+}
+
+/** `tf_map(toks)`: row-local term frequencies as MAP<STRING, INT> (see
+  * [[TokenKernels.tfMap]]). */
+case class TfMapExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"tf_map expects ARRAY<STRING>, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    MapType(StringType, IntegerType, valueContainsNull = false)
+  override def prettyName: String = "tf_map"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.tfMap(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenKernels.tfMap($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TfMapExpr =
     copy(child = newChild)
 }
 

@@ -37,12 +37,16 @@ object SparseSimOps {
       minCosine: Double, dfCap: Long): DataFrame = {
     require(minCosine > 0, "minCosine must be positive (join emits shared-term pairs only)")
     require(dfCap >= 2, "dfCap < 2 drops every joinable term")
+    // Per-doc term frequency is row-local (tf_map kernel): one
+    // pre-counted row per DISTINCT (doc, term) straight off the scan —
+    // the explode + groupBy(doc, term) form this replaces shuffled one
+    // row per token OCCURRENCE to count what the row already owned.
     val tf = docs
       .select(col(idCol).as("__id"),
-        explode(expr(s"ascii_tokens($textCol)"))
-          .as("__term"))
-      .groupBy("__id", "__term")
-      .agg(count(lit(1)).as("__tf"))
+        explode(expr(s"tf_map(ascii_tokens($textCol))"))
+          .as(Seq("__term", "__tfi")))
+      .select(col("__id"), col("__term"),
+        col("__tfi").cast("bigint").as("__tf"))
     // document frequency from the postings themselves (one row per
     // (doc, term) already): count per term, keep the long tail
     val kept = tf

@@ -372,10 +372,13 @@ object TextQueries {
     * partitioned by doc (high-cardinality key). */
   private val tTopTerms: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
+    // Per-doc term frequency is row-local: explode the pre-counted
+    // tf_map instead of one row per occurrence + groupBy(doc, term).
     val docTerm = t(s, dir, "documents")
       .select(col("doc_id"),
-        explode(expr("ascii_alpha_tokens(text, 3)")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        explode(expr("tf_map(ascii_alpha_tokens(text, 3))"))
+          .as(Seq("term", "__tf")))
+      .select(col("doc_id"), col("term"), col("__tf").cast("bigint").as("tf"))
     val df_ = docTerm.groupBy("term").agg(count(lit(1)).as("df"))
     docTerm.join(df_, Seq("term"))
       .withColumn("score", expr("(tf * 1000000L) div df"))

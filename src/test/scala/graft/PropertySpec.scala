@@ -186,6 +186,18 @@ object KernelProps extends Properties("graft.kernels") {
       arr(graft.functions.TokenKernels.minhashLanes(in, k, nh)) == model
     }
 
+  property("tfMap == groupBy-count model, keys in first-occurrence order") =
+    forAll(Gen.listOf(Gen.oneOf("a", "bb", "c0", "ähm", "", "a"))) { toks =>
+      val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(utf8).toArray[Any])
+      val m = graft.functions.TokenKernels.tfMap(in)
+      val keys = (0 until m.numElements()).map(i =>
+        m.keyArray().getUTF8String(i).toString)
+      val vals = (0 until m.numElements()).map(i => m.valueArray().getInt(i))
+      keys == toks.distinct &&
+        (keys zip vals).forall { case (k, v) => toks.count(_ == k) == v }
+    }
+
   property("simHash == per-token md5 hex-digit-parity vote model") =
     forAll(uniString, Gen.oneOf(8, 16, 32)) { (s, bits) =>
       val toks = arr(graft.functions.TokenKernels.asciiRuns(utf8(s), false, 1))
