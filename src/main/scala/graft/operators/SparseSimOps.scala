@@ -47,24 +47,40 @@ object SparseSimOps {
           .as(Seq("__term", "__tfi")))
       .select(col("__id"), col("__term"),
         col("__tfi").cast("bigint").as("__tf"))
-    // document frequency from the postings themselves (one row per
-    // (doc, term) already): count per term, keep the long tail
-    val kept = tf
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__term")))
-      .filter(col("__df") <= dfCap)
-      .drop("__df")
+    // Vocabulary filter as a HEAD-SET anti-join, not a per-term window:
+    // the window form exchange-SORTS every posting by term to attach a
+    // df each row only uses once; the terms it removes (df > dfCap) are
+    // by construction the FEW most frequent — the Zipf head — so the
+    // scale shape is a partial-aggregated df count (shuffle output =
+    // vocabulary, not postings) filtered to the head and BROADCAST as an
+    // anti-join set. The posting side never exchanges for the filter.
+    val head = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > dfCap).select("__term")
+    val kept = tf.join(broadcast(head), Seq("__term"), "left_anti")
+    // Norm over the filtered vocabulary rides each POSTING row (joined
+    // on __id BEFORE the a/b split), so the pair table — the largest
+    // relation in the plan, dfCap² fan-out per term — is never
+    // re-shuffled to pick up norms. The earlier form joined norms onto
+    // the aggregated pairs, which re-exchanges the pair table once per
+    // side at scale. Attaching pre-split costs one small join against
+    // the one-row-per-doc norms table: AQE broadcasts it at bench scale
+    // and sort-merges on __id at corpus scale, either way bounded by
+    // postings, not pairs. (A per-doc window was tried and rejected: the
+    // partition-key sort of the full posting list costs more than the
+    // hash-aggregated norms join.) __n2 is an exact integer, so
+    // including it in the pair groupBy keys (functionally dependent on
+    // the id) is determinism-safe.
     val norms = kept.groupBy("__id")
       .agg(sum(col("__tf") * col("__tf")).as("__n2"))
-    val a = kept.select(col("__id").as("id_a"), col("__term"), col("__tf").as("__tfa"))
-    val b = kept.select(col("__id").as("id_b"), col("__term"), col("__tf").as("__tfb"))
-    val dots = a.join(b, Seq("__term"))
+    val kept2 = kept.join(norms, "__id")
+    val a = kept2.select(col("__id").as("id_a"), col("__term"),
+      col("__tf").as("__tfa"), col("__n2").as("__n2a"))
+    val b = kept2.select(col("__id").as("id_b"), col("__term"),
+      col("__tf").as("__tfb"), col("__n2").as("__n2b"))
+    a.join(b, Seq("__term"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
+      .groupBy("id_a", "id_b", "__n2a", "__n2b")
       .agg(sum(col("__tfa") * col("__tfb")).as("__dot"))
-    dots
-      .join(norms.select(col("__id").as("id_a"), col("__n2").as("__n2a")), "id_a")
-      .join(norms.select(col("__id").as("id_b"), col("__n2").as("__n2b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (col("__dot").cast("double") /
           (sqrt(col("__n2a").cast("double")) * sqrt(col("__n2b").cast("double"))))

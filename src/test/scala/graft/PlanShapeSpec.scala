@@ -95,6 +95,44 @@ class PlanShapeSpec extends AnyFunSuite {
       s"dedup_simhash regained its vote aggregation:\n${p.take(800)}")
   }
 
+  test("minhash signatures are row-local: no per-doc min aggregation") {
+    // minhash_lanes computes every lane inside the row; the only
+    // aggregates left are the LSH bucket collect and pair dedup. The
+    // exploded form's signature agg printed min(substring(...)) partials
+    // over a SortAggregate — neither may come back.
+    val p = plan("dedup_minhash_lsh")
+    assert(!p.contains("partial_min") && !p.contains("SortAggregate"),
+      s"minhash regained its per-doc signature aggregation:\n${p.take(800)}")
+  }
+
+  test("term frequencies are row-local: no aggregate keyed on (doc, term)") {
+    // tf_map pre-counts per-doc term frequencies inside the row; a
+    // groupBy(doc, term) coming back means the kernel path was lost.
+    val top = plan("t_top_terms")
+    assert(!top.contains("keys=[doc_id"),
+      s"t_top_terms regained the (doc, term) aggregate:\n${top.take(800)}")
+    val sp = plan("dedup_sparse_cosine")
+    assert(!"keys=\\[__id#\\d+, __term".r.findFirstIn(sp).isDefined,
+      s"sparse cosine regained the (doc, term) aggregate:\n${sp.take(800)}")
+  }
+
+  test("sparse cosine: norms ride posting rows; head-set filter is sort-free") {
+    val p = plan("dedup_sparse_cosine")
+    // Norms attached BEFORE the a/b split: the pair aggregate's keys
+    // carry both norms, so the pair table — the largest relation, dfCap²
+    // fan-out per term — is never re-shuffled to pick them up.
+    val pairAgg = p.linesIterator.find(_.contains("keys=[id_a")).getOrElse("")
+    assert(pairAgg.contains("__n2a") && pairAgg.contains("__n2b"),
+      s"sparse cosine pair agg lost the riding norms:\n$pairAgg")
+    // The dfCap vocabulary filter is a broadcast anti-join against the
+    // tiny Zipf-head term set — never a per-term window (which
+    // exchange-sorts every posting to attach a df used once).
+    assert(!p.contains("windowspecdefinition"),
+      s"sparse cosine regained a window sort:\n${p.take(800)}")
+    assert(p.contains("LeftAnti"),
+      s"sparse cosine lost the head-set anti-join:\n${p.take(800)}")
+  }
+
   test("windows in registered queries are partitioned (no single-task window)") {
     // WindowExec with an empty partition spec logs/plans a global window;
     // the textual marker is a windowspecdefinition starting with the
