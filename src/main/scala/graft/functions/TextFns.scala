@@ -405,7 +405,7 @@ private[functions] final class PyLiteralParser(s: String) {
   private var i = 0
   private def err() = throw new IllegalArgumentException(s"pyliteral at $i")
   private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
-  private def peek: Char = if (i < s.length) s.charAt(i) else ' '
+  private def peek: Char = if (i < s.length) s.charAt(i) else 0.toChar
 
   def parseToJson(): String = {
     ws(); val out = value(); ws()
