@@ -800,7 +800,9 @@ object DedupQueries {
     "dedup_cc_clusters" -> ((s, dir) =>
       graft.operators.GraphOps.connectedComponents(
         DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
-          shingleK = 3, numHashes = 8, bands = 2), "id_a", "id_b")),
+          shingleK = 3, numHashes = 8, bands = 2), "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+          (col("node") === col("component")).as("is_survivor"))),
     "dedup_sparse_cosine" -> ((s, dir) =>
       graft.operators.SparseSimOps.tfCosinePairs(
         corpus(s, dir), "doc_id", "t", minCosine = 0.8, dfCap = 400L)),

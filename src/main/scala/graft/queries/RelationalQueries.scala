@@ -873,6 +873,17 @@ object RelationalQueries {
     * measures the operator, not the harness. */
   val benchVariants: Map[String, Q] = Map(
     "j7_lineid_arith" -> j7Unsorted,
+    // A CDC batch arrives MATERIALIZED in practice; the registered form
+    // synthesizes it from orders as a lazy subtree that the upsert plan
+    // evaluates three times (merge side, matched-keys broadcast, insert
+    // anti-join). Materializing it first times the upsert operator, not
+    // the fixture synthesis. Bounded by |updates| — the same assumption
+    // broadcastUpdates already makes.
+    "j3_upsert" -> ((s, dir) =>
+      MergeOps.upsert(
+        t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+        j3Updates(s, dir).localCheckpoint(true),
+        Seq("c_custkey"), Seq("c_acctbal"), broadcastUpdates = true)),
     "o4_group_sample" -> ((s, dir) =>
       graft.operators.SampleOps.groupFractionalSample(
         t(s, dir, "lineitem"), Seq("l_returnflag"), o4Hash,
