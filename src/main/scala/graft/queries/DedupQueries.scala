@@ -565,8 +565,13 @@ object DedupQueries {
     * (same determinism spec as ann_kmeans_cells) + within-cell pair
     * replay + anti-join. */
   private val dedupSemantic: Q = (s, dir) => {
+    // The assigned table feeds BOTH the pair generation and the final
+    // anti-join base; localCheckpoint materializes the (bounded-width)
+    // assignment once instead of re-running the scan + nearest-centroid
+    // pass per consumer — the persist a real pipeline would do.
     val cells = graft.operators.KMeansOps.fitAssign(
       embCorpus(s, dir), "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+      .localCheckpoint(true)
     val pairs = SimilarityOps.cosineNearDupPairs(
       cells, "vec_id", "embedding", "cell", 0.999)
     val deleted = pairs.select(col("id_b").as("vec_id")).distinct()
