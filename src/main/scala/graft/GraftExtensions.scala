@@ -10,7 +10,7 @@ import org.apache.spark.sql.types.IntegerType
 import graft.functions.{AsciiTokensExpr, BpeCountExpr, BpeTokensExpr,
   DurationToHoursExpr, KGramsExpr, NormalizeNameExpr, RepStatsExpr,
   MinHashLanesExpr, SimHashExpr, TfMapExpr, VecDotExpr, VecSqDistExpr,
-  VecSqNormExpr}
+  VecSqNormExpr, WsWordCountExpr}
 
 /** SparkSessionExtensions hook (enable with
   * `spark.sql.extensions=graft.GraftExtensions`, set by [[Sessions.builder]]):
@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_count"),
       new ExpressionInfo(classOf[BpeCountExpr].getName, "bpe_count"),
       (children: Seq[Expression]) => BpeCountExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("ws_word_count"),
+      new ExpressionInfo(classOf[WsWordCountExpr].getName, "ws_word_count"),
+      (children: Seq[Expression]) => WsWordCountExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("tf_map"),
       new ExpressionInfo(classOf[TfMapExpr].getName, "tf_map"),

@@ -191,8 +191,7 @@ object TextFns {
   // ---------------------------------------------------------------- F11
   /** Whitespace word count. Reference: process_all.py:318-332. */
   def word_count(c: Column): Column =
-    when(ws_collapse(c) === "", lit(0))
-      .otherwise(size(split(ws_collapse(c), " ")))
+    org.apache.spark.sql.functions.call_function("ws_word_count", c)
 
   // ---------------------------------------------------------------- F7 (composed pipeline)
   /** Full reference normalize pipeline (URL strip -> NFC -> number/currency/

@@ -230,6 +230,28 @@ object TokenKernels {
     new GenericArrayData(out)
   }
 
+  /** Count of maximal runs of non-whitespace bytes — exactly
+    * `size(split(trim(regexp_replace(s, '\s+', ' ')), ' '))` with 0 for
+    * empty/all-whitespace input: Java regex `\s` and RE2's are the same
+    * six ASCII chars, and multi-byte UTF-8 units (high bit set) can
+    * never be whitespace, so the byte scan IS the regex pipeline minus
+    * its two string materializations and the split array. */
+  def wsWordCount(s: UTF8String): Int = {
+    val b = s.getBytes
+    val n = b.length
+    var i = 0
+    var cnt = 0
+    while (i < n) {
+      if (isAsciiWs(b(i))) i += 1
+      else {
+        cnt += 1
+        i += 1
+        while (i < n && !isAsciiWs(b(i))) i += 1
+      }
+    }
+    cnt
+  }
+
   /** Row-local term frequencies: token -> occurrence count, keys in
     * first-occurrence order. Term frequency is a per-DOCUMENT fact, so
     * the explode-then-groupBy(doc, term) form this replaces shuffled one
@@ -466,6 +488,26 @@ case class MinHashLanesExpr(child: Expression, k: Int, numHashes: Int)
       c => s"graft.functions.TokenKernels.minhashLanes($c, $k, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashLanesExpr =
+    copy(child = newChild)
+}
+
+/** `ws_word_count(s)`: whitespace-separated word count (see
+  * [[TokenKernels.wsWordCount]]). */
+case class WsWordCountExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ws_word_count expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ws_word_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.wsWordCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenKernels.wsWordCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WsWordCountExpr =
     copy(child = newChild)
 }
 

@@ -186,6 +186,13 @@ object KernelProps extends Properties("graft.kernels") {
       arr(graft.functions.TokenKernels.minhashLanes(in, k, nh)) == model
     }
 
+  property("wsWordCount == trim/collapse/split regex pipeline") =
+    forAll(uniString) { s =>
+      val collapsed = s.replaceAll("\\s+", " ").trim
+      val model = if (collapsed.isEmpty) 0 else collapsed.split(" ").length
+      graft.functions.TokenKernels.wsWordCount(utf8(s)) == model
+    }
+
   property("tfMap == groupBy-count model, keys in first-occurrence order") =
     forAll(Gen.listOf(Gen.oneOf("a", "bb", "c0", "ähm", "", "a"))) { toks =>
       val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
