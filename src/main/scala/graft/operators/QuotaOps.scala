@@ -51,4 +51,48 @@ object QuotaOps {
       .filter(col("__q_rn") <= quota)
       .drop("__q_rn")
   }
+
+  /** Domain-frequency capping (RefinedWeb/CCNet-style): no single domain
+    * may contribute more than `maxShare` of the corpus. Dual of
+    * [[quotaSample]] — quotas PULL strata toward a target mix from a
+    * curated weight table; the cap PUSHES DOWN whatever dominates, with
+    * no per-domain table at all (web crawls have millions of domains; a
+    * human-curated weight map cannot exist at that cardinality).
+    *
+    * cap = max(minKeep, ceil(total · shareNum/shareDen)); domains under
+    * the cap keep everything. The share is a RATIONAL, not a double: the
+    * cap is data-dependent in-plan math, and ceil over a double product
+    * is not portable (DuckDB parses `0.15` as DECIMAL, Spark as double —
+    * one ULP apart at a ceil boundary flips the cap by one), while
+    * (total·num + den−1) div den is exact long arithmetic in any engine.
+    * Survivors are chosen in HASH order, not crawl
+    * order — head-of-crawl pages are systematically homepage-like, so
+    * rank-by-id capping would bias the kept sample; rank-by-hash is a
+    * uniform draw and replays deterministically (same corpus → same
+    * survivors, and a second engine can replay the draw as window SQL).
+    *
+    * Scale shape: the total is one scalar aggregate (crossJoin of a
+    * 1-row broadcast, not a driver collect); selection is one shuffle
+    * of the fact table on the domain key. A domain at maxShare of 100 TB
+    * is a hot partition — for those corpora compose with SampleOps-style
+    * hash-prefix prefiltering on the same hash order (only rows whose
+    * hash can possibly rank ≤ cap enter the window), which this keeps
+    * composable by ranking on the caller-supplied `hashCol` itself. */
+  def domainCap(
+      df: DataFrame, domainCol: String, shareNum: Long, shareDen: Long,
+      minKeep: Long, hashCol: Column, tieCols: Seq[Column]): DataFrame = {
+    require(shareNum > 0 && shareDen > 0 && shareNum <= shareDen,
+      "share must be a rational in (0, 1]")
+    require(minKeep >= 1, "minKeep must be >= 1")
+    require(!df.columns.exists(c => c == "__c_rn" || c == "__c_total"),
+      "input may not carry __c_rn/__c_total")
+    val totals = df.groupBy().agg(count(lit(1)).as("__c_total"))
+    val cap = greatest(lit(minKeep),
+      expr(s"(__c_total * $shareNum + ${shareDen - 1}) div $shareDen"))
+    df.crossJoin(broadcast(totals))
+      .withColumn("__c_rn", row_number().over(
+        Window.partitionBy(col(domainCol)).orderBy(hashCol +: tieCols: _*)))
+      .filter(col("__c_rn") <= cap)
+      .drop("__c_rn", "__c_total")
+  }
 }

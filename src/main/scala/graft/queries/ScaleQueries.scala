@@ -246,6 +246,85 @@ object ScaleQueries {
       |  FROM documents)
       |WHERE rn <= 3 ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------------- t_cms
+
+  /** T-CMS: count-min-sketch frequency estimates for the corpus' top-15
+    * terms, next to the exact counts and the overcount in basis points —
+    * a measured invariant in the ann_recall/t_kmv spirit: the sketch's
+    * accuracy is an oracle-exact OUTPUT. The grid (4×512 longs) is what
+    * would broadcast at 100 TB for map-side heavy-hitter candidate
+    * filtering; here the point queries replay against it and the oracle
+    * rebuilds the identical grid in SQL (portable md5-prefix double
+    * hashing — see CmsOps). */
+  private val cmsD = 4
+  private val cmsW = 512
+  private val tCms: Q = (s, dir) => {
+    val docTerm = t(s, dir, "documents")
+      .select(explode(expr("tf_map(ascii_alpha_tokens(text, 3))"))
+        .as(Seq("term", "__tf")))
+      .select(col("term"), col("__tf").cast("long").as("tf"))
+    val cms = graft.operators.CmsOps.cmsBuild(docTerm, "term", "tf", cmsD, cmsW)
+    val top = docTerm.groupBy("term").agg(sum("tf").as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term")).limit(15)
+    graft.operators.CmsOps.cmsEstimate(cms, top, "term", cmsD, cmsW)
+      .withColumn("over_bp",
+        expr("(cms_cnt - exact_cnt) * 10000 div exact_cnt"))
+      .select(col("term"), col("exact_cnt"), col("cms_cnt"), col("over_bp"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+  }
+  private val tCmsSql =
+    s"""WITH cnt AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+       |    FROM documents)
+       |  GROUP BY term),
+       |grid AS (
+       |  SELECT i,
+       |    (CAST('0x' || substr(md5(term), 1, 8) AS BIGINT)
+       |      + i * CAST('0x' || substr(md5(term), 9, 8) AS BIGINT)) % $cmsW AS bucket,
+       |    CAST(SUM(exact_cnt) AS BIGINT) AS counter
+       |  FROM cnt, range($cmsD) t(i) GROUP BY 1, 2),
+       |top AS (SELECT term, exact_cnt FROM cnt ORDER BY exact_cnt DESC, term LIMIT 15),
+       |probe AS (
+       |  SELECT term, exact_cnt, i,
+       |    (CAST('0x' || substr(md5(term), 1, 8) AS BIGINT)
+       |      + i * CAST('0x' || substr(md5(term), 9, 8) AS BIGINT)) % $cmsW AS bucket
+       |  FROM top, range($cmsD) t(i)),
+       |est AS (
+       |  SELECT term, exact_cnt, MIN(counter) AS cms_cnt
+       |  FROM probe JOIN grid USING (i, bucket) GROUP BY term, exact_cnt)
+       |SELECT term, exact_cnt, cms_cnt,
+       |  (cms_cnt - exact_cnt) * 10000 // exact_cnt AS over_bp
+       |FROM est ORDER BY exact_cnt DESC, term""".stripMargin
+
+  // ---------------------------------------------------------------- o7
+
+  /** O7: domain-frequency capping — no source may exceed 15% of the
+    * corpus (min-keep 10), survivors drawn in portable-hash order (crawl
+    * order is homepage-biased; hash order is a uniform draw both engines
+    * replay). Dual of o6: caps push down dominant strata with no curated
+    * weight table, which is the form that exists at web-crawl domain
+    * cardinality. */
+  private val o7Num = 15L
+  private val o7Den = 100L
+  private val o7MinKeep = 10L
+  private val o7: Q = (s, dir) =>
+    QuotaOps.domainCap(
+        t(s, dir, "documents"), "source", o7Num, o7Den, o7MinKeep,
+        SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")))
+      .select(col("source"), col("doc_id"), col("lang"))
+      .orderBy("source", "doc_id")
+  private val o7Sql =
+    s"""SELECT source, doc_id, lang FROM (
+       |  SELECT source, doc_id, lang,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ((doc_id % 999999937 + 999999937) * 123456791 + 7919) % 999999937,
+       |               doc_id) AS rn,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS total
+       |  FROM documents)
+       |WHERE rn <= GREATEST($o7MinKeep, (total * $o7Num + ${o7Den - 1}) // $o7Den)
+       |ORDER BY source, doc_id""".stripMargin
+
   // --------------------------------------------------------- pipe (flagship)
 
   /** End-to-end pre-training pass, composed from the verified operators
@@ -319,7 +398,9 @@ object ScaleQueries {
     "t_kmv_distinct" -> tKmv,
     "t_sampled_quantiles" -> tSq,
     "o6_quota_sample" -> o6,
+    "o7_domain_cap" -> o7,
     "a14_topk_per_group" -> a14,
+    "t_cms_heavy" -> tCms,
     "pipe_pretrain_pack" -> pipe)
 
   val oracle: Map[String, String] = Map(
@@ -329,7 +410,9 @@ object ScaleQueries {
     "t_kmv_distinct" -> tKmvSql,
     "t_sampled_quantiles" -> tSqSql,
     "o6_quota_sample" -> o6Sql,
+    "o7_domain_cap" -> o7Sql,
     "a14_topk_per_group" -> a14Sql,
+    "t_cms_heavy" -> tCmsSql,
     "pipe_pretrain_pack" -> pipeSql)
 
   /** Sort-free forms for the bench (global ORDER BY exists only for the

@@ -140,7 +140,8 @@ class PlanShapeSpec extends AnyFunSuite {
     for ((q, key) <- Seq(
         "w1_row_number" -> "l_orderkey",
         "w4_global_line_number" -> "book",
-        "o4_group_sample" -> "l_returnflag")) {
+        "o4_group_sample" -> "l_returnflag",
+        "o7_domain_cap" -> "source")) {
       val p = plan(q)
       val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
       assert(winLines.nonEmpty, s"$q has no window")
@@ -230,6 +231,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(winLines.nonEmpty, "w7 has no window")
     assert(winLines.forall(_.contains("source")),
       s"w7 window not partitioned by shard:\n${winLines.mkString("\n")}")
+  }
+
+  test("CMS grid build partial-aggregates map-side; point queries join the broadcast grid") {
+    val p = plan("t_cms_heavy")
+    // The grid is the only thing that may shuffle during the build: the
+    // (row, bucket) aggregation must carry a partial_sum below its
+    // exchange (≤ d·w rows per partition cross the wire, not one row per
+    // term occurrence).
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"CMS build lost map-side combine:\n${p.take(600)}")
+    // The d·w-row grid broadcasts to the probe side — a shuffle join
+    // here would shuffle the queried terms against a few-KB table.
+    assert(p.contains("BroadcastHashJoin"),
+      s"CMS estimate does not broadcast the grid:\n${p.take(600)}")
   }
 
   test("partition-column predicates prune directories (PartitionFilters, not data filters)") {

@@ -466,6 +466,73 @@ class OperatorsSpec extends AnyFunSuite {
     assert(survivors == Set(0L, 1L, 12L), s"got $survivors")
   }
 
+  test("CmsOps: estimates never under-count; collisions over-count; disjoint probes read 0") {
+    // w=2 forces heavy collisions, so the over-count path is exercised
+    // for real, not just the no-collision identity.
+    val terms = Seq(("alpha", 5L), ("beta", 3L), ("gamma", 2L), ("alpha", 4L))
+      .toDF("term", "cnt")
+    val exact = Map("alpha" -> 9L, "beta" -> 3L, "gamma" -> 2L)
+    for (w <- Seq(2, 1024)) {
+      val cms = CmsOps.cmsBuild(terms, "term", "cnt", d = 3, w = w)
+      val est = CmsOps.cmsEstimate(cms, terms.select("term").distinct(), "term", 3, w)
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("cms_cnt")).toMap
+      exact.foreach { case (t, n) =>
+        assert(est(t) >= n, s"w=$w under-counted $t: ${est(t)} < $n") }
+      // every row's counters sum to the total increment mass, so no
+      // estimate can exceed it
+      assert(est.values.forall(_ <= 14L), s"w=$w estimate above total mass: $est")
+    }
+    // a term never inserted estimates 0 only if all its buckets are
+    // empty — build from one term, probe another mapping elsewhere
+    val lone = CmsOps.cmsBuild(Seq(("alpha", 7L)).toDF("term", "cnt"), "term", "cnt", 3, 1 << 20)
+    val miss = CmsOps.cmsEstimate(lone, Seq("zzz-not-inserted").toDF("term"), "term", 3, 1 << 20)
+      .collect()(0).getAs[Long]("cms_cnt")
+    assert(miss == 0L, s"disjoint probe should read empty buckets: $miss")
+  }
+
+  test("CmsOps: grid merge-associativity — split builds sum to the whole-corpus grid") {
+    // The property that makes the sketch viable as a partial aggregate:
+    // grid(A ∪ B) = grid(A) + grid(B) cell-wise.
+    val a = Seq(("x", 2L), ("y", 1L)).toDF("term", "cnt")
+    val b = Seq(("x", 3L), ("z", 4L)).toDF("term", "cnt")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Long]("counter")).toMap
+    val whole = cells(CmsOps.cmsBuild(a.union(b), "term", "cnt", 2, 64))
+    val parts = {
+      val ca = cells(CmsOps.cmsBuild(a, "term", "cnt", 2, 64))
+      val cb = cells(CmsOps.cmsBuild(b, "term", "cnt", 2, 64))
+      (ca.keySet ++ cb.keySet).map(k =>
+        k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    }
+    assert(whole == parts)
+  }
+
+  test("QuotaOps.domainCap: dominant domains capped, small ones whole, min-keep respected") {
+    // 100 rows: domain "big" 70, "mid" 20, "tiny" 10. share=3/10 → cap =
+    // max(minKeep, ceil(100*3/10)) = 30: big loses 40, mid+tiny keep all.
+    val df = (0L until 100L).map { i =>
+      val d = if (i < 70) "big" else if (i < 90) "mid" else "tiny"
+      (i, d)
+    }.toDF("id", "dom")
+    val kept = QuotaOps.domainCap(df, "dom", 3, 10, 5,
+        graft.operators.SketchOps.portableHash(col("id")), Seq(col("id")))
+      .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("big" -> 30L, "mid" -> 20L, "tiny" -> 10L), s"got $kept")
+    // minKeep dominates when the corpus-share cap would fall below it:
+    // share=1/100 → ceil(100/100)=1 < minKeep=5 → every domain keeps
+    // min(5, size)
+    val floor = QuotaOps.domainCap(df, "dom", 1, 100, 5,
+        graft.operators.SketchOps.portableHash(col("id")), Seq(col("id")))
+      .groupBy("dom").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(floor == Map("big" -> 5L, "mid" -> 5L, "tiny" -> 5L), s"got $floor")
+    // survivors are hash-order, not id-order: big's kept ids must not be
+    // the 30 smallest (that would be crawl-order bias)
+    val keptIds = QuotaOps.domainCap(df, "dom", 3, 10, 5,
+        graft.operators.SketchOps.portableHash(col("id")), Seq(col("id")))
+      .filter(col("dom") === "big").select("id").as[Long].collect().toSet
+    assert(keptIds != (0L until 30L).toSet, "cap selected in id order — hash order expected")
+  }
+
   test("MultimodalOps.wavProbe: truncated data chunk is clamped, short blob yields zeros") {
     val samples = Array.fill[Float](100)(0.5f)
     val wav = AudioOps.encodePcm16Wav(samples, 8000)
