@@ -263,9 +263,17 @@ object ScaleQueries {
       .select(explode(expr("tf_map(ascii_alpha_tokens(text, 3))"))
         .as(Seq("term", "__tf")))
       .select(col("term"), col("__tf").cast("long").as("tf"))
-    val cms = graft.operators.CmsOps.cmsBuild(docTerm, "term", "tf", cmsD, cmsW)
-    val top = docTerm.groupBy("term").agg(sum("tf").as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("term")).limit(15)
+    // The exact counts feed BOTH the grid build and the top-15 probe
+    // set; localCheckpoint materializes the vocab-sized aggregate once
+    // instead of re-tokenizing the corpus per consumer. Building the
+    // grid from the AGGREGATE is cell-wise identical to building it
+    // from raw increments (merge-associativity, pinned by the
+    // OperatorsSpec split-build test) and hashes each distinct term
+    // once instead of once per occurrence.
+    val exact = docTerm.groupBy("term").agg(sum("tf").as("exact_cnt"))
+      .localCheckpoint(true)
+    val cms = graft.operators.CmsOps.cmsBuild(exact, "term", "exact_cnt", cmsD, cmsW)
+    val top = exact.orderBy(col("exact_cnt").desc, col("term")).limit(15)
     graft.operators.CmsOps.cmsEstimate(cms, top, "term", cmsD, cmsW)
       .withColumn("over_bp",
         expr("(cms_cnt - exact_cnt) * 10000 div exact_cnt"))
