@@ -9,8 +9,8 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{AsciiTokensExpr, BpeCountExpr, BpeTokensExpr,
   DurationToHoursExpr, KGramsExpr, NormalizeNameExpr, RepStatsExpr,
-  MinHashLanesExpr, SimHashExpr, TfMapExpr, VecDotExpr, VecSqDistExpr,
-  VecSqNormExpr, WsWordCountExpr}
+  LangHitsExpr, MinHashLanesExpr, SimHashExpr, TfMapExpr, VecDotExpr,
+  VecSqDistExpr, VecSqNormExpr, WsWordCountExpr}
 
 /** SparkSessionExtensions hook (enable with
   * `spark.sql.extensions=graft.GraftExtensions`, set by [[Sessions.builder]]):
@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_count"),
       new ExpressionInfo(classOf[BpeCountExpr].getName, "bpe_count"),
       (children: Seq[Expression]) => BpeCountExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("lang_hits"),
+      new ExpressionInfo(classOf[LangHitsExpr].getName, "lang_hits"),
+      (children: Seq[Expression]) => LangHitsExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("ws_word_count"),
       new ExpressionInfo(classOf[WsWordCountExpr].getName, "ws_word_count"),

@@ -252,6 +252,87 @@ object TokenKernels {
     cnt
   }
 
+  /** The stopword tables of [[graft.functions.TextFns.langStopwords]] as
+    * byte patterns, in registry order (de, en, es, fr + zh chars). The
+    * kernel implements the ASCII word boundary — a stopword counts when
+    * its maximal [A-Za-z0-9_] byte run equals it exactly — which is
+    * RE2's `\b`, i.e. EXACTLY what the DuckDB oracle evaluates; since
+    * multi-byte UTF-8 units have the high bit set they can never extend
+    * a word run, so the byte scan and RE2 agree on every input. NOTE
+    * this is deliberately NOT java.util.regex semantics: Java's `\b` is
+    * Unicode-aware even without UNICODE_CHARACTER_CLASS (empirically,
+    * `\bthe\b` does NOT match in "the的" or "theÿ" under Java, but does
+    * under RE2), so the regexp_count form this kernel replaced carried a
+    * latent engine divergence on stopwords abutting non-ASCII letters —
+    * the kernel upgrades oracle parity from data-dependent to total.
+    * The zh chars carry no `\b` and are single-codepoint alternatives:
+    * counting 3-byte window matches is the regex count in BOTH engines,
+    * and UTF-8 self-synchronization (continuation bytes 0x80–0xBF are
+    * never the lead bytes 0xE4–0xE7) means no match can start
+    * mid-character. */
+  private val langWords: Array[Array[Array[Byte]]] = Array(
+    Array("der", "die", "das", "und", "ist", "nicht"),
+    Array("the", "a", "of", "and", "is", "to"),
+    Array("el", "la", "los", "de", "que", "es"),
+    Array("le", "les", "des", "et", "est", "une"))
+    .map(_.map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+  private val zhChars: Array[Array[Byte]] =
+    Array("的", "了", "是", "我", "不", "在")
+      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_'
+
+  /** One-pass stopword-hit counts for all five languages — replaces five
+    * full-text regex scans (one per language) with a single byte scan.
+    * Returns counts in langStopwords order: [de, en, es, fr, zh]. */
+  def langHits(s: UTF8String): GenericArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    val counts = new Array[Int](5)
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (isWordByte(c)) {
+        val start = i
+        i += 1
+        while (i < n && isWordByte(b(i))) i += 1
+        val len = i - start
+        var l = 0
+        while (l < 4) {
+          val ws = langWords(l)
+          var k = 0
+          var hit = false
+          while (k < ws.length && !hit) {
+            val w = ws(k)
+            if (w.length == len) {
+              var j = 0
+              while (j < len && w(j) == b(start + j)) j += 1
+              if (j == len) { counts(l) += 1; hit = true }
+            }
+            k += 1
+          }
+          l += 1
+        }
+      } else if ((c & 0x80) != 0 && i + 3 <= n) {
+        var k = 0
+        var hit = false
+        while (k < zhChars.length && !hit) {
+          val p = zhChars(k)
+          if (b(i) == p(0) && b(i + 1) == p(1) && b(i + 2) == p(2)) {
+            counts(4) += 1
+            i += 3
+            hit = true
+          }
+          k += 1
+        }
+        if (!hit) i += 1
+      } else i += 1
+    }
+    new GenericArrayData(counts.map(x => x: Any))
+  }
+
   /** Row-local term frequencies: token -> occurrence count, keys in
     * first-occurrence order. Term frequency is a per-DOCUMENT fact, so
     * the explode-then-groupBy(doc, term) form this replaces shuffled one
@@ -508,6 +589,26 @@ case class WsWordCountExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TokenKernels.wsWordCount($c)")
 
   override protected def withNewChildInternal(newChild: Expression): WsWordCountExpr =
+    copy(child = newChild)
+}
+
+/** `lang_hits(s)`: one-pass stopword-hit counts for all five languages
+  * as ARRAY<INT> in langStopwords order (see [[TokenKernels.langHits]]). */
+case class LangHitsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lang_hits expects STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lang_hits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenKernels.langHits(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenKernels.langHits($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangHitsExpr =
     copy(child = newChild)
 }
 

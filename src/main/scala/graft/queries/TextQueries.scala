@@ -320,10 +320,16 @@ object TextQueries {
     * each regexp per cascade branch and codegen CSE does not save it
     * (measured 2.5x slower at sf0.1; see TextFns.lang_id). */
   private val tLang: Q = (s, dir) => {
-    val scored = t(s, dir, "documents").select(
-      (col("text") +: TextFns.lang_scores(col("text")).map {
-        case (l, c) => c.as(s"s_$l")
-      }): _*)
+    // One lang_hits kernel eval per row, projected ONCE and unpacked —
+    // projecting per-language regexp_count columns ran five full-text
+    // regex scans per row (0.48 s at sf0.1; the kernel form is one byte
+    // scan, bit-compatible with the regex family — see TokenKernels).
+    val scored = t(s, dir, "documents")
+      .select(col("text"), expr("lang_hits(text)").as("__hits"))
+      .select(
+        (col("text") +: TextFns.langStopwords.zipWithIndex.map {
+          case ((l, _), i) => col("__hits").getItem(i).as(s"s_$l")
+        }): _*)
     val refs = TextFns.langStopwords.map { case (l, _) => l -> col(s"s_$l") }
     scored
       .groupBy(TextFns.lang_argmax(col("text"), refs).as("pred_lang"))

@@ -193,6 +193,35 @@ object KernelProps extends Properties("graft.kernels") {
       graft.functions.TokenKernels.wsWordCount(utf8(s)) == model
     }
 
+  // Stopword-dense text with tricky joins: word-char suffix/prefix kills
+  // the \b match ("_the", "athe"), separators restore it, and zh chars
+  // embedded mid-ASCII exercise the multi-byte window.
+  private val langText: Gen[String] = Gen.listOf(Gen.frequency(
+      4 -> Gen.oneOf("the", "der", "la", "les", "的", "不", "und", "que",
+        "est", "a", "to", "is", "el", "une", "de"),
+      2 -> uniString.map(_.take(8)),
+      1 -> Gen.oneOf("_the", "the_", "athe", "the-", "él", "de的le", "了了了")))
+    .flatMap(ws => Gen.listOfN(ws.size, Gen.oneOf(" ", "", "-", "\n", "_"))
+      .map(seps => ws.zip(seps).map { case (w, sep) => w + sep }.mkString))
+
+  property("langHits == the RE2-semantics regex scans (ASCII \\b via lookarounds)") =
+    forAll(langText) { s =>
+      // Model = RE2 semantics, which is what DuckDB evaluates: ASCII-only
+      // \b, expressed in java.util.regex as explicit [A-Za-z0-9_]
+      // lookarounds (Java's own \b is Unicode-aware — see TokenKernels
+      // .langHits scaladoc — so the raw pattern is NOT a valid model).
+      val model = graft.functions.TextFns.langStopwords.map { case (_, p) =>
+        val re2 = p.replace("\\b(", "(?<![A-Za-z0-9_])(")
+          .replace(")\\b", ")(?![A-Za-z0-9_])")
+        val m = java.util.regex.Pattern.compile(re2).matcher(s)
+        var c = 0
+        while (m.find()) c += 1
+        c
+      }
+      val got = graft.functions.TokenKernels.langHits(utf8(s))
+      (0 until 5).map(got.getInt) == model
+    }
+
   property("tfMap == groupBy-count model, keys in first-occurrence order") =
     forAll(Gen.listOf(Gen.oneOf("a", "bb", "c0", "ähm", "", "a"))) { toks =>
       val in = new org.apache.spark.sql.catalyst.util.GenericArrayData(
