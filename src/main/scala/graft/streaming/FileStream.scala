@@ -213,6 +213,20 @@ object FileStream {
       .agg(count(lit(1)).as("n"),
         sum(col("value")).as("sum_value"))
 
+  /** Streaming count-min grid: the CMS counter build as a running
+    * streaming aggregation — the shape the sketch EXISTS for (one pass,
+    * no replay; the batch build in CmsOps is the same arithmetic over a
+    * bounded history). State is the d×w counter grid itself — a few KB
+    * bounded by construction, never by watermark — so Update output
+    * mode needs no event-time column at all: every micro-batch revises
+    * the touched cells, and grid(all batches so far) equals the batch
+    * grid over the union (merge-associativity, pinned in
+    * FileStreamSpec against CmsOps.cmsBuild on the same rows). */
+  def streamingCmsGrid(
+      terms: DataFrame, termCol: String, cntCol: String,
+      d: Int, w: Int): DataFrame =
+    graft.operators.CmsOps.cmsBuild(terms, termCol, cntCol, d, w)
+
   /** Watermarked stream-stream interval join: each left event joined to
     * the right events sharing its key whose event time falls within
     * [left_ts - horizon, left_ts] (attribution-style: a purchase joined

@@ -250,6 +250,34 @@ class FileStreamSpec extends AnyFunSuite {
     assert(dirs.toSeq == (0 until nB).map(b => s"gbucket=$b"))
   }
 
+  test("streaming CMS grid: running counters converge to the batch grid over the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = FileStream.streamingCmsGrid(
+        mem.toDS().toDF("term", "cnt"), "term", "cnt", d = 3, w = 32)
+      .writeStream.format("memory").queryName("scms_out")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq(("the", 3L), ("of", 1L), ("la", 2L))
+      val b2 = Seq(("the", 2L), ("und", 5L))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Long]("counter")).toMap
+      val streamed = cells(spark.table("scms_out"))
+      val batch = cells(graft.operators.CmsOps.cmsBuild(
+        (b1 ++ b2).toDF("term", "cnt"), "term", "cnt", 3, 32))
+      assert(streamed == batch,
+        s"streamed grid diverged from batch grid:\n$streamed\nvs\n$batch")
+      // the state IS the grid: never more than d*w rows
+      assert(streamed.size <= 3 * 32)
+    } finally q.stop()
+  }
+
   test("windowed event counts with watermark (batch-mode semantics check)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val agg = FileStream.windowedEventCounts(ev, "ts", "event_type", "1 hour", "10 minutes")
