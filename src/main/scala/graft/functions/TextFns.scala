@@ -283,6 +283,10 @@ object TextFns {
     winnowFingerprints(s).mkString(",")
   }
 
+  /** Array form for joins over individual fingerprints (the string form
+    * above exists for the hash-exact oracle column compare). */
+  val winnowFingerprintArrUdf = udf { (s: String) => winnowFingerprints(s) }
+
   // --------------------------------------------------- language id
   /** Tiny rule-based language scorer: stopword-regex hit counts per
     * language, argmax with alphabetical tie-break. Deterministic and

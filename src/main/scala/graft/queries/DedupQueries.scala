@@ -817,7 +817,63 @@ object DedupQueries {
           SimilarityOps.lshBucket("embedding", nPlanes = 16, dim = 64)),
         "vec_id", "embedding", "lsh_block", 0.999)))
 
+  // ------------------------------------------------- dedup_winnow_pairs
+
+  /** Substring-level near-dup candidates: docs sharing >= 3 winnowing
+    * fingerprints (each shared fingerprint certifies a shared cleaned
+    * substring of >= w+k-1 = 8 chars — MOSS semantics; see
+    * TextFns.winnowFingerprints). The modality the whole-doc family
+    * (minhash/simhash/cosine) cannot see: a long quoted passage inside
+    * otherwise-different documents. Scale shape mirrors sparse cosine:
+    * fingerprints explode row-locally; the Zipf-head fingerprints
+    * (doc frequency > 20 — boilerplate n-grams every doc shares) are a
+    * TINY set removed by a broadcast anti-join, which also bounds the
+    * per-fingerprint join fan-out at dfCap^2; the self-join on the
+    * fingerprint value is then the plan's one real shuffle; the pair
+    * aggregate's >= 3 floor kills coincidental single-gram hits. */
+  private val winnowDfCap = 20
+  private val winnowMinShared = 3
+  private val dedupWinnowPairs: Q = (s, dir) => {
+    val fps = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.winnowFingerprintArrUdf(
+          substring(col("text"), 1, 300))).as("fp"))
+    val hot = fps.groupBy("fp").count()
+      .filter(col("count") > winnowDfCap).select("fp")
+    val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val a = kept.as("a")
+    val b = kept.as("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winnowMinShared)
+      .orderBy("id_a", "id_b")
+  }
+  private val dedupWinnowPairsSql =
+    s"""WITH c AS (
+       |  SELECT doc_id, regexp_replace(lower(substr(text, 1, 300)), '[^a-z0-9]', '', 'g') AS cl
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, len(cl) - 4 AS n,
+       |    list_transform(range(1, greatest(len(cl) - 4, 0) + 1), i ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(5), j -> CAST(unicode(substr(cl, i + j, 1)) AS BIGINT))),
+       |        (a, x) -> (a * 257 + x) % 1000000007)) AS hs
+       |  FROM c),
+       |fp AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, greatest(n - 3, 1) + 1), st ->
+       |      list_min(hs[st : least(st + 3, n)])))) AS fp
+       |  FROM h WHERE n > 0),
+       |hot AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > $winnowDfCap),
+       |kept AS (SELECT doc_id, fp FROM fp WHERE fp NOT IN (SELECT fp FROM hot))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+       |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $winnowMinShared
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_winnow_pairs" -> dedupWinnowPairs,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_cc_clusters" -> dedupCc,
@@ -837,6 +893,7 @@ object DedupQueries {
     "ann_recall" -> annRecall)
 
   val oracle: Map[String, String] = Map(
+    "dedup_winnow_pairs" -> dedupWinnowPairsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashSql,
     "dedup_cc_clusters" -> dedupCcSql,

@@ -333,6 +333,32 @@ object ScaleQueries {
        |WHERE rn <= GREATEST($o7MinKeep, (total * $o7Num + ${o7Den - 1}) // $o7Den)
        |ORDER BY source, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- o8
+
+  /** O8: deterministic 80/10/10 train/val/test split by hashed doc_id,
+    * summarized per (lang, split) with token mass — the audit a pipeline
+    * runs after splitting: is the split exhaustive/disjoint and is the
+    * language mix preserved across splits? Row-local assignment, one
+    * aggregate; survives corpus regeneration because the hash, not row
+    * order, decides membership. */
+  private val o8Slices = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+  private val o8: Q = (s, dir) =>
+    QuotaOps.hashSplit(t(s, dir, "documents"), col("doc_id"), o8Slices)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFns.token_count(col("text")).cast("bigint")).as("n_tokens"))
+      .orderBy("lang", "split")
+  private val o8Sql =
+    s"""SELECT lang,
+       |  CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(text, '${TextFns.bpeTokenPat}'))) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT lang, text,
+       |    ((doc_id % 999999937 + 999999937) * 123456791 + 7919) % 999999937 % 10 AS b
+       |  FROM documents)
+       |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
   // --------------------------------------------------------- pipe (flagship)
 
   /** End-to-end pre-training pass, composed from the verified operators
@@ -407,6 +433,7 @@ object ScaleQueries {
     "t_sampled_quantiles" -> tSq,
     "o6_quota_sample" -> o6,
     "o7_domain_cap" -> o7,
+    "o8_hash_split" -> o8,
     "a14_topk_per_group" -> a14,
     "t_cms_heavy" -> tCms,
     "pipe_pretrain_pack" -> pipe)
@@ -419,6 +446,7 @@ object ScaleQueries {
     "t_sampled_quantiles" -> tSqSql,
     "o6_quota_sample" -> o6Sql,
     "o7_domain_cap" -> o7Sql,
+    "o8_hash_split" -> o8Sql,
     "a14_topk_per_group" -> a14Sql,
     "t_cms_heavy" -> tCmsSql,
     "pipe_pretrain_pack" -> pipeSql)

@@ -19,7 +19,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("no cartesian product in any candidate-generation or join query") {
     for (q <- Seq("j1_inner_equi", "j9_salted_skew_join", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_ngram_jaccard", "emb_near_dup",
-        "dedup_sparse_cosine", "dedup_semantic",
+        "dedup_sparse_cosine", "dedup_semantic", "dedup_winnow_pairs",
         "ann_bucketed_topk", "ann_multiprobe_topk", "ann_multitable_topk")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")

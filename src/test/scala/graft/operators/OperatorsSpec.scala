@@ -533,6 +533,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keptIds != (0L until 30L).toSet, "cap selected in id order — hash order expected")
   }
 
+  test("QuotaOps.hashSplit: exhaustive, disjoint, deterministic, ratios near the slices") {
+    val df = (0L until 1000L).toDF("id")
+    val split = QuotaOps.hashSplit(df, col("id"),
+      Seq("train" -> 8, "val" -> 1, "test" -> 1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exhaustive: every row labeled, all three splits present
+    assert(counts.values.sum == 1000L && counts.keySet == Set("train", "val", "test"))
+    // ratios within a loose band of 80/10/10 (hash is uniform, not exact)
+    assert(counts("train") > 700 && counts("train") < 900, s"got $counts")
+    assert(counts("val") > 50 && counts("val") < 160, s"got $counts")
+    // deterministic: same ids -> same assignment on a re-run
+    val again = QuotaOps.hashSplit(df, col("id"),
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+  }
+
+  test("winnow pair shape: a planted shared passage pairs its docs; unrelated docs don't") {
+    // Two docs embedding the same >= 8-cleaned-char passage must share a
+    // fingerprint (the winnowing guarantee) and so pair; a third with no
+    // common substring must not. Mirrors dedup_winnow_pairs minus the
+    // df-cap (3 docs can't reach it).
+    val quote = "to be or not to be that is the question"
+    val docs = Seq(
+      (1L, s"alpha writes: $quote and moves on"),
+      (2L, s"beta also cites $quote in passing"),
+      (3L, "zzyx qqvv wwkk jjrr ppnn mmll")).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+      explode(graft.functions.TextFns.winnowFingerprintArrUdf(col("text"))).as("fp"))
+    val a = fps.as("a")
+    val b = fps.as("b")
+    val pairs = a.join(b,
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"shared passage failed to pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc paired: $pairs")
+  }
+
   test("MultimodalOps.wavProbe: truncated data chunk is clamped, short blob yields zeros") {
     val samples = Array.fill[Float](100)(0.5f)
     val wav = AudioOps.encodePcm16Wav(samples, 8000)
