@@ -359,6 +359,60 @@ object ScaleQueries {
        |  FROM documents)
        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
 
+  // ------------------------------------------------- t_split_contamination
+
+  /** T-SC: the audit o8's split exists to make possible — n-gram
+    * contamination of the test split by the train split (near-dups that
+    * straddle a row-id hash split are exactly how eval sets leak).
+    * Composes hashSplit with the decontamination gram machinery, but in
+    * the JOIN formulation: t_decontaminate broadcasts the benchmark
+    * gram set (right when the eval set is small); here BOTH sides are
+    * corpus-scale (train is 80% of the corpus), so the membership test
+    * is a shuffle join on the gram — the honest shape when nothing fits
+    * in a broadcast. The exploded gram table feeds both sides of that
+    * join, so it is checkpointed once (scan + tokenize run once, not
+    * per branch). */
+  private val tSplitContam: Q = (s, dir) => {
+    val grams = QuotaOps.hashSplit(t(s, dir, "documents"), col("doc_id"), o8Slices)
+      .filter(col("split") =!= "val")
+      .withColumn("__toks", expr("ascii_tokens(text)"))
+      .select(col("doc_id"), col("split"),
+        explode(expr("distinct_kgrams(__toks, 3)")).as("ng"))
+      .localCheckpoint(true)
+    val trainSet = grams.filter(col("split") === "train").select("ng").distinct()
+    grams.filter(col("split") === "test")
+      .join(trainSet.withColumn("__hit", lit(1)), Seq("ng"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .withColumn("contamination", col("n_hit").cast("double") / col("n_grams"))
+      .orderBy("doc_id")
+  }
+  private val tSplitContamSql =
+    """WITH sp AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, text,
+      |          ((doc_id % 999999937 + 999999937) * 123456791 + 7919) % 999999937 % 10 AS b
+      |        FROM documents)),
+      |tset AS (
+      |  SELECT DISTINCT ng FROM (
+      |    SELECT unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      j -> array_to_string(toks[j:j+2], ' '))) AS ng
+      |    FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |          FROM sp WHERE split = 'train'))),
+      |dng AS (
+      |  SELECT DISTINCT doc_id, ng FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+      |      j -> array_to_string(toks[j:j+2], ' '))) AS ng
+      |    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |          FROM sp WHERE split = 'test')))
+      |SELECT doc_id, COUNT(*) AS n_grams,
+      |  COUNT(CASE WHEN b.ng IS NOT NULL THEN 1 END) AS n_hit,
+      |  CAST(COUNT(CASE WHEN b.ng IS NOT NULL THEN 1 END) AS DOUBLE) / COUNT(*)
+      |    AS contamination
+      |FROM dng d LEFT JOIN tset b USING (ng)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- pipe (flagship)
 
   /** End-to-end pre-training pass, composed from the verified operators
@@ -436,6 +490,7 @@ object ScaleQueries {
     "o8_hash_split" -> o8,
     "a14_topk_per_group" -> a14,
     "t_cms_heavy" -> tCms,
+    "t_split_contamination" -> tSplitContam,
     "pipe_pretrain_pack" -> pipe)
 
   val oracle: Map[String, String] = Map(
@@ -449,6 +504,7 @@ object ScaleQueries {
     "o8_hash_split" -> o8Sql,
     "a14_topk_per_group" -> a14Sql,
     "t_cms_heavy" -> tCmsSql,
+    "t_split_contamination" -> tSplitContamSql,
     "pipe_pretrain_pack" -> pipeSql)
 
   /** Sort-free forms for the bench (global ORDER BY exists only for the
