@@ -251,9 +251,22 @@ object TextFns {
     // Locale.ROOT: default-locale lowercasing is JVM-environment-dependent
     // (Turkish 'I' -> dotless 'ı', which the ASCII filter then drops) while
     // the oracle's lower() is locale-independent.
-    val clean = text.toLowerCase(java.util.Locale.ROOT).filter(ch =>
-      (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9'))
-    val n = clean.length - k + 1
+    // Whole-string lowercase FIRST (context-sensitive mappings — final
+    // sigma — make per-char lowercasing non-equivalent), then one pass
+    // into a char array; the old `.filter` built an intermediate String.
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    val clean = new Array[Char](lower.length)
+    var cn = 0
+    var ci = 0
+    while (ci < lower.length) {
+      val ch = lower.charAt(ci)
+      if ((ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')) {
+        clean(cn) = ch
+        cn += 1
+      }
+      ci += 1
+    }
+    val n = cn - k + 1
     if (n <= 0) return Seq.empty
     val M = 1000000007L
     val B = 257L
@@ -262,22 +275,32 @@ object TextFns {
     while (i < n) {
       var h = 0L
       var j = 0
-      while (j < k) { h = (h * B + clean.charAt(i + j).toLong) % M; j += 1 }
+      while (j < k) { h = (h * B + clean(i + j).toLong) % M; j += 1 }
       hashes(i) = h
       i += 1
     }
+    // Sorted distinct minima via primitive sort + in-place dedup — the
+    // boxed SortedSet this replaces was the row's dominant allocation.
     val nWin = math.max(n - w + 1, 1)
-    val picked = scala.collection.mutable.SortedSet.empty[Long]
+    val mins = new Array[Long](nWin)
     var s = 0
     while (s < nWin) {
       var best = hashes(s)
       var j = s + 1
       val end = math.min(s + w, n)
       while (j < end) { if (hashes(j) < best) best = hashes(j); j += 1 }
-      picked += best
+      mins(s) = best
       s += 1
     }
-    picked.toSeq
+    java.util.Arrays.sort(mins)
+    var m = 0
+    var r = 0
+    while (r < nWin) {
+      if (m == 0 || mins(r) != mins(m - 1)) { mins(m) = mins(r); m += 1 }
+      r += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      java.util.Arrays.copyOf(mins, m))
   }
   val winnowFingerprintUdf = udf { (s: String) =>
     winnowFingerprints(s).mkString(",")
