@@ -33,7 +33,8 @@ object Bench {
     "j10_asof_join", "j11_bloom_prefilter_join",
     "w1_row_number", "w6_session_window",
     "o4_group_sample",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "emb_near_dup",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+    "emb_near_dup",
     "ann_brute_topk", "ann_bucketed_topk", "ann_multiprobe_topk",
     "ann_multitable_topk", "ann_pq_topk", "ann_ivf_topk", "ann_kmeans_cells",
     "t_lang_id", "t_quality", "t_token_count", "t_top_terms",
