@@ -119,6 +119,16 @@ object IoOps {
   def writeJsonl(df: DataFrame, dir: String, append: Boolean = false): Unit =
     df.coalesce(1).write.mode(if (append) "append" else "overwrite").json(dir)
 
+  /** K4 compressed: gzip JSONL sink. At corpus scale JSONL ships
+    * compressed (5-10× on text); gzip specifically because every
+    * downstream reader speaks it — the known cost is that .gz is NOT
+    * splittable, so one file = one read task. Pair with a bounded
+    * per-file row count upstream (repartition before write) rather than
+    * fewer, bigger archives. */
+  def writeJsonlGz(df: DataFrame, dir: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("compression", "gzip").json(dir)
+
   /** K6: one wav file per row, named by `nameCol` (process_all.py:429-432
     * soundfile.write). Executor-side writer like K3 — sample arrays never
     * collect to the driver; `dir` must be executor-visible storage. */

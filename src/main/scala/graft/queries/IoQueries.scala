@@ -250,6 +250,22 @@ object IoQueries {
     * parquet source — equality proves the ORC write+read is lossless
     * across int32/int64/double/string. Decimal-sum keeps the double
     * aggregation order-independent on both engines (w6 pattern). */
+  /** S16: gzip JSONL round-trip — the engine writes compressed JSONL
+    * and BOTH readers (Spark's json source and DuckDB's read_json)
+    * decompress transparently by extension, so the oracle checks the
+    * compressed bytes on disk, not a convenient uncompressed copy. */
+  private val s16: Q = (s, dir) => {
+    val d = fixDir("s16_jsonl_gz")
+    IoOps.writeJsonlGz(t(s, dir, "supplier"), d)
+    IoOps.readJsonl(s, d + "/*.json.gz")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+  private val s16Sql =
+    s"""SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+       |FROM read_json('$fixRoot/s16_jsonl_gz/*.json.gz', format='newline_delimited')
+       |ORDER BY s_suppkey""".stripMargin
+
   private val s15: Q = (s, dir) => {
     val d = fixDir("s15_orc")
     t(s, dir, "supplier").write.mode("overwrite").orc(d)
@@ -498,6 +514,7 @@ object IoQueries {
     "io_s9_binary_tree" -> s9,
     "io_s14_partitioned" -> s14,
     "io_s15_orc" -> s15,
+    "io_s16_jsonl_gz" -> s16,
     "mm_wav_probe" -> mmWav,
     "mm_mp3_probe" -> mmMp3,
     "mm_bin_features" -> mmBin,
@@ -518,6 +535,7 @@ object IoQueries {
     "io_s9_binary_tree" -> s9Sql,
     "io_s14_partitioned" -> s14Sql,
     "io_s15_orc" -> s15Sql,
+    "io_s16_jsonl_gz" -> s16Sql,
     "mm_wav_probe" -> mmWavSql,
     "mm_mp3_probe" -> mmMp3Sql,
     "mm_bin_features" -> mmBinSql,
