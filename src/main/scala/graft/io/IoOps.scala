@@ -101,7 +101,7 @@ object IoOps {
     // run should find an empty directory, not NoSuchFileException.
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val named = df.select(col(nameCol).cast("string").as("__name"),
-      to_json(struct(df.columns.map(col): _*)).as("__json"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("__json"))
     named.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       // Directory creation must happen on the EXECUTOR (idempotent, once
       // per partition): on a real cluster a driver-side mkdir only exists

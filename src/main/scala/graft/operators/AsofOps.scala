@@ -44,7 +44,7 @@ object AsofOps {
     val r = right.select(col(keyCol).as("__k"), col(timeCol).as("__t"),
       struct(payloadCols.map(col): _*).as("__p"))
     val l = left.select(col(keyCol).as("__k"), col(timeCol).as("__t"),
-      struct(left.columns.map(col): _*).as("__l"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"))
     val lTagged = l
       .withColumn("__p", lit(null).cast(r.schema("__p").dataType))
       .withColumn("__side", lit(1))
@@ -53,7 +53,7 @@ object AsofOps {
       .withColumn("__side", lit(0))
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
+    lTagged.unionByName(rTagged.select(lTagged.columns.toIndexedSeq.map(col): _*))
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(col("__l.*") +: payloadCols.map(c => col(s"__m.$c").as(c)): _*)

@@ -82,7 +82,7 @@ object CmsOps {
       .withColumn("__i", explode(sequence(lit(0), lit(d - 1))))
       .withColumn("__bucket", bucket(col(termCol), col("__i"), w))
       .join(broadcast(cms), Seq("__i", "__bucket"), "left")
-      .groupBy(qcols.map(col): _*)
+      .groupBy(qcols.toIndexedSeq.map(col): _*)
       .agg(min(coalesce(col("counter"), lit(0L))).as("cms_cnt"))
   }
 }

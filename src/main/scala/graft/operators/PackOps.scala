@@ -79,14 +79,14 @@ object PackOps {
       "need 0 < stride <= size (stride > size would skip tokens)")
     df.withColumn("__toks", tokArrayCol)
       .filter(size_(col("__toks")) > 0)
-      .select(df.columns.map(col) :+ posexplode(expr(
+      .select(df.columns.toIndexedSeq.map(col) :+ posexplode(expr(
         s"""transform(sequence(0, size(__toks) - 1, $stride),
            |  s -> struct(
            |    CAST(s AS BIGINT) AS tok_start,
            |    size(slice(__toks, s + 1, $size)) AS n_tok,
            |    array_join(slice(__toks, s + 1, $size), ' ') AS chunk))"""
           .stripMargin)).as(Seq("__pos", "__c")): _*)
-      .select(df.columns.map(col) :+
+      .select(df.columns.toIndexedSeq.map(col) :+
         col("__pos").cast("int").as("chunk_idx") :+
         col("__c.tok_start") :+ col("__c.n_tok") :+ col("__c.chunk"): _*)
   }

@@ -31,7 +31,7 @@ object SkewOps {
     require(saltBuckets > 0, "saltBuckets must be positive")
     require(keys.nonEmpty, "need at least one join key")
     val salted = large.withColumn("__salt",
-      pmod(hash(large.columns.map(col): _*), lit(saltBuckets)))
+      pmod(hash(large.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")

@@ -162,7 +162,7 @@ object FileStream {
         // Partition pruning on gbucket means ONLY the touched directories
         // are listed and read; .explain shows PartitionFilters on gbucket.
         val baseSlice = spark.read.parquet(basePath)
-          .where(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+          .where(col(BucketCol).isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
         // gbucket rides as an updateCol so inserted rows land in their
         // hash bucket; for matched rows update and base agree by
         // construction (same keys -> same hash).
