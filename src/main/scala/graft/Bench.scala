@@ -43,7 +43,7 @@ object Bench {
     "w7_sequence_pack", "w8_chunk_overlap", "j12_range_join", "t_kmv_distinct",
     "t_sampled_quantiles", "o6_quota_sample", "o7_domain_cap",
     "o8_hash_split", "t_cms_heavy", "dedup_winnow_pairs",
-    "t_split_contamination", "dedup_cc_clusters",
+    "t_split_contamination", "t_bpe_merge_pairs", "dedup_cc_clusters",
     "a14_topk_per_group", "dedup_sparse_cosine", "pipe_pretrain_pack",
     "dedup_semantic",
     "mm_wav_probe", "mm_image_probe", "mm_image_resize",

@@ -413,6 +413,37 @@ object ScaleQueries {
       |FROM dng d LEFT JOIN tset b USING (ng)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------- t_bpe_merge_pairs
+
+  /** T-BMP: the inner loop of BPE tokenizer training — corpus-global
+    * counts of ADJACENT token pairs, top-20 (the pair a trainer would
+    * merge next, then iterate). Distinct from per-doc bigram dominance
+    * (t_repetition): this is one corpus-wide aggregate whose pair rows
+    * form ROW-LOCALLY (slice+zip inside the scan projection), so the
+    * only shuffle is the map-side-combined (a, b) count — the same
+    * shape at 100 TB, where the candidate-pair vocabulary, not the
+    * corpus, crosses the wire. */
+  private val tBpePairs: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(expr("bpe_tokens(text)").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(20)
+  private val tBpePairsSql =
+    s"""SELECT a, b, cnt FROM (
+       |  SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(list_transform(range(1, len(tk)),
+       |      i -> {'a': tk[i], 'b': tk[i + 1]})) AS p
+       |    FROM (SELECT regexp_extract_all(text, '${TextFns.bpeTokenPat}') AS tk
+       |          FROM documents)
+       |    WHERE len(tk) >= 2)
+       |  GROUP BY p.a, p.b)
+       |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
+
   // --------------------------------------------------------- pipe (flagship)
 
   /** End-to-end pre-training pass, composed from the verified operators
@@ -491,6 +522,7 @@ object ScaleQueries {
     "a14_topk_per_group" -> a14,
     "t_cms_heavy" -> tCms,
     "t_split_contamination" -> tSplitContam,
+    "t_bpe_merge_pairs" -> tBpePairs,
     "pipe_pretrain_pack" -> pipe)
 
   val oracle: Map[String, String] = Map(
@@ -505,6 +537,7 @@ object ScaleQueries {
     "a14_topk_per_group" -> a14Sql,
     "t_cms_heavy" -> tCmsSql,
     "t_split_contamination" -> tSplitContamSql,
+    "t_bpe_merge_pairs" -> tBpePairsSql,
     "pipe_pretrain_pack" -> pipeSql)
 
   /** Sort-free forms for the bench (global ORDER BY exists only for the
