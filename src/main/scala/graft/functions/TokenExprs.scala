@@ -270,15 +270,30 @@ object TokenKernels {
     * and UTF-8 self-synchronization (continuation bytes 0x80–0xBF are
     * never the lead bytes 0xE4–0xE7) means no match can start
     * mid-character. */
-  private val langWords: Array[Array[Array[Byte]]] = Array(
-    Array("der", "die", "das", "und", "ist", "nicht"),
-    Array("the", "a", "of", "and", "is", "to"),
-    Array("el", "la", "los", "de", "que", "es"),
-    Array("le", "les", "des", "et", "est", "une"))
-    .map(_.map(_.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+  // Derived FROM langStopwords (not hand-copied): the oracle SQL, the
+  // lang_argmax wiring, and this kernel must move together when a
+  // stopword table changes, so the byte tables parse the single source
+  // of truth. Shape asserted here: first 4 patterns are \b(w|…)\b over
+  // lowercase ASCII words, the 5th is a bare (c|…) of 3-byte chars.
+  private def alternatives(pat: String, prefix: String, suffix: String): Array[String] = {
+    require(pat.startsWith(prefix) && pat.endsWith(suffix),
+      s"stopword pattern shape changed: $pat")
+    pat.stripPrefix(prefix).stripSuffix(suffix).split('|')
+  }
+  private val langWords: Array[Array[Array[Byte]]] =
+    graft.functions.TextFns.langStopwords.take(4).map { case (_, pat) =>
+      alternatives(pat, "\\b(", ")\\b").map { w =>
+        require(w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z'),
+          s"non-ASCII-lowercase stopword '$w' breaks the byte-run match")
+        w.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      }
+    }.toArray
   private val zhChars: Array[Array[Byte]] =
-    Array("的", "了", "是", "我", "不", "在")
-      .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    alternatives(graft.functions.TextFns.langStopwords(4)._2, "(", ")").map { c =>
+      val b = c.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      require(b.length == 3, s"zh stopword '$c' is not a 3-byte UTF-8 char")
+      b
+    }
 
   private def isWordByte(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||

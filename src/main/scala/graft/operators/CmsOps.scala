@@ -78,9 +78,19 @@ object CmsOps {
   def cmsEstimate(cms: DataFrame, queries: DataFrame, termCol: String,
       d: Int, w: Int): DataFrame = {
     val qcols = queries.columns
+    require(!qcols.exists(c => c == "__i" || c == "__bucket" || c == "__m" ||
+        c == "__h1" || c == "__h2" || c == "counter"),
+      "queries may not carry __i/__bucket/__m/__h1/__h2/counter columns")
+    // Same md5 hoist as cmsBuild: one digest per queried term, not 2·d —
+    // the estimate path is advertised for corpus-scale candidate
+    // filtering, where the un-hoisted form re-pays the cost the build
+    // path eliminated.
     queries
+      .withColumn("__m", md5(col(termCol)))
+      .withColumn("__h1", conv(substring(col("__m"), 1, 8), 16, 10).cast("long"))
+      .withColumn("__h2", conv(substring(col("__m"), 9, 8), 16, 10).cast("long"))
       .withColumn("__i", explode(sequence(lit(0), lit(d - 1))))
-      .withColumn("__bucket", bucket(col(termCol), col("__i"), w))
+      .withColumn("__bucket", (col("__h1") + col("__i") * col("__h2")) % w)
       .join(broadcast(cms), Seq("__i", "__bucket"), "left")
       .groupBy(qcols.toIndexedSeq.map(col): _*)
       .agg(min(coalesce(col("counter"), lit(0L))).as("cms_cnt"))

@@ -52,6 +52,38 @@ object QuotaOps {
       .drop("__q_rn")
   }
 
+  /** Deterministic train/val/test assignment: reduce `hashCol` into
+    * `den` buckets, label by cumulative slice ranges (e.g.
+    * Seq("train"->8, "val"->1, "test"->1) → buckets 0–7/8/9 of den=10).
+    * Purely row-local — no shuffle, no state, and the same row lands in
+    * the same split on every engine and every re-run, which is the
+    * property that keeps eval sets uncontaminated as the corpus
+    * regenerates.
+    *
+    * `hashCol` must be a NON-NULL INTEGER scrambling of the row's
+    * identity — `SketchOps.portableHash(idCol)` for numeric row ids,
+    * `conv(substring(md5(textCol), 1, 8), 16, 10).cast("long")` for a
+    * CONTENT key (prefer a content key when near-duplicate rows must
+    * never straddle splits). The caller-supplied-column convention
+    * (same as [[quotaSample]]) exists precisely so a string key cannot
+    * be silently cast to a NULL hash: a row whose hash IS null gets
+    * split = null rather than a wrong bucket, and the null-count is the
+    * caller's audit signal. */
+  def hashSplit(df: DataFrame, hashCol: Column,
+      slices: Seq[(String, Int)]): DataFrame = {
+    require(slices.nonEmpty && slices.forall(_._2 > 0),
+      "slices must be positive")
+    require(!df.columns.contains("split"), "input may not carry a split column")
+    val den = slices.map(_._2).sum
+    val bucket = hashCol % den
+    val (cases, _) = slices.foldLeft((lit(null).cast("string"), 0L)) {
+      case ((acc, lo), (name, width)) =>
+        (when(bucket >= lo && bucket < lo + width, lit(name)).otherwise(acc),
+          lo + width)
+    }
+    df.withColumn("split", cases)
+  }
+
   /** Domain-frequency capping (RefinedWeb/CCNet-style): no single domain
     * may contribute more than `maxShare` of the corpus. Dual of
     * [[quotaSample]] — quotas PULL strata toward a target mix from a
@@ -78,29 +110,6 @@ object QuotaOps {
     * hash-prefix prefiltering on the same hash order (only rows whose
     * hash can possibly rank ≤ cap enter the window), which this keeps
     * composable by ranking on the caller-supplied `hashCol` itself. */
-  /** Deterministic train/val/test assignment: hash the id into `den`
-    * buckets, label by cumulative slice ranges (e.g. Seq("train"->8,
-    * "val"->1, "test"->1) → buckets 0–7/8/9 of den=10). Purely
-    * row-local — no shuffle, no state, and the same row lands in the
-    * same split on every engine and every re-run, which is the property
-    * that keeps eval sets uncontaminated as the corpus regenerates.
-    * Leakage caveat encoded by the `idCol` choice: hash a CONTENT key
-    * (canonical-form digest) rather than a row id if near-duplicate
-    * rows must never straddle splits. */
-  def hashSplit(df: DataFrame, idCol: Column,
-      slices: Seq[(String, Int)]): DataFrame = {
-    require(slices.nonEmpty && slices.forall(_._2 > 0),
-      "slices must be positive")
-    val den = slices.map(_._2).sum
-    val bucket = graft.operators.SketchOps.portableHash(idCol) % den
-    val (cases, _) = slices.foldLeft((lit(null).cast("string"), 0L)) {
-      case ((acc, lo), (name, width)) =>
-        (when(bucket >= lo && bucket < lo + width, lit(name)).otherwise(acc),
-          lo + width)
-    }
-    df.withColumn("split", cases)
-  }
-
   def domainCap(
       df: DataFrame, domainCol: String, shareNum: Long, shareDen: Long,
       minKeep: Long, hashCol: Column, tieCols: Seq[Column]): DataFrame = {

@@ -834,10 +834,15 @@ object DedupQueries {
   private val winnowDfCap = 20
   private val winnowMinShared = 3
   private val dedupWinnowPairs: Q = (s, dir) => {
+    // The exploded fingerprint table feeds the hot-set aggregate AND the
+    // kept-side anti-join; localCheckpoint materializes the per-row
+    // rolling-hash UDF once instead of per consumer (same move as
+    // t_cms_heavy / t_split_contamination).
     val fps = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(graft.functions.TextFns.winnowFingerprintArrUdf(
           substring(col("text"), 1, 300))).as("fp"))
+      .localCheckpoint(true)
     val hot = fps.groupBy("fp").count()
       .filter(col("count") > winnowDfCap).select("fp")
     val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")

@@ -343,7 +343,8 @@ object ScaleQueries {
     * order, decides membership. */
   private val o8Slices = Seq("train" -> 8, "val" -> 1, "test" -> 1)
   private val o8: Q = (s, dir) =>
-    QuotaOps.hashSplit(t(s, dir, "documents"), col("doc_id"), o8Slices)
+    QuotaOps.hashSplit(t(s, dir, "documents"),
+      SketchOps.portableHash(col("doc_id")), o8Slices)
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(TextFns.token_count(col("text")).cast("bigint")).as("n_tokens"))
@@ -373,7 +374,8 @@ object ScaleQueries {
     * join, so it is checkpointed once (scan + tokenize run once, not
     * per branch). */
   private val tSplitContam: Q = (s, dir) => {
-    val grams = QuotaOps.hashSplit(t(s, dir, "documents"), col("doc_id"), o8Slices)
+    val grams = QuotaOps.hashSplit(t(s, dir, "documents"),
+      SketchOps.portableHash(col("doc_id")), o8Slices)
       .filter(col("split") =!= "val")
       .withColumn("__toks", expr("ascii_tokens(text)"))
       .select(col("doc_id"), col("split"),

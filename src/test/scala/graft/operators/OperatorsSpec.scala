@@ -535,7 +535,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("QuotaOps.hashSplit: exhaustive, disjoint, deterministic, ratios near the slices") {
     val df = (0L until 1000L).toDF("id")
-    val split = QuotaOps.hashSplit(df, col("id"),
+    val split = QuotaOps.hashSplit(df, graft.operators.SketchOps.portableHash(col("id")),
       Seq("train" -> 8, "val" -> 1, "test" -> 1))
     val counts = split.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -545,7 +545,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(counts("train") > 700 && counts("train") < 900, s"got $counts")
     assert(counts("val") > 50 && counts("val") < 160, s"got $counts")
     // deterministic: same ids -> same assignment on a re-run
-    val again = QuotaOps.hashSplit(df, col("id"),
+    val again = QuotaOps.hashSplit(df, graft.operators.SketchOps.portableHash(col("id")),
         Seq("train" -> 8, "val" -> 1, "test" -> 1))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val first = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
