@@ -95,18 +95,27 @@ object Bench {
         f"[bench] $name%-22s warm=$warm%7.2f runs=${timed.map(t => f"$t%.2f").mkString(",")} median=$median%7.2f")
       (name, median, warm +: timed)
     }
-    val qJson = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // The driver records only the LAST ~2000 chars of stdout; round 5's
+    // line (57 queries x full-precision medians + per-run arrays, ~4.6 KB)
+    // was clipped mid-JSON and the recorded artifact held no parseable
+    // numbers. stdout gets a compact line (3-decimal medians, no runs)
+    // that fits the window with sbt's trailing [success] line included;
+    // the full-precision line with per-run samples goes to bench.json.
+    def qJson(fmt: Double => String) = results
+      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val runsJson = results.map { case (k, _, rs) =>
       "\"" + k + "\":[" + rs.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runsJson}"""
-    println(line)
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qJson(v => f"$v%.3f")},"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(_.toString)},"sf":"$sfDir","runs":$runsJson}"""
+    println(compact)
     Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/bench.json"), line + "\n")
-    Files.writeString(Paths.get("bench.json"), line + "\n")
+    Files.writeString(Paths.get("target/bench.json"), full + "\n")
+    Files.writeString(Paths.get("bench.json"), full + "\n")
     spark.stop()
   }
 }

@@ -581,6 +581,11 @@ object TextQueries {
     graft.operators.CorpusOps.repetitionSignals(corp, "doc_id", "raw")
       .orderBy("doc_id")
   }
+  // DuckDB SUM(BIGINT) widens to HUGEINT (int128), which normalizes
+  // differently from Spark's int64 in arrow/pandas readers and broke the
+  // driver's value hash in round 5 (the only non-green row) even though
+  // every value was equal — hence the CAST(... AS BIGINT) on each SUM.
+  // No `--` comments in oracle SQL: GenOracleBody flattens to one line.
   private val tRepetitionSql =
     """WITH raw AS (
       |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
@@ -588,14 +593,16 @@ object TextQueries {
       |    ELSE text END AS raw
       |  FROM documents),
       |lstat AS (
-      |  SELECT doc_id, SUM(c) AS n_lines, SUM(c) - COUNT(*) AS n_dup_lines FROM (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+      |    CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_lines FROM (
       |    SELECT doc_id, line, COUNT(*) AS c FROM (
       |      SELECT doc_id, unnest(list_filter(string_split(raw, chr(10)),
       |        x -> trim(x) <> '')) AS line FROM raw)
       |    GROUP BY doc_id, line)
       |  GROUP BY doc_id),
       |gstat AS (
-      |  SELECT doc_id, MAX(c) AS top_bigram_cnt, SUM(c) AS n_bigrams FROM (
+      |  SELECT doc_id, MAX(c) AS top_bigram_cnt,
+      |    CAST(SUM(c) AS BIGINT) AS n_bigrams FROM (
       |    SELECT doc_id, g, COUNT(*) AS c FROM (
       |      SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
       |        j -> array_to_string(toks[j:j+1], ' '))) AS g

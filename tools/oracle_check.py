@@ -56,6 +56,15 @@ def main():
             continue
         try:
             duck_rel = con.sql(sql)
+            # SUM(BIGINT) etc. widen to HUGEINT (int128); that round-trips
+            # as float64 through arrow-style readers and breaks the
+            # driver's value hash even when every value is equal. Force
+            # the oracle SQL to CAST back down instead.
+            hug = [c for c, t in zip(duck_rel.columns, duck_rel.types)
+                   if "INT128" in str(t) or "HUGEINT" in str(t)]
+            if hug:
+                results[name] = f"HUGEINT-COLS {hug} (add CAST(... AS BIGINT))"
+                continue
             d_cols, d_rows = canon(duck_rel.columns, duck_rel.fetchall())
         except Exception as e:
             results[name] = f"ORACLE-FAIL {str(e)[:160]}"
