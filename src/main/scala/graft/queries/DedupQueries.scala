@@ -148,6 +148,51 @@ object DedupQueries {
       |ANTI JOIN deletes d ON c.doc_id = d.node
       |ORDER BY doc_id""".stripMargin
 
+  /** Survivor selection by QUALITY, not position: per near-dup cluster,
+    * keep the member with the most text (ties → smallest doc_id) — the
+    * Dolma/C4-style "keep longest" canonicalization, vs the keep-first
+    * rule dedup_cc_survivors applies. Composes the same pair graph +
+    * transitive closure; the winner is picked by the bounded-buffer
+    * top-k aggregator (k=1), so no per-cluster sort exists anywhere —
+    * one shuffle of 1-row partial buffers on cluster_id. */
+  private val dedupCcBest: Q = (s, dir) => {
+    val pairs = DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
+      shingleK = 3, numHashes = 8, bands = 2)
+    val cc = graft.operators.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+    val members = cc.join(corpus(s, dir), cc("node") === col("doc_id"))
+      .select(col("component").as("cluster_id"), col("doc_id"),
+        length(col("t")).cast("long").as("n_chars_t"))
+    graft.operators.TopKOps.topKByValue(
+        members, Seq("cluster_id"), col("n_chars_t"), col("doc_id"), k = 1,
+        orderName = "n_chars_t", tieName = "doc_id")
+      .select(col("cluster_id"), col("doc_id").as("best_doc_id"),
+        col("n_chars_t"))
+      .orderBy("cluster_id")
+  }
+  private val dedupCcBestSql =
+    "WITH RECURSIVE " + corpusCte + ", " + minhashPairCtes + "," +
+    """
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(node, m) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b),
+      |comp AS (SELECT node, MIN(m) AS cluster_id FROM reach GROUP BY node),
+      |members AS (
+      |  SELECT cluster_id, c.doc_id, CAST(len(c.t) AS BIGINT) AS n_chars_t
+      |  FROM comp JOIN corpus c ON comp.node = c.doc_id)
+      |SELECT cluster_id, doc_id AS best_doc_id, n_chars_t FROM (
+      |  SELECT cluster_id, doc_id, n_chars_t,
+      |    row_number() OVER (PARTITION BY cluster_id
+      |      ORDER BY n_chars_t DESC, doc_id) AS rn
+      |  FROM members)
+      |WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
   // ------------------------------------------------ sparse tf-cosine
 
   /** Term-space near-dup pairs via the inverted-index posting join
@@ -882,6 +927,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_cc_clusters" -> dedupCc,
+    "dedup_cc_best" -> dedupCcBest,
     "dedup_sparse_cosine" -> dedupSparse,
     "dedup_cc_survivors" -> dedupCcSurvivors,
     "dedup_simhash" -> dedupSimhash,
@@ -902,6 +948,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashSql,
     "dedup_cc_clusters" -> dedupCcSql,
+    "dedup_cc_best" -> dedupCcBestSql,
     "dedup_sparse_cosine" -> dedupSparseSql,
     "dedup_cc_survivors" -> dedupCcSurvivorsSql,
     "dedup_simhash" -> dedupSimhashSql,

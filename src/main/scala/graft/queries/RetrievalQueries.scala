@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Retrieval / LM-quality scoring over the documents corpus: BM25 top-k
+  * (hard-negative mining, quality retrieval) and unigram-LM negative
+  * log-likelihood (the CCNet-family perplexity quality filter).
+  *
+  * Cross-engine exactness discipline: every floating-point scoring term
+  * is quantized to fixed-point BIGINT (`floor(1e6 * x)`) BEFORE any
+  * aggregation, so sums are order-independent integer math and the
+  * DuckDB oracle hash-compares bit-exactly (same convention as
+  * a10_ordered_concat / the fixed-point cents sums). The arithmetic
+  * inside the quantizer is written ONCE as SQL text shared verbatim by
+  * both engines (same parse tree, same IEEE evaluation order), with
+  * every literal routed through CAST(x AS DOUBLE) because a bare `0.5`
+  * parses as DECIMAL in both Spark and DuckDB and decimal arithmetic
+  * diverges between them.
+  */
+object RetrievalQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------- t_bm25
+
+  /** T-BM25: top-5 documents per query under BM25 (k1=1.2, b=0.75) with
+    * the log-free RSJ idf `(N - df + 0.5) / (df + 0.5)` — a documented
+    * variant choice: it is the textbook idf without the final ln(), so
+    * both engines evaluate only +,-,*,/ on doubles (each correctly
+    * rounded and order-pinned by the shared expression text), where a
+    * transcendental could differ in the last ulp across libm
+    * implementations and flip a floor() at a quantization boundary.
+    *
+    * Scale shape (100 TB): the query-term set is SMALL BY DEFINITION —
+    * it prunes the exploded posting rows at the scan (broadcast semi
+    * join) BEFORE any shuffle, so the corpus-wide work is one explode
+    * (row-local) + one broadcast filter; the df table and the per-term
+    * scored rows then aggregate per (q_id, doc_id) with map-side
+    * combine, and the bounded-buffer top-k aggregator (TopKOps) keeps
+    * k rows per query, never a per-group sort. Corpus scalars (N,
+    * total token mass) ride a 1-row broadcast, not a collect.
+    *
+    * Ref behavior anchor: the reference ranks/filters corpus rows by
+    * text-match quality before alignment (tts_data_pipeline
+    * pre_processing filters + WER gates); BM25 is that curation step
+    * at retrieval scale. */
+  private val bm25K = 5
+  private val bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "join",
+    2 -> "hash", 2 -> "merge",
+    3 -> "window", 3 -> "sort",
+    4 -> "customer", 4 -> "query", 4 -> "batch",
+    5 -> "dup", 5 -> "scan")
+  /** Per-(query-term, doc) fixed-point BM25 contribution — shared
+    * verbatim with the DuckDB oracle (columns: tf, df, dl BIGINT;
+    * n_docs BIGINT; avgdl DOUBLE). */
+  private val bm25ScoreSql =
+    "CAST(floor(CAST(1000000 AS DOUBLE) " +
+      "* ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) " +
+      "* (tf * CAST(2.2 AS DOUBLE) " +
+      "/ (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) " +
+      "+ CAST(0.75 AS DOUBLE) * dl / avgdl)))) AS BIGINT)"
+  private val bm25: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    // one row per (doc, distinct term) with its tf, plus the doc length
+    val dt = docs.select(col("doc_id"),
+        size(expr("ascii_alpha_tokens(text, 3)")).cast("long").as("dl"),
+        explode(expr("tf_map(ascii_alpha_tokens(text, 3))")).as(Seq("term", "tf")))
+      .withColumn("tf", col("tf").cast("long"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(expr("ascii_alpha_tokens(text, 3)")).cast("long")), lit(0L))
+        .as("tot_dl"))
+    import s.implicits._
+    val qdf = bm25Queries.toDF("q_id", "term")
+    val qterms = qdf.select("term").distinct()
+    val posted = dt.join(broadcast(qterms), Seq("term"))
+    // document frequency over the pruned postings (tf_map emits each
+    // term once per doc, so count(*) IS the doc frequency)
+    val dft = posted.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = posted
+      .join(broadcast(dft), Seq("term"))
+      .join(broadcast(qdf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr("CAST(tot_dl AS DOUBLE) / n_docs"))
+      .select(col("q_id"), col("doc_id"), expr(bm25ScoreSql).as("s_fp"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("s_fp")).as("score_fp"))
+    graft.operators.TopKOps.topKByValue(
+        scored, Seq("q_id"), col("score_fp"), col("doc_id"), bm25K,
+        orderName = "score_fp", tieName = "doc_id")
+      .orderBy("q_id", "rank")
+  }
+  private val bm25QueryValues = bm25Queries
+    .map { case (q, term) => s"($q, '$term')" }.mkString(", ")
+  private val bm25Sql =
+    s"""WITH q(q_id, term) AS (VALUES $bm25QueryValues),
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+       |  FROM documents),
+       |dlt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    (SELECT CAST(COALESCE(SUM(dl), 0) AS BIGINT) FROM dlt) AS tot_dl
+       |  FROM documents),
+       |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (
+       |  SELECT q.q_id, tf.doc_id, $bm25ScoreSql AS s_fp
+       |  FROM tf
+       |  JOIN dft USING (term) JOIN q USING (term) JOIN dlt USING (doc_id),
+       |    (SELECT n_docs, CAST(tot_dl AS DOUBLE) / n_docs AS avgdl FROM st)),
+       |agg AS (
+       |  SELECT q_id, doc_id, CAST(SUM(s_fp) AS BIGINT) AS score_fp
+       |  FROM sc GROUP BY q_id, doc_id)
+       |SELECT q_id, CAST(rn AS INT) AS rank, score_fp, doc_id FROM (
+       |  SELECT q_id, doc_id, score_fp,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score_fp DESC, doc_id) AS rn
+       |  FROM agg)
+       |WHERE rn <= $bm25K ORDER BY q_id, rank""".stripMargin
+
+  // ------------------------------------------------------ t_unigram_nll
+
+  /** T-NLL: per-document unigram-LM negative log-likelihood — the CCNet
+    * quality signal (docs scored against an LM trained on the corpus
+    * itself; gibberish and rare-token spam score high, fluent text low).
+    *
+    * Exactness: ln() IS transcendental, so it is applied only to
+    * DISTINCT INTEGER inputs (a term's corpus count, the total token
+    * mass) and immediately quantized — `lnq(n) = floor(1e6 * ln(n))` —
+    * after which the document score
+    * `nll_fp = dl * lnq(total) - Σ_t tf_t * lnq(cnt_t)` is pure
+    * order-independent integer math. A cross-libm last-ulp disagreement
+    * would have to land exactly on a floor boundary of one of the few
+    * hundred distinct count values to diverge (~1e-9-probability class,
+    * vs certain divergence for float sums of per-token logs).
+    *
+    * Scale shape (100 TB): one shuffle builds the unigram count table
+    * (vocab-sized, Zipf-bounded); scoring joins the exploded (doc, term,
+    * tf) rows against it ON TERM — written as a plain join, which AQE
+    * broadcasts while the vocab fits and shuffle-joins beyond that (the
+    * honest shape when a web-scale vocab outgrows a broadcast) — then
+    * re-aggregates per doc with map-side combine. The total-mass scalar
+    * rides a 1-row broadcast. nll_per_tok_fp divides two NONNEGATIVE
+    * ints so truncating (Spark div) and floor (DuckDB //) division
+    * agree. */
+  private val lnqSql =
+    "CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS BIGINT)"
+  private val lnqTotSql =
+    "CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(tot AS DOUBLE))) AS BIGINT)"
+  private val unigramNll: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    def tokTf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        explode(expr("tf_map(ascii_alpha_tokens(text, 3))")).as(Seq("term", "tf")))
+      .withColumn("tf", col("tf").cast("long"))
+    val tf = tokTf(docs)
+    val cnt = tokTf(docs).groupBy("term")
+      .agg(sum(col("tf")).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("tot"))
+    tf.join(cnt, Seq("term"))
+      .select(col("doc_id"), col("tf"), expr(lnqSql).as("lnq"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("lnq")).as("sum_fp"),
+        sum(col("tf")).as("dl"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("dl"),
+        (col("dl") * expr(lnqTotSql) - col("sum_fp")).as("nll_fp"))
+      .withColumn("nll_per_tok_fp", expr("nll_fp div dl"))
+      .orderBy("doc_id")
+  }
+  private val unigramNllSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |  GROUP BY doc_id, term),
+       |cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+       |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM cnt),
+       |doc AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(tf * $lnqSql) AS BIGINT) AS sum_fp,
+       |    CAST(SUM(tf) AS BIGINT) AS dl
+       |  FROM tf JOIN cnt USING (term) GROUP BY doc_id)
+       |SELECT doc_id, dl, nll_fp, nll_fp // dl AS nll_per_tok_fp FROM (
+       |  SELECT doc_id, dl, dl * (SELECT $lnqTotSql FROM tt) - sum_fp AS nll_fp
+       |  FROM doc)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "t_bm25_topk" -> bm25,
+    "t_unigram_nll" -> unigramNll)
+
+  val oracle: Map[String, String] = Map(
+    "t_bm25_topk" -> bm25Sql,
+    "t_unigram_nll" -> unigramNllSql)
+
+  /** Sort-free bench forms (global ORDER BY exists only for the oracle's
+    * deterministic hash-compare; top-k output is already tiny). */
+  val benchVariants: Map[String, Q] = Map.empty
+}

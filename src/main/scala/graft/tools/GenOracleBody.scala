@@ -19,7 +19,8 @@ object GenOracleBody {
   def union: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ IoQueries.oracle ++
-      StatefulQueries.oracle ++ MiscQueries.oracle ++ ScaleQueries.oracle
+      StatefulQueries.oracle ++ MiscQueries.oracle ++
+      ScaleQueries.oracle ++ RetrievalQueries.oracle
 
   /** Whitespace-collapse: safe because no oracle SQL string literal
     * contains a newline or a run of 2+ spaces (asserted in OracleSyncSpec).
