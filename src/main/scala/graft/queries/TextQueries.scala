@@ -616,6 +616,95 @@ object TextQueries {
       |  CAST(top_bigram_cnt AS DOUBLE) / n_bigrams AS top_bigram_frac
       |FROM lstat JOIN gstat USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** T-GG: the Gopher-family rule gate — the curation decision the
+    * repetition/quality signals exist to feed — as ONE shuffle-free
+    * row-local pass: word-count band, mean-word-length band, duplicate
+    * -line cap, top-bigram cap, alphabetic-word floor, each an INTEGER
+    * comparison (`a*10 <= b*3`-style cross-multiplication, so no float
+    * exists anywhere and the oracle hash-compares trivially). Output is
+    * a per-rule fail bitmask + the keep verdict, the shape a pipeline
+    * filters on while keeping per-rule attrition auditable. Runs over
+    * the same planted corpus as t_repetition so the repetition rules
+    * actually fire; thresholds (words 30..10000, mwl 3..5, dup<=30%,
+    * bigram<=20%, alpha>=80%) are the Gopher-style bands adapted to the
+    * synthetic corpus' distributions. Scale shape: pure map over the
+    * scan — zero shuffles, the ideal 100 TB form. */
+  private val gopherMaskSql =
+    "CAST(CASE WHEN words BETWEEN 30 AND 10000 THEN 0 ELSE 1 END " +
+      "+ CASE WHEN 3 * words <= chars - words + 1 " +
+      "AND chars - words + 1 <= 5 * words THEN 0 ELSE 2 END " +
+      "+ CASE WHEN n_dup_lines * 10 <= n_lines * 3 THEN 0 ELSE 4 END " +
+      "+ CASE WHEN top_bigram_cnt * 5 <= n_bigrams THEN 0 ELSE 8 END " +
+      "+ CASE WHEN alpha * 10 >= words * 8 THEN 0 ELSE 16 END AS INT)"
+  private val tGopherGate: Q = (s, dir) => {
+    val raw = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
+          lit("\n"), substring(col("text"), 1, 40)))
+        .otherwise(col("text")).as("raw"))
+      .filter(col("raw").isNotNull)
+    raw.select(col("doc_id"),
+        expr("ws_word_count(raw)").cast("long").as("words"),
+        length(col("raw")).cast("long").as("chars"),
+        size(expr("ascii_alpha_tokens(raw, 1)")).cast("long").as("alpha"),
+        expr("rep_stats(raw)").as("__r"))
+      .select(col("doc_id"), col("words").as("n_words"),
+        col("__r.n_lines").as("n_lines"),
+        col("__r.n_dup_lines").as("n_dup_lines"),
+        col("__r.top_bigram_cnt").as("top_bigram_cnt"),
+        col("__r.n_bigrams").as("n_bigrams"),
+        col("words"), col("chars"), col("alpha"))
+      .withColumn("fail_mask", expr(gopherMaskSql))
+      .withColumn("keep", col("fail_mask") === 0)
+      .select(col("doc_id"), col("n_words"), col("n_lines"),
+        col("n_dup_lines"), col("top_bigram_cnt"), col("n_bigrams"),
+        col("fail_mask"), col("keep"))
+      .orderBy("doc_id")
+  }
+  private val tGopherGateSql =
+    s"""WITH raw AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+       |    THEN text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+       |    ELSE text END AS raw
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN trim(regexp_replace(raw, '\\s+', ' ', 'g')) = '' THEN 0
+       |      ELSE len(string_split(trim(regexp_replace(raw, '\\s+', ' ', 'g')), ' '))
+       |      END AS BIGINT) AS words,
+       |    CAST(length(raw) AS BIGINT) AS chars,
+       |    CAST(len(regexp_extract_all(lower(raw), '[a-z]+')) AS BIGINT) AS alpha
+       |  FROM raw WHERE raw IS NOT NULL),
+       |lstat AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+       |    CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_lines FROM (
+       |    SELECT doc_id, line, COUNT(*) AS c FROM (
+       |      SELECT doc_id, unnest(list_filter(string_split(raw, chr(10)),
+       |        x -> trim(x) <> '')) AS line FROM raw)
+       |    GROUP BY doc_id, line)
+       |  GROUP BY doc_id),
+       |gstat AS (
+       |  SELECT doc_id, MAX(c) AS top_bigram_cnt,
+       |    CAST(SUM(c) AS BIGINT) AS n_bigrams FROM (
+       |    SELECT doc_id, g, COUNT(*) AS c FROM (
+       |      SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+       |        j -> array_to_string(toks[j:j+1], ' '))) AS g
+       |      FROM (SELECT doc_id, regexp_extract_all(lower(raw), '[a-z0-9]+') AS toks
+       |            FROM raw))
+       |    GROUP BY doc_id, g)
+       |  GROUP BY doc_id),
+       |m AS (
+       |  SELECT b.doc_id, words, chars, alpha,
+       |    COALESCE(n_lines, 0) AS n_lines,
+       |    COALESCE(n_dup_lines, 0) AS n_dup_lines,
+       |    top_bigram_cnt, n_bigrams
+       |  FROM base b
+       |  LEFT JOIN lstat USING (doc_id) JOIN gstat USING (doc_id))
+       |SELECT doc_id, words AS n_words, n_lines, n_dup_lines,
+       |  top_bigram_cnt, n_bigrams, $gopherMaskSql AS fail_mask,
+       |  $gopherMaskSql = 0 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -643,7 +732,8 @@ object TextQueries {
     "t_pii_redact" -> tPii,
     "t_boilerplate" -> tBoiler,
     "t_decontaminate" -> tDecon,
-    "t_repetition" -> tRepetition)
+    "t_repetition" -> tRepetition,
+    "t_gopher_gate" -> tGopherGate)
 
   val oracle: Map[String, String] = Map(
     "fn_duration_hours" -> fnDurSql,
@@ -670,5 +760,6 @@ object TextQueries {
     "t_pii_redact" -> tPiiSql,
     "t_boilerplate" -> tBoilerSql,
     "t_decontaminate" -> tDeconSql,
-    "t_repetition" -> tRepetitionSql)
+    "t_repetition" -> tRepetitionSql,
+    "t_gopher_gate" -> tGopherGateSql)
 }

@@ -84,6 +84,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(nll == direct, s"token mass $nll != corpus mass $direct")
   }
 
+  // ---------------------------------------------------------- gopher gate
+
+  test("t_gopher_gate: planted repetitive docs fail the dup-line rule; " +
+      "verdict equals mask==0; both verdicts occur") {
+    val rows = run("t_gopher_gate")
+      .select("doc_id", "n_lines", "n_dup_lines", "fail_mask", "keep").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(4) == (r.getInt(3) == 0)),
+      "keep != (fail_mask == 0)")
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "gate is trivial: all docs share one verdict")
+    // every planted doc (doc_id % 3 == 0) has 2 duplicated lines of 3 ->
+    // 67% > 30% cap -> the dup-line bit (4) must be set
+    val planted = rows.filter(_.getLong(0) % 3 == 0)
+    assert(planted.nonEmpty)
+    assert(planted.forall(r => (r.getInt(3) & 4) != 0),
+      "a planted repetitive doc passed the dup-line rule")
+    val clean = rows.filter(_.getLong(0) % 3 != 0)
+    assert(clean.forall(r => (r.getInt(3) & 4) == 0),
+      "an unplanted single-line doc failed the dup-line rule")
+  }
+
   // ---------------------------------------------------------- cc keep-best
 
   test("dedup_cc_best: one winner per cluster, and it is the longest member") {
