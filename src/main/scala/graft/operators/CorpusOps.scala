@@ -10,6 +10,46 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** The Gopher-rule fail bitmask over precomputed integer facts
+    * (words, chars, alpha, n_lines, n_dup_lines, top_bigram_cnt,
+    * n_bigrams): five rules, each a cross-multiplied INTEGER comparison
+    * so no float exists anywhere and a second engine replays the text
+    * verbatim. Bits: 1 word-count band, 2 mean-word-length band,
+    * 4 duplicate-line cap, 8 top-bigram cap, 16 alphabetic floor. */
+  val gopherMaskSql: String =
+    "CAST(CASE WHEN words BETWEEN 30 AND 10000 THEN 0 ELSE 1 END " +
+      "+ CASE WHEN 3 * words <= chars - words + 1 " +
+      "AND chars - words + 1 <= 5 * words THEN 0 ELSE 2 END " +
+      "+ CASE WHEN n_dup_lines * 10 <= n_lines * 3 THEN 0 ELSE 4 END " +
+      "+ CASE WHEN top_bigram_cnt * 5 <= n_bigrams THEN 0 ELSE 8 END " +
+      "+ CASE WHEN alpha * 10 >= words * 8 THEN 0 ELSE 16 END AS INT)"
+
+  /** The Gopher-family quality gate as a pure per-row projection: emits
+    * the repetition/length facts, the per-rule fail bitmask, and the
+    * keep verdict. Zero shuffles, zero state — which is also why it
+    * drops into Structured Streaming unchanged (stateless transforms
+    * need no watermark and work under any trigger; pinned by
+    * FileStreamSpec's batch-parity case). Requires the graft kernel
+    * functions to be registered (TextFns.registerAll). */
+  def gopherGate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        expr(s"ws_word_count($textCol)").cast("long").as("words"),
+        length(col(textCol)).cast("long").as("chars"),
+        size(expr(s"ascii_alpha_tokens($textCol, 1)")).cast("long").as("alpha"),
+        expr(s"rep_stats($textCol)").as("__r"))
+      .select(col(idCol), col("words").as("n_words"),
+        col("__r.n_lines").as("n_lines"),
+        col("__r.n_dup_lines").as("n_dup_lines"),
+        col("__r.top_bigram_cnt").as("top_bigram_cnt"),
+        col("__r.n_bigrams").as("n_bigrams"),
+        col("words"), col("chars"), col("alpha"))
+      .withColumn("fail_mask", expr(gopherMaskSql))
+      .withColumn("keep", col("fail_mask") === 0)
+      .select(col(idCol), col("n_words"), col("n_lines"),
+        col("n_dup_lines"), col("top_bigram_cnt"), col("n_bigrams"),
+        col("fail_mask"), col("keep"))
+
   /** Intra-document repetition signals (the Gopher-family quality
     * filters): per document, the fraction of non-blank lines that are
     * repeats of an earlier line, and the share of the most common token

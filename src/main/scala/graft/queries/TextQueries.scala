@@ -629,36 +629,14 @@ object TextQueries {
     * bigram<=20%, alpha>=80%) are the Gopher-style bands adapted to the
     * synthetic corpus' distributions. Scale shape: pure map over the
     * scan — zero shuffles, the ideal 100 TB form. */
-  private val gopherMaskSql =
-    "CAST(CASE WHEN words BETWEEN 30 AND 10000 THEN 0 ELSE 1 END " +
-      "+ CASE WHEN 3 * words <= chars - words + 1 " +
-      "AND chars - words + 1 <= 5 * words THEN 0 ELSE 2 END " +
-      "+ CASE WHEN n_dup_lines * 10 <= n_lines * 3 THEN 0 ELSE 4 END " +
-      "+ CASE WHEN top_bigram_cnt * 5 <= n_bigrams THEN 0 ELSE 8 END " +
-      "+ CASE WHEN alpha * 10 >= words * 8 THEN 0 ELSE 16 END AS INT)"
+  private val gopherMaskSql = graft.operators.CorpusOps.gopherMaskSql
   private val tGopherGate: Q = (s, dir) => {
     val raw = t(s, dir, "documents").select(col("doc_id"),
       when(col("doc_id") % 3 === 0,
         concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
           lit("\n"), substring(col("text"), 1, 40)))
         .otherwise(col("text")).as("raw"))
-      .filter(col("raw").isNotNull)
-    raw.select(col("doc_id"),
-        expr("ws_word_count(raw)").cast("long").as("words"),
-        length(col("raw")).cast("long").as("chars"),
-        size(expr("ascii_alpha_tokens(raw, 1)")).cast("long").as("alpha"),
-        expr("rep_stats(raw)").as("__r"))
-      .select(col("doc_id"), col("words").as("n_words"),
-        col("__r.n_lines").as("n_lines"),
-        col("__r.n_dup_lines").as("n_dup_lines"),
-        col("__r.top_bigram_cnt").as("top_bigram_cnt"),
-        col("__r.n_bigrams").as("n_bigrams"),
-        col("words"), col("chars"), col("alpha"))
-      .withColumn("fail_mask", expr(gopherMaskSql))
-      .withColumn("keep", col("fail_mask") === 0)
-      .select(col("doc_id"), col("n_words"), col("n_lines"),
-        col("n_dup_lines"), col("top_bigram_cnt"), col("n_bigrams"),
-        col("fail_mask"), col("keep"))
+    graft.operators.CorpusOps.gopherGate(raw, "doc_id", "raw")
       .orderBy("doc_id")
   }
   private val tGopherGateSql =

@@ -260,4 +260,34 @@ class PlanShapeSpec extends AnyFunSuite {
     // documents has 5+ columns; the two-column project must not read text
     assert(read.nonEmpty && !read.contains("o_totalprice"), read)
   }
+
+  test("gopher gate is a pure map: no exchange but the harness sort, no join, no aggregate") {
+    val p = plan("t_gopher_gate")
+    assert(!p.contains("hashpartitioning"),
+      s"t_gopher_gate regained a shuffle:\n${p.take(600)}")
+    assert(!p.contains("Join"), "t_gopher_gate regained a join")
+    assert(!p.contains("Aggregate"), "t_gopher_gate regained an aggregate")
+  }
+
+  test("BM25 prunes postings through broadcasts; the corpus shuffles only on (q_id, doc)") {
+    // Query terms, df table, query table, and the 1-row stats all
+    // broadcast; the sole hash exchange over corpus-derived rows is the
+    // (q_id, doc_id) score aggregation (plus the top-k's q_id exchange
+    // over k-row buffers). A SortMergeJoin appearing means a broadcast
+    // was lost and the posting explode started shuffling corpus-wide.
+    val p = plan("t_bm25_topk")
+    assert(!p.contains("SortMergeJoin"),
+      s"t_bm25_topk lost a broadcast to a shuffle join:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"), "t_bm25_topk lost its broadcasts")
+    assert(p.contains("partial_sum"), "t_bm25_topk lost map-side score combine")
+  }
+
+  test("unigram NLL aggregates with map-side combine on both shuffles") {
+    // Count build (term) and doc re-aggregation (doc_id) must both carry
+    // partials below their exchanges; the total-mass scalar broadcasts.
+    val p = plan("t_unigram_nll")
+    assert(p.contains("partial_sum"),
+      s"t_unigram_nll lost map-side combine:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), "t_unigram_nll plans a cartesian")
+  }
 }

@@ -108,6 +108,47 @@ class FileStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("gopher gate streams stateless: verdicts match the batch operator row-for-row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    graft.functions.TextFns.registerAll(spark)
+    // mixed corpus: a keepable doc, a too-short doc, a dup-line doc.
+    // The keepable doc needs >= 30 words, mean word length in [3, 5],
+    // and no dominant bigram — 10 distinct 3-letter words cycled 4x.
+    val ws = Seq("cat", "dog", "fox", "owl", "bee", "ant", "elk", "hen", "ram", "sow")
+    val good = (0 until 40).map(i => ws(i % 10)).mkString(" ")
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short"),
+      (3L, good + "\nrepeat line\nrepeat line\nrepeat line"))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDS().toDF("doc_id", "text")
+    // the gate is a pure projection: no watermark, no state, append mode
+    val q = graft.operators.CorpusOps.gopherGate(stream, "doc_id", "text")
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gate_out")
+        .select("doc_id", "fail_mask", "keep")
+        .as[(Long, Int, Boolean)].collect()
+        .map { case (k, m, b) => k -> ((m, b)) }.toMap
+      val batch = graft.operators.CorpusOps
+        .gopherGate(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id", "fail_mask", "keep")
+        .as[(Long, Int, Boolean)].collect()
+        .map { case (k, m, b) => k -> ((m, b)) }.toMap
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(batch(1L)._2, "the 40-word doc must pass")
+      assert((batch(2L)._1 & 1) != 0, "the short doc must fail the word-count band")
+      assert((batch(3L)._1 & 4) != 0, "the dup-line doc must fail the dup cap")
+    } finally q.stop()
+  }
+
   test("streaming sessionization: a session is emitted closed once the watermark passes its gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
