@@ -46,7 +46,7 @@ object Bench {
     "t_split_contamination", "t_bpe_merge_pairs", "dedup_cc_clusters",
     "a14_topk_per_group", "dedup_sparse_cosine", "pipe_pretrain_pack",
     "dedup_semantic", "t_bm25_topk", "t_unigram_nll", "dedup_cc_best",
-    "t_gopher_gate",
+    "t_gopher_gate", "o9_kcenter_diverse",
     "mm_wav_probe", "mm_image_probe", "mm_image_resize",
     "mm_frame_sample", "mm_bin_features")
 

@@ -446,6 +446,52 @@ object ScaleQueries {
        |  GROUP BY p.a, p.b)
        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- o9
+
+  /** O9: k-center greedy diversity sampling (Gonzalez farthest-point
+    * traversal) over the embeddings — 4 greedy picks after the lowest-id
+    * seed, each step's radius recorded (DiversityOps has the determinism
+    * spec). The oracle unrolls the four steps as CTEs, crossing each
+    * candidate against the chosen 1-row center CTEs — the same
+    * unrolled-iteration replay discipline as ann_kmeans_cells. */
+  private val o9Steps = 4
+  private val o9: Q = (s, dir) =>
+    graft.operators.DiversityOps.kCenterGreedy(
+        t(s, dir, "embeddings"), "vec_id", "embedding", o9Steps, dim = 64)
+      .orderBy("step")
+  /** squared distance between two already-double lists, left-fold. */
+  private def sqdD(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, 65), j -> " +
+    s"($a[j] - $b[j]) * ($a[j] - $b[j])), (x, y) -> x + y)"
+  private val o9Sql = {
+    // chosen center aliases per step: p-th pick lives in CTE c<p>
+    def leastOf(prior: Seq[String]) =
+      if (prior.size == 1) sqdD("e.v", s"${prior.head}.v")
+      else "least(" + prior.map(c => sqdD("e.v", s"$c.v")).mkString(", ") + ")"
+    val steps = (1 to o9Steps).map { p =>
+      val prior = (0 until p).map(i => s"c$i")
+      s"""p$p AS (
+         |  SELECT e.vid, e.v, ${leastOf(prior)} AS d
+         |  FROM e, ${prior.map(c => s"$c $c").mkString(", ")}
+         |  WHERE e.vid NOT IN (${prior.map(c => s"SELECT vid FROM $c").mkString(" UNION ")})),
+         |c$p AS (SELECT vid, v, d FROM p$p ORDER BY d DESC, vid LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 to o9Steps)
+      .map(p => s"SELECT $p AS step, vid AS center_id, " +
+        (if (p == 0) "CAST(0 AS DOUBLE) AS radius FROM c0"
+         else s"d AS radius FROM c$p"))
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+       |c0 AS (SELECT vid, v FROM e ORDER BY vid LIMIT 1),
+       |$steps
+       |SELECT CAST(step AS INT) AS step, center_id, radius FROM ($out)
+       |ORDER BY step""".stripMargin
+  }
+
   // --------------------------------------------------------- pipe (flagship)
 
   /** End-to-end pre-training pass, composed from the verified operators
@@ -525,6 +571,7 @@ object ScaleQueries {
     "t_cms_heavy" -> tCms,
     "t_split_contamination" -> tSplitContam,
     "t_bpe_merge_pairs" -> tBpePairs,
+    "o9_kcenter_diverse" -> o9,
     "pipe_pretrain_pack" -> pipe)
 
   val oracle: Map[String, String] = Map(
@@ -540,6 +587,7 @@ object ScaleQueries {
     "t_cms_heavy" -> tCmsSql,
     "t_split_contamination" -> tSplitContamSql,
     "t_bpe_merge_pairs" -> tBpePairsSql,
+    "o9_kcenter_diverse" -> o9Sql,
     "pipe_pretrain_pack" -> pipeSql)
 
   /** Sort-free forms for the bench (global ORDER BY exists only for the
