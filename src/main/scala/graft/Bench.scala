@@ -47,6 +47,7 @@ object Bench {
     "a14_topk_per_group", "dedup_sparse_cosine", "pipe_pretrain_pack",
     "dedup_semantic", "t_bm25_topk", "t_unigram_nll", "dedup_cc_best",
     "t_gopher_gate", "o9_kcenter_diverse",
+    "o10_token_budget", "o11_temperature_mix", "emb_rp_project",
     "mm_wav_probe", "mm_image_probe", "mm_image_resize",
     "mm_frame_sample", "mm_bin_features")
 

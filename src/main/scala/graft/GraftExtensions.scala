@@ -9,8 +9,8 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{AsciiTokensExpr, BpeCountExpr, BpeTokensExpr,
   DurationToHoursExpr, KGramsExpr, NormalizeNameExpr, RepStatsExpr,
-  LangHitsExpr, MinHashLanesExpr, SimHashExpr, TfMapExpr, VecDotExpr,
-  VecSqDistExpr, VecSqNormExpr, WsWordCountExpr}
+  LangHitsExpr, MinHashLanesExpr, RpProjectExpr, SimHashExpr, TfMapExpr,
+  VecDotExpr, VecSqDistExpr, VecSqNormExpr, WsWordCountExpr}
 
 /** SparkSessionExtensions hook (enable with
   * `spark.sql.extensions=graft.GraftExtensions`, set by [[Sessions.builder]]):
@@ -119,6 +119,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(a, b, Literal(d: Int, IntegerType)) => VecSqDistExpr(a, b, d)
         case _ => throw new IllegalArgumentException("vec_sqdist(a, b, dim literal)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rp_project"),
+      new ExpressionInfo(classOf[RpProjectExpr].getName, "rp_project"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, Literal(n: Int, IntegerType), Literal(d: Int, IntegerType)) =>
+          RpProjectExpr(a, n, d)
+        case _ => throw new IllegalArgumentException(
+          "rp_project(v, nOut literal, dim literal)")
       }))
   }
 }

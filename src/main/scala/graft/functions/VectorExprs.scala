@@ -69,6 +69,47 @@ object VectorKernels {
     acc
   }
 
+  /** ±1 hyperplane/projection component from md5 parity of "i_j" — the
+    * value an engine-independent SQL oracle computes as
+    * (ascii(substr(md5(i||'_'||j),1,1)) % 2)*2-1. Canonical here; the
+    * LSH bucketing (SimilarityOps) and the signed random projection
+    * below share one matrix, so a projection's coordinate signs ARE the
+    * corresponding hyperplane bits. */
+  def planeSign(i: Int, j: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (hex.charAt(0).toInt % 2) * 2 - 1
+  }
+
+  /** out[i] = Σ_j v[j]·signs[i][j], each row the same left-assoc no-init
+    * double fold as [[dot]]. Null/short input or a null element in the
+    * first `dim` positions → null (whole array, matching the fold's null
+    * propagation). */
+  def matVec(a: ArrayData, signs: Array[Array[Double]], nOut: Int, dim: Int,
+      aFloat: Boolean): Any = {
+    if (a.numElements() < dim) return null
+    var j = 0
+    while (j < dim) {
+      if (a.isNullAt(j)) return null
+      j += 1
+    }
+    val v = new Array[Double](dim)
+    j = 0
+    while (j < dim) { v(j) = get(a, j, aFloat); j += 1 }
+    val out = new Array[Double](nOut)
+    var i = 0
+    while (i < nOut) {
+      val row = signs(i)
+      var acc = v(0) * row(0)
+      j = 1
+      while (j < dim) { acc += v(j) * row(j); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private[functions] def elemFloat(e: Expression, name: String): Boolean =
     e.dataType match {
       case ArrayType(FloatType, _)  => true
@@ -163,4 +204,43 @@ case class VecSqDistExpr(left: Expression, right: Expression, dim: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecSqDistExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** `rp_project(v, nOut, dim)` — signed random projection (JL-style
+  * dimensionality reduction): out[i] = v · h_i over the md5-parity ±1
+  * hyperplane family ([[VectorKernels.planeSign]]). Unscaled on purpose —
+  * the JL 1/√nOut factor is a constant the caller applies (or omits:
+  * relative distances and cosines are scale-invariant), and leaving it
+  * off keeps every coordinate an exact signed sum both engines compute
+  * bit-identically. Because the sign rows ARE the LSH hyperplanes,
+  * sign(out[i]) reproduces bit i of SimilarityOps.lshBucket — pinned in
+  * RetrievalSpec. */
+case class RpProjectExpr(child: Expression, nOut: Int, dim: Int)
+    extends UnaryExpression {
+  require(nOut >= 1 && dim >= 1, "rp_project needs nOut >= 1, dim >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorKernels.checkVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rp_project expects ARRAY<FLOAT|DOUBLE>, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "rp_project"
+  private lazy val aF = VectorKernels.elemFloat(child, "rp_project")
+  @transient private lazy val signs: Array[Array[Double]] =
+    Array.tabulate(nOut, dim)((i, j) => VectorKernels.planeSign(i, j).toDouble)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.matVec(a.asInstanceOf[ArrayData], signs, nOut, dim, aF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("rpSigns", signs, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      Object r = graft.functions.VectorKernels.matVec($a, $mat, $nOut, $dim, $aF);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RpProjectExpr =
+    copy(child = newChild)
 }

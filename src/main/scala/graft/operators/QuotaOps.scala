@@ -40,16 +40,59 @@ object QuotaOps {
     require(totalN > 0, "totalN must be positive")
     require(weights.values.forall(w => w >= 0 && w.isFinite),
       "weights must be finite and non-negative")
+    quotaByCount(df, stratumCol,
+      weights.map { case (s, w) => s -> math.ceil(totalN * w).toLong },
+      hashCol, tieCols)
+  }
+
+  /** Shared quota core: keep the first `quotas(s)` rows of each stratum
+    * in (hash, tie) order; strata absent from the map get quota 0. The
+    * quota map rides the plan as a literal CASE — strata counts are
+    * bounded (a mixture table is human-curated), never data-sized. */
+  def quotaByCount(
+      df: DataFrame, stratumCol: String, quotas: Map[String, Long],
+      hashCol: Column, tieCols: Seq[Column]): DataFrame = {
+    require(quotas.values.forall(_ >= 0), "quotas must be non-negative")
     require(!df.columns.contains("__q_rn"), "input may not carry __q_rn")
-    // The quota map rides the plan as a literal CASE — strata counts are
-    // bounded (a mixture table is human-curated), never data-sized.
-    val quota = weights.foldLeft(lit(0L)) { case (acc, (s, w)) =>
-      when(col(stratumCol) === s, lit(math.ceil(totalN * w).toLong)).otherwise(acc)
+    val quota = quotas.foldLeft(lit(0L)) { case (acc, (s, q)) =>
+      when(col(stratumCol) === s, lit(q)).otherwise(acc)
     }
     df.withColumn("__q_rn", row_number().over(
         Window.partitionBy(col(stratumCol)).orderBy(hashCol +: tieCols: _*)))
       .filter(col("__q_rn") <= quota)
       .drop("__q_rn")
+  }
+
+  /** α = 0.5 temperature rebalancing (the multilingual-mix flattening of
+    * XLM-R / mC4): the target share of stratum s is ∝ √n_s, so dominant
+    * languages shrink and tail languages grow relative to the raw mix,
+    * then `totalN` rows are drawn to that target by rank-by-hash (the
+    * same deterministic, replayable draw as [[quotaSample]] — a stratum
+    * short of its quota contributes everything it has).
+    *
+    * α is FIXED at 1/2 on purpose: IEEE-754 requires sqrt to be
+    * correctly rounded, so floor(sqrt(n)) is bit-identical in every
+    * engine and the quota arithmetic below — quota_s = totalN·isqrt_s
+    * div Σ isqrt — is exact integer math an independent SQL oracle can
+    * replay. An arbitrary α needs pow(), which is NOT correctly rounded,
+    * and one ULP under a ceil flips a quota by a whole row. (A caller
+    * who wants another α can precompute quotas driver-side and call
+    * [[quotaByCount]] — the draw itself is α-agnostic.)
+    *
+    * Scale shape: per-stratum counts are one aggregate whose result is
+    * stratum-cardinality-sized (languages: dozens — collected, never the
+    * corpus); selection is the quota core's single shuffle of the fact
+    * table on the stratum key. */
+  def sqrtTemperatureSample(
+      df: DataFrame, stratumCol: String, totalN: Long,
+      hashCol: Column, tieCols: Seq[Column]): DataFrame = {
+    require(totalN > 0, "totalN must be positive")
+    val counts = df.groupBy(stratumCol).count().collect()
+      .flatMap(r => Option(r.get(0)).map(s => s.toString -> r.getLong(1)))
+    val isqrt = counts.map { case (s, n) => s -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val den = isqrt.map(_._2).sum
+    val quotas = isqrt.map { case (s, r) => s -> totalN * r / den }.toMap
+    quotaByCount(df, stratumCol, quotas, hashCol, tieCols)
   }
 
   /** Deterministic train/val/test assignment: reduce `hashCol` into

@@ -37,12 +37,8 @@ object SimilarityOps {
     * expression is a flat codegen'd sum of products; md5 inside a lambda
     * body would be re-evaluated per row per element INTERPRETED (lambda
     * variables block constant folding) — measured ~100× slower. */
-  private[operators] def planeSign(i: Int, j: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    (hex.charAt(0).toInt % 2) * 2 - 1
-  }
+  private[operators] def planeSign(i: Int, j: Int): Int =
+    graft.functions.VectorKernels.planeSign(i, j)
 
   /** Random-hyperplane LSH bucket id as an INTEGER: bit (nPlanes-1-i) of
     * the result = (v · h_i >= 0). An int bucket shuffles and compares as

@@ -195,17 +195,45 @@ object RetrievalQueries {
        |  FROM doc)
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------- emb_rp_project
+
+  /** EMB-RP: signed random projection of the 64-dim embeddings to 16
+    * dims (JL-style reduction feeding cheaper downstream distance work)
+    * via the rp_project native kernel. The ±1 matrix is the md5-parity
+    * hyperplane family, so sign(proj[i]) IS bit i of the LSH bucket
+    * (pinned in RetrievalSpec) — bucketing and reduction share one
+    * geometry. Row-local and shuffle-free; each coordinate is the same
+    * left-assoc no-init double fold the oracle's list_reduce performs,
+    * so the double arrays hash-compare bit-exactly. */
+  private val rp: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        call_function("rp_project", col("embedding"), lit(16), lit(64)).as("proj"))
+      .orderBy("vec_id")
+  private val rpSql =
+    """SELECT vec_id, list_transform(range(16), i -> list_reduce(
+      |    list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) *
+      |      ((ascii(substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j - 1 AS VARCHAR)), 1, 1)) % 2) * 2 - 1)),
+      |    (x, y) -> x + y)) AS proj
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "t_bm25_topk" -> bm25,
-    "t_unigram_nll" -> unigramNll)
+    "t_unigram_nll" -> unigramNll,
+    "emb_rp_project" -> rp)
 
   val oracle: Map[String, String] = Map(
     "t_bm25_topk" -> bm25Sql,
-    "t_unigram_nll" -> unigramNllSql)
+    "t_unigram_nll" -> unigramNllSql,
+    "emb_rp_project" -> rpSql)
 
   /** Sort-free bench forms (global ORDER BY exists only for the oracle's
     * deterministic hash-compare; top-k output is already tiny). */
-  val benchVariants: Map[String, Q] = Map.empty
+  val benchVariants: Map[String, Q] = Map(
+    "emb_rp_project" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          call_function("rp_project", col("embedding"), lit(16), lit(64)).as("proj"))))
 }

@@ -492,6 +492,62 @@ object ScaleQueries {
        |ORDER BY step""".stripMargin
   }
 
+  // ---------------------------------------------------------------- o10
+
+  /** O10: token-budget cut — the maximal hash-ordered prefix of the
+    * corpus whose cumulative token count fits a 12 k-token budget
+    * (BudgetOps: bucketed distributed prefix sum — the keep-whole
+    * buckets pass with a row-local filter, only the boundary bucket is
+    * window-summed; the oracle replays the cut as one global window,
+    * which is exactly the plan shape the operator exists to avoid). */
+  private val o10Budget = 12000L
+  private val o10: Q = (s, dir) =>
+    graft.operators.BudgetOps.tokenBudgetSample(
+        t(s, dir, "documents")
+          .withColumn("n_tok", TextFns.token_count(col("text")).cast("long")),
+        SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")),
+        col("n_tok"), o10Budget, nBuckets = 64)
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+      .orderBy("doc_id")
+  private val o10Sql =
+    s"""SELECT doc_id, lang, n_tok FROM (
+       |  SELECT doc_id, lang, n_tok,
+       |    SUM(n_tok) OVER (ORDER BY pri, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      ((doc_id % 999999937 + 999999937) * 123456791 + 7919) % 999999937 AS pri,
+       |      CAST(len(regexp_extract_all(text, '${TextFns.bpeTokenPat}')) AS BIGINT) AS n_tok
+       |    FROM documents))
+       |WHERE cum <= $o10Budget ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- o11
+
+  /** O11: α=0.5 temperature rebalancing of the language mix (XLM-R/mC4
+    * flattening) — 300 rows drawn to per-language targets ∝ √n_lang by
+    * rank-by-hash. Quota arithmetic is integer-exact (floor(sqrt) is
+    * IEEE-correctly-rounded, then pure BIGINT div), so the oracle
+    * replays it with no pow()-rounding hazard — see
+    * QuotaOps.sqrtTemperatureSample for why α is pinned to 1/2. */
+  private val o11N = 300L
+  private val o11: Q = (s, dir) =>
+    QuotaOps.sqrtTemperatureSample(
+        t(s, dir, "documents"), "lang", o11N,
+        SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")))
+      .select(col("lang"), col("doc_id"), col("source"))
+      .orderBy("lang", "doc_id")
+  private val o11Sql =
+    s"""WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+       |iq AS (SELECT lang, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS r FROM cnt),
+       |q AS (SELECT lang, ($o11N * r) // (SELECT CAST(SUM(r) AS BIGINT) FROM iq) AS quota FROM iq)
+       |SELECT lang, doc_id, source FROM (
+       |  SELECT lang, doc_id, source,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ((doc_id % 999999937 + 999999937) * 123456791 + 7919) % 999999937,
+       |               doc_id) AS rn
+       |  FROM documents) d JOIN q USING (lang)
+       |WHERE rn <= quota ORDER BY lang, doc_id""".stripMargin
+
   // --------------------------------------------------------- pipe (flagship)
 
   /** End-to-end pre-training pass, composed from the verified operators
@@ -572,6 +628,8 @@ object ScaleQueries {
     "t_split_contamination" -> tSplitContam,
     "t_bpe_merge_pairs" -> tBpePairs,
     "o9_kcenter_diverse" -> o9,
+    "o10_token_budget" -> o10,
+    "o11_temperature_mix" -> o11,
     "pipe_pretrain_pack" -> pipe)
 
   val oracle: Map[String, String] = Map(
@@ -588,6 +646,8 @@ object ScaleQueries {
     "t_split_contamination" -> tSplitContamSql,
     "t_bpe_merge_pairs" -> tBpePairsSql,
     "o9_kcenter_diverse" -> o9Sql,
+    "o10_token_budget" -> o10Sql,
+    "o11_temperature_mix" -> o11Sql,
     "pipe_pretrain_pack" -> pipeSql)
 
   /** Sort-free forms for the bench (global ORDER BY exists only for the
@@ -625,5 +685,15 @@ object ScaleQueries {
         SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")))
       PackOps.packSequences(mixed, "lang", Seq("doc_id"),
         TextFns.token_count(col("text")), budget)
-    }))
+    }),
+    "o10_token_budget" -> ((s, dir) =>
+      graft.operators.BudgetOps.tokenBudgetSample(
+        t(s, dir, "documents")
+          .withColumn("n_tok", TextFns.token_count(col("text")).cast("long")),
+        SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")),
+        col("n_tok"), o10Budget, nBuckets = 64)),
+    "o11_temperature_mix" -> ((s, dir) =>
+      QuotaOps.sqrtTemperatureSample(
+        t(s, dir, "documents"), "lang", o11N,
+        SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")))))
 }

@@ -131,4 +131,41 @@ class RetrievalSpec extends AnyFunSuite {
         s"cluster $cid has a longer member than winner $winner")
     }
   }
+
+  // --------------------------------------------------- emb_rp_project
+
+  test("emb_rp_project: coordinates are the hyperplane responses — " +
+      "sign(proj[i]) reproduces bit i of the 16-plane LSH bucket") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        call_function("rp_project", col("embedding"), lit(16), lit(64)).as("proj"),
+        SimilarityOps.lshBucket("embedding", 16, 64).as("bucket"))
+      .collect()
+    assert(emb.length > 0)
+    emb.foreach { r =>
+      val p = r.getSeq[Double](1)
+      val bucket = r.getInt(2)
+      assert(p.length == 16)
+      (0 until 16).foreach { i =>
+        val bit = (bucket >> (15 - i)) & 1
+        assert((p(i) >= 0) == (bit == 1),
+          s"vec ${r.getLong(0)} plane $i: proj=${p(i)} bit=$bit")
+      }
+    }
+  }
+
+  test("emb_rp_project: a projected coordinate equals the explicit signed sum") {
+    val first = graft.Tables.load(spark, sfDir, "embeddings")
+      .orderBy("vec_id").limit(1)
+      .select(col("embedding"),
+        call_function("rp_project", col("embedding"), lit(4), lit(64)).as("proj"))
+      .collect().head
+    val v = first.getSeq[Float](0).map(_.toDouble)
+    val p = first.getSeq[Double](1)
+    (0 until 4).foreach { i =>
+      var acc = v(0) * graft.functions.VectorKernels.planeSign(i, 0)
+      (1 until 64).foreach(j => acc += v(j) * graft.functions.VectorKernels.planeSign(i, j))
+      assert(p(i) == acc, s"coordinate $i mismatch")
+    }
+  }
 }
