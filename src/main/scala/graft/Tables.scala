@@ -35,6 +35,13 @@ object Tables {
         // timestamps are post-epoch, so truncation == floor here.
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Newer fixtures write TIMESTAMP micros with isAdjustedToUTC=false,
+        // which Spark reads as TIMESTAMP_NTZ. The session timezone is pinned
+        // to UTC (Sessions.builder), so casting NTZ -> TIMESTAMP is
+        // value-identical, and matches how DuckDB reads the same file.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
       case _ => raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
     }
   }
