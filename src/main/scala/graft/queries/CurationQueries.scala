@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation selection operators (beyond-reference, SURVEY §2.11
+  * spirit): DSIR-style discriminative data selection, reciprocal-rank
+  * fusion of independent rankers, and embedding-space outlier filtering.
+  * These are the "pick WHICH data to train on" counterparts to the
+  * dedup/quality family (reference context: the pipeline curates corpus
+  * rows by quality gates before alignment — tts_data_pipeline
+  * pre_processing filters; these operators are that curation step at
+  * pre-training scale).
+  *
+  * Cross-engine exactness discipline (same as RetrievalQueries): every
+  * score is integer fixed-point BEFORE aggregation; ratio comparisons are
+  * exact cross-multiplications (128-bit: Spark DECIMAL(38,0) / DuckDB
+  * HUGEINT, so 1e13-token corpus counts cannot overflow); quantizers are
+  * SQL text shared verbatim by both engines.
+  */
+object CurationQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ------------------------------------------------------------- o12_dsir
+
+  /** O12: DSIR-flavored data selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — pick raw-corpus
+    * documents that look like a target domain, using hashed n-gram
+    * features. Divergence from the paper, chosen for cross-engine
+    * exactness: the paper weights documents by Σ log(p_target/p_raw)
+    * over hashed features; a transcendental per bucket would make the
+    * selection boundary float-fragile, so each hash bucket instead
+    * votes ±1 by the EXACT ratio comparison
+    * `ct·totR > cr·totT` (128-bit cross-multiply), and a document's
+    * score is its tf-weighted vote sum — the sign of the paper's
+    * log-ratio, not its magnitude. Rank order at the selection boundary
+    * is then pure integer math.
+    *
+    * Scale shape (100 TB): tokenize + bucket is row-local (one md5 per
+    * distinct term per doc); the bucket profile aggregates with map-side
+    * combine to B=1024 rows; the vote table broadcasts; scoring
+    * re-aggregates per doc with map-side combine; the final top-N is
+    * TakeOrderedAndProject (bounded heap per partition + driver merge of
+    * N-row partials), never a global sort.
+    */
+  private val dsirB = 1024
+  private val dsirN = 100
+  private val dsirTarget = "src0"
+  private val dsir: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val tf = docs.select(
+        col("doc_id"), col("lang"), col("source"),
+        explode(expr("tf_map(ascii_alpha_tokens(text, 3))")).as(Seq("term", "tf")))
+      .withColumn("tf", col("tf").cast("long"))
+      // h1-only bucket (CmsOps.bucket(term, 0, B) would still compute the
+      // unused h2 — a second md5 pass per row)
+      .withColumn("bucket",
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long") % dsirB)
+    val prof = tf.groupBy("bucket").agg(
+      sum(when(col("source") === dsirTarget, col("tf")).otherwise(0L)).as("ct"),
+      sum(when(col("source") =!= dsirTarget, col("tf")).otherwise(0L)).as("cr"))
+    val tot = prof.agg(sum("ct").as("tot_t"), sum("cr").as("tot_r"))
+    val votes = prof.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        when(col("ct").cast("decimal(38,0)") * col("tot_r") >
+             col("cr").cast("decimal(38,0)") * col("tot_t"), 1L)
+          .otherwise(-1L).as("vote"))
+    tf.filter(col("source") =!= dsirTarget)
+      .join(broadcast(votes), Seq("bucket"))
+      .groupBy("doc_id", "lang", "source")
+      .agg(sum(col("tf") * col("vote")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(dsirN)
+      .orderBy("doc_id")
+  }
+  private val dsirSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, lang, source, term, CAST(COUNT(*) AS BIGINT) AS tf,
+       |    CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % $dsirB AS bucket
+       |  FROM (
+       |    SELECT doc_id, lang, source,
+       |      unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+       |    FROM documents)
+       |  GROUP BY doc_id, lang, source, term),
+       |prof AS (
+       |  SELECT bucket,
+       |    CAST(SUM(CASE WHEN source = '$dsirTarget' THEN tf ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(SUM(CASE WHEN source <> '$dsirTarget' THEN tf ELSE 0 END) AS BIGINT) AS cr
+       |  FROM tf GROUP BY bucket),
+       |tot AS (
+       |  SELECT CAST(SUM(ct) AS BIGINT) AS tot_t, CAST(SUM(cr) AS BIGINT) AS tot_r
+       |  FROM prof),
+       |votes AS (
+       |  SELECT bucket,
+       |    CASE WHEN CAST(ct AS HUGEINT) * tot_r > CAST(cr AS HUGEINT) * tot_t
+       |      THEN 1 ELSE -1 END AS vote
+       |  FROM prof, tot)
+       |SELECT doc_id, lang, source, score FROM (
+       |  SELECT doc_id, lang, source, CAST(SUM(tf * vote) AS BIGINT) AS score
+       |  FROM tf JOIN votes USING (bucket)
+       |  WHERE source <> '$dsirTarget'
+       |  GROUP BY doc_id, lang, source
+       |  ORDER BY score DESC, doc_id LIMIT $dsirN)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ t_rrf
+
+  /** T-RRF: reciprocal-rank fusion (Cormack et al. 2009) of two
+    * independent rankers over the corpus — BM25 relevance for a fixed
+    * query (the retrieval signal) and unigram-LM per-token NLL (the
+    * CCNet quality signal, lower = more fluent). RRF is THE standard
+    * hybrid-retrieval combiner (lexical × semantic/quality) and needs
+    * no score calibration between rankers — only ranks.
+    *
+    * Exactness: the textbook contribution 1/(60+rank) is replaced by
+    * its integer fixed-point `1e9 div (60+rank)` — order-identical for
+    * every rank ≤ 1e9 and exact in both engines. A document absent
+    * from one ranker's top-20 contributes 0 from that ranker (the
+    * standard list-truncated RRF), surfaced as rank 0 in the output.
+    *
+    * Scale shape: both rankers end in a bounded top-20
+    * (TakeOrderedAndProject); fusion then full-outer-joins two 20-row
+    * lists — driver-trivial at any corpus size. The corpus-wide work is
+    * the two rankers', each already audited (t_bm25_topk,
+    * t_unigram_nll); the BM25 side prunes exploded postings to the
+    * query's terms at the scan via a literal IN filter.
+    */
+  private val rrfTerms = Seq("customer", "query", "batch")
+  private val rrfListK = 20
+  private val rrfOutK = 10
+  private val rrfKConst = 60
+  private val rrfScale = 1000000000L
+  /** Shared fixed-point BM25 per-(term,doc) contribution — identical
+    * text to RetrievalQueries' (columns tf, df, dl, n_docs, avgdl). */
+  private val rrfBm25ScoreSql =
+    "CAST(floor(CAST(1000000 AS DOUBLE) " +
+      "* ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) " +
+      "* (tf * CAST(2.2 AS DOUBLE) " +
+      "/ (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) " +
+      "+ CAST(0.75 AS DOUBLE) * dl / avgdl)))) AS BIGINT)"
+  private val rrfLnqSql =
+    "CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS BIGINT)"
+  private val rrfLnqTotSql =
+    "CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(tot AS DOUBLE))) AS BIGINT)"
+  private val rrf: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    def tokTf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        explode(expr("tf_map(ascii_alpha_tokens(text, 3))")).as(Seq("term", "tf")))
+      .withColumn("tf", col("tf").cast("long"))
+    // --- ranker A: BM25 for the fixed query -------------------------
+    val dl = docs.select(col("doc_id"),
+      size(expr("ascii_alpha_tokens(text, 3)")).cast("long").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(expr("ascii_alpha_tokens(text, 3)")).cast("long")), lit(0L))
+        .as("tot_dl"))
+    val posted = tokTf(docs).filter(col("term").isin(rrfTerms: _*))
+    val dft = posted.groupBy("term").agg(count(lit(1)).as("df"))
+    val bmScored = posted
+      .join(broadcast(dft), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr("CAST(tot_dl AS DOUBLE) / n_docs"))
+      .select(col("doc_id"), expr(rrfBm25ScoreSql).as("s_fp"))
+      .groupBy("doc_id").agg(sum("s_fp").as("bm_fp"))
+    val bmTop = bmScored
+      .orderBy(col("bm_fp").desc, col("doc_id")).limit(rrfListK)
+      .withColumn("bm_rank", row_number()
+        .over(Window.orderBy(col("bm_fp").desc, col("doc_id"))))
+      .select("doc_id", "bm_rank")
+    // --- ranker B: unigram-NLL quality (ascending) ------------------
+    val tfAll = tokTf(docs)
+    val cnt = tokTf(docs).groupBy("term").agg(sum(col("tf")).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("tot"))
+    val nll = tfAll.join(cnt, Seq("term"))
+      .select(col("doc_id"), col("tf"), expr(rrfLnqSql).as("lnq"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("lnq")).as("sum_fp"), sum(col("tf")).as("dl"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        ((col("dl") * expr(rrfLnqTotSql) - col("sum_fp"))
+          .as("nll_fp")), col("dl"))
+      .withColumn("q_fp", expr("nll_fp div dl"))
+    val qTop = nll
+      .orderBy(col("q_fp").asc, col("doc_id")).limit(rrfListK)
+      .withColumn("q_rank", row_number()
+        .over(Window.orderBy(col("q_fp").asc, col("doc_id"))))
+      .select("doc_id", "q_rank")
+    // --- fusion ------------------------------------------------------
+    bmTop.join(qTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("bm_rank"), lit(0)).as("bm_rank"),
+        coalesce(col("q_rank"), lit(0)).as("q_rank"))
+      // `div`, not `/`: Spark's `/` on integral types is DOUBLE division.
+      .withColumn("rrf_fp",
+        expr(s"CASE WHEN bm_rank > 0 THEN $rrfScale div ($rrfKConst + bm_rank) ELSE 0 END") +
+        expr(s"CASE WHEN q_rank > 0 THEN $rrfScale div ($rrfKConst + q_rank) ELSE 0 END"))
+      .orderBy(col("rrf_fp").desc, col("doc_id")).limit(rrfOutK)
+      .select(col("doc_id"), col("rrf_fp"),
+        col("bm_rank").cast("int").as("bm_rank"),
+        col("q_rank").cast("int").as("q_rank"))
+      .orderBy("doc_id")
+  }
+  private val rrfTermList = rrfTerms.map(t => s"'$t'").mkString(", ")
+  private val rrfSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+       |  FROM documents),
+       |dlt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+       |ptf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |  WHERE term IN ($rrfTermList) GROUP BY doc_id, term),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    (SELECT CAST(COALESCE(SUM(dl), 0) AS BIGINT) FROM dlt) AS tot_dl
+       |  FROM documents),
+       |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ptf GROUP BY term),
+       |bm AS (
+       |  SELECT doc_id, CAST(SUM(s_fp) AS BIGINT) AS bm_fp FROM (
+       |    SELECT ptf.doc_id, $rrfBm25ScoreSql AS s_fp
+       |    FROM ptf JOIN dft USING (term) JOIN dlt USING (doc_id),
+       |      (SELECT n_docs, CAST(tot_dl AS DOUBLE) / n_docs AS avgdl FROM st))
+       |  GROUP BY doc_id),
+       |bmtop AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm_fp DESC, doc_id) AS BIGINT) AS bm_rank
+       |  FROM (SELECT doc_id, bm_fp FROM bm ORDER BY bm_fp DESC, doc_id LIMIT $rrfListK)),
+       |atf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |  GROUP BY doc_id, term),
+       |cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cnt FROM atf GROUP BY term),
+       |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM cnt),
+       |doc AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(tf * $rrfLnqSql) AS BIGINT) AS sum_fp,
+       |    CAST(SUM(tf) AS BIGINT) AS dl
+       |  FROM atf JOIN cnt USING (term) GROUP BY doc_id),
+       |q AS (
+       |  SELECT doc_id,
+       |    (dl * (SELECT $rrfLnqTotSql FROM tt) - sum_fp) // dl AS q_fp
+       |  FROM doc),
+       |qtop AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY q_fp ASC, doc_id) AS BIGINT) AS q_rank
+       |  FROM (SELECT doc_id, q_fp FROM q ORDER BY q_fp ASC, doc_id LIMIT $rrfListK)),
+       |fused AS (
+       |  SELECT COALESCE(bmtop.doc_id, qtop.doc_id) AS doc_id,
+       |    COALESCE(bm_rank, 0) AS bm_rank, COALESCE(q_rank, 0) AS q_rank
+       |  FROM bmtop FULL OUTER JOIN qtop ON bmtop.doc_id = qtop.doc_id)
+       |SELECT doc_id, rrf_fp, CAST(bm_rank AS INT) AS bm_rank, CAST(q_rank AS INT) AS q_rank
+       |FROM (
+       |  SELECT doc_id, bm_rank, q_rank,
+       |    (CASE WHEN bm_rank > 0 THEN $rrfScale // ($rrfKConst + bm_rank) ELSE 0 END +
+       |     CASE WHEN q_rank > 0 THEN $rrfScale // ($rrfKConst + q_rank) ELSE 0 END) AS rrf_fp
+       |  FROM fused
+       |  ORDER BY rrf_fp DESC, doc_id LIMIT $rrfOutK)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ emb_outlier
+
+  /** EMB-OUTLIER: embedding-space outlier filter — the top-5 vectors
+    * farthest from their label's centroid, per label (the embedding-side
+    * mislabeled/junk-data screen: CLIP-score-style filtering where the
+    * "score" is distance to the class prototype).
+    *
+    * Exactness: coordinates are clamped to [-1,1] and quantized to
+    * nonnegative 1e-6 fixed-point BEFORE any aggregation; the centroid is
+    * the per-dimension integer mean `S div n` (floor == truncate for
+    * nonnegative operands, so Spark `div` and DuckDB `//` agree), and the
+    * outlier score Σ(q−c)² ≤ 64·(2e6)² ≈ 2.6e14 is pure int64 — no float
+    * sum anywhere, so the result is partition-order-independent and
+    * replays bit-for-bit. The 1e-6 centroid quantization is the
+    * documented divergence from an exact-mean L2 (it perturbs each
+    * coordinate deviation by < 1 ulp of the quantizer, never the top-5
+    * set on non-adversarial data, and deterministically if it does).
+    *
+    * Scale shape (100 TB): centroid pass aggregates with map-side
+    * combine to labels×64 rows; the centroid table broadcasts; scoring
+    * re-aggregates per vec_id, where map-side combine is COMPLETE (all
+    * 64 exploded rows of a vector share its input row, hence its
+    * partition), so the shuffle carries ~1 row per vector; the per-label
+    * top-5 is TopKOps' bounded-buffer aggregator, never a window sort.
+    */
+  private val embOutK = 5
+  private val embDim = 64
+  /** Shared quantizer text; `v` = the raw float coordinate. */
+  private def embQSql(v: String): String =
+    s"CAST(floor(CAST(1000000 AS DOUBLE) * (CAST(1 AS DOUBLE) + " +
+      s"least(greatest(CAST($v AS DOUBLE), CAST(-1 AS DOUBLE)), " +
+      s"CAST(1 AS DOUBLE)))) AS BIGINT)"
+  private val embOutlier: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        expr(embQSql("v")).as("qv"))
+    val cent = e.groupBy("label", "pos")
+      .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), expr("s div n").as("c"))
+    val scored = e.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(sum((col("qv") - col("c")) * (col("qv") - col("c"))).as("score"))
+    graft.operators.TopKOps.topKByValue(
+        scored, Seq("label"), col("score"), col("vec_id"), embOutK,
+        orderName = "score", tieName = "vec_id")
+      .orderBy("label", "rank")
+  }
+  private val embOutlierSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, i AS pos,
+       |    ${embQSql("embedding[i + 1]")} AS qv
+       |  FROM embeddings, range($embDim) t(i)),
+       |cent AS (
+       |  SELECT label, pos, CAST(SUM(qv) AS BIGINT) // COUNT(*) AS c
+       |  FROM e GROUP BY label, pos),
+       |sc AS (
+       |  SELECT vec_id, label, CAST(SUM((qv - c) * (qv - c)) AS BIGINT) AS score
+       |  FROM e JOIN cent USING (label, pos) GROUP BY vec_id, label)
+       |SELECT label, CAST(rn AS INT) AS rank, score, vec_id FROM (
+       |  SELECT label, score, vec_id,
+       |    row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS rn
+       |  FROM sc)
+       |WHERE rn <= $embOutK ORDER BY label, rank""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, Q] = Map(
+    "o12_dsir_select" -> dsir,
+    "t_rrf_fusion" -> rrf,
+    "emb_outlier_filter" -> embOutlier)
+
+  val oracle: Map[String, String] = Map(
+    "o12_dsir_select" -> dsirSql,
+    "t_rrf_fusion" -> rrfSql,
+    "emb_outlier_filter" -> embOutlierSql)
+
+  /** Sort-free bench forms (the trailing ORDER BY exists only for the
+    * oracle's deterministic hash-compare; the top-N itself is already
+    * TakeOrderedAndProject / bounded-buffer). */
+  val benchVariants: Map[String, Q] = Map.empty
+}

@@ -20,7 +20,8 @@ object GenOracleBody {
     RelationalQueries.oracle ++ TextQueries.oracle ++
       DedupQueries.oracle ++ IoQueries.oracle ++
       StatefulQueries.oracle ++ MiscQueries.oracle ++
-      ScaleQueries.oracle ++ RetrievalQueries.oracle
+      ScaleQueries.oracle ++ RetrievalQueries.oracle ++
+      CurationQueries.oracle
 
   /** Whitespace-collapse: safe because no oracle SQL string literal
     * contains a newline or a run of 2+ spaces (asserted in OracleSyncSpec).

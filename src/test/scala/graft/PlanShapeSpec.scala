@@ -290,4 +290,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"t_unigram_nll lost map-side combine:\n${p.take(600)}")
     assert(!p.contains("CartesianProduct"), "t_unigram_nll plans a cartesian")
   }
+
+  test("curation selections are bounded-heap top-N, never a global sort") {
+    // o12's top-100 and RRF's three list cuts must plan as
+    // TakeOrderedAndProject (per-partition heap + driver merge); the only
+    // full Sort allowed is the harness-determinism orderBy at the root.
+    for (q <- Seq("o12_dsir_select", "t_rrf_fusion")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q lost its bounded top-N:\n${p.take(600)}")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // DSIR's per-bucket vote table must broadcast into the scoring join —
+    // a shuffle join there would repartition the whole exploded corpus.
+    val dsir = plan("o12_dsir_select")
+    assert(dsir.contains("BroadcastHashJoin"),
+      s"o12_dsir_select vote join is not broadcast:\n${dsir.take(600)}")
+  }
+
+  test("embedding outlier filter broadcasts centroids and combines map-side") {
+    val p = plan("emb_outlier_filter")
+    assert(p.contains("BroadcastHashJoin"),
+      s"emb_outlier_filter centroid join is not broadcast:\n${p.take(600)}")
+    assert(p.contains("partial_sum"),
+      "emb_outlier_filter lost map-side combine on the score aggregation")
+    assert(!p.contains("CartesianProduct"), "emb_outlier_filter plans a cartesian")
+  }
 }
