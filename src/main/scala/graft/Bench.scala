@@ -48,7 +48,7 @@ object Bench {
     "dedup_semantic", "t_bm25_topk", "t_unigram_nll", "dedup_cc_best",
     "t_gopher_gate", "o9_kcenter_diverse",
     "o10_token_budget", "o11_temperature_mix", "emb_rp_project",
-    "o12_dsir_select", "t_rrf_fusion", "emb_outlier_filter",
+    "o12_dsir_select", "o13_moore_lewis", "t_rrf_fusion", "emb_outlier_filter",
     "mm_wav_probe", "mm_image_probe", "mm_image_resize",
     "mm_frame_sample", "mm_bin_features")
 

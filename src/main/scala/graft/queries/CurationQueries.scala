@@ -260,6 +260,105 @@ object CurationQueries {
        |  ORDER BY rrf_fp DESC, doc_id LIMIT $rrfOutK)
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- o13
+
+  /** O13: Moore–Lewis cross-entropy difference selection (Moore & Lewis
+    * 2010, "Intelligent Selection of Language Model Training Data") —
+    * the classic in-domain selection: score each out-of-domain document
+    * by H_in(doc) − H_out(doc) under two unigram LMs (one trained on the
+    * target domain, one on the whole corpus) and keep the lowest-scoring
+    * (most in-domain-like) N. Complements o12: DSIR votes on hashed
+    * feature SIGNS, Moore–Lewis ranks by log-likelihood MAGNITUDE.
+    *
+    * Exactness (t_unigram_nll's discipline): ln() touches only distinct
+    * integer inputs via `lnq(n) = floor(1e6·ln(n))`, after which both
+    * NLLs and their difference are order-independent integer sums. The
+    * target LM is add-1 smoothed over the corpus vocabulary (an
+    * out-of-domain doc's terms may be absent from the target corpus);
+    * the general LM needs no smoothing (every scored term occurs in the
+    * corpus by construction). The per-token normalization divides a
+    * possibly NEGATIVE sum, where Spark's `div` (truncate) and DuckDB's
+    * `//` (floor) diverge — so the quotient is made exact first by
+    * subtracting the nonnegative mod (`x − ((x % dl + dl) % dl)`), after
+    * which truncate == floor == exact division.
+    *
+    * Scale shape: identical to t_unigram_nll — the vocab-sized count
+    * tables join the exploded (doc, term, tf) rows (AQE broadcasts while
+    * they fit), per-doc re-aggregation combines map-side, and the
+    * selection is a bounded-heap TakeOrderedAndProject, never a global
+    * sort. The two corpus scalars (smoothed target mass, general mass)
+    * ride 1-row broadcasts. */
+  private val mlN = 100
+  private val mlLnq = (c: String) =>
+    s"CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST($c AS DOUBLE))) AS BIGINT)"
+  private val ml: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    def tokTf(df: DataFrame): DataFrame = df.select(
+        col("doc_id"), col("lang"), col("source"),
+        explode(expr("tf_map(ascii_alpha_tokens(text, 3))")).as(Seq("term", "tf")))
+      .withColumn("tf", col("tf").cast("long"))
+    val tf = tokTf(docs)
+    // general LM: counts over the WHOLE corpus; target LM: src0 only
+    val cnt = tf.groupBy("term").agg(
+      sum("tf").as("cg"),
+      sum(when(col("source") === dsirTarget, col("tf")).otherwise(0L)).as("ct"))
+    val scal = cnt.agg(
+      sum("cg").as("tot_g"),
+      (sum("ct") + count(lit(1))).as("tot_ts"), // totT + V (add-1 mass)
+      count(lit(1)).as("v"))
+    tf.filter(col("source") =!= dsirTarget)
+      .join(cnt, Seq("term"))
+      .select(col("doc_id"), col("lang"), col("source"), col("tf"),
+        expr(mlLnq("ct + 1")).as("lnq_t"), expr(mlLnq("cg")).as("lnq_g"))
+      .groupBy("doc_id", "lang", "source")
+      .agg(sum(col("tf") * (col("lnq_g") - col("lnq_t"))).as("sum_fp"),
+        sum("tf").as("dl"))
+      .crossJoin(broadcast(scal))
+      // score = NLL_t − NLL_g = dl·(lnq(totT+V) − lnq(totG)) + Σtf·(lnq_g − lnq_t)
+      .withColumn("score_fp",
+        col("dl") * (expr(mlLnq("tot_ts")) - expr(mlLnq("tot_g"))) + col("sum_fp"))
+      .withColumn("ml_per_tok_fp",
+        expr("(score_fp - ((score_fp % dl + dl) % dl)) div dl"))
+      .select("doc_id", "lang", "source", "dl", "ml_per_tok_fp")
+      .orderBy(col("ml_per_tok_fp").asc, col("doc_id")).limit(mlN)
+      .orderBy("doc_id")
+  }
+  private val mlSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, lang, source, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (
+       |    SELECT doc_id, lang, source,
+       |      unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+       |    FROM documents)
+       |  GROUP BY doc_id, lang, source, term),
+       |cnt AS (
+       |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cg,
+       |    CAST(SUM(CASE WHEN source = '$dsirTarget' THEN tf ELSE 0 END) AS BIGINT) AS ct
+       |  FROM tf GROUP BY term),
+       |scal AS (
+       |  SELECT CAST(SUM(cg) AS BIGINT) AS tot_g,
+       |    CAST(SUM(ct) + COUNT(*) AS BIGINT) AS tot_ts,
+       |    CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM cnt),
+       |doc AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(SUM(tf * (${mlLnq("cg")} - ${mlLnq("ct + 1")})) AS BIGINT) AS sum_fp,
+       |    CAST(SUM(tf) AS BIGINT) AS dl
+       |  FROM tf JOIN cnt USING (term)
+       |  WHERE source <> '$dsirTarget'
+       |  GROUP BY doc_id, lang, source),
+       |sc AS (
+       |  SELECT doc_id, lang, source, dl,
+       |    dl * ((SELECT ${mlLnq("tot_ts")} FROM scal) -
+       |          (SELECT ${mlLnq("tot_g")} FROM scal)) + sum_fp AS score_fp
+       |  FROM doc)
+       |SELECT doc_id, lang, source, dl, ml_per_tok_fp FROM (
+       |  SELECT doc_id, lang, source, dl,
+       |    (score_fp - ((score_fp % dl + dl) % dl)) // dl AS ml_per_tok_fp
+       |  FROM sc
+       |  ORDER BY ml_per_tok_fp ASC, doc_id LIMIT $mlN)
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ emb_outlier
 
   /** EMB-OUTLIER: embedding-space outlier filter — the top-5 vectors
@@ -330,11 +429,13 @@ object CurationQueries {
 
   val queries: Map[String, Q] = Map(
     "o12_dsir_select" -> dsir,
+    "o13_moore_lewis" -> ml,
     "t_rrf_fusion" -> rrf,
     "emb_outlier_filter" -> embOutlier)
 
   val oracle: Map[String, String] = Map(
     "o12_dsir_select" -> dsirSql,
+    "o13_moore_lewis" -> mlSql,
     "t_rrf_fusion" -> rrfSql,
     "emb_outlier_filter" -> embOutlierSql)
 

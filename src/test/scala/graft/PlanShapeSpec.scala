@@ -295,7 +295,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // o12's top-100 and RRF's three list cuts must plan as
     // TakeOrderedAndProject (per-partition heap + driver merge); the only
     // full Sort allowed is the harness-determinism orderBy at the root.
-    for (q <- Seq("o12_dsir_select", "t_rrf_fusion")) {
+    for (q <- Seq("o12_dsir_select", "o13_moore_lewis", "t_rrf_fusion")) {
       val p = plan(q)
       assert(p.contains("TakeOrderedAndProject"),
         s"$q lost its bounded top-N:\n${p.take(600)}")

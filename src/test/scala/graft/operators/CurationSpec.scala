@@ -71,6 +71,47 @@ class CurationSpec extends AnyFunSuite {
         s"$overlap docs")
   }
 
+  // ------------------------------------------------------------- o13
+
+  test("o13_moore_lewis: selection matches a double-math cross-entropy " +
+      "difference ranking computed independently") {
+    val corrDir = "/root/testdata/sf0.01"
+    graft.functions.TextFns.registerAll(spark)
+    val out = SparkEntry.queries("o13_moore_lewis")(spark, corrDir).collect()
+    assert(out.nonEmpty && out.length <= 100)
+    assert(out.forall(_.getAs[String]("source") != "src0"),
+      "a target-domain row leaked into the out-of-domain selection")
+    // Independent double-math replica: per-token H_in − H_out with add-1
+    // smoothed target LM; the quantized integer ranking may flip exact
+    // boundary ties but must substantially agree on the selected SET.
+    val docs = graft.Tables.load(spark, corrDir, "documents")
+    val tf = docs.select(col("doc_id"), col("source"),
+        explode(expr("tf_map(ascii_alpha_tokens(text, 3))")).as(Seq("term", "tfv")))
+      .withColumn("tfv", col("tfv").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val cg = tf.groupBy(_._3).map { case (t, rs) => t -> rs.map(_._4).sum }
+    val ct = tf.filter(_._2 == "src0").groupBy(_._3)
+      .map { case (t, rs) => t -> rs.map(_._4).sum }
+    val v = cg.size.toLong
+    val totG = cg.values.sum.toDouble
+    val totTs = (ct.values.sum + v).toDouble
+    val scores = tf.filter(_._2 != "src0").groupBy(_._1).map { case (id, rs) =>
+      val dl = rs.map(_._4).sum.toDouble
+      val s = rs.map { case (_, _, t, n) =>
+        n * (math.log(totTs / (ct.getOrElse(t, 0L) + 1.0))
+          - math.log(totG / cg(t)))
+      }.sum
+      id -> s / dl
+    }
+    val exactTop = scores.toSeq.sortBy { case (id, s) => (s, id) }
+      .take(out.length).map(_._1).toSet
+    val got = out.map(_.getLong(0)).toSet
+    val overlap = (got & exactTop).size
+    assert(overlap >= (out.length * 9) / 10,
+      s"quantized selection agrees with double-math top-${out.length} on " +
+        s"only $overlap docs")
+  }
+
   // ----------------------------------------------------------- t_rrf
 
   test("t_rrf_fusion: consensus docs outrank single-list docs, and the " +
