@@ -301,11 +301,13 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q lost its bounded top-N:\n${p.take(600)}")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
     }
-    // DSIR's per-bucket vote table must broadcast into the scoring join —
-    // a shuffle join there would repartition the whole exploded corpus.
+    // DSIR's vote table is bounded model state riding the plan as a
+    // literal lookup array — the scoring pass must stay JOIN-FREE (a
+    // join reappearing means the votes went back to being a plan-side
+    // table and the serial broadcast-build chain returned with it).
     val dsir = plan("o12_dsir_select")
-    assert(dsir.contains("BroadcastHashJoin"),
-      s"o12_dsir_select vote join is not broadcast:\n${dsir.take(600)}")
+    assert(!dsir.contains("Join"),
+      s"o12_dsir_select scoring regained a join:\n${dsir.take(600)}")
   }
 
   test("embedding outlier filter broadcasts centroids and combines map-side") {
