@@ -97,6 +97,47 @@ object FileStream {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static quality scoring: score an unbounded document stream
+    * against a batch-trained unigram LM (t_unigram_nll's model: the
+    * term→count table + total token mass). The MODEL side is a static
+    * DataFrame — a stream-static equi-join is STATELESS (Spark re-plans
+    * the static side per micro-batch; no watermark, no state store, and
+    * a model refresh is just swapping the static table) — so the only
+    * stateful operator is the per-document re-aggregation, whose state
+    * the watermark bounds: a document's tokens share its event time, so
+    * grouping by (id, ts) emits-and-evicts each doc's group once the
+    * watermark passes it (append mode). Scores are the same integer
+    * fixed-point arithmetic as the batch t_unigram_nll; calling this
+    * with a bounded DataFrame runs the identical plan in batch mode,
+    * which is how FileStreamSpec pins stream/batch parity row-for-row.
+    *
+    * Terms absent from the model are skipped entirely (excluded from
+    * both the log mass and `dl`) — the deploy-time convention for
+    * scoring fresh data against a frozen vocabulary; add-1-smooth the
+    * model side (o13's construction) where unseen mass must count.
+    */
+  def streamScoreQuality(
+      docs: DataFrame, cnt: DataFrame, totalMass: Long,
+      textCol: String, idCol: String, tsCol: String,
+      watermark: String): DataFrame = {
+    val lnqTot = math.floor(1e6 * math.log(totalMass.toDouble)).toLong
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(expr(s"tf_map(ascii_alpha_tokens($textCol, 3))"))
+          .as(Seq("term", "tf")))
+      .withColumn("tf", col("tf").cast("long"))
+      .join(cnt, Seq("term")) // stream-static: stateless
+      .select(col(idCol), col(tsCol), col("tf"),
+        expr("CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS BIGINT)")
+          .as("lnq"))
+      .groupBy(col(idCol), col(tsCol))
+      .agg(sum(col("tf") * col("lnq")).as("sum_fp"), sum("tf").as("dl"))
+      .select(col(idCol), col(tsCol), col("dl"),
+        (col("dl") * lnqTot - col("sum_fp")).as("nll_fp"))
+      .withColumn("nll_per_tok_fp", expr("nll_fp div dl"))
+  }
+
   /** Partition column for the bucketed upsert base. No leading underscore:
     * Spark/Hadoop file listings treat `_`/`.`-prefixed directory names as
     * hidden, so an `__bucket=3` partition dir would be invisible on read. */

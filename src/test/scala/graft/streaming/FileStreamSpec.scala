@@ -176,6 +176,57 @@ class FileStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static scoring: watermark-closed docs score exactly like the batch plan") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    graft.functions.TextFns.registerAll(spark)
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $m:00")
+    val corpus = Seq(
+      (1L, ts("10:00"), "the quick brown fox jumps over the lazy dog"),
+      (2L, ts("10:05"), "the quick dog naps near the quiet door"),
+      (3L, ts("10:10"), "zebra xylophone quartz"))
+    // model trained in batch over the same corpus (term -> count, total)
+    val corpusDf = corpus.toDF("doc_id", "ts", "text")
+    val cnt = corpusDf.select(
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr("tf_map(ascii_alpha_tokens(text, 3))"))
+          .as(Seq("term", "tf")))
+      .groupBy("term").agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("tf").cast("long")).as("cnt"))
+    val totalMass = cnt.agg(org.apache.spark.sql.functions.sum("cnt"))
+      .collect()(0).getLong(0)
+    // batch reference: the SAME function over a bounded DataFrame
+    val expected = FileStream.streamScoreQuality(
+        corpusDf, cnt, totalMass, "text", "doc_id", "ts", "10 minutes")
+      .select("doc_id", "dl", "nll_fp", "nll_per_tok_fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = FileStream.streamScoreQuality(
+        mem.toDS().toDF("doc_id", "ts", "text"), cnt, totalMass,
+        "text", "doc_id", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("score_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(corpus: _*)
+      q.processAllAvailable()
+      mem.addData((99L, ts("12:00"), "the the the")) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("score_out")
+        .select("doc_id", "dl", "nll_fp", "nll_per_tok_fp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected,
+        s"stream scores diverge from batch:\n  stream: $got\n  batch:  $expected")
+      // direction: the rare-term doc must score strictly worse per token
+      val perTok = got.map(r => r._1 -> r._4).toMap
+      assert(perTok(3L) > perTok(1L) && perTok(3L) > perTok(2L),
+        s"rare-term doc not the worst-scoring: $perTok")
+    } finally q.stop()
+  }
+
   test("streaming upsert: micro-batches merge into the bucketed parquet base, last writer wins") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
