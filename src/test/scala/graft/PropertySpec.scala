@@ -309,4 +309,29 @@ object KernelProps extends Properties("graft.kernels") {
         Prop(emitted.sum + (if (tailKept) acc else 0) <= ws.sum) :| "no invented words",
         Prop(!tailKept || acc < threshold) :| "tail below threshold")
     }
+
+  // ---------------------------------------- o13 floor-division identity
+  /** Moore–Lewis normalizes a possibly NEGATIVE integer score by doc
+    * length with `(x − ((x % d + d) % d)) div d`, relying on the
+    * subtracted nonnegative mod making truncating division (Spark `div`,
+    * Java `/`) equal floor division (DuckDB `//`). Checked against
+    * Math.floorDiv for all sign combinations. */
+  property("o13 mod-adjusted truncating division == floorDiv") =
+    forAll(Gen.choose(Long.MinValue / 4, Long.MaxValue / 4),
+        Gen.choose(1L, 1000000L)) { (x: Long, d: Long) =>
+      val adj = x - ((x % d + d) % d)
+      adj / d == Math.floorDiv(x, d) && adj % d == 0
+    }
+
+  // -------------------------------------------------- RRF fusion laws
+  /** List-truncated RRF with k=60 and two top-20 lists: any doc present
+    * in BOTH lists outranks any doc present in exactly one — the
+    * property CurationSpec asserts on real output, proven here over the
+    * whole rank range. */
+  property("RRF: two-list membership dominates single-list membership") =
+    forAll(Gen.choose(1, 20), Gen.choose(1, 20), Gen.choose(1, 20)) {
+      (r1: Int, r2: Int, s: Int) =>
+        def c(rank: Int): Long = 1000000000L / (60L + rank)
+        c(r1) + c(r2) > c(s)
+    }
 }
