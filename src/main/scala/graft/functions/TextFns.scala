@@ -244,16 +244,16 @@ object TextFns {
     * canonical-form key, which only catches whole-doc duplicates).
     * Pure 64-bit integer math (base 257 mod 1e9+7, products bounded by
     * ~2.6e11), so any engine replays it exactly. */
-  def winnowFingerprints(text: String, k: Int = 5, w: Int = 4): Seq[Long] = {
-    if (text == null) return Seq.empty
-    // ASCII [a-z0-9] only (NOT isLetterOrDigit, which admits Unicode
-    // letters) so the clean step is exactly the oracle's regex class.
-    // Locale.ROOT: default-locale lowercasing is JVM-environment-dependent
-    // (Turkish 'I' -> dotless 'ı', which the ASCII filter then drops) while
-    // the oracle's lower() is locale-independent.
-    // Whole-string lowercase FIRST (context-sensitive mappings — final
-    // sigma — make per-char lowercasing non-equivalent), then one pass
-    // into a char array; the old `.filter` built an intermediate String.
+  /** Shared clean step for the char-gram hash family: lowercase, keep
+    * ASCII [a-z0-9] only (NOT isLetterOrDigit, which admits Unicode
+    * letters) so it is exactly the oracle's regex class. Locale.ROOT:
+    * default-locale lowercasing is JVM-environment-dependent (Turkish
+    * 'I' -> dotless 'ı', which the ASCII filter then drops) while the
+    * oracle's lower() is locale-independent. Whole-string lowercase
+    * FIRST (context-sensitive mappings — final sigma — make per-char
+    * lowercasing non-equivalent), then one pass into a char array.
+    * Returns (buffer, length-used). */
+  private def cleanAlnum(text: String): (Array[Char], Int) = {
     val lower = text.toLowerCase(java.util.Locale.ROOT)
     val clean = new Array[Char](lower.length)
     var cn = 0
@@ -266,6 +266,40 @@ object TextFns {
       }
       ci += 1
     }
+    (clean, cn)
+  }
+
+  /** ALL char-k-gram rolling hashes of the cleaned text, index = window
+    * position — winnowing's UNSAMPLED sibling, for exact duplicated-span
+    * detection (the fixed-k bounded form of Lee et al. 2021's
+    * ExactSubstr dedup). Same base-257 mod 1e9+7 hash as
+    * [[winnowFingerprints]], so each window replays in SQL as a no-init
+    * list_reduce over the window's BIGINT char codes; positions are
+    * coordinates in the CLEANED text (the dedup signal's space), not raw
+    * offsets. */
+  def charKgramHashes(text: String, k: Int): Seq[Long] = {
+    if (text == null || k <= 0) return Seq.empty
+    val (clean, cn) = cleanAlnum(text)
+    val n = cn - k + 1
+    if (n <= 0) return Seq.empty
+    val M = 1000000007L
+    val B = 257L
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * B + clean(i + j).toLong) % M; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+  val charKgramHashesUdf = udf { (s: String, k: Int) => charKgramHashes(s, k) }
+
+  def winnowFingerprints(text: String, k: Int = 5, w: Int = 4): Seq[Long] = {
+    if (text == null) return Seq.empty
+    val (clean, cn) = cleanAlnum(text)
     val n = cn - k + 1
     if (n <= 0) return Seq.empty
     val M = 1000000007L
@@ -420,6 +454,7 @@ object TextFns {
     spark.udf.register("normalize_vi", normalizeTextUdf)
     spark.udf.register("py_literal_to_json", pyLiteralToJsonUdf)
     spark.udf.register("winnow_fingerprint", winnowFingerprintUdf)
+    spark.udf.register("char_kgram_hashes", charKgramHashesUdf)
   }
 }
 

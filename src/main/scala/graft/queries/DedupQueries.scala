@@ -922,7 +922,72 @@ object DedupQueries {
        |GROUP BY 1, 2 HAVING COUNT(*) >= $winnowMinShared
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------- dedup_dup_spans
+
+  /** Exact duplicated k-char spans across the corpus — the fixed-k
+    * bounded form of ExactSubstr dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): every window of the
+    * cleaned text is hashed (char_kgram_hashes — winnowing's UNSAMPLED
+    * sibling, same base-257 rolling hash), and a hash landing in ≥ 2
+    * distinct documents is an exactly-repeated span, reported with its
+    * occurrence count and lowest-(doc,pos) exemplar. Complements
+    * dedup_winnow_pairs: winnowing SAMPLES windows to pair documents
+    * cheaply; this pass keeps EVERY window to localize the spans
+    * themselves (what you'd cut, not just whom to compare).
+    *
+    * Scale shape: the explode is row-local (one row per window); the
+    * one shuffle groups by span hash — carrying ~Σ|doc| window rows is
+    * the inherent price of exact all-window detection (Lee et al. pay
+    * the same in a suffix-array sort); winnow_pairs remains the sampled
+    * scale path. The report is a bounded TakeOrderedAndProject. The
+    * exemplar rides the aggregation as min(doc_id·10^6 + pos) — one
+    * BIGINT min instead of a struct argmin, exact while pos < 10^6
+    * (inputs are capped at 300 cleaned chars). */
+  private val spanK = 20
+  private val spanTopN = 50
+  private val dedupDupSpans: Q = (s, dir) => {
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFns.charKgramHashesUdf(
+          substring(col("text"), 1, 300), lit(spanK))).as(Seq("pos", "h")))
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id") * 1000000L + col("pos")).as("ex_key"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), col("n_docs"), col("n_occ"),
+        expr("ex_key div 1000000").as("ex_doc"),
+        (col("ex_key") % 1000000L).as("ex_pos"))
+      .orderBy(col("n_occ").desc, col("h"))
+      .limit(spanTopN)
+      .orderBy("h")
+  }
+  private val dedupDupSpansSql =
+    s"""SELECT h, n_docs, n_occ, ex_doc, ex_pos FROM (
+       |  SELECT h, n_docs, n_occ, ex_key // 1000000 AS ex_doc, ex_key % 1000000 AS ex_pos
+       |  FROM (
+       |    SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |      CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |      CAST(MIN(doc_id * 1000000 + pos) AS BIGINT) AS ex_key
+       |    FROM (
+       |      SELECT doc_id, i - 1 AS pos,
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range($spanK), j -> CAST(unicode(substr(cl, i + j, 1)) AS BIGINT))),
+       |          (a, x) -> (a * 257 + x) % 1000000007) AS h
+       |      FROM (
+       |        SELECT doc_id, cl,
+       |          unnest(range(1, greatest(len(cl) - ${spanK - 1}, 0) + 1)) AS i
+       |        FROM (
+       |          SELECT doc_id,
+       |            regexp_replace(lower(substr(text, 1, 300)), '[^a-z0-9]', '', 'g') AS cl
+       |          FROM documents)))
+       |    GROUP BY h)
+       |  WHERE n_docs >= 2
+       |  ORDER BY n_occ DESC, h LIMIT $spanTopN)
+       |ORDER BY h""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_dup_spans" -> dedupDupSpans,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhash,
@@ -944,6 +1009,7 @@ object DedupQueries {
     "ann_recall" -> annRecall)
 
   val oracle: Map[String, String] = Map(
+    "dedup_dup_spans" -> dedupDupSpansSql,
     "dedup_winnow_pairs" -> dedupWinnowPairsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash_lsh" -> dedupMinhashSql,

@@ -575,6 +575,28 @@ class OperatorsSpec extends AnyFunSuite {
       s"unrelated doc paired: $pairs")
   }
 
+  test("charKgramHashes: planted exact span is found at its position; " +
+      "winnow fingerprints are a subset of the same-k window hashes") {
+    import graft.functions.TextFns
+    val span = "thequickbrownfoxjumps" // 21 cleaned chars >= k=20
+    val d1 = s"AAA $span zz17"
+    val d2 = s"bb-9 $span! CCC"
+    val h1 = TextFns.charKgramHashes(d1, 20)
+    val h2 = TextFns.charKgramHashes(d2, 20)
+    val shared = h1.toSet & h2.toSet
+    assert(shared.nonEmpty, "21-char shared span produced no shared 20-gram hash")
+    // position = offset in the CLEANED text: d1 cleans to "aaa" + span + "zz17"
+    val pos1 = h1.indexWhere(shared.contains)
+    assert(pos1 == 3, s"expected first shared window at cleaned pos 3, got $pos1")
+    // unrelated text shares nothing
+    assert((h1.toSet & TextFns.charKgramHashes("zzyx qqvv wwkk jjrr", 20).toSet).isEmpty)
+    // winnowing samples window minima from THIS hash family: every
+    // winnow fingerprint (k=5) must appear among the k=5 window hashes
+    val all5 = TextFns.charKgramHashes(d1, 5).toSet
+    assert(TextFns.winnowFingerprints(d1, 5, 4).forall(all5.contains),
+      "winnow fingerprints are not a subset of the all-window hashes")
+  }
+
   test("MultimodalOps.wavProbe: truncated data chunk is clamped, short blob yields zeros") {
     val samples = Array.fill[Float](100)(0.5f)
     val wav = AudioOps.encodePcm16Wav(samples, 8000)
