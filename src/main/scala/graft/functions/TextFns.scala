@@ -284,12 +284,21 @@ object TextFns {
     if (n <= 0) return Seq.empty
     val M = 1000000007L
     val B = 257L
+    // True rolling update — h' = (h − c_out·B^(k−1))·B + c_in (mod M) —
+    // O(n) total instead of O(n·k); values identical to the from-scratch
+    // fold (the OperatorsSpec subset/position tests pin this).
+    var pow = 1L // B^(k-1) mod M
+    var j = 1
+    while (j < k) { pow = pow * B % M; j += 1 }
     val out = new Array[Long](n)
+    var h = 0L
     var i = 0
+    while (i < k) { h = (h * B + clean(i).toLong) % M; i += 1 }
+    out(0) = h
+    i = 1
     while (i < n) {
-      var h = 0L
-      var j = 0
-      while (j < k) { h = (h * B + clean(i + j).toLong) % M; j += 1 }
+      h = ((h - clean(i - 1).toLong * pow % M + M) % M * B
+        + clean(i + k - 1).toLong) % M
       out(i) = h
       i += 1
     }

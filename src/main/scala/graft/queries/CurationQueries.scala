@@ -55,10 +55,7 @@ object CurationQueries {
   private val dsirTarget = "src0"
   private val dsir: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val tf = docs.select(
-        col("doc_id"), col("lang"), col("source"),
-        explode(expr("tf_map(ascii_alpha_tokens(text, 3))")).as(Seq("term", "tf")))
-      .withColumn("tf", col("tf").cast("long"))
+    val tf = RetrievalQueries.tokenTf(docs, "doc_id", "lang", "source")
       // h1-only bucket (CmsOps.bucket(term, 0, B) would still compute the
       // unused h2 — a second md5 pass per row)
       .withColumn("bucket",
@@ -149,58 +146,35 @@ object CurationQueries {
   private val rrfOutK = 10
   private val rrfKConst = 60
   private val rrfScale = 1000000000L
-  /** Shared fixed-point BM25 per-(term,doc) contribution — identical
-    * text to RetrievalQueries' (columns tf, df, dl, n_docs, avgdl). */
-  private val rrfBm25ScoreSql =
-    "CAST(floor(CAST(1000000 AS DOUBLE) " +
-      "* ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) " +
-      "* (tf * CAST(2.2 AS DOUBLE) " +
-      "/ (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) " +
-      "+ CAST(0.75 AS DOUBLE) * dl / avgdl)))) AS BIGINT)"
-  private val rrfLnqSql =
-    "CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS BIGINT)"
-  private val rrfLnqTotSql =
-    "CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(tot AS DOUBLE))) AS BIGINT)"
   private val rrf: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    def tokTf(df: DataFrame): DataFrame = df.select(col("doc_id"),
-        explode(expr("tf_map(ascii_alpha_tokens(text, 3))")).as(Seq("term", "tf")))
-      .withColumn("tf", col("tf").cast("long"))
-    // --- ranker A: BM25 for the fixed query -------------------------
+    // --- ranker A: BM25 for the fixed query (RetrievalQueries'
+    // bm25ScoreSql — the audited scorer, one definition) ---------------
     val dl = docs.select(col("doc_id"),
       size(expr("ascii_alpha_tokens(text, 3)")).cast("long").as("dl"))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(size(expr("ascii_alpha_tokens(text, 3)")).cast("long")), lit(0L))
         .as("tot_dl"))
-    val posted = tokTf(docs).filter(col("term").isin(rrfTerms: _*))
+    val posted = RetrievalQueries.tokenTf(docs, "doc_id")
+      .filter(col("term").isin(rrfTerms: _*))
     val dft = posted.groupBy("term").agg(count(lit(1)).as("df"))
     val bmScored = posted
       .join(broadcast(dft), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", expr("CAST(tot_dl AS DOUBLE) / n_docs"))
-      .select(col("doc_id"), expr(rrfBm25ScoreSql).as("s_fp"))
+      .select(col("doc_id"), expr(RetrievalQueries.bm25ScoreSql).as("s_fp"))
       .groupBy("doc_id").agg(sum("s_fp").as("bm_fp"))
     val bmTop = bmScored
       .orderBy(col("bm_fp").desc, col("doc_id")).limit(rrfListK)
       .withColumn("bm_rank", row_number()
         .over(Window.orderBy(col("bm_fp").desc, col("doc_id"))))
       .select("doc_id", "bm_rank")
-    // --- ranker B: unigram-NLL quality (ascending) ------------------
-    val tfAll = tokTf(docs)
-    val cnt = tokTf(docs).groupBy("term").agg(sum(col("tf")).as("cnt"))
-    val tot = cnt.agg(sum(col("cnt")).as("tot"))
-    val nll = tfAll.join(cnt, Seq("term"))
-      .select(col("doc_id"), col("tf"), expr(rrfLnqSql).as("lnq"))
-      .groupBy("doc_id")
-      .agg(sum(col("tf") * col("lnq")).as("sum_fp"), sum(col("tf")).as("dl"))
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"),
-        ((col("dl") * expr(rrfLnqTotSql) - col("sum_fp"))
-          .as("nll_fp")), col("dl"))
-      .withColumn("q_fp", expr("nll_fp div dl"))
-    val qTop = nll
+    // --- ranker B: unigram-NLL quality (ascending) — the SAME builder
+    // the registered t_unigram_nll runs -------------------------------
+    val qTop = RetrievalQueries.nllScores(docs)
+      .select(col("doc_id"), col("nll_per_tok_fp").as("q_fp"))
       .orderBy(col("q_fp").asc, col("doc_id")).limit(rrfListK)
       .withColumn("q_rank", row_number()
         .over(Window.orderBy(col("q_fp").asc, col("doc_id"))))
@@ -236,7 +210,7 @@ object CurationQueries {
        |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ptf GROUP BY term),
        |bm AS (
        |  SELECT doc_id, CAST(SUM(s_fp) AS BIGINT) AS bm_fp FROM (
-       |    SELECT ptf.doc_id, $rrfBm25ScoreSql AS s_fp
+       |    SELECT ptf.doc_id, ${RetrievalQueries.bm25ScoreSql} AS s_fp
        |    FROM ptf JOIN dft USING (term) JOIN dlt USING (doc_id),
        |      (SELECT n_docs, CAST(tot_dl AS DOUBLE) / n_docs AS avgdl FROM st))
        |  GROUP BY doc_id),
@@ -250,12 +224,12 @@ object CurationQueries {
        |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM cnt),
        |doc AS (
        |  SELECT doc_id,
-       |    CAST(SUM(tf * $rrfLnqSql) AS BIGINT) AS sum_fp,
+       |    CAST(SUM(tf * ${RetrievalQueries.lnqSql}) AS BIGINT) AS sum_fp,
        |    CAST(SUM(tf) AS BIGINT) AS dl
        |  FROM atf JOIN cnt USING (term) GROUP BY doc_id),
        |q AS (
        |  SELECT doc_id,
-       |    (dl * (SELECT $rrfLnqTotSql FROM tt) - sum_fp) // dl AS q_fp
+       |    (dl * (SELECT ${RetrievalQueries.lnqTotSql} FROM tt) - sum_fp) // dl AS q_fp
        |  FROM doc),
        |qtop AS (
        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY q_fp ASC, doc_id) AS BIGINT) AS q_rank
@@ -306,11 +280,7 @@ object CurationQueries {
     s"CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST($c AS DOUBLE))) AS BIGINT)"
   private val ml: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    def tokTf(df: DataFrame): DataFrame = df.select(
-        col("doc_id"), col("lang"), col("source"),
-        explode(expr("tf_map(ascii_alpha_tokens(text, 3))")).as(Seq("term", "tf")))
-      .withColumn("tf", col("tf").cast("long"))
-    val tf = tokTf(docs)
+    val tf = RetrievalQueries.tokenTf(docs, "doc_id", "lang", "source")
     // general LM: counts over the WHOLE corpus; target LM: src0 only
     val cnt = tf.groupBy("term").agg(
       sum("tf").as("cg"),

@@ -58,8 +58,9 @@ object RetrievalQueries {
     5 -> "dup", 5 -> "scan")
   /** Per-(query-term, doc) fixed-point BM25 contribution — shared
     * verbatim with the DuckDB oracle (columns: tf, df, dl BIGINT;
-    * n_docs BIGINT; avgdl DOUBLE). */
-  private val bm25ScoreSql =
+    * n_docs BIGINT; avgdl DOUBLE). `private[queries]`: t_rrf_fusion's
+    * ranker A must stay THE audited BM25 — one definition, not a copy. */
+  private[queries] val bm25ScoreSql =
     "CAST(floor(CAST(1000000 AS DOUBLE) " +
       "* ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) " +
       "* (tf * CAST(2.2 AS DOUBLE) " +
@@ -152,17 +153,25 @@ object RetrievalQueries {
     * rides a 1-row broadcast. nll_per_tok_fp divides two NONNEGATIVE
     * ints so truncating (Spark div) and floor (DuckDB //) division
     * agree. */
-  private val lnqSql =
+  private[queries] val lnqSql =
     "CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS BIGINT)"
-  private val lnqTotSql =
+  private[queries] val lnqTotSql =
     "CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(tot AS DOUBLE))) AS BIGINT)"
-  private val unigramNll: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    def tokTf(df: DataFrame): DataFrame = df.select(col("doc_id"),
-        explode(expr("tf_map(ascii_alpha_tokens(text, 3))")).as(Seq("term", "tf")))
+
+  /** Exploded (carryCols..., term, tf BIGINT) rows — the one tokenizer
+    * every retrieval/curation scorer builds on. */
+  private[queries] def tokenTf(df: DataFrame, carryCols: String*): DataFrame =
+    df.select(carryCols.map(col) :+
+        explode(expr("tf_map(ascii_alpha_tokens(text, 3))")).as(Seq("term", "tf")): _*)
       .withColumn("tf", col("tf").cast("long"))
-    val tf = tokTf(docs)
-    val cnt = tokTf(docs).groupBy("term")
+
+  /** The unigram-NLL scorer as a reusable builder: (doc_id, dl, nll_fp,
+    * nll_per_tok_fp) per document, unordered. Both the registered
+    * t_unigram_nll query and t_rrf_fusion's quality ranker read THIS —
+    * the 'same ranker' claim is structural, not a copy. */
+  private[queries] def nllScores(docs: DataFrame): DataFrame = {
+    val tf = tokenTf(docs, "doc_id")
+    val cnt = tokenTf(docs, "doc_id").groupBy("term")
       .agg(sum(col("tf")).as("cnt"))
     val tot = cnt.agg(sum(col("cnt")).as("tot"))
     tf.join(cnt, Seq("term"))
@@ -174,8 +183,10 @@ object RetrievalQueries {
       .select(col("doc_id"), col("dl"),
         (col("dl") * expr(lnqTotSql) - col("sum_fp")).as("nll_fp"))
       .withColumn("nll_per_tok_fp", expr("nll_fp div dl"))
-      .orderBy("doc_id")
   }
+
+  private val unigramNll: Q = (s, dir) =>
+    nllScores(t(s, dir, "documents")).orderBy("doc_id")
   private val unigramNllSql =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term

@@ -120,6 +120,9 @@ object FileStream {
       docs: DataFrame, cnt: DataFrame, totalMass: Long,
       textCol: String, idCol: String, tsCol: String,
       watermark: String): DataFrame = {
+    // A zero/negative mass would make lnqTot garbage (Long.MinValue) and
+    // every emitted score nonsense with no error — fail at wiring time.
+    require(totalMass > 0, s"totalMass must be positive, got $totalMass")
     val lnqTot = math.floor(1e6 * math.log(totalMass.toDouble)).toLong
     docs
       .withWatermark(tsCol, watermark)
