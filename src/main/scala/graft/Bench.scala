@@ -43,6 +43,7 @@ object Bench {
     "w7_sequence_pack", "w8_chunk_overlap", "j12_range_join", "t_kmv_distinct",
     "t_sampled_quantiles", "o6_quota_sample", "o7_domain_cap",
     "o8_hash_split", "t_cms_heavy", "dedup_winnow_pairs", "dedup_dup_spans",
+    "dedup_span_scrub",
     "t_split_contamination", "t_bpe_merge_pairs", "dedup_cc_clusters",
     "a14_topk_per_group", "dedup_sparse_cosine", "pipe_pretrain_pack",
     "dedup_semantic", "t_bm25_topk", "t_unigram_nll", "dedup_cc_best",

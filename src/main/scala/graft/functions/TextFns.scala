@@ -306,6 +306,29 @@ object TextFns {
   }
   val charKgramHashesUdf = udf { (s: String, k: Int) => charKgramHashes(s, k) }
 
+  /** Cut every char of the CLEANED text covered by a k-window starting
+    * at any of `positions` — the apply side of exact duplicated-span
+    * dedup. Char-level marking makes interval merging implicit (a char
+    * survives iff NO dup window covers it), which is also the form a
+    * SQL oracle can replay as a per-char EXISTS. */
+  def scrubSpans(text: String, positions: Seq[Int], k: Int): String = {
+    if (text == null) return null
+    val (clean, cn) = cleanAlnum(text)
+    if (positions == null || positions.isEmpty)
+      return new String(clean, 0, cn)
+    val cut = new Array[Boolean](cn)
+    positions.foreach { p =>
+      var c = math.max(p, 0)
+      val end = math.min(p.toLong + k, cn.toLong).toInt
+      while (c < end) { cut(c) = true; c += 1 }
+    }
+    val sb = new java.lang.StringBuilder(cn)
+    var c = 0
+    while (c < cn) { if (!cut(c)) sb.append(clean(c)); c += 1 }
+    sb.toString
+  }
+  val scrubSpansUdf = udf { (s: String, pos: Seq[Int], k: Int) => scrubSpans(s, pos, k) }
+
   def winnowFingerprints(text: String, k: Int = 5, w: Int = 4): Seq[Long] = {
     if (text == null) return Seq.empty
     val (clean, cn) = cleanAlnum(text)

@@ -986,7 +986,79 @@ object DedupQueries {
        |  ORDER BY n_occ DESC, h LIMIT $spanTopN)
        |ORDER BY h""".stripMargin
 
+  // -------------------------------------------------- dedup_span_scrub
+
+  /** The APPLY side of exact duplicated-span dedup: cut every
+    * cross-document-repeated k-char span out of the cleaned corpus
+    * (dedup_dup_spans finds them; this removes them). Documented
+    * divergence from Lee et al.'s keep-one-occurrence: ALL occurrences
+    * are cut (the conservative form that needs no global
+    * occurrence-election pass), and chars are marked per-window so
+    * overlapping spans merge implicitly — a char survives iff no dup
+    * window covers it, the same per-char rule the oracle replays.
+    *
+    * Scale shape: the duplicated-hash set is corpus-dependent (NOT
+    * bounded model state), so it joins the window table by hash as a
+    * plain shuffle join — AQE broadcasts while it fits; per-doc dup
+    * positions then collect row-locally (bounded by doc length, ≤ 281
+    * here), and the scrub itself is one row-local kernel pass. */
+  private val dedupSpanScrub: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val w = docs.select(col("doc_id"),
+      posexplode(graft.functions.TextFns.charKgramHashesUdf(
+        substring(col("text"), 1, 300), lit(spanK))).as(Seq("pos", "h")))
+    val dup = w.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val dupPos = w.join(dup, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("pos"))
+    docs.join(dupPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(coalesce(col("pos"), typedLit(Seq.empty[Int]))).as("n_dup_windows"),
+        length(regexp_replace(lower(substring(col("text"), 1, 300)),
+          "[^a-z0-9]", "")).cast("long").as("cl_len"),
+        graft.functions.TextFns.scrubSpansUdf(
+          substring(col("text"), 1, 300),
+          coalesce(col("pos"), typedLit(Seq.empty[Int])), lit(spanK))
+          .as("text_scrubbed"))
+      .withColumn("n_cut", col("cl_len") - length(col("text_scrubbed")))
+      .select("doc_id", "n_dup_windows", "cl_len", "n_cut", "text_scrubbed")
+      .orderBy("doc_id")
+  }
+  private val dedupSpanScrubSql =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(substr(text, 1, 300)), '[^a-z0-9]', '', 'g') AS cl
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range($spanK), j -> CAST(unicode(substr(cl, i + j, 1)) AS BIGINT))),
+       |      (a, x) -> (a * 257 + x) % 1000000007) AS h
+       |  FROM (
+       |    SELECT doc_id, cl,
+       |      unnest(range(1, greatest(len(cl) - ${spanK - 1}, 0) + 1)) AS i
+       |    FROM c)),
+       |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |dp AS (
+       |  SELECT doc_id, list_sort(list(pos)) AS pos
+       |  FROM w JOIN dup USING (h) GROUP BY doc_id),
+       |sc AS (
+       |  SELECT c.doc_id,
+       |    CAST(COALESCE(len(dp.pos), 0) AS INT) AS n_dup_windows,
+       |    CAST(len(cl) AS BIGINT) AS cl_len,
+       |    array_to_string(list_transform(range(len(cl)), ch ->
+       |      CASE WHEN len(list_filter(COALESCE(dp.pos, []),
+       |          p -> p <= ch AND ch < p + $spanK)) > 0
+       |        THEN '' ELSE substr(cl, CAST(ch AS INT) + 1, 1) END), '') AS text_scrubbed
+       |  FROM c LEFT JOIN dp ON c.doc_id = dp.doc_id)
+       |SELECT doc_id, n_dup_windows, cl_len,
+       |  cl_len - len(text_scrubbed) AS n_cut, text_scrubbed
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_span_scrub" -> dedupSpanScrub,
     "dedup_dup_spans" -> dedupDupSpans,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
     "dedup_exact" -> dedupExact,
@@ -1009,6 +1081,7 @@ object DedupQueries {
     "ann_recall" -> annRecall)
 
   val oracle: Map[String, String] = Map(
+    "dedup_span_scrub" -> dedupSpanScrubSql,
     "dedup_dup_spans" -> dedupDupSpansSql,
     "dedup_winnow_pairs" -> dedupWinnowPairsSql,
     "dedup_exact" -> dedupExactSql,

@@ -597,6 +597,19 @@ class OperatorsSpec extends AnyFunSuite {
       "winnow fingerprints are not a subset of the all-window hashes")
   }
 
+  test("scrubSpans: covered chars are cut with implicit interval merge; " +
+      "no positions means the cleaned text survives intact") {
+    import graft.functions.TextFns
+    // cleaned = "aaabbbcccddd" (12 chars); windows k=3 at 2 and 4 overlap
+    // -> chars [2,7) cut -> "aa" + "cc"? no: indices 0,1 survive, 2-6 cut,
+    // 7-11 survive -> "aa" + "ccddd"
+    val s = "AA abb bcc cdd d"
+    assert(TextFns.scrubSpans(s, Seq(2, 4), 3) == "aaccddd")
+    assert(TextFns.scrubSpans(s, Seq.empty, 3) == "aaabbbcccddd")
+    // out-of-range positions clamp instead of throwing
+    assert(TextFns.scrubSpans(s, Seq(-1, 10, 99), 3) == "abbbcccd")
+  }
+
   test("MultimodalOps.wavProbe: truncated data chunk is clamped, short blob yields zeros") {
     val samples = Array.fill[Float](100)(0.5f)
     val wav = AudioOps.encodePcm16Wav(samples, 8000)
