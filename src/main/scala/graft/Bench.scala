@@ -31,7 +31,7 @@ object Bench {
     "a4_sum", "a5_cond_count", "a10_ordered_concat",
     "j1_inner_equi", "j3_upsert", "j5_semi", "j7_lineid_arith",
     "j10_asof_join", "j11_bloom_prefilter_join",
-    "w1_row_number", "w6_session_window",
+    "w1_row_number", "w6_session_window", "w9_moving_agg", "a15_rollup",
     "o4_group_sample",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "emb_near_dup",

@@ -712,6 +712,70 @@ object RelationalQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  /** W9: sliding-frame window aggregation — per-user moving
+    * sum/min/max/count of the last 10 events (ROWS BETWEEN 9 PRECEDING
+    * AND CURRENT ROW), the standard trailing-window telemetry shape the
+    * w-family lacked. Exactness: the value is fixed-point-quantized
+    * BEFORE the frame aggregation — sliding-frame float sums are
+    * implementation-dependent (subtract-on-slide vs re-sum per frame)
+    * and would not replay across engines; integer frame sums are exact
+    * in both. The frame order is total (ts, event_id), so tied
+    * timestamps cannot permute a frame. One shuffle on user_id; the
+    * frame buffer is 10 rows regardless of partition size. */
+  private val w9: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-9, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("vq",
+        expr("CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT)"))
+      .select(col("event_id"), col("user_id"),
+        sum("vq").over(w).as("mov_sum_fp"),
+        min("vq").over(w).as("mov_min_fp"),
+        max("vq").over(w).as("mov_max_fp"),
+        count(lit(1)).over(w).cast("long").as("mov_n"))
+      .orderBy("event_id")
+  }
+  private val w9Sql =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(vq) OVER w AS BIGINT) AS mov_sum_fp,
+      |  MIN(vq) OVER w AS mov_min_fp,
+      |  MAX(vq) OVER w AS mov_max_fp,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS mov_n
+      |FROM (
+      |  SELECT event_id, user_id, ts,
+      |    CAST(floor(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS vq
+      |  FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** A15: ROLLUP grouping sets — (lang, source), (lang), () subtotals in
+    * ONE pass (the grouping-set expand happens below the shuffle, so
+    * map-side combine still applies; three separate aggregations would
+    * scan the corpus three times). grouping_id disambiguates a
+    * rolled-up NULL from a data NULL, with the same bit order in both
+    * engines (first rollup column = high bit). Explicit NULLS FIRST in
+    * the oracle: DuckDB's default sort order is NULLS LAST, Spark's
+    * ascending default is nulls-first. */
+  private val a15: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        grouping_id().cast("int").as("gid"))
+      .select(col("lang"), col("source"), col("gid"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(col("gid"), col("lang").asc_nulls_first,
+        col("source").asc_nulls_first)
+  private val a15Sql =
+    """SELECT lang, source,
+      |  CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY ROLLUP (lang, source)
+      |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
   // ------------------------------------------------------------ §2.6 O
 
   /** O1 ★: global sort by name (aeneas_batch_align.py:652-653). */
@@ -872,6 +936,8 @@ object RelationalQueries {
     "a10_ordered_concat" -> a10,
     "a12_outlier_count" -> a12,
     "w1_row_number" -> w1,
+    "w9_moving_agg" -> w9,
+    "a15_rollup" -> a15,
     "w2_order_in_group" -> w2,
     "w4_global_line_number" -> w4,
     "o1_global_sort" -> o1,
@@ -944,6 +1010,8 @@ object RelationalQueries {
     "a10_ordered_concat" -> a10Sql,
     "a12_outlier_count" -> a12Sql,
     "w1_row_number" -> w1Sql,
+    "w9_moving_agg" -> w9Sql,
+    "a15_rollup" -> a15Sql,
     "w2_order_in_group" -> w2Sql,
     "w4_global_line_number" -> w4Sql,
     "o1_global_sort" -> o1Sql,
