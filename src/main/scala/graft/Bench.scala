@@ -47,7 +47,7 @@ object Bench {
     "t_split_contamination", "t_bpe_merge_pairs", "dedup_cc_clusters",
     "a14_topk_per_group", "dedup_sparse_cosine", "pipe_pretrain_pack",
     "dedup_semantic", "t_bm25_topk", "t_unigram_nll", "dedup_cc_best",
-    "t_gopher_gate", "o9_kcenter_diverse",
+    "t_gopher_gate", "o9_kcenter_diverse", "pipe_curation_pass",
     "o10_token_budget", "o11_temperature_mix", "emb_rp_project",
     "o12_dsir_select", "o13_moore_lewis", "t_rrf_fusion", "emb_outlier_filter",
     "mm_wav_probe", "mm_image_probe", "mm_image_resize",

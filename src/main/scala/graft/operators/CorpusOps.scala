@@ -50,6 +50,26 @@ object CorpusOps {
         col("n_dup_lines"), col("top_bigram_cnt"), col("n_bigrams"),
         col("fail_mask"), col("keep"))
 
+  /** The gate as a FILTER that preserves the caller's columns: compute
+    * the mask row-locally, keep fail_mask == 0 rows, drop the scratch.
+    * The pipeline form of [[gopherGate]] (which emits the audit facts
+    * instead) — same rules, same kernels, zero shuffles. */
+  def gopherKeep(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .withColumn("words", expr(s"ws_word_count($textCol)").cast("long"))
+      .withColumn("chars", length(col(textCol)).cast("long"))
+      .withColumn("alpha",
+        size(expr(s"ascii_alpha_tokens($textCol, 1)")).cast("long"))
+      .withColumn("__r", expr(s"rep_stats($textCol)"))
+      .withColumn("n_lines", col("__r.n_lines"))
+      .withColumn("n_dup_lines", col("__r.n_dup_lines"))
+      .withColumn("top_bigram_cnt", col("__r.top_bigram_cnt"))
+      .withColumn("n_bigrams", col("__r.n_bigrams"))
+      .withColumn("__gmask", expr(gopherMaskSql))
+      .filter(col("__gmask") === 0)
+      .drop("words", "chars", "alpha", "__r", "n_lines", "n_dup_lines",
+        "top_bigram_cnt", "n_bigrams", "__gmask")
+
   /** Intra-document repetition signals (the Gopher-family quality
     * filters): per document, the fraction of non-blank lines that are
     * repeats of an earlier line, and the share of the most common token

@@ -408,19 +408,82 @@ object CurationQueries {
        |  FROM sc)
        |WHERE rn <= $embOutK ORDER BY label, rank""".stripMargin
 
+  // ----------------------------------------------- pipe_curation_pass
+
+  /** Flagship composition #2 — the round-6/7 curation family as ONE
+    * declarative plan: Gopher-rule quality gate (row-local integer
+    * mask) → √-temperature language rebalancing over the SURVIVORS
+    * (quotas from post-gate counts, rank-by-hash) → sequence packing at
+    * a 512-token budget, sharded by language. Like pipe_pretrain_pack,
+    * each stage is the operator its own query verifies
+    * (t_gopher_gate / o11_temperature_mix / w7_sequence_pack) and
+    * Catalyst plans the chain together: the gate's kernels run inside
+    * the sampling window's scan, and the pack window reads the
+    * sample's shuffle. The oracle replays the identical composition,
+    * with the gate's stats CTEs shared verbatim from TextQueries. */
+  private val pipeCurN = 300L
+  private val pipeCurBudget = 512
+  private val pipeCur: Q = (s, dir) => {
+    val kept = graft.operators.CorpusOps.gopherKeep(
+      t(s, dir, "documents"), "text")
+    val mixed = graft.operators.QuotaOps.sqrtTemperatureSample(
+      kept, "lang", pipeCurN,
+      graft.operators.SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")))
+    graft.operators.PackOps.packSequences(mixed, "lang", Seq("doc_id"),
+        graft.functions.TextFns.token_count(col("text")), pipeCurBudget)
+      .select(col("lang"), col("doc_id"), col("n_tok"), col("tok_start"),
+        col("seq_first"), col("seq_offset"), col("n_seqs"))
+      .orderBy("lang", "doc_id")
+  }
+  private val pipeCurSql =
+    s"""WITH raw AS (SELECT doc_id, text AS raw FROM documents),
+       |${TextQueries.gopherStatsCtes},
+       |surv AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM documents d
+       |  JOIN (SELECT doc_id FROM m
+       |        WHERE ${graft.operators.CorpusOps.gopherMaskSql} = 0) k
+       |  ON d.doc_id = k.doc_id),
+       |cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM surv GROUP BY lang),
+       |iq AS (SELECT lang, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS r FROM cnt),
+       |q AS (SELECT lang, ($pipeCurN * r) // (SELECT CAST(SUM(r) AS BIGINT) FROM iq) AS quota FROM iq),
+       |mixed AS (
+       |  SELECT lang, doc_id, text FROM (
+       |    SELECT lang, doc_id, text,
+       |      row_number() OVER (PARTITION BY lang
+       |        ORDER BY ((doc_id % 999999937 + 999999937) * 123456791 + 7919) % 999999937,
+       |                 doc_id) AS rn
+       |    FROM surv) d JOIN q USING (lang)
+       |  WHERE rn <= quota)
+       |SELECT lang, doc_id, n_tok, tok_start,
+       |  tok_start // $pipeCurBudget AS seq_first,
+       |  tok_start % $pipeCurBudget AS seq_offset,
+       |  (tok_start + n_tok - 1) // $pipeCurBudget - tok_start // $pipeCurBudget + 1 AS n_seqs
+       |FROM (
+       |  SELECT lang, doc_id, n_tok,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS tok_start
+       |  FROM (
+       |    SELECT lang, doc_id,
+       |      CAST(len(regexp_extract_all(text, '${graft.functions.TextFns.bpeTokenPat}')) AS BIGINT) AS n_tok
+       |    FROM mixed)
+       |  WHERE n_tok > 0)
+       |ORDER BY lang, doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "o12_dsir_select" -> dsir,
     "o13_moore_lewis" -> ml,
     "t_rrf_fusion" -> rrf,
-    "emb_outlier_filter" -> embOutlier)
+    "emb_outlier_filter" -> embOutlier,
+    "pipe_curation_pass" -> pipeCur)
 
   val oracle: Map[String, String] = Map(
     "o12_dsir_select" -> dsirSql,
     "o13_moore_lewis" -> mlSql,
     "t_rrf_fusion" -> rrfSql,
-    "emb_outlier_filter" -> embOutlierSql)
+    "emb_outlier_filter" -> embOutlierSql,
+    "pipe_curation_pass" -> pipeCurSql)
 
   /** Sort-free bench forms (the trailing ORDER BY exists only for the
     * oracle's deterministic hash-compare; the top-N itself is already

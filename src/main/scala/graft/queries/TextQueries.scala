@@ -639,13 +639,11 @@ object TextQueries {
     graft.operators.CorpusOps.gopherGate(raw, "doc_id", "raw")
       .orderBy("doc_id")
   }
-  private val tGopherGateSql =
-    s"""WITH raw AS (
-       |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
-       |    THEN text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
-       |    ELSE text END AS raw
-       |  FROM documents),
-       |base AS (
+  /** The gate's stats CTE chain (expects a `raw(doc_id, raw)` CTE in
+    * scope, yields `m` with the mask inputs) — shared with
+    * pipe_curation_pass so the gate replay has ONE definition. */
+  private[queries] val gopherStatsCtes: String =
+    s"""base AS (
        |  SELECT doc_id,
        |    CAST(CASE WHEN trim(regexp_replace(raw, '\\s+', ' ', 'g')) = '' THEN 0
        |      ELSE len(string_split(trim(regexp_replace(raw, '\\s+', ' ', 'g')), ' '))
@@ -677,7 +675,15 @@ object TextQueries {
        |    COALESCE(n_dup_lines, 0) AS n_dup_lines,
        |    top_bigram_cnt, n_bigrams
        |  FROM base b
-       |  LEFT JOIN lstat USING (doc_id) JOIN gstat USING (doc_id))
+       |  LEFT JOIN lstat USING (doc_id) JOIN gstat USING (doc_id))""".stripMargin
+
+  private val tGopherGateSql =
+    s"""WITH raw AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+       |    THEN text || chr(10) || substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+       |    ELSE text END AS raw
+       |  FROM documents),
+       |$gopherStatsCtes
        |SELECT doc_id, words AS n_words, n_lines, n_dup_lines,
        |  top_bigram_cnt, n_bigrams, $gopherMaskSql AS fail_mask,
        |  $gopherMaskSql = 0 AS keep
