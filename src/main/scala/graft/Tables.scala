@@ -46,11 +46,23 @@ object Tables {
     }
   }
 
-  /** Register all tables as temp views so every operator is SQL-addressable. */
+  /** Register all tables as temp views so every operator is SQL-addressable.
+    *
+    * Per-table isolation (round-6 postmortem): registerAll used to run
+    * OUTSIDE the harness mains' per-query try, so ONE unreadable table —
+    * the regenerated events.parquet switching to TIMESTAMP_NTZ — aborted
+    * the entire Bench/Verify startup and zeroed the round's artifacts.
+    * A table that fails to register now logs and is skipped; only the
+    * queries touching it fail, and they fail visibly per-query. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
+    def tryRegister(n: String)(mk: => DataFrame): Unit =
+      try mk.createOrReplaceTempView(n)
+      catch { case e: Throwable =>
+        System.err.println(s"[tables] $n failed to register: ${e.getMessage}")
+      }
     names.filterNot(_ == "events")
-      .foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-    events(spark, dir).createOrReplaceTempView("events")
+      .foreach(n => tryRegister(n)(load(spark, dir, n)))
+    tryRegister("events")(events(spark, dir))
   }
 }
 

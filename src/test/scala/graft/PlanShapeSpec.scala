@@ -310,6 +310,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"o12_dsir_select scoring regained a join:\n${dsir.take(600)}")
   }
 
+  test("exact-span family: no cartesian; report is bounded top-N; scrub " +
+      "join keeps the duplicated-hash side un-broadcast-forced") {
+    val spans = plan("dedup_dup_spans")
+    assert(!spans.contains("CartesianProduct"), "dup_spans plans a cartesian")
+    assert(spans.contains("TakeOrderedAndProject"),
+      s"dup_spans lost its bounded top-N:\n${spans.take(600)}")
+    val scrub = plan("dedup_span_scrub")
+    assert(!scrub.contains("CartesianProduct"), "span_scrub plans a cartesian")
+    assert(!scrub.contains("BroadcastNestedLoopJoin"),
+      "span_scrub degenerated to a nested-loop join")
+  }
+
   test("embedding outlier filter broadcasts centroids and combines map-side") {
     val p = plan("emb_outlier_filter")
     assert(p.contains("BroadcastHashJoin"),

@@ -137,6 +137,43 @@ class CurationSpec extends AnyFunSuite {
         "a single-list doc outscored a consensus doc")
   }
 
+  // ------------------------------------------------- pipe_curation_pass
+
+  test("pipe_curation_pass: every packed doc passed the gate, per-lang " +
+      "counts respect the quota, and tok_start is frame-consistent") {
+    val corrDir = "/root/testdata/sf0.01"
+    graft.functions.TextFns.registerAll(spark)
+    val out = SparkEntry.queries("pipe_curation_pass")(spark, corrDir).collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables.load(spark, corrDir, "documents")
+    val keptIds = graft.operators.CorpusOps.gopherKeep(docs, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => keptIds.contains(r.getAs[Long]("doc_id"))),
+      "a gate-failing doc reached the pack stage")
+    // per-lang output counts must not exceed the sqrt-temperature quotas
+    val byLang = out.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    val counts = graft.operators.CorpusOps.gopherKeep(docs, "text")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val roots = counts.view.mapValues(n => math.sqrt(n.toDouble).floor.toLong)
+    val totR = roots.values.sum
+    for ((lang, n) <- byLang) {
+      val quota = 300L * roots(lang) / totR
+      assert(n <= quota, s"lang $lang packed $n docs > quota $quota")
+    }
+    // packing invariant: within a lang, tok_start is the running sum of
+    // the previous docs' n_tok (docs ordered by doc_id, zero-tok dropped)
+    for ((_, rows) <- out.groupBy(_.getAs[String]("lang"))) {
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      for (r <- sorted) {
+        assert(r.getAs[Long]("tok_start") == cum,
+          s"doc ${r.getAs[Long]("doc_id")} tok_start ${r.getAs[Long]("tok_start")} != cum $cum")
+        cum += r.getAs[Long]("n_tok")
+      }
+    }
+  }
+
   // ------------------------------------------------- emb_outlier_filter
 
   test("emb_outlier_filter: dense ranks, non-increasing scores, and the " +
