@@ -896,6 +896,39 @@ object RelationalQueries {
       |         'audio/' || CAST(l_partkey AS VARCHAR), 'audio' FROM lineitem)
       |ORDER BY task_id""".stripMargin
 
+  /** U5: row-level INTERSECT (distinct) — customer market segments that
+    * also appear as order priorities' first words would be contrived;
+    * instead: nation keys present in BOTH the customer and supplier
+    * bases, as full distinct rows. Spark plans intersect as a left-semi
+    * over distinct — one shuffle per side on the full row. */
+  private val u5: Q = (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(
+        t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  private val u5Sql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** U6: row-level EXCEPT (distinct) — nations with customers but no
+    * HIGH-BALANCE supplier (every nation has some supplier, so the
+    * unfiltered difference would be trivially empty); the set-op dual
+    * of the F10/j6 key anti-joins, with the filter pushed below the
+    * set op on the subtracted side. */
+  private val u6: Q = (s, dir) =>
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(
+        t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+          .select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+  private val u6Sql =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+      |ORDER BY nationkey""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
@@ -946,7 +979,9 @@ object RelationalQueries {
     "o4_group_sample" -> o4,
     "u1_union_append" -> u1,
     "u2_horizontal_concat" -> u2,
-    "u3_task_union" -> u3)
+    "u3_task_union" -> u3,
+    "u5_intersect" -> u5,
+    "u6_except" -> u6)
 
   /** Bench-only forms: identical operator semantics minus the global sort
     * the registered query adds purely for oracle determinism. Verify
@@ -1019,6 +1054,8 @@ object RelationalQueries {
     "o3_sample_n" -> o3Sql,
     "o4_group_sample" -> o4Sql,
     "u1_union_append" -> u1Sql,
+    "u5_intersect" -> u5Sql,
+    "u6_except" -> u6Sql,
     "u2_horizontal_concat" -> u2Sql,
     "u3_task_union" -> u3Sql)
 }
