@@ -57,7 +57,11 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit = {
     def tryRegister(n: String)(mk: => DataFrame): Unit =
       try mk.createOrReplaceTempView(n)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // Drop any stale same-name view from a previous registration:
+        // keeping it would silently serve the OLD fixture's data where
+        // the doc promises a visible per-query failure.
+        spark.catalog.dropTempView(n)
         System.err.println(s"[tables] $n failed to register: ${e.getMessage}")
       }
     names.filterNot(_ == "events")

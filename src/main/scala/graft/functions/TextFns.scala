@@ -329,6 +329,21 @@ object TextFns {
   }
   val scrubSpansUdf = udf { (s: String, pos: Seq[Int], k: Int) => scrubSpans(s, pos, k) }
 
+  /** scrubSpans plus the cleaned length, in ONE kernel pass and ONE
+    * cleaning space: deriving the cleaned length from a separate
+    * Spark-side lower()+regexp projection would use a DIFFERENT
+    * lowercasing (UTF8String falls back to default-locale toLowerCase on
+    * non-ASCII input, vs cleanAlnum's Locale.ROOT), so n_cut could go
+    * negative on a Turkish-locale JVM. The struct keeps both facts in
+    * the kernel's space. */
+  val scrubSpansWithLenUdf = udf { (s: String, pos: Seq[Int], k: Int) =>
+    if (s == null) null
+    else {
+      val cn = cleanAlnum(s)._2
+      (cn.toLong, scrubSpans(s, pos, k))
+    }
+  }
+
   def winnowFingerprints(text: String, k: Int = 5, w: Int = 4): Seq[Long] = {
     if (text == null) return Seq.empty
     val (clean, cn) = cleanAlnum(text)

@@ -31,30 +31,11 @@ object CorpusOps {
     * need no watermark and work under any trigger; pinned by
     * FileStreamSpec's batch-parity case). Requires the graft kernel
     * functions to be registered (TextFns.registerAll). */
-  def gopherGate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        expr(s"ws_word_count($textCol)").cast("long").as("words"),
-        length(col(textCol)).cast("long").as("chars"),
-        size(expr(s"ascii_alpha_tokens($textCol, 1)")).cast("long").as("alpha"),
-        expr(s"rep_stats($textCol)").as("__r"))
-      .select(col(idCol), col("words").as("n_words"),
-        col("__r.n_lines").as("n_lines"),
-        col("__r.n_dup_lines").as("n_dup_lines"),
-        col("__r.top_bigram_cnt").as("top_bigram_cnt"),
-        col("__r.n_bigrams").as("n_bigrams"),
-        col("words"), col("chars"), col("alpha"))
-      .withColumn("fail_mask", expr(gopherMaskSql))
-      .withColumn("keep", col("fail_mask") === 0)
-      .select(col(idCol), col("n_words"), col("n_lines"),
-        col("n_dup_lines"), col("top_bigram_cnt"), col("n_bigrams"),
-        col("fail_mask"), col("keep"))
-
-  /** The gate as a FILTER that preserves the caller's columns: compute
-    * the mask row-locally, keep fail_mask == 0 rows, drop the scratch.
-    * The pipeline form of [[gopherGate]] (which emits the audit facts
-    * instead) — same rules, same kernels, zero shuffles. */
-  def gopherKeep(docs: DataFrame, textCol: String): DataFrame =
+  /** The mask's input facts + fail_mask as appended columns — the ONE
+    * definition both [[gopherGate]] and [[gopherKeep]] build on (a rule
+    * input edited in only one of two copies would let the gate and the
+    * keep-filter silently disagree). */
+  private def withGopherFacts(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .withColumn("words", expr(s"ws_word_count($textCol)").cast("long"))
       .withColumn("chars", length(col(textCol)).cast("long"))
@@ -65,10 +46,25 @@ object CorpusOps {
       .withColumn("n_dup_lines", col("__r.n_dup_lines"))
       .withColumn("top_bigram_cnt", col("__r.top_bigram_cnt"))
       .withColumn("n_bigrams", col("__r.n_bigrams"))
-      .withColumn("__gmask", expr(gopherMaskSql))
-      .filter(col("__gmask") === 0)
+      .withColumn("fail_mask", expr(gopherMaskSql))
+
+  def gopherGate(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withGopherFacts(docs, textCol)
+      .withColumn("n_words", col("words"))
+      .withColumn("keep", col("fail_mask") === 0)
+      .select(col(idCol), col("n_words"), col("n_lines"),
+        col("n_dup_lines"), col("top_bigram_cnt"), col("n_bigrams"),
+        col("fail_mask"), col("keep"))
+
+  /** The gate as a FILTER that preserves the caller's columns: compute
+    * the mask row-locally, keep fail_mask == 0 rows, drop the scratch.
+    * The pipeline form of [[gopherGate]] (which emits the audit facts
+    * instead) — same rules, same kernels, zero shuffles. */
+  def gopherKeep(docs: DataFrame, textCol: String): DataFrame =
+    withGopherFacts(docs, textCol)
+      .filter(col("fail_mask") === 0)
       .drop("words", "chars", "alpha", "__r", "n_lines", "n_dup_lines",
-        "top_bigram_cnt", "n_bigrams", "__gmask")
+        "top_bigram_cnt", "n_bigrams", "fail_mask")
 
   /** Intra-document repetition signals (the Gopher-family quality
     * filters): per document, the fraction of non-blank lines that are

@@ -1004,6 +1004,15 @@ object DedupQueries {
     * here), and the scrub itself is one row-local kernel pass. */
   private val dedupSpanScrub: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
+    // Measured-first note (sf0.1): this double-scan formulation (the
+    // explode + O(n) rolling-hash kernel runs once per consumer) is the
+    // FASTEST of three tried — 1.8 s, vs 2.6 s with a localCheckpoint of
+    // the exploded windows (materializing 1.4 M rows costs more than
+    // recomputing them), vs 6.9 s fused into one aggregation
+    // (countDistinct+collect_list plans an Expand that doubles the
+    // exploded rows and builds occurrence lists for every hash, when
+    // only the tiny nd≥2 set is ever exploded back). Recompute beats
+    // materialize when the kernel is this cheap.
     val w = docs.select(col("doc_id"),
       posexplode(graft.functions.TextFns.charKgramHashesUdf(
         substring(col("text"), 1, 300), lit(spanK))).as(Seq("pos", "h")))
@@ -1016,12 +1025,12 @@ object DedupQueries {
     docs.join(dupPos, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(coalesce(col("pos"), typedLit(Seq.empty[Int]))).as("n_dup_windows"),
-        length(regexp_replace(lower(substring(col("text"), 1, 300)),
-          "[^a-z0-9]", "")).cast("long").as("cl_len"),
-        graft.functions.TextFns.scrubSpansUdf(
+        graft.functions.TextFns.scrubSpansWithLenUdf(
           substring(col("text"), 1, 300),
           coalesce(col("pos"), typedLit(Seq.empty[Int])), lit(spanK))
-          .as("text_scrubbed"))
+          .as("__s"))
+      .select(col("doc_id"), col("n_dup_windows"),
+        col("__s._1").as("cl_len"), col("__s._2").as("text_scrubbed"))
       .withColumn("n_cut", col("cl_len") - length(col("text_scrubbed")))
       .select("doc_id", "n_dup_windows", "cl_len", "n_cut", "text_scrubbed")
       .orderBy("doc_id")
