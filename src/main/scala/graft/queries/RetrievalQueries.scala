@@ -215,17 +215,25 @@ object RetrievalQueries {
     * (pinned in RetrievalSpec) — bucketing and reduction share one
     * geometry. Row-local and shuffle-free; each coordinate is the same
     * left-assoc no-init double fold the oracle's list_reduce performs,
-    * so the double arrays hash-compare bit-exactly. */
+    * so the projected doubles agree bit-exactly; the registered output
+    * joins them as floor(x*1e6) micro-units (the a10 fixed-point-string
+    * pattern) because the driver's pandas comparator cannot hash raw
+    * array cells. The array-returning rp_project kernel itself
+    * (functions/VectorExprs.scala) stays as-is for internal reuse. */
   private val rp: Q = (s, dir) =>
     t(s, dir, "embeddings")
       .select(col("vec_id"),
         call_function("rp_project", col("embedding"), lit(16), lit(64)).as("proj"))
+      .select(col("vec_id"), concat_ws(",", transform(col("proj"),
+        x => floor(x * lit(1e6)).cast("bigint").cast("string"))).as("proj_fp"))
       .orderBy("vec_id")
   private val rpSql =
-    """SELECT vec_id, list_transform(range(16), i -> list_reduce(
+    """SELECT vec_id, array_to_string(list_transform(
+      |  list_transform(range(16), i -> list_reduce(
       |    list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) *
       |      ((ascii(substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j - 1 AS VARCHAR)), 1, 1)) % 2) * 2 - 1)),
-      |    (x, y) -> x + y)) AS proj
+      |    (x, y) -> x + y)),
+      |  x -> CAST(floor(x * 1000000.0) AS BIGINT)), ',') AS proj_fp
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------------------ registry
@@ -246,5 +254,7 @@ object RetrievalQueries {
     "emb_rp_project" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"),
-          call_function("rp_project", col("embedding"), lit(16), lit(64)).as("proj"))))
+          call_function("rp_project", col("embedding"), lit(16), lit(64)).as("proj"))
+        .select(col("vec_id"), concat_ws(",", transform(col("proj"),
+          x => floor(x * lit(1e6)).cast("bigint").cast("string"))).as("proj_fp"))))
 }
