@@ -25,8 +25,12 @@ object Bench {
     * per operator family PLUS the full heavy surface (sessionization,
     * as-of, all near-dup paths, percentiles, fingerprints, tf-idf,
     * multimodal). Round-4 review: leaving half the heavy operators
-    * unbenched let regressions reach the judge unmeasured; the cheap
-    * fixed-overhead-floor queries are the only ones left out. */
+    * unbenched let regressions reach the judge unmeasured; round 7's
+    * review closed the remaining blind spot — the DEFAULT run now times
+    * every registered query (headline first for stable ordering, then
+    * the rest of the registry sorted), so a regression in the io/fn/
+    * relational tail is measured too. The headline list survives as the
+    * ordering prefix and the fast `runMain graft.Bench <names>` subset. */
   val headline: Seq[String] = Seq(
     "a4_sum", "a5_cond_count", "a10_ordered_concat",
     "j1_inner_equi", "j3_upsert", "j5_semi", "j7_lineid_arith",
@@ -62,12 +66,15 @@ object Bench {
     Tables.registerAll(spark, sfDir)
     graft.functions.TextFns.registerAll(spark)
     // Optional args = subset of query names to time (fast iteration on a
-    // single operator); no args = the full headline set.
-    val qs = (if (args.nonEmpty) headline.filter(args.contains)
-              else headline).filter(SparkEntry.queries.contains) match {
-      case Seq() => SparkEntry.queries.keys.toSeq.sorted
+    // single operator); no args = EVERY registered query, headline-heavy
+    // ones first so the long-standing ordering (and its warmup behavior)
+    // is preserved and the tail is the cheap io/fn/relational families.
+    val all = headline.filter(SparkEntry.queries.contains) ++
+      (SparkEntry.queries.keys.toSeq.sorted diff headline)
+    val qs = if (args.nonEmpty) all.filter(args.contains) match {
+      case Seq() => all
       case hs    => hs
-    }
+    } else all
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       // benchVariants drops harness-only work a plain sort-strip can't
@@ -102,20 +109,29 @@ object Bench {
     // The driver records only the LAST ~2000 chars of stdout; round 5's
     // line (57 queries x full-precision medians + per-run arrays, ~4.6 KB)
     // was clipped mid-JSON and the recorded artifact held no parseable
-    // numbers. stdout gets a compact line (3-decimal medians, no runs)
-    // that fits the window with sbt's trailing [success] line included;
-    // the full-precision line with per-run samples goes to bench.json.
-    def qJson(fmt: Double => String) = results
-      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // numbers. The full 152-query registry cannot fit that window (the
+    // names alone are >2 KB), so stdout gets the MOST EXPENSIVE medians
+    // that fit a hard char budget, plus explicit "n"/"omitted" counts so
+    // the truncation is never silent; "value" stays the total over ALL
+    // timed queries. The full-precision map with per-run samples goes to
+    // bench.json (committed — duck_ratio.py and the judge read it).
+    def qJson(rs: Seq[(String, Double, Seq[Double])])(fmt: Double => String) =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val runsJson = results.map { case (k, _, rs) =>
       "\"" + k + "\":[" + rs.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qJson(v => f"$v%.3f")},"sf":"$sfDir"}"""
+    def compactOf(rs: Seq[(String, Double, Seq[Double])]) =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size},"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
+    // Greedy: keep dropping the cheapest query until the line fits ~1850
+    // chars (2000-char driver window minus sbt's trailing [success] line).
+    val byCost = results.sortBy(-_._2)
+    val kept = Iterator.iterate(results.size)(_ - 1)
+      .find(n => n == 0 || compactOf(byCost.take(n)).length <= 1850).get
+    val compact = compactOf(byCost.take(kept))
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(_.toString)},"sf":"$sfDir","runs":$runsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_.toString)},"sf":"$sfDir","runs":$runsJson}"""
     println(compact)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")
