@@ -63,7 +63,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.registerAll(spark, sfDir)
+    val skippedTables = Tables.registerAll(spark, sfDir)
     graft.functions.TextFns.registerAll(spark)
     // Optional args = subset of query names to time (fast iteration on a
     // single operator); no args = EVERY registered query, headline-heavy
@@ -122,8 +122,14 @@ object Bench {
       "\"" + k + "\":[" + rs.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // skipped_tables rides every emitted line: a silently-missing view
+    // would otherwise show up only as N fast-failing queries (round-7
+    // advice — artifact-only automation never sees stderr).
+    val skippedJson = skippedTables.mkString("[\"", "\",\"", "\"]")
+    val skippedField =
+      if (skippedTables.isEmpty) "" else s""","skipped_tables":$skippedJson"""
     def compactOf(rs: Seq[(String, Double, Seq[Double])]) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size},"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size}$skippedField,"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
     // Greedy: keep dropping the cheapest query until the line fits ~1850
     // chars (2000-char driver window minus sbt's trailing [success] line).
     val byCost = results.sortBy(-_._2)
@@ -131,7 +137,7 @@ object Bench {
       .find(n => n == 0 || compactOf(byCost.take(n)).length <= 1850).get
     val compact = compactOf(byCost.take(kept))
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qJson(results)(_.toString)},"sf":"$sfDir","runs":$runsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec"$skippedField,"queries":${qJson(results)(_.toString)},"sf":"$sfDir","runs":$runsJson}"""
     println(compact)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")

@@ -53,20 +53,26 @@ object Tables {
     * the regenerated events.parquet switching to TIMESTAMP_NTZ — aborted
     * the entire Bench/Verify startup and zeroed the round's artifacts.
     * A table that fails to register now logs and is skipped; only the
-    * queries touching it fail, and they fail visibly per-query. */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    def tryRegister(n: String)(mk: => DataFrame): Unit =
-      try mk.createOrReplaceTempView(n)
+    * queries touching it fail, and they fail visibly per-query.
+    *
+    * Returns the names that FAILED to register so the harness mains can
+    * surface them in their JSON artifacts — automation that reads only
+    * the artifacts (not stderr) must still see that a table was skipped
+    * (round-7 advice). */
+  def registerAll(spark: SparkSession, dir: String): Seq[String] = {
+    def tryRegister(n: String)(mk: => DataFrame): Option[String] =
+      try { mk.createOrReplaceTempView(n); None }
       catch { case scala.util.control.NonFatal(e) =>
         // Drop any stale same-name view from a previous registration:
         // keeping it would silently serve the OLD fixture's data where
         // the doc promises a visible per-query failure.
         spark.catalog.dropTempView(n)
         System.err.println(s"[tables] $n failed to register: ${e.getMessage}")
+        Some(n)
       }
     names.filterNot(_ == "events")
-      .foreach(n => tryRegister(n)(load(spark, dir, n)))
-    tryRegister("events")(events(spark, dir))
+      .flatMap(n => tryRegister(n)(load(spark, dir, n))) ++
+      tryRegister("events")(events(spark, dir))
   }
 }
 

@@ -14,9 +14,15 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Sessions.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.registerAll(spark, sfDir)
+    val skippedTables = Tables.registerAll(spark, sfDir)
     graft.functions.TextFns.registerAll(spark)
     new java.io.File(outDir).mkdirs()
+    // A skipped table means the fixture dir is broken — surface it in an
+    // artifact (not just stderr) so artifact-only automation can't miss
+    // that a whole table's queries are running against a missing view.
+    if (skippedTables.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/skipped_tables.json"),
+        skippedTables.mkString("[\"", "\",\"", "\"]"))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")

@@ -310,10 +310,23 @@ object TextFns {
     * at any of `positions` — the apply side of exact duplicated-span
     * dedup. Char-level marking makes interval merging implicit (a char
     * survives iff NO dup window covers it), which is also the form a
-    * SQL oracle can replay as a per-char EXISTS. */
+    * SQL oracle can replay as a per-char EXISTS.
+    *
+    * Out-of-range positions take the INTERSECTION of their window with
+    * the text: a negative p cuts [0, p+k) and a p near the end cuts
+    * [p, cn) — each position means "a duplicated window starts here",
+    * so the in-bounds part of that window is still duplicated material.
+    * Pipeline-produced positions are always in range; the clamp rule is
+    * the public-kernel contract (pinned in OperatorsSpec). */
   def scrubSpans(text: String, positions: Seq[Int], k: Int): String = {
     if (text == null) return null
     val (clean, cn) = cleanAlnum(text)
+    scrubClean(clean, cn, positions, k)
+  }
+  /** [[scrubSpans]] on an already-cleaned buffer — lets callers that
+    * need other facts from the same cleaning reuse ONE cleanAlnum pass. */
+  private def scrubClean(
+      clean: Array[Char], cn: Int, positions: Seq[Int], k: Int): String = {
     if (positions == null || positions.isEmpty)
       return new String(clean, 0, cn)
     val cut = new Array[Boolean](cn)
@@ -335,12 +348,12 @@ object TextFns {
     * lowercasing (UTF8String falls back to default-locale toLowerCase on
     * non-ASCII input, vs cleanAlnum's Locale.ROOT), so n_cut could go
     * negative on a Turkish-locale JVM. The struct keeps both facts in
-    * the kernel's space. */
+    * the kernel's space, from a single cleanAlnum call. */
   val scrubSpansWithLenUdf = udf { (s: String, pos: Seq[Int], k: Int) =>
     if (s == null) null
     else {
-      val cn = cleanAlnum(s)._2
-      (cn.toLong, scrubSpans(s, pos, k))
+      val (clean, cn) = cleanAlnum(s)
+      (cn.toLong, scrubClean(clean, cn, pos, k))
     }
   }
 

@@ -62,6 +62,18 @@ object PqOps {
       candidates: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, ks: Int, iters: Int): Array[Array[Array[Double]]] = {
     val sub = dim / m
+    // Persist the pruned (id, vec) projection for the training loop —
+    // init + every Lloyd iteration re-reads it (same input caching as
+    // KMeansOps.fit; spills rather than recomputes at scale).
+    val vecs = candidates.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainCodebooksKMeansOn(vecs, idCol, vecCol, dim, m, ks, iters, sub)
+    finally vecs.unpersist(false)
+  }
+
+  private def trainCodebooksKMeansOn(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ks: Int, iters: Int, sub: Int): Array[Array[Array[Double]]] = {
     var books = trainCodebooks(candidates, idCol, vecCol, dim, m, ks)
     for (_ <- 1 to iters) {
       val enc = encodeUdf(books, dim)

@@ -31,7 +31,16 @@ object SparseSimOps {
 
   /** Candidate pairs with tf-cosine ≥ `minCosine` over the `dfCap`-
     * filtered vocabulary. Output: (id_a, id_b, cosine), id_a < id_b.
-    * Tokens are the `[a-z0-9]+` runs of the lowercased text. */
+    * Tokens are the `[a-z0-9]+` runs of the lowercased text.
+    *
+    * Measured-first note (sf0.1, round 8): localCheckpointing the
+    * posting table (and the norm-joined split input) to stop subplan
+    * recomputation moved the median only 0.83 s → 0.79 s — the runtime
+    * is dominated by the term-keyed pair join + integer dot aggregation,
+    * which no caching removes. The remaining gap vs the DuckDB oracle
+    * is that engine's vectorized list kernels on a constant factor, not
+    * a plan defect; the plan stays one shuffle per aggregation with the
+    * fan-out bounded by dfCap². */
   def tfCosinePairs(
       docs: DataFrame, idCol: String, textCol: String,
       minCosine: Double, dfCap: Long): DataFrame = {

@@ -17,9 +17,10 @@ import graft.Tables
   *
   * Cross-engine exactness discipline (same as RetrievalQueries): every
   * score is integer fixed-point BEFORE aggregation; ratio comparisons are
-  * exact cross-multiplications (128-bit: Spark DECIMAL(38,0) / DuckDB
-  * HUGEINT, so 1e13-token corpus counts cannot overflow); quantizers are
-  * SQL text shared verbatim by both engines.
+  * exact 128-bit cross-multiplications — scala BigInt on the collected
+  * bounded profile Spark-side, HUGEINT on the oracle side — so 1e13-token
+  * corpus counts cannot overflow; quantizers are SQL text shared verbatim
+  * by both engines.
   */
 object CurationQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -67,8 +68,14 @@ object CurationQueries {
     // join, no broadcast build, and no serial job-launch chain (measured
     // 2.14 s → ~0.7 s at sf0.1 — a derive-votes-as-a-plan form re-ran
     // the profile sub-DAG and paid three extra job launches). Votes use
-    // BigInt cross-multiplication — exact at any corpus scale, identical
-    // to the oracle's HUGEINT compare.
+    // BigInt cross-multiplication on the collected ≤B-row profile —
+    // exact at any corpus scale, identical to the oracle's HUGEINT
+    // compare. The remaining constant factor vs the oracle is the
+    // SECOND tokenize pass (profile job, then scoring job — the scoring
+    // plan cannot start before the collected profile exists);
+    // materializing the tokenized rows instead was measured to LOSE in
+    // this family (nllScores: checkpoint 0.73 s vs recompute 0.62 s),
+    // so the two-pass recompute is the chosen form.
     val profRows = tf.groupBy("bucket").agg(
         sum(when(col("source") === dsirTarget, col("tf")).otherwise(0L)).as("ct"),
         sum(when(col("source") =!= dsirTarget, col("tf")).otherwise(0L)).as("cr"))

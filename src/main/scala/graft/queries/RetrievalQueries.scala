@@ -68,11 +68,19 @@ object RetrievalQueries {
       "+ CAST(0.75 AS DOUBLE) * dl / avgdl)))) AS BIGINT)"
   private val bm25: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
+    // ONE tokenizer+tf_map pass per doc: dl is the sum of the map's tf
+    // values (= token count), so size(tokens) need not be recomputed —
+    // the round-7 review measured the tokenize kernel as the dominant
+    // per-row cost in this family.
+    val perDoc = docs.select(col("doc_id"),
+        expr("tf_map(ascii_alpha_tokens(text, 3))").as("tfm"))
+      .withColumn("dl",
+        expr("aggregate(map_values(tfm), 0L, (a, x) -> a + CAST(x AS LONG))"))
     // one row per (doc, distinct term) with its tf, plus the doc length
-    val dt = docs.select(col("doc_id"),
-        size(expr("ascii_alpha_tokens(text, 3)")).cast("long").as("dl"),
-        explode(expr("tf_map(ascii_alpha_tokens(text, 3))")).as(Seq("term", "tf")))
+    val dt = perDoc.select(col("doc_id"), col("dl"),
+        explode(col("tfm")).as(Seq("term", "tf")))
       .withColumn("tf", col("tf").cast("long"))
+    // corpus scalars tokenize WITHOUT the map build (cheaper kernel)
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(size(expr("ascii_alpha_tokens(text, 3)")).cast("long")), lit(0L))
@@ -170,8 +178,14 @@ object RetrievalQueries {
     * t_unigram_nll query and t_rrf_fusion's quality ranker read THIS —
     * the 'same ranker' claim is structural, not a copy. */
   private[queries] def nllScores(docs: DataFrame): DataFrame = {
+    // Measured-first note (sf0.1): recomputing the tokenized rows for the
+    // count-table side (0.62 s median of 7) beats localCheckpointing them
+    // once and reading twice (0.73 s) — materializing ~300k exploded
+    // token rows costs more than a second tokenizer pass over 5k docs,
+    // the same recompute-beats-materialize result dedup_span_scrub
+    // measured for its window table.
     val tf = tokenTf(docs, "doc_id")
-    val cnt = tokenTf(docs, "doc_id").groupBy("term")
+    val cnt = tf.groupBy("term")
       .agg(sum(col("tf")).as("cnt"))
     val tot = cnt.agg(sum(col("cnt")).as("tot"))
     tf.join(cnt, Seq("term"))
