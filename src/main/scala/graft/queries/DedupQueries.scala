@@ -939,29 +939,22 @@ object DedupQueries {
     * one shuffle groups by span hash — carrying ~Σ|doc| window rows is
     * the inherent price of exact all-window detection (Lee et al. pay
     * the same in a suffix-array sort); winnow_pairs remains the sampled
-    * scale path. The report is a bounded TakeOrderedAndProject. The
-    * exemplar rides the aggregation as min(doc_id·10^6 + pos) — one
-    * BIGINT min instead of a struct argmin, exact while pos < 10^6
-    * (inputs are capped at 300 cleaned chars). */
+    * scale path. The report is a bounded TakeOrderedAndProject.
+    *
+    * Implementation: [[graft.operators.SpanDedupOps.dupSpans]] with the
+    * cap passed as the FIXTURE parameter spanCap (300 keeps the oracle
+    * gate corpus small; the operator itself is uncapped-honest — struct
+    * argmin exemplar, exact beyond pos 10⁶, pinned in SpanDedupSpec).
+    * The oracle replays the exemplar as min(doc_id·10⁶ + pos), equal to
+    * the lexicographic (doc, pos) min exactly while pos < 10⁶ — which
+    * the 300-char fixture cap guarantees ON THE GATE ONLY. */
   private val spanK = 20
   private val spanTopN = 50
-  private val dedupDupSpans: Q = (s, dir) => {
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        posexplode(graft.functions.TextFns.charKgramHashesUdf(
-          substring(col("text"), 1, 300), lit(spanK))).as(Seq("pos", "h")))
-      .groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"),
-        min(col("doc_id") * 1000000L + col("pos")).as("ex_key"))
-      .filter(col("n_docs") >= 2)
-      .select(col("h"), col("n_docs"), col("n_occ"),
-        expr("ex_key div 1000000").as("ex_doc"),
-        (col("ex_key") % 1000000L).as("ex_pos"))
-      .orderBy(col("n_occ").desc, col("h"))
-      .limit(spanTopN)
+  private val spanCap = Some(300)
+  private val dedupDupSpans: Q = (s, dir) =>
+    graft.operators.SpanDedupOps.dupSpans(
+        t(s, dir, "documents"), "doc_id", "text", spanK, spanTopN, spanCap)
       .orderBy("h")
-  }
   private val dedupDupSpansSql =
     s"""SELECT h, n_docs, n_occ, ex_doc, ex_pos FROM (
        |  SELECT h, n_docs, n_occ, ex_key // 1000000 AS ex_doc, ex_key % 1000000 AS ex_pos
@@ -979,7 +972,7 @@ object DedupQueries {
        |          unnest(range(1, greatest(len(cl) - ${spanK - 1}, 0) + 1)) AS i
        |        FROM (
        |          SELECT doc_id,
-       |            regexp_replace(lower(substr(text, 1, 300)), '[^a-z0-9]', '', 'g') AS cl
+       |            regexp_replace(lower(substr(text, 1, ${spanCap.get})), '[^a-z0-9]', '', 'g') AS cl
        |          FROM documents)))
        |    GROUP BY h)
        |  WHERE n_docs >= 2
@@ -1000,45 +993,29 @@ object DedupQueries {
     * Scale shape: the duplicated-hash set is corpus-dependent (NOT
     * bounded model state), so it joins the window table by hash as a
     * plain shuffle join — AQE broadcasts while it fits; per-doc dup
-    * positions then collect row-locally (bounded by doc length, ≤ 281
-    * here), and the scrub itself is one row-local kernel pass. */
-  private val dedupSpanScrub: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
-    // Measured-first note (sf0.1): this double-scan formulation (the
-    // explode + O(n) rolling-hash kernel runs once per consumer) is the
-    // FASTEST of three tried — 1.8 s, vs 2.6 s with a localCheckpoint of
-    // the exploded windows (materializing 1.4 M rows costs more than
-    // recomputing them), vs 6.9 s fused into one aggregation
-    // (countDistinct+collect_list plans an Expand that doubles the
-    // exploded rows and builds occurrence lists for every hash, when
-    // only the tiny nd≥2 set is ever exploded back). Recompute beats
-    // materialize when the kernel is this cheap.
-    val w = docs.select(col("doc_id"),
-      posexplode(graft.functions.TextFns.charKgramHashesUdf(
-        substring(col("text"), 1, 300), lit(spanK))).as(Seq("pos", "h")))
-    val dup = w.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select("h")
-    val dupPos = w.join(dup, Seq("h"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("pos"))
-    docs.join(dupPos, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        size(coalesce(col("pos"), typedLit(Seq.empty[Int]))).as("n_dup_windows"),
-        graft.functions.TextFns.scrubSpansWithLenUdf(
-          substring(col("text"), 1, 300),
-          coalesce(col("pos"), typedLit(Seq.empty[Int])), lit(spanK))
-          .as("__s"))
-      .select(col("doc_id"), col("n_dup_windows"),
-        col("__s._1").as("cl_len"), col("__s._2").as("text_scrubbed"))
-      .withColumn("n_cut", col("cl_len") - length(col("text_scrubbed")))
-      .select("doc_id", "n_dup_windows", "cl_len", "n_cut", "text_scrubbed")
+    * positions then collect row-locally (bounded by (capped) doc
+    * length), and the scrub itself is one row-local kernel pass.
+    *
+    * Measured-first note (sf0.1): the operator's double-scan form (the
+    * explode + O(n) rolling-hash kernel runs once per consumer) is the
+    * FASTEST of three tried — 1.8 s, vs 2.6 s with a localCheckpoint of
+    * the exploded windows (materializing 1.4 M rows costs more than
+    * recomputing them), vs 6.9 s fused into one aggregation
+    * (countDistinct+collect_list plans an Expand that doubles the
+    * exploded rows and builds occurrence lists for every hash, when
+    * only the tiny nd≥2 set is ever exploded back). Recompute beats
+    * materialize when the kernel is this cheap.
+    *
+    * Implementation: [[graft.operators.SpanDedupOps.scrub]]; spanCap is
+    * the fixture parameter (see dedup_dup_spans). */
+  private val dedupSpanScrub: Q = (s, dir) =>
+    graft.operators.SpanDedupOps.scrub(
+        t(s, dir, "documents"), "doc_id", "text", spanK, spanCap)
       .orderBy("doc_id")
-  }
   private val dedupSpanScrubSql =
     s"""WITH c AS (
        |  SELECT doc_id,
-       |    regexp_replace(lower(substr(text, 1, 300)), '[^a-z0-9]', '', 'g') AS cl
+       |    regexp_replace(lower(substr(text, 1, ${spanCap.get})), '[^a-z0-9]', '', 'g') AS cl
        |  FROM documents),
        |w AS (
        |  SELECT doc_id, i - 1 AS pos,
