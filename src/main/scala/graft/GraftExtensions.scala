@@ -9,7 +9,8 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{AsciiTokensExpr, BpeCountExpr, BpeTokensExpr,
   DurationToHoursExpr, KGramsExpr, NormalizeNameExpr, RepStatsExpr,
-  LangHitsExpr, MinHashLanesExpr, RpProjectExpr, SimHashExpr, TfMapExpr,
+  LangHitsExpr, MinHashLanesExpr, RpProjectExpr, SimHashExpr,
+  SortableBitsExpr, TfMapExpr,
   VecDotExpr, VecSqDistExpr, VecSqNormExpr, WsWordCountExpr}
 
 /** SparkSessionExtensions hook (enable with
@@ -120,6 +121,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b, Literal(d: Int, IntegerType)) => VecSqDistExpr(a, b, d)
         case _ => throw new IllegalArgumentException("vec_sqdist(a, b, dim literal)")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("sortable_bits"),
+      new ExpressionInfo(classOf[SortableBitsExpr].getName, "sortable_bits"),
+      (children: Seq[Expression]) => SortableBitsExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("rp_project"),
       new ExpressionInfo(classOf[RpProjectExpr].getName, "rp_project"),

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the two hottest scalar functions
@@ -23,6 +23,13 @@ object NativeExprs {
     * (generated code cannot easily produce Option). */
   def durationToHoursJvm(s: UTF8String): Double =
     TextFns.convertDuration(s.toString, "hour").getOrElse(Double.NaN)
+
+  /** See [[SortableBitsExpr]]. doubleToLongBits canonicalizes every NaN
+    * to 0x7ff8…, which as a key lands above +Infinity's 0x7ff0…. */
+  def sortableBitsJvm(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+    if (b >= 0) b else b ^ Long.MaxValue
+  }
 }
 
 /** normalize_name as a codegen'd unary expression (reference
@@ -80,5 +87,36 @@ case class DurationToHoursExpr(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): DurationToHoursExpr =
+    copy(child = newChild)
+}
+
+/** Order-preserving DOUBLE -> BIGINT ranking key:
+  * `a < b  ⟺  sortable_bits(a) < sortable_bits(b)` under the engines'
+  * shared total order (-0.0 keyed equal to 0.0 — both engines sort them
+  * as ties; NaN keyed above +Infinity — both engines sort NaN largest).
+  * The IEEE-754 trick: non-negative doubles compare like their raw bits;
+  * negative doubles compare in REVERSED bit order, so flipping their 63
+  * magnitude bits (keeping the sign bit, which already orders them below
+  * the non-negatives as signed longs) makes the whole line monotone.
+  * Purpose: lets the bounded TopKOps aggregator rank real-valued scores
+  * map-side — the window-sort formulation it replaces is the classic
+  * 100 TB anti-shape (see TopKOps scaladoc). */
+case class SortableBitsExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"sortable_bits expects DOUBLE, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sortable_bits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NativeExprs.sortableBitsJvm(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NativeExprs.sortableBitsJvm($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SortableBitsExpr =
     copy(child = newChild)
 }

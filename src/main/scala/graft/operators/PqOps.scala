@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
@@ -194,12 +194,14 @@ object PqOps {
       .filter(col("codes").isNotNull)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("q_norm", SimilarityOps.normFlat(col("q_vec"), dim))
-    c.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("score", adc(col("q_vec"), col("codes")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("score").desc, col("c_id"))))
-      .filter(col("rank") <= k)
+    // Bounded top-k (TopKOps over the sortable_bits-encoded score), not
+    // a window sort — same replacement as the SimilarityOps family.
+    TopKOps.topKByScore(
+        c.crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("score",
+            adc(col("q_vec"), col("codes")) / (col("q_norm") * col("c_norm"))),
+        Seq("q_id"), col("score"), col("c_id"), k, tieName = "c_id")
       .select("q_id", "c_id", "rank")
   }
 }

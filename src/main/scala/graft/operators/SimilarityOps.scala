@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
@@ -17,19 +17,30 @@ import graft.functions.VectorFns
   *
   * Scale shapes:
   *   - bruteTopK broadcasts the (small) query set; the candidate table
-  *     streams through map-side only, and the per-query top-k heap is a
-  *     window over (query, cosine) — fine when |queries| is small, which
-  *     is the only regime where brute force is sane anyway.
+  *     streams through map-side only.
   *   - lshBucket assigns each vector an nPlanes-bit bucket scan-side
   *     (the hyperplanes are constant-folded md5-sign vectors — no
   *     broadcast data structure needed); bucketedTopK then joins ONLY
   *     within buckets: one shuffle on the bucket key, no cross product.
+  *   - every per-query top-k is the bounded TopKOps aggregator (k-entry
+  *     buffers, map-side combine) over the sortable_bits-encoded cosine
+  *     — round 8 replaced the row_number window tails, which shuffled
+  *     and SORTED the full scored pair table per query to keep k rows.
   */
 object SimilarityOps {
 
   /** L2 norm over the first `dim` elements (native vec_sqnorm kernel). */
   def normFlat(vecCol: Column, dim: Int): Column =
     sqrt(VectorFns.sqNormFlat(vecCol, dim))
+
+  /** Shared ranked tail: exact (q_id, c_id, rank) per-query top-k by
+    * `cosine` DESC with c_id tie-break — bounded aggregation, identical
+    * ordering to the window form it replaced (sortable_bits is order-
+    * preserving incl. the engines' NaN-largest / -0.0==0.0 rules). */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    TopKOps.topKByScore(scored, Seq("q_id"), col("cosine"), col("c_id"), k,
+        tieName = "c_id")
+      .select("q_id", "c_id", "rank")
 
   /** ±1 hyperplane component from md5 parity of "i_j" — the same value the
     * SQL oracle computes as (ascii(substr(md5(i||'_'||j),1,1)) % 2)*2-1.
@@ -95,11 +106,7 @@ object SimilarityOps {
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", VectorFns.cosineWithNorms(
         VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm")))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank")
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed top-k: rank candidates only within the query's bucket.
@@ -118,14 +125,12 @@ object SimilarityOps {
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", lshBucket("c_vec", nPlanes, dim))
       .withColumn("c_norm", normFlat(col("c_vec"), dim))
-    q.join(c, Seq("bucket"))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", VectorFns.cosineWithNorms(
-        VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank")
+    rankTopK(
+      q.join(c, Seq("bucket"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", VectorFns.cosineWithNorms(
+          VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm"))),
+      k)
   }
 
   /** Multi-probe variant of [[bucketedTopK]]: each query additionally
@@ -150,14 +155,12 @@ object SimilarityOps {
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", lshBucket("c_vec", nPlanes, dim))
       .withColumn("c_norm", normFlat(col("c_vec"), dim))
-    q.join(c, Seq("bucket"))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", VectorFns.cosineWithNorms(
-        VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank")
+    rankTopK(
+      q.join(c, Seq("bucket"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", VectorFns.cosineWithNorms(
+          VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm"))),
+      k)
   }
 
   /** All nTables bucket ids of a vector in one compiled pass — table t's
@@ -219,17 +222,15 @@ object SimilarityOps {
           posexplode(col("__tb")).as(Seq("tbl", "bucket")))
     val q = explodeTables(queries, "q")
     val c = explodeTables(candidates, "c")
-    q.join(c, Seq("tbl", "bucket"))
-      .filter(col("q_id") =!= col("c_id"))
-      .select("q_id", "c_id", "q_vec", "c_vec")
-      .dropDuplicates("q_id", "c_id")
-      .withColumn("cosine", VectorFns.cosineWithNorms(
-        VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim),
-        normFlat(col("q_vec"), dim), normFlat(col("c_vec"), dim)))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank")
+    rankTopK(
+      q.join(c, Seq("tbl", "bucket"))
+        .filter(col("q_id") =!= col("c_id"))
+        .select("q_id", "c_id", "q_vec", "c_vec")
+        .dropDuplicates("q_id", "c_id")
+        .withColumn("cosine", VectorFns.cosineWithNorms(
+          VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim),
+          normFlat(col("q_vec"), dim), normFlat(col("c_vec"), dim))),
+      k)
   }
 
   /** IVF-style top-k: a coarse quantizer assigns every vector to its
@@ -272,14 +273,12 @@ object SimilarityOps {
       queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
       "q_id", "q_vec", nProbe)
       .withColumn("q_norm", normFlat(col("q_vec"), dim))
-    q.join(c, Seq("cell"))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", VectorFns.cosineWithNorms(
-        VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "c_id", "rank")
+    rankTopK(
+      q.join(c, Seq("cell"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", VectorFns.cosineWithNorms(
+          VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm"))),
+      k)
   }
 
   /** The `keep` nearest centroid ids for a vector, ordered by

@@ -105,4 +105,22 @@ object TopKOps {
         (col("__pos") + 1).cast("int").as("rank") :+
         col("__p.o").as(orderName) :+ col("__p.t").as(tieName): _*)
   }
+
+  /** [[topKByValue]] for a real-valued (DOUBLE) score: the score is
+    * routed through the order-preserving `sortable_bits` key (see
+    * [[graft.functions.SortableBitsExpr]] — ties, -0.0 and NaN order
+    * exactly as the engines' `ORDER BY score DESC` would), so ranking
+    * by cosine/probability scores gets the same bounded map-side
+    * aggregation instead of the window sort. The encoded key is
+    * meaningless to callers and is dropped: output = groupCols ++
+    * (rank, tieName). Rows with a null score or tie are dropped, same
+    * as [[topKByValue]]. */
+  def topKByScore(
+      df: DataFrame, groupCols: Seq[String],
+      scoreCol: Column, tieCol: Column, k: Int,
+      tieName: String = "tie_val"): DataFrame =
+    topKByValue(df, groupCols,
+        call_function("sortable_bits", scoreCol.cast("double")), tieCol, k,
+        orderName = "__score_bits", tieName = tieName)
+      .drop("__score_bits")
 }
