@@ -17,6 +17,23 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a NARROW scan out to the session's parallelism — for kernel-
+    * heavy per-row stages (tokenize, rolling hash, vector math) whose
+    * map work would otherwise serialize on however few splits the input
+    * file has. The local fixtures are single-row-group parquet, so their
+    * scans are 1 task and a 46 µs/row kernel over 150k rows burns 7 s of
+    * ONE core on a 32-core session (round-8 bench finding, see
+    * fn_normalize_pipeline). Widen-only: at real scale the scan already
+    * carries >= parallelism splits and this is the identity — it never
+    * narrows, so it can never concentrate a 100 TB scan. Explicit
+    * numPartitions keeps AQE from coalescing the tiny exchange away.
+    * Apply ONLY where the per-row kernel dominates the stage — a fanned
+    * exchange on a scan-light query is pure overhead. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent
     * (TimestampType is microseconds). We read the raw int64 nanos
     * (`spark.sql.legacy.parquet.nanosAsLong`, set in [[Sessions.builder]]) and

@@ -55,7 +55,9 @@ object CurationQueries {
   private val dsirN = 100
   private val dsirTarget = "src0"
   private val dsir: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    // Tokenize dominates both passes: fan the narrow fixture scan out
+    // (Tables.fanOut scaladoc) or each pass runs on one core.
+    val docs = Tables.fanOut(t(s, dir, "documents"))
     val tf = RetrievalQueries.tokenTf(docs, "doc_id", "lang", "source")
       // h1-only bucket (CmsOps.bucket(term, 0, B) would still compute the
       // unused h2 — a second md5 pass per row)
@@ -432,7 +434,7 @@ object CurationQueries {
   private val pipeCurBudget = 512
   private val pipeCur: Q = (s, dir) => {
     val kept = graft.operators.CorpusOps.gopherKeep(
-      t(s, dir, "documents"), "text")
+      Tables.fanOut(t(s, dir, "documents")), "text")
     val mixed = graft.operators.QuotaOps.sqrtTemperatureSample(
       kept, "lang", pipeCurN,
       graft.operators.SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")))

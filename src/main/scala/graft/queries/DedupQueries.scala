@@ -22,7 +22,9 @@ object DedupQueries {
   /** documents ∪ planted near-dups (200-char prefix keeps the md5 volume
     * sane in both engines; the operator itself has no such limit). */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    // Hash kernels (minhash lanes / simhash / shingles) dominate the map
+    // stage: fan the narrow fixture scan out (Tables.fanOut scaladoc).
+    val d = Tables.fanOut(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"), substring(col("text"), 1, 200).as("t"))
     val planted = d.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("lang"),
@@ -297,7 +299,8 @@ object DedupQueries {
   // ------------------------------------------------ embedding near-dup
 
   private def embCorpus(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    // Vector kernels dominate: fan the narrow fixture scan out.
+    val e = Tables.fanOut(t(s, dir, "embeddings"))
     val planted = e.filter(col("vec_id") % 25 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
     e.select("vec_id", "embedding", "label").unionByName(planted)
@@ -348,7 +351,7 @@ object DedupQueries {
   // ------------------------------------------------------------ ANN
 
   private val annBrute: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings")
+    val e = Tables.fanOut(t(s, dir, "embeddings"))
     SimilarityOps.bruteTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 10)
       .orderBy("q_id", "rank")
   }
@@ -366,7 +369,7 @@ object DedupQueries {
        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   private val annBucketed: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings")
+    val e = Tables.fanOut(t(s, dir, "embeddings"))
     SimilarityOps.bucketedTopK(e.filter(col("vec_id") < 20), e,
         "vec_id", "embedding", 5, nPlanes = 8, dim = 64)
       .orderBy("q_id", "rank")
@@ -396,7 +399,7 @@ object DedupQueries {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   private val annMultiProbe: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings")
+    val e = Tables.fanOut(t(s, dir, "embeddings"))
     SimilarityOps.multiProbeTopK(e.filter(col("vec_id") < 20), e,
         "vec_id", "embedding", 5, nPlanes = 8, dim = 64)
       .orderBy("q_id", "rank")
@@ -429,7 +432,7 @@ object DedupQueries {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   private val annMultiTable: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings")
+    val e = Tables.fanOut(t(s, dir, "embeddings"))
     SimilarityOps.multiTableTopK(e.filter(col("vec_id") < 20), e,
         "vec_id", "embedding", 5, nTables = 8, nPlanes = 6, dim = 64)
       .orderBy("q_id", "rank")
@@ -463,7 +466,7 @@ object DedupQueries {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   private val annIvf: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings")
+    val e = Tables.fanOut(t(s, dir, "embeddings"))
     SimilarityOps.ivfTopK(e.filter(col("vec_id") < 10), e,
         "vec_id", "embedding", 5, nCells = 16, nProbe = 2)
       .orderBy("q_id", "rank")
@@ -499,7 +502,7 @@ object DedupQueries {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   private val annPq: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings")
+    val e = Tables.fanOut(t(s, dir, "embeddings"))
     graft.operators.PqOps.pqTopK(e.filter(col("vec_id") < 20), e,
         "vec_id", "embedding", 5, dim = 64, m = 8, ks = 16)
       .orderBy("q_id", "rank")
@@ -549,7 +552,7 @@ object DedupQueries {
     * decimal centroid means, tie -> lower cell id). */
   private val annKmeans: Q = (s, dir) =>
     graft.operators.KMeansOps.fitAssign(
-        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+        Tables.fanOut(t(s, dir, "embeddings")), "vec_id", "embedding", k = 8, iters = 2, dim = 64)
       .select(col("vec_id"), col("cell"))
       .orderBy("vec_id")
   /** sqdist against an already-double centroid list. */
@@ -678,7 +681,7 @@ object DedupQueries {
     * as integers and recall as basis points (n_hits * 10000 // n_brute)
     * so the hash-compare never meets a float rounding edge. */
   private val annRecall: Q = (s, dir) => {
-    val e = t(s, dir, "embeddings")
+    val e = Tables.fanOut(t(s, dir, "embeddings"))
     val q20 = e.filter(col("vec_id") < 20)
     val brute = SimilarityOps.bruteTopK(q20, e, "vec_id", "embedding", 5)
       .select("q_id", "c_id")
@@ -883,7 +886,7 @@ object DedupQueries {
     // kept-side anti-join; localCheckpoint materializes the per-row
     // rolling-hash UDF once instead of per consumer (same move as
     // t_cms_heavy / t_split_contamination).
-    val fps = t(s, dir, "documents")
+    val fps = Tables.fanOut(t(s, dir, "documents"))
       .select(col("doc_id"),
         explode(graft.functions.TextFns.winnowFingerprintArrUdf(
           substring(col("text"), 1, 300))).as("fp"))
@@ -953,7 +956,7 @@ object DedupQueries {
   private val spanCap = Some(300)
   private val dedupDupSpans: Q = (s, dir) =>
     graft.operators.SpanDedupOps.dupSpans(
-        t(s, dir, "documents"), "doc_id", "text", spanK, spanTopN, spanCap)
+        Tables.fanOut(t(s, dir, "documents")), "doc_id", "text", spanK, spanTopN, spanCap)
       .orderBy("h")
   private val dedupDupSpansSql =
     s"""SELECT h, n_docs, n_occ, ex_doc, ex_pos FROM (
@@ -1010,7 +1013,7 @@ object DedupQueries {
     * the fixture parameter (see dedup_dup_spans). */
   private val dedupSpanScrub: Q = (s, dir) =>
     graft.operators.SpanDedupOps.scrub(
-        t(s, dir, "documents"), "doc_id", "text", spanK, spanCap)
+        Tables.fanOut(t(s, dir, "documents")), "doc_id", "text", spanK, spanCap)
       .orderBy("doc_id")
   private val dedupSpanScrubSql =
     s"""WITH c AS (

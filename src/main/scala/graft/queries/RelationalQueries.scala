@@ -32,7 +32,9 @@ object RelationalQueries {
     * fn (reference crawler/metadata.py:258-259). Durations are whole
     * minutes so the 4-decimal rounding never sits on a .5 ulp boundary. */
   private val p1: Q = (s, dir) => {
-    val li = t(s, dir, "lineitem")
+    // duration_to_hours kernel over 600k rows: fan the 3-split fixture
+    // scan out (Tables.fanOut scaladoc).
+    val li = Tables.fanOut(t(s, dir, "lineitem"))
     val h = (col("l_quantity").cast("int") % 10).cast("int")
     val m = (col("l_partkey") % 60).cast("int")
     li.withColumn("dur_str",

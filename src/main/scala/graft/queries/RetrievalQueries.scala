@@ -67,7 +67,9 @@ object RetrievalQueries {
       "/ (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) " +
       "+ CAST(0.75 AS DOUBLE) * dl / avgdl)))) AS BIGINT)"
   private val bm25: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    // Tokenizer kernels dominate the map stage: fan the narrow fixture
+    // scan out (Tables.fanOut scaladoc) or it runs on one core.
+    val docs = Tables.fanOut(t(s, dir, "documents"))
     // ONE tokenizer+tf_map pass per doc: dl is the sum of the map's tf
     // values (= token count), so size(tokens) need not be recomputed —
     // the round-7 review measured the tokenize kernel as the dominant
@@ -184,7 +186,7 @@ object RetrievalQueries {
     // token rows costs more than a second tokenizer pass over 5k docs,
     // the same recompute-beats-materialize result dedup_span_scrub
     // measured for its window table.
-    val tf = tokenTf(docs, "doc_id")
+    val tf = tokenTf(Tables.fanOut(docs), "doc_id")
     val cnt = tf.groupBy("term")
       .agg(sum(col("tf")).as("cnt"))
     val tot = cnt.agg(sum(col("cnt")).as("tot"))

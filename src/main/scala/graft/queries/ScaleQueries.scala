@@ -374,7 +374,7 @@ object ScaleQueries {
     * join, so it is checkpointed once (scan + tokenize run once, not
     * per branch). */
   private val tSplitContam: Q = (s, dir) => {
-    val grams = QuotaOps.hashSplit(t(s, dir, "documents"),
+    val grams = QuotaOps.hashSplit(Tables.fanOut(t(s, dir, "documents")),
       SketchOps.portableHash(col("doc_id")), o8Slices)
       .filter(col("split") =!= "val")
       .withColumn("__toks", expr("ascii_tokens(text)"))
@@ -426,7 +426,7 @@ object ScaleQueries {
     * shape at 100 TB, where the candidate-pair vocabulary, not the
     * corpus, crosses the wire. */
   private val tBpePairs: Q = (s, dir) =>
-    t(s, dir, "documents")
+    Tables.fanOut(t(s, dir, "documents"))
       .select(expr("bpe_tokens(text)").as("tk"))
       .filter(size(col("tk")) >= 2)
       .select(explode(expr(
@@ -562,7 +562,7 @@ object ScaleQueries {
     "en" -> 0.40, "de" -> 0.30, "es" -> 0.30, "fr" -> 0.30, "zh" -> 0.20)
   private val pipeN = 400L
   private val pipe: Q = (s, dir) => {
-    val clean = t(s, dir, "documents")
+    val clean = Tables.fanOut(t(s, dir, "documents"))
       .withColumn("text", TextFns.redact_pii(col("text")))
     val ded = graft.operators.DedupOps.exactDedup(clean, "text", "doc_id")
     val mixed = QuotaOps.quotaSample(ded, "lang", pipeWeights.toMap, pipeN,

@@ -129,7 +129,7 @@ object TextQueries {
   // ---------------------------------------------------------- 2.8-F6
   /** d/m/yy date -> spoken Vietnamese, 2-digit year pivot <=30 -> 20xx. */
   private val fnDates: Q = (s, dir) => {
-    val o = t(s, dir, "orders")
+    val o = Tables.fanOut(t(s, dir, "orders"))
     o.withColumn("dstr", format_string("%d/%d/%02d",
         dayofmonth(col("o_orderdate")), month(col("o_orderdate")),
         (col("o_orderkey") % 100).cast("int")))
@@ -158,7 +158,9 @@ object TextQueries {
   /** Full normalize pipeline on a controlled Vietnamese sentence: URL
     * strip -> number/date normalization -> digit words -> collapse/lower. */
   private val fnPipeline: Q = (s, dir) => {
-    val o = t(s, dir, "orders")
+    // 5-regex-pass UDF per row: fan the narrow fixture scan out or the
+    // map stage runs on one core (Tables.fanOut scaladoc).
+    val o = Tables.fanOut(t(s, dir, "orders"))
     val q = (col("o_custkey") % 90 + 10).cast("int") // 2-digit
     val n3 = format_string("%03d", (col("o_orderkey") % 1000).cast("int"))
     o.withColumn("raw", concat(

@@ -57,4 +57,30 @@ class TablesSpec extends AnyFunSuite {
     assert(spark.table("events").select("ts_ns").head().getLong(0) ==
       microsUtc * 1000L)
   }
+
+  test("registerAll returns the names that failed to register") {
+    val root = java.nio.file.Files.createTempDirectory("tables_skip").toString
+    import spark.implicits._
+    Seq((0, "r0")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$root/region.parquet")
+    val skipped = Tables.registerAll(spark, root)
+    assert(!skipped.contains("region"))
+    assert(skipped.contains("orders") && skipped.contains("events"),
+      s"missing tables not reported: $skipped")
+  }
+
+  test("fanOut widens a narrow scan to the session parallelism and " +
+      "NEVER narrows an already-parallel input") {
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    val narrow = (1 to 100).toDF("x").coalesce(1)
+    assert(Tables.fanOut(narrow).rdd.getNumPartitions == p,
+      "narrow input not fanned to parallelism")
+    // widen-only contract: a scan already wider than the session must
+    // pass through untouched (at 100 TB this is the common case — a
+    // repartition there would CONCENTRATE the scan)
+    val wide = (1 to 100).toDF("x").repartition(p + 7)
+    assert(Tables.fanOut(wide).rdd.getNumPartitions == p + 7,
+      "fanOut narrowed an already-parallel input")
+  }
 }
