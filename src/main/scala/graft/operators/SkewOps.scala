@@ -34,6 +34,12 @@ object SkewOps {
       pmod(hash(large.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
-    salted.join(replicated, keys :+ "__salt").drop("__salt")
+    // shuffle_hash on the replicated side: the operator's contract is
+    // "small fits in memory per key", so a hash build there is safe and
+    // skips sort-merge's two full sorts of the salted shuffle (the same
+    // measured trade as j7's zip join; sorting the REPLICATED rows is
+    // pure overhead — the join output is re-aggregated or re-sorted by
+    // every caller anyway).
+    salted.join(replicated.hint("shuffle_hash"), keys :+ "__salt").drop("__salt")
   }
 }
