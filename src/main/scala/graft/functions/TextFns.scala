@@ -21,9 +21,10 @@ object TextFns {
     * a duration. Garbage/null => null. Reference:
     * tts_data_pipeline/__init__.py:32-73 (convert_duration).
     */
+  private val sepPat = Pattern.compile("[;:]+")
   def convertDuration(timeStr: String, unit: String): Option[Double] = {
     if (timeStr == null) return None
-    val cleaned = timeStr.trim.replaceAll("[;:]+", ":")
+    val cleaned = sepPat.matcher(timeStr.trim).replaceAll(":")
     val parts = cleaned.split(":", -1)
     try {
       var total = 0L
@@ -59,6 +60,7 @@ object TextFns {
     * NB: NFD does not decompose Vietnamese `đ`; it survives. Reference:
     * tts_data_pipeline/__init__.py:10-29 (normalize_name).
     */
+  private val namePunctPat = Pattern.compile("(?U)[^\\w\\s\\-]")
   def normalizeName(name: String): String = {
     if (name == null) return null
     val nfd = Normalizer.normalize(name, Normalizer.Form.NFD)
@@ -70,7 +72,7 @@ object TextFns {
     // Locale.ROOT everywhere case is folded: Python's str.lower/upper are
     // locale-independent, and a Turkish-locale JVM would otherwise fold
     // I<->ı differently than the reference and the SQL oracle.
-    sb.toString.replaceAll("(?U)[^\\w\\s\\-]", "")
+    namePunctPat.matcher(sb.toString).replaceAll("")
       .toLowerCase(java.util.Locale.ROOT).replace(" ", "-")
   }
   val normalizeNameUdf = udf((s: String) => Option(s).map(normalizeName))
@@ -198,9 +200,11 @@ object TextFns {
     * date/digit-words -> ws collapse -> lower). The underthesea step is
     * approximated by NFC only (documented divergence, SURVEY §7.5).
     * Reference: pre_processing/process_all.py:165-193. */
+  private val urlPat = Pattern.compile("https?://\\S+")
+  private val wsPat = Pattern.compile("\\s+")
   def normalizeText(text: String): String = {
     if (text == null || text.isEmpty) return ""
-    var t = text.replaceAll("https?://\\S+", "")
+    var t = urlPat.matcher(text).replaceAll("")
     t = Normalizer.normalize(t, Normalizer.Form.NFC)
     t = normalizeNumberFormats(t)
     t = normalizeCurrency(t)
@@ -210,7 +214,7 @@ object TextFns {
       try viDigits(numStr.toLong)
       catch { case _: Exception => mr.group() }
     }
-    t.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+    wsPat.matcher(t.trim).replaceAll(" ").toLowerCase(java.util.Locale.ROOT)
   }
   val normalizeTextUdf = udf((s: String) => Option(s).map(normalizeText))
 
