@@ -683,8 +683,12 @@ object DedupQueries {
   private val annRecall: Q = (s, dir) => {
     val e = Tables.fanOut(t(s, dir, "embeddings"))
     val q20 = e.filter(col("vec_id") < 20)
+    // The truth set is ≤ |q|·k = 100 rows but its PLAN is the full
+    // brute-force scoring pass; 5 methods × (semi-join + count) would
+    // re-execute that pass 10×. Materialize the tiny result once —
+    // bounded, so this is model-state caching, not row-data caching.
     val brute = SimilarityOps.bruteTopK(q20, e, "vec_id", "embedding", 5)
-      .select("q_id", "c_id")
+      .select("q_id", "c_id").localCheckpoint(true)
     def rec(name: String, m: DataFrame): DataFrame = {
       val hits = brute.join(m.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
       brute.agg(count(lit(1)).as("n_brute"))
