@@ -334,4 +334,28 @@ object KernelProps extends Properties("graft.kernels") {
         def c(rank: Int): Long = 1000000000L / (60L + rank)
         c(r1) + c(r2) > c(s)
     }
+
+  // -------------------------------------------- sortable_bits monotone
+  /** The ANN top-k tails rank a DOUBLE score through sortable_bits
+    * (TopKOps.topKByScore); the encoding must agree with the engines'
+    * comparison on every non-NaN pair — a single inversion would
+    * silently misrank. Generator covers full-range magnitudes, both
+    * signs, subnormals and zeros. */
+  private val anyDouble: Gen[Double] = Gen.oneOf(
+    Gen.choose(-1.7e308, 1.7e308),
+    Gen.choose(-1.0, 1.0),
+    Gen.choose(-1e-300, 1e-300),
+    Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.PositiveInfinity, Double.NegativeInfinity))
+
+  property("sortable_bits orders exactly like double comparison") =
+    forAll(anyDouble, anyDouble) { (a: Double, b: Double) =>
+      val ea = graft.functions.NativeExprs.sortableBitsJvm(a)
+      val eb = graft.functions.NativeExprs.sortableBitsJvm(b)
+      // a == b under IEEE (covers -0.0 vs 0.0) must key equal; otherwise
+      // the key comparison must match the value comparison.
+      if (a == b) ea == eb
+      else if (a < b) ea < eb
+      else ea > eb
+    }
 }
