@@ -301,10 +301,14 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ----------------------------------------------------------- SkewOps
   test("SkewOps.saltedInnerJoin: row-identical to the plain join under skew") {
-    // hot key: 900 of 1000 large rows share key "hot"
-    val large = (0 until 1000)
-      .map(i => (if (i < 900) "hot" else s"k$i", i.toLong)).toDF("k", "v")
-    val small = Seq(("hot", "H"), ("k950", "A"), ("missing", "X")).toDF("k", "tag")
+    // hot key: 900 of 1000 large rows share key "hot"; a null key on each
+    // side must drop exactly as the plain inner join drops it (the salt
+    // hash over a null-keyed row is fine — it's the equi-join that culls).
+    val large = ((0 until 1000)
+      .map(i => (if (i < 900) "hot" else s"k$i", i.toLong)) :+ ((null: String, -1L)))
+      .toDF("k", "v")
+    val small = Seq(("hot", "H"), ("k950", "A"), ("missing", "X"),
+      (null: String, "N")).toDF("k", "tag")
     val salted = SkewOps.saltedInnerJoin(large, small, Seq("k"), saltBuckets = 4)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted
     val plain = large.join(small, Seq("k"))
