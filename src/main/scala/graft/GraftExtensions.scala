@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{AsciiTokensExpr, BpeCountExpr, BpeTokensExpr,
-  DurationToHoursExpr, KGramsExpr, NormalizeNameExpr, RepStatsExpr,
+  DurationToHoursExpr, GraphemeLenExpr, KGramsExpr,
+  NfcNormalizeExpr, NormalizeNameExpr, RepStatsExpr,
   LangHitsExpr, MinHashLanesExpr, RpProjectExpr, SimHashExpr,
   SortableBitsExpr, TfMapExpr,
   VecDotExpr, VecSqDistExpr, VecSqNormExpr, WsWordCountExpr}
@@ -125,6 +126,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sortable_bits"),
       new ExpressionInfo(classOf[SortableBitsExpr].getName, "sortable_bits"),
       (children: Seq[Expression]) => SortableBitsExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalizeExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("grapheme_len"),
+      new ExpressionInfo(classOf[GraphemeLenExpr].getName, "grapheme_len"),
+      (children: Seq[Expression]) => GraphemeLenExpr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("rp_project"),
       new ExpressionInfo(classOf[RpProjectExpr].getName, "rp_project"),

@@ -691,9 +691,58 @@ object TextQueries {
        |  $gopherMaskSql = 0 AS keep
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- unicode kernels
+
+  /** Unicode NFC normalization (UnicodeExprs.NfcNormalizeExpr): the
+    * fixture text is pure ASCII, so each row gets a DECOMPOSED suffix
+    * built identically in both engines (combining acute + circumflex +
+    * ring, all BMP) — NFC must compose it (post_cp < pre_cp) and leave
+    * the ASCII prefix untouched. java.text.Normalizer and DuckDB's
+    * utf8proc both implement Unicode canonical composition, so the
+    * composed string itself hash-compares exactly. */
+  private val fnNfc: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("raw",
+        concat(substring(col("text"), 1, 60), lit("éôå")))
+      .select(col("doc_id"),
+        expr("nfc_normalize(raw)").as("norm"),
+        // builtin length == codepoints in BOTH engines (Spark's
+        // UTF8String.numChars walks UTF-8 lead bytes; UnicodeExprsSpec
+        // pins the astral case)
+        length(col("raw")).as("pre_cp"),
+        length(expr("nfc_normalize(raw)")).as("post_cp"))
+      .orderBy("doc_id")
+  private val fnNfcSql =
+    """SELECT doc_id,
+      |  nfc_normalize(substr(text, 1, 60) || 'e' || chr(769) || 'o' || chr(770) || 'a' || chr(778)) AS norm,
+      |  CAST(length(substr(text, 1, 60) || 'e' || chr(769) || 'o' || chr(770) || 'a' || chr(778)) AS INT) AS pre_cp,
+      |  CAST(length(nfc_normalize(substr(text, 1, 60) || 'e' || chr(769) || 'o' || chr(770) || 'a' || chr(778))) AS INT) AS post_cp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Grapheme-cluster vs codepoint length (UnicodeExprs): a repeated
+    * decomposed e+combining-acute suffix gives per-row variety; UAX #29
+    * (java.text.BreakIterator) and DuckDB length_grapheme agree each
+    * pair is ONE cluster, so g_len = 50 + r while cp_len = 50 + 2r. */
+  private val tGrapheme: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("raw", concat(substring(col("text"), 1, 50),
+        array_join(array_repeat(lit("é"),
+          (col("doc_id") % 3 + 1).cast("int")), "")))
+      .select(col("doc_id"),
+        length(col("raw")).as("cp_len"),
+        expr("grapheme_len(raw)").as("g_len"))
+      .orderBy("doc_id")
+  private val tGraphemeSql =
+    """SELECT doc_id,
+      |  CAST(length(substr(text, 1, 50) || repeat('e' || chr(769), doc_id % 3 + 1)) AS INT) AS cp_len,
+      |  CAST(length_grapheme(substr(text, 1, 50) || repeat('e' || chr(769), doc_id % 3 + 1)) AS INT) AS g_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "fn_nfc_normalize" -> fnNfc,
+    "t_grapheme_len" -> tGrapheme,
     "fn_duration_hours" -> fnDur,
     "fn_normalize_name" -> fnName,
     "fn_vi_digits" -> fnDigits,
@@ -722,6 +771,8 @@ object TextQueries {
     "t_gopher_gate" -> tGopherGate)
 
   val oracle: Map[String, String] = Map(
+    "fn_nfc_normalize" -> fnNfcSql,
+    "t_grapheme_len" -> tGraphemeSql,
     "fn_duration_hours" -> fnDurSql,
     "fn_normalize_name" -> fnNameSql,
     "fn_vi_digits" -> fnDigitsSql,
