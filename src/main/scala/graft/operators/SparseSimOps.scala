@@ -33,14 +33,18 @@ object SparseSimOps {
     * filtered vocabulary. Output: (id_a, id_b, cosine), id_a < id_b.
     * Tokens are the `[a-z0-9]+` runs of the lowercased text.
     *
-    * Measured-first note (sf0.1, round 8): localCheckpointing the
-    * posting table (and the norm-joined split input) to stop subplan
-    * recomputation moved the median only 0.83 s → 0.79 s — the runtime
-    * is dominated by the term-keyed pair join + integer dot aggregation,
-    * which no caching removes. The remaining gap vs the DuckDB oracle
-    * is that engine's vectorized list kernels on a constant factor, not
-    * a plan defect; the plan stays one shuffle per aggregation with the
-    * fan-out bounded by dfCap². */
+    * Measured-first note (sf0.1, re-measured late round 8):
+    * localCheckpointing the norm-joined split input to stop subplan
+    * recomputation saves ~0.3 s of a ~2.3 s median (2.4 vs 2.15 s over
+    * 3 alternating runs) — the materialization itself pays most of what
+    * recompute costs, because the runtime is dominated by ~6 SEQUENTIAL
+    * stage/broadcast-build jobs (df head → anti → norms → split-side
+    * builds → pair agg), each mostly fixed overhead at fixture size (the
+    * synthetic vocabulary keeps df≤dfCap pairs to ~150k rows — trivial
+    * compute). That dependency chain is inherent to the algorithm, its
+    * per-stage overhead amortizes at real scale, and no caching removes
+    * it, so the operator stays recompute-simple; the plan is one shuffle
+    * per aggregation with the fan-out bounded by dfCap². */
   def tfCosinePairs(
       docs: DataFrame, idCol: String, textCol: String,
       minCosine: Double, dfCap: Long): DataFrame = {

@@ -752,6 +752,44 @@ object RelationalQueries {
       |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** W10: per-key interval merge (gaps-and-islands; IntervalOps). Each
+    * order's line numbers spawn half-open [10·line, 10·line + qty)
+    * ranges whose integral quantities (1–50) overlap, nest, and gap in
+    * all combinations; the oracle replays the identical prior-rows-max
+    * island formulation in SQL. Integer-only arithmetic end to end. */
+  private val w10: Q = (s, dir) => {
+    val iv = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("okey"),
+        (col("l_linenumber") * 10).cast("int").as("s"),
+        ((col("l_linenumber") * 10) + col("l_quantity")).cast("int").as("e"))
+    graft.operators.IntervalOps.mergeIntervals(iv, "okey", "s", "e")
+      .select(col("okey"), col("span_start"), col("span_end"), col("n_merged"))
+      .orderBy("okey", "span_start")
+  }
+  private val w10Sql =
+    """WITH iv AS (
+      |  SELECT l_orderkey AS okey,
+      |    CAST(l_linenumber * 10 AS INT) AS s,
+      |    CAST(l_linenumber * 10 + l_quantity AS INT) AS e
+      |  FROM lineitem),
+      |flagged AS (
+      |  SELECT okey, s, e,
+      |    CASE WHEN MAX(e) OVER (PARTITION BY okey ORDER BY s, e
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR s > MAX(e) OVER (PARTITION BY okey ORDER BY s, e
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS new_island
+      |  FROM iv),
+      |islands AS (
+      |  SELECT okey, s, e,
+      |    SUM(new_island) OVER (PARTITION BY okey ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM flagged)
+      |SELECT okey, MIN(s) AS span_start, MAX(e) AS span_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_merged
+      |FROM islands GROUP BY okey, island
+      |ORDER BY okey, span_start""".stripMargin
+
   /** A15: ROLLUP grouping sets — (lang, source), (lang), () subtotals in
     * ONE pass (the grouping-set expand happens below the shuffle, so
     * map-side combine still applies; three separate aggregations would
@@ -972,6 +1010,7 @@ object RelationalQueries {
     "a12_outlier_count" -> a12,
     "w1_row_number" -> w1,
     "w9_moving_agg" -> w9,
+    "w10_interval_merge" -> w10,
     "a15_rollup" -> a15,
     "w2_order_in_group" -> w2,
     "w4_global_line_number" -> w4,
@@ -1048,6 +1087,7 @@ object RelationalQueries {
     "a12_outlier_count" -> a12Sql,
     "w1_row_number" -> w1Sql,
     "w9_moving_agg" -> w9Sql,
+    "w10_interval_merge" -> w10Sql,
     "a15_rollup" -> a15Sql,
     "w2_order_in_group" -> w2Sql,
     "w4_global_line_number" -> w4Sql,
