@@ -330,4 +330,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "emb_outlier_filter lost map-side combine on the score aggregation")
     assert(!p.contains("CartesianProduct"), "emb_outlier_filter plans a cartesian")
   }
+
+  test("interval merge shares ONE per-key sort across both window passes " +
+      "and combines the island aggregation map-side") {
+    // Both windows (prior-rows max, island counter) use the same
+    // (key ORDER BY s, e) spec, so the plan must contain exactly one
+    // hash exchange on the key — a second one means the spec diverged
+    // and the operator pays a full extra shuffle+sort of every interval.
+    val p = plan("w10_interval_merge")
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"w10 expected 1 hash exchange (shared window sort + agg reuse), got $hashEx:\n${p.take(900)}")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "w10 lost map-side combine on the island aggregation")
+    assert(p.linesIterator.count(_.trim.startsWith("+- Sort")) <= 2,
+      s"w10 regained an extra sort:\n${p.take(900)}")
+  }
 }
