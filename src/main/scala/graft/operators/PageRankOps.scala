@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank over an edge list (beyond-reference, SURVEY
+  * §2.11) — the source-authority score a crawl-driven corpus pipeline
+  * uses to prioritize fetches and to weight documents by the link
+  * standing of their origin (the reference crawls a flat catalog, but
+  * any web-scale corpus build ranks its frontier; Common Crawl derived
+  * corpora ship exactly this signal as a quality feature).
+  *
+  * Arithmetic is integer fixed-point end-to-end so the scores replay
+  * bit-for-bit in a second engine: ranks live in micro-units (1e6 =
+  * rank 1.0), a node's per-edge contribution is `rank // out_degree`
+  * (floor), and the damped update is
+  * `rank' = (1-d)·1e6 + (d_num · Σ contribs) // d_den` with d = 85/100.
+  * Floor-division truncation loses ≤ out_degree − 1 micro-units per
+  * node per round — a deterministic, engine-identical bias, the same
+  * trade every other fixed-point oracle in this repo makes (DSIR,
+  * Moore–Lewis, BM25). Dangling nodes (no out-edges) simply leak their
+  * mass rather than redistributing it: with a fixed iteration count
+  * and identical arithmetic in the oracle this is a defined, replayable
+  * variant (and the registered query's bipartite graph has none by
+  * construction).
+  *
+  * Scale shape per iteration: ONE shuffle — contributions are formed by
+  * an equi-join of the bounded rank table (|V| rows) against the edge
+  * list on `src`, then summed by `dst` with map-side combine. The edge
+  * list with its out-degrees is computed once, `localCheckpoint`ed, and
+  * re-read each round (same iterative-lineage treatment as
+  * GraphOps/KMeansOps); ranks are |V| rows per round, never collected.
+  * A fixed small iteration count is the norm for quality-signal ranks
+  * (convergence to 1e-3 relative takes ~O(log n / (1-d)) rounds; corpus
+  * weighting uses the coarse ordering, which stabilizes in 3-5).
+  */
+object PageRankOps {
+
+  /** PageRank after `iters` damped rounds on the directed graph
+    * `edges0(srcCol, dstCol)`. Duplicate edges are collapsed; null
+    * endpoints dropped; self-loops kept (they contribute to their own
+    * node, as in the standard formulation). Returns one row per node
+    * that appears as a source OR destination: (node, rank_micro).
+    *
+    * dampNum/dampDen: damping factor as an exact rational (default
+    * 85/100). Every node starts at 1e6 micro-units.
+    *
+    * `checkpoint = false` keeps the full iterative lineage in one lazy
+    * plan — unusable past a few rounds (lineage doubles per round) but
+    * the only way a test can INSPECT the per-round physical plan, which
+    * eager checkpointing otherwise collapses to a memory scan.
+    */
+  def pageRank(
+      edges0: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, dampNum: Long = 85L, dampDen: Long = 100L,
+      checkpoint: Boolean = true): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      s"damping $dampNum/$dampDen must be a fraction in [0,1]")
+    val base = (dampDen - dampNum) * 1000000L / dampDen // (1-d) * 1e6
+
+    // Canonical edge list + out-degree, materialized ONCE: every
+    // iteration re-reads this checkpoint, not the upstream lineage
+    // (which may itself be a join/explode pipeline).
+    val edgesRaw = edges0
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val edges = if (checkpoint) edgesRaw.localCheckpoint(true) else edgesRaw
+    val degrees = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+
+    // All nodes (sources ∪ destinations): pure sinks still hold rank
+    // and must appear in the output.
+    val nodesRaw = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val nodes = if (checkpoint) nodesRaw.localCheckpoint(true) else nodesRaw
+
+    // Edge with the source's out-degree attached — the join that would
+    // otherwise repeat identically inside every round happens once.
+    val outEdgesRaw = edges.join(degrees, "src")
+    val outEdges = if (checkpoint) outEdgesRaw.localCheckpoint(true) else outEdgesRaw
+
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 1 to iters) {
+      // `div` is exact integer division (Spark's `/` would round-trip
+      // through DOUBLE); all quantities are positive, so truncation ==
+      // floor == DuckDB's `//`.
+      val contribs = outEdges
+        .join(ranks, outEdges("src") === ranks("node"))
+        .select(col("dst"),
+          expr("rank_micro div out_deg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum(col("contrib")).as("mass"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(mass, 0L)) div $dampDen"))
+            .cast("long").as("rank_micro"))
+      ranks = if (checkpoint) ranks.localCheckpoint(true) else ranks // truncate iterative lineage
+    }
+    ranks
+  }
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{EvalOps, PageRankOps, RankOps, SketchOps}
+
+/** Round-8 beyond-reference operators (SURVEY §2.11): link-graph
+  * PageRank, portable HyperLogLog distinct sketch, histogram ROC-AUC,
+  * and size-balanced round-robin sharding over a distributed global
+  * rank. Every oracle replays the operator's exact integer arithmetic —
+  * including the HLL ESTIMATE and the damped fixed-point PageRank
+  * update — per the house sketch rule (SketchOps scaladoc).
+  */
+object MetricsQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---------------------------------------------------------------- g1
+
+  /** G1: PageRank over the bipartite supplier↔part supply graph from
+    * lineitem (distinct pairs, both directions, so every node has an
+    * out-edge and no dangling-mass rule is needed). Node ids are
+    * namespaced — part → 2·partkey, supplier → 2·suppkey+1 — because
+    * the two key spaces overlap numerically. 3 damped rounds at
+    * d = 85/100, micro-unit fixed point (PageRankOps). */
+  private val g1: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_partkey"))
+    val fwd = li.select((col("l_suppkey") * 2 + 1).as("src"),
+      (col("l_partkey") * 2).as("dst"))
+    val rev = li.select((col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    PageRankOps.pageRank(fwd.union(rev), "src", "dst", iters = 3)
+      .orderBy("node")
+  }
+
+  private def g1Round(i: Int): String =
+    s"""c$i AS (
+       |  SELECT e.dst AS node, SUM(r${i - 1}.r // deg.d) AS m
+       |  FROM e JOIN deg ON e.src = deg.src
+       |         JOIN r${i - 1} ON r${i - 1}.node = e.src
+       |  GROUP BY e.dst),
+       |r$i AS (
+       |  SELECT n.node,
+       |    CAST(150000 + (85 * COALESCE(c$i.m, 0)) // 100 AS BIGINT) AS r
+       |  FROM n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+  private val g1Sql =
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+       |  FROM lineitem
+       |  UNION
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+       |n AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+       |${(1 to 3).map(g1Round).mkString(",\n")}
+       |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin
+
+  // ------------------------------------------------------------- t_hll
+
+  /** T-HLL: per-event-type distinct-user HyperLogLog estimate vs exact
+    * (m = 64 portable registers; raw estimator, small-n bias documented
+    * in SketchOps — KMV is the exact-below-k companion sketch). */
+  private val tHll: Q = (s, dir) =>
+    SketchOps.hllDistinct(t(s, dir, "events"), Seq("event_type"),
+        col("user_id"))
+      .orderBy("event_type")
+  private val hllEstNum: Long =
+    SketchOps.hllAlphaNum * SketchOps.hllM * SketchOps.hllM *
+      (1L << (SketchOps.hllRestBits + 1))
+  private val tHllSql = {
+    val m = SketchOps.hllM
+    val w = 1L << (SketchOps.hllRestBits + 1)
+    val rho = (1 to SketchOps.hllRestBits)
+      .map(k => s"CASE WHEN rest % ${1L << k} = 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH h0 AS (
+       |  SELECT event_type,
+       |    ((user_id % 999999937 + 999999937) * 123456791 + 7919) % 999999937 AS h1
+       |  FROM events WHERE user_id IS NOT NULL),
+       |h AS (SELECT event_type, (h1 * h1 + 7919) % 999999937 AS h FROM h0),
+       |b AS (SELECT event_type, h % $m AS bucket, h // $m AS rest FROM h),
+       |r AS (SELECT event_type, bucket, MAX(1 + $rho) AS rho
+       |      FROM b GROUP BY event_type, bucket),
+       |s AS (SELECT event_type, COUNT(*) AS nr,
+       |        SUM(CAST(1 AS BIGINT) << (${SketchOps.hllRestBits + 1} - rho)) AS sp
+       |      FROM r GROUP BY event_type),
+       |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+       |      FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+       |SELECT s.event_type, CAST(nr AS INT) AS n_reg,
+       |  CAST($hllEstNum // (${SketchOps.hllAlphaDen} * (($m - nr) * $w + sp))
+       |    AS BIGINT) AS est_distinct,
+       |  exact_distinct
+       |FROM s JOIN x ON s.event_type = x.event_type
+       |ORDER BY s.event_type""".stripMargin
+  }
+
+  // ------------------------------------------------------------- a16
+
+  /** A16: ROC-AUC of the event `value` as a predictor of
+    * event_type = 'purchase', scores quantized to 0.01 buckets — the
+    * histogram rank-sum formulation (EvalOps) whose only global pass is
+    * over the bucket table. */
+  private val a16: Q = (s, dir) =>
+    EvalOps.aucPpm(t(s, dir, "events"),
+      floor(col("value") * 100), col("event_type") === lit("purchase"))
+  private val a16Sql =
+    """WITH h AS (
+      |  SELECT CAST(FLOOR(value * 100) AS BIGINT) AS bucket,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+      |    SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS n
+      |  FROM events WHERE value IS NOT NULL
+      |  GROUP BY 1),
+      |w AS (
+      |  SELECT p, n,
+      |    COALESCE(SUM(n) OVER (ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_below
+      |  FROM h)
+      |SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(n) AS BIGINT) AS n_neg,
+      |  CAST(CASE WHEN SUM(p) > 0 AND SUM(n) > 0
+      |    THEN (SUM(p * (2 * n_below + n)) * 1000000) // (2 * SUM(p) * SUM(n))
+      |    END AS BIGINT) AS auc_ppm
+      |FROM w""".stripMargin
+
+  // ------------------------------------------------------------- o14
+
+  /** O14: size-balanced round-robin sharding of the documents corpus
+    * into 8 shards (largest-first deal over the distributed global
+    * rank — RankOps; no single-partition pass over the rows), reported
+    * as per-shard doc counts and char totals. The near-equal
+    * total_chars across shards IS the operator's point. */
+  private val o14Shards = 8
+  private val o14: Q = (s, dir) =>
+    RankOps.roundRobinShards(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id").asc), o14Shards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("shard")
+  private val o14Sql =
+    s"""WITH r AS (
+       |  SELECT doc_id, n_chars,
+       |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM documents),
+       |s AS (SELECT CAST((rn - 1) % $o14Shards AS INT) AS shard, n_chars FROM r)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ------------------------------------------------------------ maps
+
+  val queries: Map[String, Q] = Map(
+    "g1_pagerank" -> g1,
+    "t_hll_distinct" -> tHll,
+    "a16_auc" -> a16,
+    "o14_balanced_shards" -> o14)
+
+  val oracle: Map[String, String] = Map(
+    "g1_pagerank" -> g1Sql,
+    "t_hll_distinct" -> tHllSql,
+    "a16_auc" -> a16Sql,
+    "o14_balanced_shards" -> o14Sql)
+}

@@ -21,7 +21,7 @@ object GenOracleBody {
       DedupQueries.oracle ++ IoQueries.oracle ++
       StatefulQueries.oracle ++ MiscQueries.oracle ++
       ScaleQueries.oracle ++ RetrievalQueries.oracle ++
-      CurationQueries.oracle
+      CurationQueries.oracle ++ MetricsQueries.oracle
 
   /** Whitespace-collapse: safe because no oracle SQL string literal
     * contains a newline or a run of 2+ spaces (asserted in OracleSyncSpec).

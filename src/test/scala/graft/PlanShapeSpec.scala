@@ -347,4 +347,59 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.trim.startsWith("+- Sort")) <= 2,
       s"w10 regained an extra sort:\n${p.take(900)}")
   }
+
+  test("HLL sketch: two keyed aggregations, both map-side combined, no cartesian") {
+    // Register build groups (key, bucket) with partial MAX; the fold to
+    // the estimate groups the <= m register rows per key. Both must show
+    // a partial aggregate so shuffle bytes stay bounded by registers,
+    // not rows.
+    val p = plan("t_hll_distinct")
+    assert(p.contains("partial_max"), "t_hll register build lost map-side MAX")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("windowspecdefinition"), "t_hll should not window")
+  }
+
+  test("pagerank: keyed joins and map-side-combined mass sums, no cartesian, no window") {
+    // The registered query eagerly checkpoints each round, so ITS
+    // executed plan is just a memory scan; inspect one un-checkpointed
+    // round instead (checkpoint = false exists for exactly this).
+    import org.apache.spark.sql.functions.col
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_suppkey"), col("l_partkey"))
+    val edges = li.select((col("l_suppkey") * 2 + 1).as("src"),
+        (col("l_partkey") * 2).as("dst"))
+      .union(li.select((col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst")))
+    val p = graft.operators.PageRankOps
+      .pageRank(edges, "src", "dst", iters = 1, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "g1 plans a cartesian product")
+    assert(p.contains("partial_sum"), "g1 lost map-side combine on contribution sums")
+    assert(!p.contains("windowspecdefinition"), "g1 should not window")
+  }
+
+  test("AUC: the only window runs over the bucket histogram, above an aggregate") {
+    // Parents print before children: the Window node must appear BEFORE
+    // (= above) the bucket HashAggregate in the plan text, i.e. its
+    // input is the histogram, never the raw event rows.
+    val p = plan("a16_auc")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.contains("partial_sum"), "a16 lost histogram aggregation")
+    assert(p.indexOf("HashAggregate", winIdx) >= 0,
+      s"a16 window is not above the bucket aggregate:\n${p.take(900)}")
+  }
+
+  test("global rank: one range exchange, in-partition ids, no data-row window") {
+    // RankOps' contract: the rows see exactly one RangePartitioning
+    // exchange (the sort Spark would do anyway); the only Window is the
+    // running offset over the P-row partition-stats aggregate; offsets
+    // join back as a broadcast.
+    val p = plan("o14_balanced_shards")
+    assert(p.contains("Exchange rangepartitioning"), "o14 lost the range exchange")
+    assert(p.contains("monotonically_increasing_id"), "o14 lost the in-partition id")
+    assert(p.contains("BroadcastHashJoin"), "o14 offsets join must broadcast")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx < 0 || p.indexOf("HashAggregate", winIdx) >= 0,
+      s"o14 window must sit above the P-row stats aggregate:\n${p.take(900)}")
+  }
 }
