@@ -201,4 +201,54 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Token-set CONTAINMENT pairs — the asymmetric near-dup measure
+    * Jaccard systematically misses: a short document quoted wholesale
+    * inside a long one has tiny Jaccard (union is dominated by the long
+    * doc) but containment |A∩B| / min(|A|,|B|) ≈ 1. Standard in corpus
+    * dedup for subset/quotation collapse where size ratios are skewed.
+    *
+    * `gramsCol` supplies each row's DISTINCT gram set (typically
+    * `distinct_kgrams(ascii_tokens(text), k)` word shingles — the
+    * fixture's flat 30-word vocabulary makes single-token sets
+    * meaningless, and real corpora want shingle-level containment
+    * anyway).
+    *
+    * Mechanism is the inverted-index exact path (SparseSimOps' shape,
+    * not another LSH): distinct grams explode to postings, a document-
+    * frequency cap drops stopword-class tokens (df > dfCap) BEFORE the
+    * postings self-join — they generate quadratic pair rows and carry no
+    * containment signal — and shared counts group map-side-combined on
+    * the (a, b) pair. All set sizes are measured over the SAME capped
+    * universe, so the ppm score divides two integers both engines
+    * compute identically; the cap is part of the operator definition,
+    * not an approximation knob hidden from the oracle.
+    *
+    * Scale shape: one shuffle to postings (keyed by token), one keyed
+    * self-join whose per-token fan-out is bounded by dfCap², one
+    * map-side-combined pair aggregation, two bounded joins against the
+    * |docs|-row size table. No cartesian anywhere; posting-list skew is
+    * capped by construction. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, gramsCol: Column,
+      dfCap: Int, minContainPpm: Long): DataFrame = {
+    val grams = df.select(col(idCol).as("id"), explode(gramsCol).as("g"))
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("g")
+    val kept = grams.join(rare, "g")
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = kept.toDF("g", "id_a")
+    val b = kept.toDF("g", "id_b")
+    a.join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("cont_ppm",
+        expr("(shared * 1000000) div least(n_a, n_b)"))
+      .filter(col("cont_ppm") >= minContainPpm)
+      .select("id_a", "id_b", "shared", "cont_ppm")
+  }
 }

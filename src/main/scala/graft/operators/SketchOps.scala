@@ -184,12 +184,24 @@ object SketchOps {
     * pure arithmetic that both engines evaluate identically, no
     * bit-intrinsics portability question.
     *
-    * Plan shape: shuffle 1 groups (group, register) with map-side MAX
-    * combine; shuffle 2 folds ≤ m register rows per group. The exact
-    * column is the usual two-level distinct aggregate. Output:
+    * Plan shape: ONE scan → (group, value) distinct (map-side partial
+    * distinct) feeding BOTH the register build (shuffle on
+    * (group, register) with map-side MAX combine, then a ≤ m-row fold
+    * per group) and the exact count (a plain count over the same
+    * distinct frame). Output:
     * groupCols ++ (n_reg, est_distinct, exact_distinct). */
   def hllDistinct(
       df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
+    // ONE scan feeds both outputs: the (group, value)-distinct frame is
+    // simultaneously the exact count's input and the register build's
+    // input (duplicates cannot move a MAX register, so hashing after
+    // the distinct is value-identical — and the distinct shuffle
+    // combines map-side, so this costs one bounded exchange, not a
+    // second pass over 100 TB).
+    val distinctVals = df
+      .filter(valueCol.isNotNull)
+      .select(groupCols.map(col) :+ valueCol.as("__v"): _*)
+      .distinct()
     // KMV reads only the ORDER of hashes, so the affine portable hash is
     // enough there; HLL reads the BITS, and an affine map mod a prime
     // keeps arithmetic-progression inputs linearly structured in the low
@@ -198,13 +210,12 @@ object SketchOps {
     // h < 1e9 so h² < 1e18 fits BIGINT in both engines) scatters the
     // residues: the same inputs then estimate within ~8% at n from 150
     // to 100k. Replayable verbatim in the oracle SQL.
-    val h = (portableHash(valueCol) * portableHash(valueCol) + 7919L) % hashM
+    val h = (portableHash(col("__v")) * portableHash(col("__v")) + 7919L) % hashM
     val weightBits = hllRestBits + 1
     val rho = (1 to hllRestBits)
       .map(k => when(col("__rest") % (1L << k) === 0L, 1).otherwise(0))
       .reduce(_ + _) + lit(1)
-    val registers = df
-      .filter(valueCol.isNotNull)
+    val registers = distinctVals
       .select(groupCols.map(col) :+ h.as("__h"): _*)
       .select(groupCols.map(col) :+ (col("__h") % hllM).as("__bucket") :+
         expr(s"__h div $hllM").as("__rest"): _*)
@@ -222,9 +233,9 @@ object SketchOps {
         expr(s"$estNum div ($hllAlphaDen * " +
           s"(($hllM - n_reg) * ${1L << weightBits} + __s_present))"))
       .drop("__s_present")
-    val exact = df.filter(valueCol.isNotNull)
+    val exact = distinctVals
       .groupBy(groupCols.map(col): _*)
-      .agg(countDistinct(valueCol).as("exact_distinct"))
+      .agg(count(lit(1)).as("exact_distinct"))
     sketch.join(exact, groupCols)
   }
 }

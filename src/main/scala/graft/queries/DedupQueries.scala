@@ -1050,7 +1050,49 @@ object DedupQueries {
        |  cl_len - len(text_scrubbed) AS n_cut, text_scrubbed
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- containment
+
+  /** Token-shingle CONTAINMENT pairs (subset/quotation collapse): the
+    * asymmetric measure that catches a short doc quoted inside a long
+    * one where Jaccard dilutes to nothing. Shingle sets (word 3-grams)
+    * rather than token sets: the fixture vocabulary is ~30 words, so
+    * token-set containment is saturated noise while the 16k-shingle
+    * universe discriminates. df-capped postings self-join; the cap and
+    * the ppm floor-division are part of the operator definition and
+    * replay exactly in the oracle (DedupOps.containmentPairs). */
+  private val contDfCap = 50
+  private val contMinPpm = 600000L
+  private val dedupContainment: Q = (s, dir) =>
+    DedupOps.containmentPairs(
+        Tables.fanOut(t(s, dir, "documents")),
+        "doc_id", expr("distinct_kgrams(ascii_tokens(text), 3)"),
+        contDfCap, contMinPpm)
+      .orderBy("id_a", "id_b")
+  private val dedupContainmentSql =
+    s"""WITH toked AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS stoks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(stoks) - 2, 1) + 1),
+       |    j -> array_to_string(stoks[j:j+2], ' ')))) AS g
+       |  FROM toked),
+       |rare AS (SELECT g FROM (SELECT g, COUNT(*) AS df FROM sh GROUP BY g)
+       |         WHERE df <= $contDfCap),
+       |kept AS (SELECT doc_id, g FROM sh JOIN rare USING (g)),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY doc_id),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+       |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, shared,
+       |  (shared * 1000000) // least(sa.n, sb.n) AS cont_ppm
+       |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE (shared * 1000000) // least(sa.n, sb.n) >= $contMinPpm
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dedup_containment" -> dedupContainment,
     "dedup_span_scrub" -> dedupSpanScrub,
     "dedup_dup_spans" -> dedupDupSpans,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
@@ -1074,6 +1116,7 @@ object DedupQueries {
     "ann_recall" -> annRecall)
 
   val oracle: Map[String, String] = Map(
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_span_scrub" -> dedupSpanScrubSql,
     "dedup_dup_spans" -> dedupDupSpansSql,
     "dedup_winnow_pairs" -> dedupWinnowPairsSql,

@@ -157,17 +157,108 @@ object MetricsQueries {
        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------- t_zipf
+
+  /** T-ZIPF: Zipf slope of the corpus rank-frequency curve — the
+    * corpus-health scalar (natural text ≈ −1; machine spam and
+    * template floods bend it) fit by integer least squares over
+    * quantized logs. Term counts come from the same tokenizer as the
+    * unigram LM; ranks come from RankOps' distributed global row
+    * number (the vocab is Zipf-bounded but web-scale — a single-task
+    * ROW_NUMBER here would be the classic collapse); lnq quantization
+    * is the t_unigram_nll idiom (floor(1e6·ln) of DISTINCT INTEGERS
+    * only), after which slope_ppm = (n·Σxy − Σx·Σy)·10⁶ div
+    * (n·Σx² − Σx·Σx) is pure integer math. Sums lift to DECIMAL(38,0)
+    * (Σx² terms pass BIGINT at ~1e5 terms; DuckDB sums in HUGEINT);
+    * both engines' integer division truncates toward zero, so the
+    * negative slope divides identically. */
+  private val tZipf: Q = (s, dir) => {
+    import graft.queries.{RetrievalQueries => RQ}
+    val cnt = RQ.tokenTf(Tables.fanOut(t(s, dir, "documents")), "doc_id")
+      .groupBy("term").agg(sum(col("tf")).as("cnt"))
+    RankOps.globalRowNumber(cnt, Seq(col("cnt").desc, col("term").asc), "rank")
+      .select(
+        expr("CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(rank AS DOUBLE))) AS BIGINT)").as("x"),
+        expr("CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .select(col("n_terms"),
+        expr("CAST(((n_terms * sxy - sx * sy) * 1000000) div (n_terms * sxx - sx * sx) AS BIGINT)")
+          .as("slope_ppm"))
+  }
+  private val tZipfSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+      |  FROM documents),
+      |cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY term),
+      |rk AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank FROM cnt),
+      |xy AS (
+      |  SELECT
+      |    CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+      |    CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS y
+      |  FROM rk)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y)) * 1000000) //
+      |       (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS BIGINT) AS slope_ppm
+      |FROM xy""".stripMargin
+
+  // ------------------------------------------------- t_percentile_gate
+
+  /** T-PGATE: dynamic-threshold gate — keep documents at or above the
+    * corpus p90 of n_chars, where the threshold itself is computed by
+    * the query (two-pass: exact histogram percentile over DISTINCT
+    * values, then a 1-row broadcast against the scan). The lower-
+    * quantile definition (smallest v with cum_count ≥ ceil(0.9·N),
+    * ceil as (9N+9) div 10) keeps everything integer. The window runs
+    * over the value histogram, never the rows — StatsOps' percentile
+    * argument. */
+  private val pGate: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+    val total = hist.agg(sum(col("c")).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val thr = hist.withColumn("cc", sum(col("c")).over(w))
+      .crossJoin(broadcast(total))
+      .filter(col("cc") >= expr("(9 * nn + 9) div 10"))
+      .agg(min(col("n_chars")).as("thr"))
+    docs.crossJoin(broadcast(thr))
+      .filter(col("n_chars") >= col("thr"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+  private val pGateSql =
+    """WITH h AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM h),
+      |cum AS (
+      |  SELECT n_chars, SUM(c) OVER (ORDER BY n_chars
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      |  FROM h),
+      |thr AS (SELECT MIN(n_chars) AS thr FROM cum
+      |        WHERE cc >= (SELECT (9 * nn + 9) // 10 FROM t))
+      |SELECT doc_id, n_chars FROM documents
+      |WHERE n_chars >= (SELECT thr FROM thr)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1,
     "t_hll_distinct" -> tHll,
     "a16_auc" -> a16,
-    "o14_balanced_shards" -> o14)
+    "o14_balanced_shards" -> o14,
+    "t_zipf_slope" -> tZipf,
+    "t_percentile_gate" -> pGate)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> g1Sql,
     "t_hll_distinct" -> tHllSql,
     "a16_auc" -> a16Sql,
-    "o14_balanced_shards" -> o14Sql)
+    "o14_balanced_shards" -> o14Sql,
+    "t_zipf_slope" -> tZipfSql,
+    "t_percentile_gate" -> pGateSql)
 }
