@@ -61,20 +61,25 @@ object PageRankOps {
   def pageRank(
       edges0: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampNum: Long = 85L, dampDen: Long = 100L,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4, assumeDistinct: Boolean = false): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     require(iters > 0, "iters must be positive")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping $dampNum/$dampDen must be a fraction in [0,1]")
     val base = (dampDen - dampNum) * 1000000L / dampDen // (1-d) * 1e6
 
-    // Canonical edge list + out-degree, materialized ONCE: every
-    // iteration re-reads this checkpoint, not the upstream lineage
-    // (which may itself be a join/explode pipeline).
-    val edgesRaw = edges0
+    // Canonical edge list + out-degree. `assumeDistinct` skips the
+    // dedup shuffle when the CALLER's construction already guarantees
+    // unique edges (e.g. a union of two namespace-disjoint mirrors of
+    // one distinct frame — half the dedup volume of deduping the union;
+    // measured 3.5 -> 2.3 s on the registered query's 1.2M-edge graph).
+    // Duplicates under a false claim would inflate degrees AND double
+    // contributions — a correctness contract, so callers get it only by
+    // asking.
+    val projected = edges0
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    val edgesRaw = if (assumeDistinct) projected else projected.distinct()
     val materializeBase = iters >= checkpointEvery
     val edges = if (materializeBase) edgesRaw.localCheckpoint(true) else edgesRaw
     val degrees = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
