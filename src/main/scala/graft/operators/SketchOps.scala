@@ -202,40 +202,62 @@ object SketchOps {
       .filter(valueCol.isNotNull)
       .select(groupCols.map(col) :+ valueCol.as("__v"): _*)
       .distinct()
-    // KMV reads only the ORDER of hashes, so the affine portable hash is
-    // enough there; HLL reads the BITS, and an affine map mod a prime
-    // keeps arithmetic-progression inputs linearly structured in the low
-    // bits — measured: sequential/AP ids estimated up to 1.8-2x high.
-    // One non-linear squaring round mod the same prime ((h²+7919) mod M,
-    // h < 1e9 so h² < 1e18 fits BIGINT in both engines) scatters the
-    // residues: the same inputs then estimate within ~8% at n from 150
-    // to 100k. Replayable verbatim in the oracle SQL.
-    val h = (portableHash(col("__v")) * portableHash(col("__v")) + 7919L) % hashM
-    val weightBits = hllRestBits + 1
+    val sketch = hllEstimate(
+      hllRegisters(distinctVals, groupCols, col("__v")), groupCols)
+    val exact = distinctVals
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("exact_distinct"))
+    sketch.join(exact, groupCols)
+  }
+
+  /** The HLL register build alone: (groupCols..., bucket, rho) with
+    * rho = MAX of the geometric observable per register. Factored out
+    * because MAX-per-register is duplicate-blind AND merge-associative,
+    * which makes this exact same plan a RUNNING STREAMING aggregation
+    * (FileStream.streamingHllRegisters): state = ≤ m small rows per
+    * group, the bounded-state property the sketch exists for.
+    *
+    * Hash note: KMV reads only the ORDER of hashes, so the affine
+    * portable hash is enough there; HLL reads the BITS, and an affine
+    * map mod a prime keeps arithmetic-progression inputs linearly
+    * structured in the low bits — measured: sequential/AP ids estimated
+    * up to 1.8-2x high. One non-linear squaring round mod the same
+    * prime ((h²+7919) mod M, h < 1e9 so h² < 1e18 fits BIGINT in both
+    * engines) scatters the residues: the same inputs then estimate
+    * within ~8% at n from 150 to 100k. Replayable verbatim in the
+    * oracle SQL. */
+  def hllRegisters(
+      df: DataFrame, groupCols: Seq[String], valueCol: Column): DataFrame = {
+    val h = (portableHash(valueCol) * portableHash(valueCol) + 7919L) % hashM
     val rho = (1 to hllRestBits)
       .map(k => when(col("__rest") % (1L << k) === 0L, 1).otherwise(0))
       .reduce(_ + _) + lit(1)
-    val registers = distinctVals
+    df.filter(valueCol.isNotNull)
       .select(groupCols.map(col) :+ h.as("__h"): _*)
-      .select(groupCols.map(col) :+ (col("__h") % hllM).as("__bucket") :+
+      .select(groupCols.map(col) :+ (col("__h") % hllM).as("bucket") :+
         expr(s"__h div $hllM").as("__rest"): _*)
       .withColumn("__rho", rho)
-      .groupBy(groupCols.map(col) :+ col("__bucket"): _*)
-      .agg(max(col("__rho")).as("__reg"))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("__rho")).as("rho"))
+  }
+
+  /** Fold a register table (from [[hllRegisters]], batch or the final
+    * state of the streaming build) to the estimate:
+    * (groupCols..., n_reg, est_distinct). Integer end-to-end:
+    * Σ 2^-ρ scaled by 2^(restBits+1) into an exact integer, empty
+    * registers contributing full weight, one floor division. */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val weightBits = hllRestBits + 1
     // est = α·m² / Σ 2^-ρ = (αNum·m²·2^weightBits) div (αDen·S)
     val estNum = hllAlphaNum * hllM * hllM * (1L << weightBits)
-    val sketch = registers
+    registers
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast("int").as("n_reg"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $weightBits - __reg)"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $weightBits - rho)"))
           .as("__s_present"))
       .withColumn("est_distinct",
         expr(s"$estNum div ($hllAlphaDen * " +
           s"(($hllM - n_reg) * ${1L << weightBits} + __s_present))"))
       .drop("__s_present")
-    val exact = distinctVals
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("exact_distinct"))
-    sketch.join(exact, groupCols)
   }
 }

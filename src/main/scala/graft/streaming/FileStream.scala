@@ -271,6 +271,22 @@ object FileStream {
       d: Int, w: Int): DataFrame =
     graft.operators.CmsOps.cmsBuild(terms, termCol, cntCol, d, w)
 
+  /** Streaming HyperLogLog registers: the HLL register build as a
+    * running streaming aggregation over an unbounded value stream —
+    * per-register MAX is duplicate-blind and merge-associative, so
+    * Update/Complete mode state is exactly the register table (≤ m
+    * small rows per group, bounded by construction, never by
+    * watermark — the CMS-grid argument, for distinct counting). The
+    * final state folds to the estimate with SketchOps.hllEstimate
+    * (two chained aggregations are not streamable in one query; the
+    * fold is a per-group ≤ m-row batch step over the sink).
+    * Batch parity is pinned in FileStreamSpec: registers(all batches)
+    * == SketchOps.hllRegisters(union), hence identical estimates. */
+  def streamingHllRegisters(
+      df: DataFrame, groupCols: Seq[String],
+      valueCol: org.apache.spark.sql.Column): DataFrame =
+    graft.operators.SketchOps.hllRegisters(df, groupCols, valueCol)
+
   /** Watermarked stream-stream interval join: each left event joined to
     * the right events sharing its key whose event time falls within
     * [left_ts - horizon, left_ts] (attribution-style: a purchase joined

@@ -370,6 +370,41 @@ class FileStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL registers: running state converges to the batch registers and estimate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = FileStream.streamingHllRegisters(
+        mem.toDS().toDF("g", "v"), Seq("g"), col("v"))
+      .writeStream.format("memory").queryName("shll_out")
+      .outputMode("complete").start()
+    try {
+      val b1 = (1L to 400L).map(i => ("a", i * 7919L)) ++ Seq(("b", 5L))
+      val b2 = (200L to 600L).map(i => ("a", i * 7919L)) // overlaps b1: dup-blind
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      def regs(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Int]("rho")).toMap
+      val streamed = spark.table("shll_out")
+      val batch = graft.operators.SketchOps.hllRegisters(
+        (b1 ++ b2).toDF("g", "v"), Seq("g"), col("v"))
+      assert(regs(streamed) == regs(batch), "streamed registers diverged from batch")
+      // state is the register table: bounded by m per group
+      assert(streamed.count() <= 2L * graft.operators.SketchOps.hllM)
+      // the fold over the final state gives the same estimate as batch
+      val se = graft.operators.SketchOps.hllEstimate(streamed, Seq("g"))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val be = graft.operators.SketchOps.hllEstimate(batch, Seq("g"))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(se == be)
+      assert(math.abs(se("a") - 600L) < 120L, s"estimate sanity: ${se("a")}")
+    } finally q.stop()
+  }
+
   test("windowed event counts with watermark (batch-mode semantics check)") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val agg = FileStream.windowedEventCounts(ev, "ts", "event_type", "1 hour", "10 minutes")
