@@ -261,6 +261,43 @@ object MetricsQueries {
       |WHERE n_chars >= (SELECT thr FROM thr)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- o15_weighted
+
+  /** O15: deterministic weighted (PPS) sampling — top-5 documents per
+    * source by priority w/u (Duffield–Lund–Thorup priority sampling),
+    * with the uniform draw u replaced by the portable hash of doc_id
+    * scaled to (0, 1]: priority_fp = (w · M) div (h + 1). Bigger docs
+    * win proportionally more often, the draw is regeneration-stable
+    * (hash, not rand), and the whole thing replays in SQL. The top-k
+    * tail is TopKOps' bounded map-side aggregation — never a window
+    * sort over the corpus. */
+  private val o15K = 5
+  private val o15: Q = (s, dir) => {
+    import graft.operators.{SketchOps => SK, TopKOps}
+    val pri = t(s, dir, "documents")
+      .withColumn("priority_fp",
+        expr(s"(n_chars * ${SK.hashM}) div " +
+          s"((((doc_id % ${SK.hashM} + ${SK.hashM}) * 123456791 + 7919) % ${SK.hashM}) + 1)"))
+    TopKOps.topKByValue(pri, Seq("source"),
+        col("priority_fp"), col("doc_id"), o15K,
+        orderName = "priority_fp", tieName = "doc_id")
+      .orderBy("source", "rank")
+  }
+  private val o15Sql =
+    s"""WITH pr AS (
+       |  SELECT source, doc_id,
+       |    (n_chars * 999999937) //
+       |      (((doc_id % 999999937 + 999999937) * 123456791 + 7919) % 999999937 + 1)
+       |      AS priority_fp
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, priority_fp,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY priority_fp DESC, doc_id ASC) AS INT) AS rank
+       |  FROM pr)
+       |SELECT source, rank, priority_fp, doc_id FROM r
+       |WHERE rank <= $o15K ORDER BY source, rank""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
@@ -269,7 +306,8 @@ object MetricsQueries {
     "a16_auc" -> a16,
     "o14_balanced_shards" -> o14,
     "t_zipf_slope" -> tZipf,
-    "t_percentile_gate" -> pGate)
+    "t_percentile_gate" -> pGate,
+    "o15_weighted_sample" -> o15)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> g1Sql,
@@ -277,5 +315,6 @@ object MetricsQueries {
     "a16_auc" -> a16Sql,
     "o14_balanced_shards" -> o14Sql,
     "t_zipf_slope" -> tZipfSql,
-    "t_percentile_gate" -> pGateSql)
+    "t_percentile_gate" -> pGateSql,
+    "o15_weighted_sample" -> o15Sql)
 }

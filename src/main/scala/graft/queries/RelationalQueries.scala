@@ -790,6 +790,64 @@ object RelationalQueries {
       |FROM islands GROUP BY okey, island
       |ORDER BY okey, span_start""".stripMargin
 
+  /** W11: ordered funnel depth — per user, did a view precede a click
+    * that preceded a purchase (in (ts, event_id) order)? The sequence
+    * match is two STACKED prior-rows cumulative-max windows over ONE
+    * shared (user_id, ts, event_id) sort (the w10 exchange-sharing
+    * shape): v_prev marks "a view happened strictly before this row",
+    * c2 marks qualifying clicks, vc_prev cascades, and the per-user
+    * flags collapse in one aggregation. depth = s1+s2+s3 is exact
+    * because the stages are structurally nested (s3 -> s2 -> s1).
+    * Output: funnel depth 0..3 with user counts — the conversion
+    * histogram every event-analytics stack computes, expressed without
+    * any self-join of the event log against itself (the O(n²)
+    * formulation this operator exists to avoid). */
+  private val w11: Q = (s, dir) => {
+    val order = Seq(col("ts"), col("event_id"))
+    val prior = Window.partitionBy("user_id").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isView = when(col("event_type") === "view", 1).otherwise(0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("v_prev", coalesce(max(isView).over(prior), lit(0)))
+      .withColumn("c2",
+        when(col("event_type") === "click" && col("v_prev") === 1, 1).otherwise(0))
+      .withColumn("vc_prev", coalesce(max(col("c2")).over(prior), lit(0)))
+      .groupBy("user_id")
+      .agg(max(isView).as("s1"), max(col("c2")).as("s2"),
+        max(when(col("event_type") === "purchase" && col("vc_prev") === 1, 1)
+          .otherwise(0)).as("s3"))
+      .groupBy((col("s1") + col("s2") + col("s3")).cast("int").as("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("depth")
+  }
+  private val w11Sql =
+    """WITH f1 AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    COALESCE(MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      OVER w, 0) AS v_prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |f2 AS (
+      |  SELECT *, CASE WHEN event_type = 'click' AND v_prev = 1
+      |    THEN 1 ELSE 0 END AS c2
+      |  FROM f1),
+      |f3 AS (
+      |  SELECT *, COALESCE(MAX(c2) OVER w, 0) AS vc_prev
+      |  FROM f2
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |u AS (
+      |  SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+      |    MAX(c2) AS s2,
+      |    MAX(CASE WHEN event_type = 'purchase' AND vc_prev = 1
+      |      THEN 1 ELSE 0 END) AS s3
+      |  FROM f3 GROUP BY user_id)
+      |SELECT CAST(s1 + s2 + s3 AS INT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM u GROUP BY depth ORDER BY depth""".stripMargin
+
   /** A15: ROLLUP grouping sets — (lang, source), (lang), () subtotals in
     * ONE pass (the grouping-set expand happens below the shuffle, so
     * map-side combine still applies; three separate aggregations would
@@ -1011,6 +1069,7 @@ object RelationalQueries {
     "w1_row_number" -> w1,
     "w9_moving_agg" -> w9,
     "w10_interval_merge" -> w10,
+    "w11_funnel_depth" -> w11,
     "a15_rollup" -> a15,
     "w2_order_in_group" -> w2,
     "w4_global_line_number" -> w4,
@@ -1088,6 +1147,7 @@ object RelationalQueries {
     "w1_row_number" -> w1Sql,
     "w9_moving_agg" -> w9Sql,
     "w10_interval_merge" -> w10Sql,
+    "w11_funnel_depth" -> w11Sql,
     "a15_rollup" -> a15Sql,
     "w2_order_in_group" -> w2Sql,
     "w4_global_line_number" -> w4Sql,

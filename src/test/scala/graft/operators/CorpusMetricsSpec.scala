@@ -52,6 +52,63 @@ class CorpusMetricsSpec extends AnyFunSuite {
     assert(got == (90L to 100L).map(i => (i, i)))
   }
 
+  test("weighted sample matches the w/u priority reference and is PPS-biased") {
+    import spark.implicits._
+    val m = 999999937L
+    def hash(v: Long) = ((v % m + m) * 123456791L + 7919L) % m
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 200L).map(i =>
+      (i, "t", if (i == 7L) 1000000L else rnd.nextInt(500).toLong + 1L))
+    val dir = Files.createTempDirectory("graft_o15").toString
+    rows.map { case (id, t, n) => (id, t, n, "s" + (id % 2)) }
+      .toDF("doc_id", "text", "n_chars", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("o15_weighted_sample")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // reference: top-5 per source by (w*M)/(h+1) desc, doc_id asc
+    val ref = rows.map { case (id, _, n) => ("s" + (id % 2), id, n * m / (hash(id) + 1)) }
+      .groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+        ds.sortBy(d => (-d._3, d._2)).take(5).zipWithIndex
+          .map { case ((_, id, pri), i) => (src, i + 1, pri, id) }
+      }.sortBy(t => (t._1, t._2))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == ref)
+    // PPS bias observed: the mega-weight doc is sampled (it can still be
+    // OUTRANKED by a doc that drew a tiny u — w/u is heavy-tailed, and
+    // this fixture contains such a draw (doc 81, h=8620) — but a 2000x
+    // weight advantage cannot miss the top five of a 100-doc shard).
+    assert(got.exists(_._4 == 7L))
+  }
+
+  test("funnel depth matches a per-user subsequence reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val types = Seq("view", "click", "purchase", "error")
+    val rows = (1L to 600L).map { i =>
+      (i, new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+        (i % 40) + 1L, types(rnd.nextInt(types.size)))
+    }
+    val dir = Files.createTempDirectory("graft_w11").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("w11_funnel_depth")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // reference: ordered subsequence scan per user
+    val ref = rows.groupBy(_._3).values.map { es =>
+      val seq = es.sortBy(e => (e._2.getTime, e._1)).map(_._4)
+      var depth = 0
+      for (t <- seq) depth match {
+        case 0 => if (t == "view") depth = 1
+        case 1 => if (t == "click") depth = 2
+        case 2 => if (t == "purchase") depth = 3
+        case _ =>
+      }
+      depth
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == ref, s"got $got vs ref $ref")
+    assert(got.values.sum == 40L)
+  }
+
   test("percentile gate threshold lands on a duplicated value correctly") {
     // 95 docs at 10 chars, 5 at 99: ceil(0.9*100)=90 <= 95 -> threshold
     // is 10 and EVERYTHING survives (lower-quantile semantics, no
