@@ -252,16 +252,96 @@ object RetrievalQueries {
       |  x -> CAST(floor(x * 1000000.0) AS BIGINT)), ',') AS proj_fp
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------ t_bigram_nll
+
+  /** T-BIGRAM: per-document NLL under a corpus BIGRAM LM with add-1
+    * smoothing — the next modeling step past t_unigram_nll (word-order
+    * violations, shuffled/templated text, and collocation-free spam
+    * score high where a unigram model is blind; CCNet-class pipelines
+    * use exactly this escalation before paying for a neural scorer).
+    *
+    *   P(w2|w1) = (c2(w1 w2) + 1) / (c1(w1) + V)
+    *   nll_fp   = Σ_bigrams tf · (lnq(c1 + V) − lnq(c2 + 1))
+    *
+    * lnq = floor(1e6·ln) over DISTINCT INTEGERS only (ln(a/b) split as
+    * lnq(a) − lnq(b), the Moore–Lewis trick), so the score is exact
+    * integer math after a few hundred quantized logs. Bigrams come from
+    * the SAME codegen'd kgrams kernel the minhash family shingles with
+    * (k = 2, adjacency-ordered, non-distinct); degenerate sub-2-token
+    * grams are excluded by the contains-space filter on the Spark side
+    * and by range(1, len) construction in the oracle — a 2-token gram
+    * contains exactly one space, so the two constructions agree.
+    *
+    * Scale shape: one shuffle to per-doc bigram tf; the model tables
+    * (c2 by bigram, c1 folded FROM c2 — never a second corpus pass; V
+    * as a 1-row broadcast) are vocab-bounded; scoring joins tf → c2 →
+    * c1 on model keys (AQE broadcasts while they fit, the unigram-NLL
+    * argument) and re-aggregates per doc map-side. */
+  private val bigramNll: Q = (s, dir) => {
+    val docs = Tables.fanOut(t(s, dir, "documents"))
+    val bg = docs.select(col("doc_id"),
+        explode(expr("kgrams(ascii_alpha_tokens(text, 3), 2)")).as("bg"))
+      .filter(col("bg").contains(" "))
+    val tf = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val c2 = tf.groupBy("bg").agg(sum(col("tf")).as("c2"))
+    val c1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val v = docs.select(explode(expr("ascii_alpha_tokens(text, 3)")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    tf.join(c2, "bg")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(c1, "w1")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("tf"),
+        (expr("CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(c1 + v AS DOUBLE))) AS BIGINT)") -
+          expr("CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(c2 + 1 AS DOUBLE))) AS BIGINT)"))
+          .as("lnq_diff"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("lnq_diff")).as("nll_fp"))
+      .withColumn("nll_per_bg_fp", expr("nll_fp div n_bigrams"))
+      .orderBy("doc_id")
+  }
+  private val bigramNllSql =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{3,}') AS toks
+      |  FROM documents),
+      |uni AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM (
+      |  SELECT unnest(toks) AS t FROM tok)),
+      |bgr AS (
+      |  SELECT doc_id, array_to_string(toks[j:j+1], ' ') AS bg
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS j FROM tok)),
+      |tf AS (SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS tf FROM bgr GROUP BY 1, 2),
+      |c2t AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS c2 FROM tf GROUP BY bg),
+      |c1t AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+      |        FROM c2t GROUP BY 1),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.tf,
+      |    CAST(floor(CAST(1000000 AS DOUBLE) *
+      |      ln(CAST(c1t.c1 + (SELECT v FROM uni) AS DOUBLE))) AS BIGINT) -
+      |    CAST(floor(CAST(1000000 AS DOUBLE) *
+      |      ln(CAST(c2t.c2 + 1 AS DOUBLE))) AS BIGINT) AS lnq_diff
+      |  FROM tf JOIN c2t USING (bg)
+      |       JOIN c1t ON c1t.w1 = string_split(tf.bg, ' ')[1])
+      |SELECT doc_id, n_bigrams, nll_fp, nll_fp // n_bigrams AS nll_per_bg_fp
+      |FROM (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(tf * lnq_diff) AS BIGINT) AS nll_fp
+      |  FROM sc GROUP BY doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "t_bm25_topk" -> bm25,
     "t_unigram_nll" -> unigramNll,
+    "t_bigram_nll" -> bigramNll,
     "emb_rp_project" -> rp)
 
   val oracle: Map[String, String] = Map(
     "t_bm25_topk" -> bm25Sql,
     "t_unigram_nll" -> unigramNllSql,
+    "t_bigram_nll" -> bigramNllSql,
     "emb_rp_project" -> rpSql)
 
   /** Sort-free bench forms (global ORDER BY exists only for the oracle's

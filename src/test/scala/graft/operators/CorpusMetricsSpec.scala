@@ -109,6 +109,28 @@ class CorpusMetricsSpec extends AnyFunSuite {
     assert(got.values.sum == 40L)
   }
 
+  test("bigram NLL is word-order sensitive where unigram NLL is blind") {
+    // 20 docs of the same natural sentence + 1 doc with the SAME words
+    // shuffled: identical bags -> identical unigram scores; broken
+    // collocations -> the shuffled doc must score strictly higher per
+    // bigram. This is the signal the bigram escalation exists for.
+    val sentence = "the quick brown fox jumps over the lazy dog and " +
+      "the calm white cat naps under the warm red roof"
+    val shuffled = new scala.util.Random(5)
+      .shuffle(sentence.split(" ").toSeq).mkString(" ")
+    val docs = (1L to 20L).map(i => (i, sentence, 1L)) :+ ((21L, shuffled, 1L))
+    val dir = docsDir(docs)
+    def perUnit(q: String, idx: Int): Map[Long, Long] =
+      graft.SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(idx)).toMap
+    val bg = perUnit("t_bigram_nll", 3) // nll_per_bg_fp
+    assert(bg(21L) > bg(1L),
+      s"shuffled doc should score worse under bigrams: ${bg(21L)} vs ${bg(1L)}")
+    val uni = graft.SparkEntry.queries("t_unigram_nll")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap // nll_per_tok_fp
+    assert(uni(21L) == uni(1L), "unigram must be order-blind on equal bags")
+  }
+
   test("percentile gate threshold lands on a duplicated value correctly") {
     // 95 docs at 10 chars, 5 at 99: ceil(0.9*100)=90 <= 95 -> threshold
     // is 10 and EVERYTHING survives (lower-quantile semantics, no
