@@ -56,4 +56,48 @@ object RangeJoinOps {
         col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop(pt("__bin")).drop(iv("__bin"))
   }
+
+  /** Interval-OVERLAP join: half-open intervals [aS, aE) × [bS, bE)
+    * within a shared key, matched when they overlap (aS < bE ∧ bS < aE)
+    * — the alignment primitive (forced-alignment segments × sentence
+    * windows, attribution windows × sessions) whose naive form is the
+    * same nested-loop cliff as the point case.
+    *
+    * Both sides explode to the fixed-width bins they cover; the
+    * equi-join runs on (key, bin) and an overlapping pair would meet in
+    * EVERY bin their intersection touches — so instead of a post-join
+    * `distinct` (a full extra shuffle of the pair stream), each pair is
+    * emitted only from its OWNER bin, the bin containing the
+    * intersection's start max(aS, bS). Exactly one bin owns any
+    * overlapping pair, so the output is duplicate-free by construction;
+    * a residual predicate rejects the same-bin near-misses.
+    *
+    * Scale shape: one keyed shuffle per side, compared pairs bounded by
+    * per-(key, bin) occupancy, fan-out ceil(len/width)+1 per interval —
+    * pick `binWidth` near the typical interval length, and salt the
+    * (key, bin) key via SkewOps if one window is hot. */
+  def intervalOverlapJoin(
+      a: DataFrame, b: DataFrame, keyCol: String,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val collide = a.columns.toSet.intersect(b.columns.toSet) - keyCol
+    require(collide.isEmpty,
+      s"side column names collide: ${collide.mkString(", ")} — rename one side first")
+    def bin(c: Column): Column = floor(c / lit(binWidth)).cast("long")
+    // Half-open: an interval's last covered bin is bin(end - 1); empty
+    // or invalid intervals (start >= end) drop out up front.
+    def binned(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(s).isNotNull && col(e).isNotNull && col(s) < col(e))
+      .withColumn("__bin", explode(sequence(bin(col(s)), bin(col(e) - 1))))
+    val bb = binned(b, bStart, bEnd)
+      .withColumnRenamed(keyCol, "__bkey")
+      .withColumnRenamed("__bin", "__bbin")
+    binned(a, aStart, aEnd)
+      .join(bb, col(keyCol) === col("__bkey") &&
+        col("__bin") === col("__bbin") &&
+        col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        col("__bin") === bin(greatest(col(aStart), col(bStart))))
+      .drop("__bin", "__bbin", "__bkey")
+  }
 }

@@ -116,6 +116,46 @@ object ScaleQueries {
        |FROM pt JOIN iv ON pt_us BETWEEN start_us AND end_us
        |ORDER BY iv_id, event_id""".stripMargin
 
+  // --------------------------------------------------------------- j13
+
+  /** J13: interval-OVERLAP join within a key — odd vs even line-number
+    * spans per order (the w10 interval fixture, split into two sides),
+    * matched on [s, e) overlap via the owner-bin equi-join
+    * (RangeJoinOps.intervalOverlapJoin): each overlapping pair is
+    * emitted from exactly one bin, so no post-join distinct, no
+    * cartesian, no nested loop (pinned in PlanShapeSpec). The oracle is
+    * the direct inequality join — DuckDB's IEJoin handles it at fixture
+    * scale; the binned form is the one that survives 100 TB. */
+  private val j13BinW = 16L
+  private val j13: Q = (s, dir) => {
+    val iv = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("okey"), col("l_linenumber").as("line"),
+      (col("l_linenumber") * 10).cast("long").as("s"),
+      (col("l_linenumber") * 10 + col("l_quantity")).cast("long").as("e"))
+    val a = iv.filter(col("line") % 2 === 1).select(col("okey"),
+      col("line").as("a_line"), col("s").as("a_s"), col("e").as("a_e"))
+    val b = iv.filter(col("line") % 2 === 0).select(col("okey"),
+      col("line").as("b_line"), col("s").as("b_s"), col("e").as("b_e"))
+    RangeJoinOps.intervalOverlapJoin(a, b, "okey",
+        "a_s", "a_e", "b_s", "b_e", j13BinW)
+      .select(col("okey"), col("a_line"), col("b_line"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("ov_len"))
+      .orderBy("okey", "a_line", "b_line")
+  }
+  private val j13Sql =
+    """WITH iv AS (
+      |  SELECT l_orderkey AS okey, l_linenumber AS line,
+      |    CAST(l_linenumber * 10 AS BIGINT) AS s,
+      |    CAST(l_linenumber * 10 + l_quantity AS BIGINT) AS e
+      |  FROM lineitem),
+      |a AS (SELECT * FROM iv WHERE line % 2 = 1),
+      |b AS (SELECT * FROM iv WHERE line % 2 = 0)
+      |SELECT a.okey AS okey, a.line AS a_line, b.line AS b_line,
+      |  CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS ov_len
+      |FROM a JOIN b ON a.okey = b.okey AND a.s < b.e AND b.s < a.e
+      |ORDER BY a.okey, a_line, b_line""".stripMargin
+
   // ------------------------------------------------------------- t_kmv
 
   /** T-KMV: per-event-type distinct-user estimate via the portable
@@ -618,6 +658,7 @@ object ScaleQueries {
     "w7_sequence_pack" -> w7,
     "w8_chunk_overlap" -> w8,
     "j12_range_join" -> j12,
+    "j13_interval_overlap" -> j13,
     "t_kmv_distinct" -> tKmv,
     "t_sampled_quantiles" -> tSq,
     "o6_quota_sample" -> o6,
@@ -636,6 +677,7 @@ object ScaleQueries {
     "w7_sequence_pack" -> w7Sql,
     "w8_chunk_overlap" -> w8Sql,
     "j12_range_join" -> j12Sql,
+    "j13_interval_overlap" -> j13Sql,
     "t_kmv_distinct" -> tKmvSql,
     "t_sampled_quantiles" -> tSqSql,
     "o6_quota_sample" -> o6Sql,

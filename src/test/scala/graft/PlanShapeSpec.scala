@@ -348,6 +348,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"w10 regained an extra sort:\n${p.take(900)}")
   }
 
+  test("interval overlap join is an equi-join: no nested loop, no cartesian, no distinct") {
+    val p = plan("j13_interval_overlap")
+    assert(!p.contains("CartesianProduct"), "j13 plans a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "j13 nested-loops")
+    // owner-bin dedup means NO aggregate-for-distinct above the join:
+    // the only aggregates allowed are none (select+sort only).
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0, "j13 lost its join")
+    assert(!p.substring(0, joinIdx).contains("HashAggregate"),
+      s"j13 regained a post-join distinct:\n${p.take(900)}")
+  }
+
   test("HLL sketch: two keyed aggregations, both map-side combined, no cartesian") {
     // Register build groups (key, bucket) with partial MAX; the fold to
     // the estimate groups the <= m register rows per key. Both must show
