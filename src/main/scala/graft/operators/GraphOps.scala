@@ -144,4 +144,100 @@ object GraphOps {
       .join(edges.select(col("v").as("n"), col("u").as("c")), Seq("n"), "left")
       .select(col("n").as("node"), coalesce(col("c"), col("n")).as("component"))
   }
+
+  /** Triangle census of the undirected graph given by `edges0` (loops
+    * and duplicate/reversed edges canonicalized away, null endpoints
+    * dropped): one row with node/edge/wedge/triangle counts and the
+    * global (transitivity) clustering coefficient in ppm —
+    * 10⁶ · 3T / wedges, integer-floored.
+    *
+    * Algorithm: degree orientation (Ortmann–Brandes / the MapReduce
+    * "node-iterator++" family). Each undirected edge is directed from
+    * its (degree, id)-smaller endpoint to the larger, which bounds
+    * every OUT-adjacency by O(√m) even at a power-law hub — so the
+    * oriented out-neighbor list is a BOUNDED array, and each triangle
+    * is counted exactly once as
+    *   T = Σ over oriented edges (u→v) of |N⁺(u) ∩ N⁺(v)|
+    * (the closing node w of a triangle u≺v≺w sits in both out-sets of
+    * its unique ≺-smallest edge). The per-edge sorted-array intersect
+    * replaces the Σ C(outdeg, 2)-row wedge-stream join of the naive
+    * formulation. Bake-off on the sf0.1 co-purchase graph (1.2 M edges,
+    * 41 M oriented wedges): 12.0 s all-shuffle wedge join → 6.9 s
+    * broadcast + packed-long closing keys → 6.5–7 s this intersect
+    * form. Locally the last two tie (the VM's floor is per-stage
+    * overhead), but the intersect form is the one that scales: the hot
+    * loop touches Σ (out(u)+out(v)) array elements with NO 41 M-row
+    * wedge intermediate — nothing proportional to wedge count is ever
+    * built, shuffled, or probed.
+    *
+    * Scale shape: degree table and adjacency table are node-sized —
+    * broadcast only under `broadcastEdgeLimit` (edge list fits an
+    * executor), otherwise keyed shuffle joins; the collect_list here
+    * is NOT the hub-OOM pattern connectedComponents avoids, because
+    * orientation caps the collected list at O(√m) BY CONSTRUCTION
+    * (max out-degree 97 on the sf0.1 graph). Counts aggregate with
+    * map-side combine to one row. Σd(d−1)/2 and 3T·10⁶ stay far
+    * inside BIGINT for any graph whose edge list fits storage.
+    */
+  def triangleStats(
+      edges0: DataFrame, srcCol: String, dstCol: String,
+      broadcastEdgeLimit: Long = 5_000_000L): DataFrame = {
+    val e = edges0
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      // Both the degree pass and the orientation join read the
+      // canonical edge set; checkpoint so an expensive upstream
+      // candidate generator runs once (connectedComponents' treatment).
+      .localCheckpoint(true)
+
+    val eCount = e.count() // free: e is checkpointed
+    val small = eCount <= broadcastEdgeLimit
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+
+    val deg = e.select(col("a").as("v_")).union(e.select(col("b").as("v_")))
+      .groupBy("v_").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+
+    // Orient by (degree, id): strict total order, so exactly one
+    // direction survives per edge.
+    val withDeg = e
+      .join(maybeB(deg.select(col("v_").as("a"), col("d").as("da"))), Seq("a"))
+      .join(maybeB(deg.select(col("v_").as("b"), col("d").as("db"))), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
+
+    // Out-adjacency (sorted for a deterministic plan; size ≤ O(√m) by
+    // orientation) and the per-edge closing intersect. Edges whose dst
+    // has no out-edges drop out of the inner join — they contribute 0
+    // triangles by definition.
+    val adj = oriented.groupBy(col("src"))
+      .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint(true)
+    val triangles = oriented
+      .join(maybeB(adj.select(col("src"), col("nbrs").as("ns"))), Seq("src"))
+      .join(maybeB(adj.select(col("src").as("dst"), col("nbrs").as("nd"))),
+        Seq("dst"))
+      .select(size(array_intersect(col("ns"), col("nd"))).as("k"))
+      .agg(coalesce(sum(col("k")), lit(0L)).as("n_triangles"))
+
+    val degAgg = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(d * (d - 1)) div 2").cast("long").as("n_wedges"))
+    val edgeAgg = e.agg(count(lit(1)).as("n_edges"))
+
+    degAgg.crossJoin(broadcast(edgeAgg)).crossJoin(broadcast(triangles))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          expr("(n_triangles * 3 * 1000000) div n_wedges"))
+          .cast("long").as("global_cc_ppm"))
+  }
 }

@@ -54,4 +54,56 @@ object StatsOps {
     }
     cum.groupBy(col(groupCol)).agg(picks.head, picks.tail: _*)
   }
+
+  /** Grouped mean / variance / skewness / kurtosis over an INTEGRAL
+    * measure, exact and engine-portable: one map-side-combined pass
+    * accumulates the raw power sums s1..s4 in DECIMAL(38,0) (HUGEINT on
+    * a DuckDB oracle), the central-moment numerators are the standard
+    * integer identities
+    *   N2 = n·s2 − s1²            (m2 = N2/n²)
+    *   N3 = n²·s3 − 3n·s1·s2 + 2·s1³   (m3 = N3/n³)
+    *   N4 = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3·s1⁴ (m4 = N4/n⁴),
+    * and the reported metrics are
+    *   mean_ppm = ⌊10⁶·s1/n⌋, var_ppm = ⌊10⁶·N2/n²⌋ (integer div),
+    *   skew_ppm = ⌊10⁶·N3 / (N2·√N2)⌋, kurt_ppm = ⌊10⁶·n·N4/N2²⌋.
+    * Skew/kurt pass through DOUBLE, but only on EXACT integer inputs
+    * with a fixed op sequence (convert, multiply, sqrt, divide, floor —
+    * all IEEE-754-determined; no pow(), whose libm results vary), so
+    * any engine replays them bit-identically.
+    *
+    * Exactness bound: the N4 identity needs n³·s4 < 10³⁸, i.e. with
+    * |v| ≤ V roughly n < (10³⁸/V⁴)^(1/4)·n^(-... ) — for V = 50 that is
+    * n ≲ 3·10⁸ rows per group. Past that, shift values by a per-group
+    * pivot first (v − v̄ keeps the identities, shrinks s3/s4) or switch
+    * to Chan-style streamed central-moment merging, which trades
+    * portability (float merge order) for unbounded n. The raw-power-sum
+    * form is chosen because it is the one the oracle can replay
+    * verbatim.
+    */
+  def momentsFp(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val sums = df.filter(col(valueCol).isNotNull)
+      .withColumn("__v", col(valueCol).cast("decimal(38,0)"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("__v")).as("s1"),
+        sum(col("__v") * col("__v")).as("s2"),
+        sum(col("__v") * col("__v") * col("__v")).as("s3"),
+        sum(col("__v") * col("__v") * col("__v") * col("__v")).as("s4"))
+    sums.select(
+      groupCols.map(col) ++ Seq(
+        col("n").cast("bigint").as("n"),
+        expr("(s1 * 1000000) div n").cast("bigint").as("mean_ppm"),
+        expr("((n * s2 - s1 * s1) * 1000000) div (n * n)").cast("bigint")
+          .as("var_ppm"),
+        expr(
+          """CAST(floor((1000000.0 * CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)) /
+            |  (CAST(n * s2 - s1 * s1 AS DOUBLE) * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))) AS BIGINT)"""
+            .stripMargin.replaceAll("\\s+", " ")).as("skew_ppm"),
+        expr(
+          """CAST(floor((1000000.0 * CAST(n AS DOUBLE) * CAST(n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE)) /
+            |  (CAST(n * s2 - s1 * s1 AS DOUBLE) * CAST(n * s2 - s1 * s1 AS DOUBLE))) AS BIGINT)"""
+            .stripMargin.replaceAll("\\s+", " ")).as("kurt_ppm")): _*)
+  }
 }

@@ -298,6 +298,136 @@ object MetricsQueries {
        |SELECT source, rank, priority_fp, doc_id FROM r
        |WHERE rank <= $o15K ORDER BY source, rank""".stripMargin
 
+  // ------------------------------------------------------------- p7
+
+  /** P7: pivot — per-user wide activity profile over the event log
+    * (count + fixed-point value total per event type). The pivot VALUES
+    * are an explicit literal list: that is the scale-correct form (no
+    * values-discovery job, a fixed output schema, and the whole thing
+    * is ONE hash aggregate with map-side combine over (user, type) —
+    * never a per-type scan). Pivot cells with no rows are null in
+    * Spark's pivot; counts are coalesced to 0 to match SQL conditional
+    * COUNT, value sums stay NULL (SUM over the empty set) in both
+    * engines. */
+  private val p7Types = Seq("click", "error", "purchase", "signup", "view")
+  private val p7: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .withColumn("value_fp", expr("CAST(round(value * 100) AS BIGINT)"))
+    val wide = ev.groupBy("user_id")
+      .pivot("event_type", p7Types)
+      .agg(count(lit(1)).as("n"), sum(col("value_fp")).as("v"))
+    wide.select(
+      col("user_id") +:
+        p7Types.flatMap(tp => Seq(
+          coalesce(col(s"${tp}_n"), lit(0L)).as(s"${tp}_n"),
+          col(s"${tp}_v"))): _*)
+      .orderBy("user_id")
+  }
+  private val p7Sql = {
+    val cols = p7Types.map { tp =>
+      s"COUNT(CASE WHEN event_type = '$tp' THEN 1 END) AS ${tp}_n, " +
+        s"CAST(SUM(CASE WHEN event_type = '$tp' THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT) AS ${tp}_v"
+    }.mkString(", ")
+    s"SELECT user_id, $cols FROM events GROUP BY user_id ORDER BY user_id"
+  }
+
+  // ------------------------------------------------------------- p8
+
+  /** P8: unpivot (melt) — the wide lineitem measures to long
+    * (metric, value_fp) form, the layout step feeding any
+    * metric-generic QC pass. Spark's Dataset.unpivot is a single
+    * Expand over one scan — row count ×4 with NO join, NO union of
+    * re-scans, NO shuffle (pinned in PlanShapeSpec); measures are
+    * pre-cast to fixed-point BIGINT so the melted value column has one
+    * type. */
+  private val p8Metrics =
+    Seq("qty_fp" -> "l_quantity", "price_fp" -> "l_extendedprice",
+      "disc_fp" -> "l_discount", "tax_fp" -> "l_tax")
+  private val p8: Q = (s, dir) => {
+    val base = t(s, dir, "lineitem").filter(col("l_orderkey") < 400)
+      .select(
+        col("l_orderkey") +: col("l_linenumber") +:
+          p8Metrics.map { case (n, c) =>
+            expr(s"CAST(round($c * 100) AS BIGINT)").as(n)
+          }: _*)
+    base.unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        p8Metrics.map { case (n, _) => col(n) }.toArray,
+        "metric", "value_fp")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+  }
+  private val p8Sql = {
+    val defs = p8Metrics.map { case (n, c) =>
+      s"CAST(round($c * 100) AS BIGINT) AS $n"
+    }.mkString(", ")
+    val arms = p8Metrics.map { case (n, _) =>
+      s"SELECT l_orderkey, l_linenumber, '$n' AS metric, $n AS value_fp FROM b"
+    }.mkString(" UNION ALL ")
+    s"WITH b AS (SELECT l_orderkey, l_linenumber, $defs FROM lineitem WHERE l_orderkey < 400) " +
+      s"$arms ORDER BY l_orderkey, l_linenumber, metric"
+  }
+
+  // ------------------------------------------------------------- a17
+
+  /** A17: grouped higher moments — mean/variance/skew/kurtosis of the
+    * (integral) lineitem quantity per return flag, via StatsOps'
+    * exact-power-sum formulation (one combine pass; DECIMAL(38,0) sums
+    * ≙ DuckDB HUGEINT; skew/kurt derived from the exact integers by a
+    * fixed IEEE op sequence both engines replay bit-identically). */
+  private val a17: Q = (s, dir) =>
+    graft.operators.StatsOps.momentsFp(
+        t(s, dir, "lineitem").withColumn("q", col("l_quantity").cast("bigint")),
+        Seq("l_returnflag"), "q")
+      .orderBy("l_returnflag")
+  private val a17Sql =
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS s1,
+      |    SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS s2,
+      |    SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS s3,
+      |    SUM(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS s4
+      |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST((s1 * 1000000) // n AS BIGINT) AS mean_ppm,
+      |  CAST(((n * s2 - s1 * s1) * 1000000) // (n * n) AS BIGINT) AS var_ppm,
+      |  CAST(floor((1000000.0 * CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS DOUBLE)) /
+      |    (CAST(n * s2 - s1 * s1 AS DOUBLE) * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)))) AS BIGINT) AS skew_ppm,
+      |  CAST(floor((1000000.0 * CAST(n AS DOUBLE) * CAST(n * n * n * s4 - 4 * n * n * s1 * s3 + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS DOUBLE)) /
+      |    (CAST(n * s2 - s1 * s1 AS DOUBLE) * CAST(n * s2 - s1 * s1 AS DOUBLE))) AS BIGINT) AS kurt_ppm
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------- g2
+
+  /** G2: triangle census of the part co-purchase graph (parts sharing
+    * an order; within-order pair generation is bounded by order size —
+    * the j8 fan-out class) via GraphOps' degree-oriented wedge join.
+    * The oracle counts the same triangles with the naive a<b<c
+    * three-way join — orientation-invariant, so the counts must agree
+    * exactly; the ORIENTED plan is what survives power-law hubs at
+    * scale (out-degree ≤ O(√m) per node). */
+  private val g2: Q = (s, dir) => {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val a = op.select(col("o"), col("p").as("p1"))
+    val b = op.select(col("o"), col("p").as("p2"))
+    val edges = a.join(b, Seq("o")).filter(col("p1") < col("p2"))
+      .select("p1", "p2")
+    graft.operators.GraphOps.triangleStats(edges, "p1", "p2")
+  }
+  private val g2Sql =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      |deg AS (SELECT v, COUNT(*) AS d FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+      |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |        FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |da AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |              CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
+      |ea AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+      |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+      |  CAST(CASE WHEN n_wedges > 0 THEN (n_triangles * 3 * 1000000) // n_wedges END AS BIGINT) AS global_cc_ppm
+      |FROM da, ea, tri""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
@@ -307,7 +437,11 @@ object MetricsQueries {
     "o14_balanced_shards" -> o14,
     "t_zipf_slope" -> tZipf,
     "t_percentile_gate" -> pGate,
-    "o15_weighted_sample" -> o15)
+    "o15_weighted_sample" -> o15,
+    "p7_pivot" -> p7,
+    "p8_unpivot" -> p8,
+    "a17_moments" -> a17,
+    "g2_triangles" -> g2)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> g1Sql,
@@ -316,5 +450,9 @@ object MetricsQueries {
     "o14_balanced_shards" -> o14Sql,
     "t_zipf_slope" -> tZipfSql,
     "t_percentile_gate" -> pGateSql,
-    "o15_weighted_sample" -> o15Sql)
+    "o15_weighted_sample" -> o15Sql,
+    "p7_pivot" -> p7Sql,
+    "p8_unpivot" -> p8Sql,
+    "a17_moments" -> a17Sql,
+    "g2_triangles" -> g2Sql)
 }

@@ -406,4 +406,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(winIdx < 0 || p.indexOf("HashAggregate", winIdx) >= 0,
       s"o14 window must sit above the P-row stats aggregate:\n${p.take(900)}")
   }
+
+  test("pivot is one aggregate pass over one scan — no join, no per-type re-scan") {
+    val p = plan("p7_pivot")
+    assert(!p.contains("Join"), s"p7 pivot must not join:\n${p.take(600)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"p7 pivot re-scans the input:\n${p.take(600)}")
+    assert(p.contains("partial_count") || p.contains("partial_pivotfirst") ||
+      p.contains("HashAggregate"), "p7 lost its aggregate")
+  }
+
+  test("unpivot is a row-local Expand over one scan — no join, no union of re-scans") {
+    val p = plan("p8_unpivot")
+    assert(p.contains("Expand"), s"p8 lost the Expand form:\n${p.take(600)}")
+    assert(!p.contains("Join") && !p.contains("Union"),
+      s"p8 melted via re-scans instead of Expand:\n${p.take(600)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"p8 unpivot re-scans the input:\n${p.take(600)}")
+    // The only exchange is the harness-determinism sort at the root.
+    assert("Exchange".r.findAllIn(p).size <= 1,
+      s"p8 unpivot shuffles beyond the output sort:\n${p.take(600)}")
+  }
+
+  test("moments: one map-side-combined pass, no window, no second scan") {
+    val p = plan("a17_moments")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "a17 lost map-side combine")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"a17 must be a single aggregation pass:\n${p.take(600)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"a17 re-scans the input:\n${p.take(600)}")
+  }
+
+  test("triangle census: keyed equi-joins only — no cartesian, no nested loop") {
+    val p = plan("g2_triangles")
+    assert(!p.contains("CartesianProduct"),
+      s"g2 plans a cartesian product:\n${p.take(600)}")
+    // The three 1-row count legs combine via broadcast nested loop on
+    // 1-row sides (bounded by construction); the wedge/closing joins
+    // themselves must be hash equi-joins.
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "g2 lost its equi-joins")
+  }
 }
