@@ -376,7 +376,8 @@ object MetricsQueries {
     * fixed IEEE op sequence both engines replay bit-identically). */
   private val a17: Q = (s, dir) =>
     graft.operators.StatsOps.momentsFp(
-        t(s, dir, "lineitem").withColumn("q", col("l_quantity").cast("bigint")),
+        Tables.fanOut(t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast("bigint").as("q"))),
         Seq("l_returnflag"), "q")
       .orderBy("l_returnflag")
   private val a17Sql =
@@ -428,6 +429,139 @@ object MetricsQueries {
       |  CAST(CASE WHEN n_wedges > 0 THEN (n_triangles * 3 * 1000000) // n_wedges END AS BIGINT) AS global_cc_ppm
       |FROM da, ea, tri""".stripMargin
 
+  // ------------------------------------------------------- t_entropy
+
+  /** T-ENTROPY: per-document Shannon entropy of the doc's own token
+    * distribution — the repetition/diversity scalar (template floods
+    * and keyword-stuffed spam sit far below natural text; a
+    * complementary signal to t_repetition's n-gram ratios). Identity
+    * H = ln(dl) − (1/dl)·Σ tf·ln(tf) over the doc's term frequencies,
+    * computed in the corpus lnq quantization (floor(10⁶·ln k) of
+    * INTEGERS only, so both engines floor the same doubles): one
+    * tokenize, one per-doc combine — never a per-doc vocabulary
+    * materialization. */
+  private val tEntropy: Q = (s, dir) => {
+    import graft.queries.{RetrievalQueries => RQ}
+    RQ.tokenTf(Tables.fanOut(t(s, dir, "documents")), "doc_id")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("dl"),
+        sum(col("tf") *
+          expr("CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS BIGINT)"))
+          .as("stl"))
+      .filter(col("dl") > 0)
+      .select(col("doc_id"), col("dl"),
+        expr("CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(dl AS DOUBLE))) AS BIGINT) - stl div dl")
+          .as("entropy_ppm"))
+      .orderBy("doc_id")
+  }
+  private val tEntropySql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |d AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl,
+      |    CAST(SUM(tf * CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(tf AS DOUBLE))) AS BIGINT)) AS BIGINT) AS stl
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id, dl,
+      |  CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(dl AS DOUBLE))) AS BIGINT) - stl // dl AS entropy_ppm
+      |FROM d WHERE dl > 0 ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ t_kl_drift
+
+  /** T-KL: add-1-smoothed KL divergence (both directions) between the
+    * English slice's unigram distribution and the rest of the corpus —
+    * the distribution-drift monitor a continuously-fed training
+    * pipeline runs between crawl batches. Identity (P = slice A,
+    * Q = rest, V = shared vocab):
+    *   KL(P‖Q) = (Σ_t (cA_t+1)·[ln(cA_t+1) − ln(cB_t+1)]) / (NA+V)
+    *             + ln(NB+V) − ln(NA+V)
+    * — every ln is of an INTEGER, so the corpus lnq quantization
+    * applies and the whole scalar replays exactly. One tokenize, one
+    * (term)-keyed combine to the per-term (cA, cB) table, one global
+    * fold; products lift to DECIMAL(38,0) (DuckDB HUGEINT) and the
+    * single integer division truncates toward zero identically in
+    * both engines (the t_zipf_slope note). */
+  private def lnFp(x: String): String =
+    s"CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST($x AS DOUBLE))) AS BIGINT)"
+  private val tKl: Q = (s, dir) => {
+    import graft.queries.{RetrievalQueries => RQ}
+    val tok = RQ.tokenTf(Tables.fanOut(t(s, dir, "documents")), "lang")
+    val perTerm = tok.groupBy("term").agg(
+      sum(when(col("lang") === lit("en"), col("tf")).otherwise(lit(0L))).as("ca"),
+      sum(when(col("lang") =!= lit("en"), col("tf")).otherwise(lit(0L))).as("cb"))
+    perTerm.agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("ca")).as("na"),
+        sum(col("cb")).as("nb"),
+        // Cast BEFORE the multiply (decimal×bigint, ≙ the oracle's
+        // HUGEINT lift): at web scale (ca+1)·Δlnq can pass BIGINT.
+        sum(expr(s"CAST(ca + 1 AS DECIMAL(38,0)) * (${lnFp("ca + 1")} - ${lnFp("cb + 1")})"))
+          .as("sab"),
+        sum(expr(s"CAST(cb + 1 AS DECIMAL(38,0)) * (${lnFp("cb + 1")} - ${lnFp("ca + 1")})"))
+          .as("sba"))
+      .select(col("n_terms"), col("na"), col("nb"),
+        expr(s"CAST(sab div (na + n_terms) + ${lnFp("nb + n_terms")} - ${lnFp("na + n_terms")} AS BIGINT)")
+          .as("kl_ab_ppm"),
+        expr(s"CAST(sba div (nb + n_terms) + ${lnFp("na + n_terms")} - ${lnFp("nb + n_terms")} AS BIGINT)")
+          .as("kl_ba_ppm"))
+  }
+  private val tKlSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+       |  FROM documents),
+       |pt AS (
+       |  SELECT term,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM tok GROUP BY term),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+       |    SUM(CAST(ca + 1 AS HUGEINT) * (${lnFp("ca + 1")} - ${lnFp("cb + 1")})) AS sab,
+       |    SUM(CAST(cb + 1 AS HUGEINT) * (${lnFp("cb + 1")} - ${lnFp("ca + 1")})) AS sba
+       |  FROM pt)
+       |SELECT n_terms, na, nb,
+       |  CAST(sab // (na + n_terms) + ${lnFp("nb + n_terms")} - ${lnFp("na + n_terms")} AS BIGINT) AS kl_ab_ppm,
+       |  CAST(sba // (nb + n_terms) + ${lnFp("na + n_terms")} - ${lnFp("nb + n_terms")} AS BIGINT) AS kl_ba_ppm
+       |FROM s""".stripMargin
+
+  // ------------------------------------------------------ o16_decile
+
+  /** O16: decile profile of the document-length distribution — the
+    * corpus-shape report a curation pass reads before choosing gates.
+    * Bucket = ((rank−1)·10) div N + 1 over the (n_chars, doc_id) total
+    * order (the same closed form on both engines — NTILE's
+    * remainder-to-early-buckets rule is avoided deliberately), with
+    * the rank from RankOps' distributed global row number: one range
+    * exchange, in-partition offsets, broadcast totals — never a
+    * single-task ORDER BY over the corpus. Output is 10 rows. */
+  private val o16: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val ranked = RankOps.globalRowNumber(
+      docs, Seq(col("n_chars").asc, col("doc_id").asc), "rn")
+    val total = docs.agg(count(lit(1)).as("nn"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("n_chars"),
+        expr("CAST(((rn - 1) * 10) div nn + 1 AS INT)").as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("decile")
+  }
+  private val o16Sql =
+    """WITH r AS (
+      |  SELECT n_chars,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER () AS nn
+      |  FROM documents)
+      |SELECT CAST(((rn - 1) * 10) // nn + 1 AS INT) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
@@ -441,7 +575,10 @@ object MetricsQueries {
     "p7_pivot" -> p7,
     "p8_unpivot" -> p8,
     "a17_moments" -> a17,
-    "g2_triangles" -> g2)
+    "g2_triangles" -> g2,
+    "t_entropy" -> tEntropy,
+    "t_kl_drift" -> tKl,
+    "o16_decile" -> o16)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> g1Sql,
@@ -454,5 +591,8 @@ object MetricsQueries {
     "p7_pivot" -> p7Sql,
     "p8_unpivot" -> p8Sql,
     "a17_moments" -> a17Sql,
-    "g2_triangles" -> g2Sql)
+    "g2_triangles" -> g2Sql,
+    "t_entropy" -> tEntropySql,
+    "t_kl_drift" -> tKlSql,
+    "o16_decile" -> o16Sql)
 }

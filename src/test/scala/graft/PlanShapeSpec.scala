@@ -438,6 +438,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a17 re-scans the input:\n${p.take(600)}")
   }
 
+  test("entropy and KL drift are pure aggregation pipelines: one scan, no join, no window") {
+    for (q <- Seq("t_entropy", "t_kl_drift")) {
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$q must be aggregation-only:\n${p.take(600)}")
+      assert("Scan parquet".r.findAllIn(p).size == 1,
+        s"$q re-scans the corpus:\n${p.take(600)}")
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q lost map-side combine")
+    }
+  }
+
+  test("decile profile ranks via the distributed global row number, not a data-row window") {
+    val p = plan("o16_decile")
+    assert(p.contains("Exchange rangepartitioning"), "o16 lost the range exchange")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "o16 offsets/total must ride broadcasts")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx < 0 || p.indexOf("HashAggregate", winIdx) >= 0,
+      s"o16 window must sit above the P-row stats aggregate:\n${p.take(900)}")
+  }
+
   test("triangle census: keyed equi-joins only — no cartesian, no nested loop") {
     val p = plan("g2_triangles")
     assert(!p.contains("CartesianProduct"),

@@ -140,4 +140,55 @@ class CorpusMetricsSpec extends AnyFunSuite {
     val got = graft.SparkEntry.queries("t_percentile_gate")(spark, dir).count()
     assert(got == 100L)
   }
+
+  test("entropy: uniform doc scores exactly ln(dl), degenerate doc exactly 0") {
+    // doc 1: 16 DISTINCT words (every tf = 1, lnq(1) = 0) -> entropy_ppm
+    // is exactly floor(1e6*ln 16). doc 2: one word 16 times -> the
+    // identity collapses to lnq(16) - (16*lnq(16)) div 16 = 0 exactly.
+    val distinct16 = (0 until 16)
+      .map(i => s"word${('a' + i).toChar}${('a' + i).toChar}").mkString(" ")
+    val same16 = Seq.fill(16)("wordzz").mkString(" ")
+    val dir = docsDir(Seq((1L, distinct16, 1L), (2L, same16, 1L)))
+    val out = graft.SparkEntry.queries("t_entropy")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ln16 = math.floor(1e6 * math.log(16.0)).toLong
+    assert(out(1L) == ((16L, ln16)))
+    assert(out(2L) == ((16L, 0L)))
+  }
+
+  /** Scratch documents table WITH a lang column (the KL slice key). */
+  private def docsDirLang(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_metrics").toString
+    rows.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("KL drift: identical slices diverge exactly 0; a skewed slice is positive both ways") {
+    val base = "alpha beta gamma delta epsilon zeta " * 10
+    val same = docsDirLang(Seq((1L, base, "en"), (2L, base, "fr")))
+    val r0 = graft.SparkEntry.queries("t_kl_drift")(spark, same).collect()(0)
+    // ca == cb for every term AND na == nb -> both sums and both log
+    // corrections cancel EXACTLY (integer identity, not a tolerance).
+    assert(r0.getAs[Long]("kl_ab_ppm") == 0L)
+    assert(r0.getAs[Long]("kl_ba_ppm") == 0L)
+    val skewed = docsDirLang(Seq(
+      (1L, base + (" omega" * 40), "en"), (2L, base, "fr")))
+    val r1 = graft.SparkEntry.queries("t_kl_drift")(spark, skewed).collect()(0)
+    assert(r1.getAs[Long]("kl_ab_ppm") > 0L, "drifted slice must diverge")
+    assert(r1.getAs[Long]("kl_ba_ppm") > 0L, "smoothed KL is positive both ways")
+  }
+
+  test("decile profile: closed-form buckets split 1..20 into exact pairs") {
+    val docs = (1L to 20L).map(i => (i, "t", i))
+    val dir = docsDir(docs)
+    val out = graft.SparkEntry.queries("o16_decile")(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == (1 to 10).toSet)
+    for (d <- 1 to 10)
+      assert(out(d) == ((2L, 2L * d - 1, 2L * d)),
+        s"decile $d: ${out(d)}")
+  }
 }
