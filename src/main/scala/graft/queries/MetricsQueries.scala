@@ -407,15 +407,19 @@ object MetricsQueries {
     * three-way join — orientation-invariant, so the counts must agree
     * exactly; the ORIENTED plan is what survives power-law hubs at
     * scale (out-degree ≤ O(√m) per node). */
-  private val g2: Q = (s, dir) => {
+  /** Part co-purchase edges (parts sharing an order, p1 < p2): the
+    * shared fixture graph for g2/g3. Within-order pair fan-out is
+    * bounded by order size — the j8 class. */
+  private def coEdges(s: SparkSession, dir: String): DataFrame = {
     val op = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val a = op.select(col("o"), col("p").as("p1"))
     val b = op.select(col("o"), col("p").as("p2"))
-    val edges = a.join(b, Seq("o")).filter(col("p1") < col("p2"))
-      .select("p1", "p2")
-    graft.operators.GraphOps.triangleStats(edges, "p1", "p2")
+    a.join(b, Seq("o")).filter(col("p1") < col("p2")).select("p1", "p2")
   }
+
+  private val g2: Q = (s, dir) =>
+    graft.operators.GraphOps.triangleStats(coEdges(s, dir), "p1", "p2")
   private val g2Sql =
     """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |e AS (SELECT DISTINCT a.p AS a, b.p AS b FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
@@ -562,6 +566,110 @@ object MetricsQueries {
       |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- a18
+
+  /** A18: CUBE grouping sets — every (lang × source) margin in one
+    * pass (a15's rollup sibling; CUBE adds the source-only margin a
+    * rollup skips). Physically one Expand (×4 grouping sets) feeding
+    * one map-side-combined aggregate — never four scans. */
+  private val a18: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        grouping_id().cast("int").as("gid"))
+      .select(col("lang"), col("source"), col("gid"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(col("gid"), col("lang").asc_nulls_first,
+        col("source").asc_nulls_first)
+  private val a18Sql =
+    """SELECT lang, source,
+      |  CAST(GROUPING(lang) * 2 + GROUPING(source) AS INT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY CUBE (lang, source)
+      |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------- w12
+
+  /** W12: per-user inter-event gap statistics — the cadence signal
+    * (bot-rate vs human-rate detection, feed-health monitoring) the
+    * w-family's frame windows don't expose. One shuffle on user_id;
+    * lag over the (ts, event_id) TOTAL order (tied timestamps cannot
+    * permute), gaps in exact epoch microseconds, avg as integer
+    * division — nonneg div, identical truncation both engines. */
+  private val w12: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"))
+      .withColumn("gap", col("tu") - lag(col("tu"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"),
+        max(col("gap")).as("max_gap_us"),
+        expr("sum(gap) div count(1)").as("avg_gap_us"))
+      .orderBy("user_id")
+  }
+  private val w12Sql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+      |  CAST(SUM(gap) // COUNT(*) AS BIGINT) AS avg_gap_us
+      |FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------- g3
+
+  /** G3: degree assortativity of the part co-purchase graph — do
+    * high-degree parts co-occur with other high-degree parts? The
+    * graph-health scalar completing the CC / PageRank / triangle
+    * quartet. Pearson over the mirrored edge list's endpoint-degree
+    * pairs, where mirroring makes both marginals IDENTICAL, so the
+    * usual sqrt denominator collapses to the x-variance and the whole
+    * coefficient is PURE INTEGER:
+    *   r_ppm = ((n·Σxy − Σx²)·10⁶) div (n·Σx² − (Σx)²).
+    * Sums lift to DECIMAL(38,0) (HUGEINT oracle-side); one degree
+    * aggregate, two keyed joins, one fold. */
+  private val g3: Q = (s, dir) => {
+    val e = coEdges(s, dir).distinct()
+    val deg = e.select(col("p1").as("v")).union(e.select(col("p2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val sym = e.union(e.select(col("p2").as("p1"), col("p1").as("p2")))
+    sym
+      .join(deg.select(col("v").as("p1"), col("d").as("x")), Seq("p1"))
+      .join(deg.select(col("v").as("p2"), col("d").as("y")), Seq("p2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .select(expr("CAST(n div 2 AS BIGINT)").as("n_edges"),
+        expr("""CAST(CASE WHEN n * sxx - sx * sx > 0
+                THEN ((n * sxy - sx * sx) * 1000000) div (n * sxx - sx * sx)
+                END AS BIGINT)""".replaceAll("\\s+", " ")).as("assort_ppm"))
+  }
+  private val g3Sql =
+    """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT a.p AS p1, b.p AS p2 FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+      |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM
+      |  (SELECT p1 AS v FROM e UNION ALL SELECT p2 AS v FROM e) GROUP BY v),
+      |sym AS (SELECT p1, p2 FROM e UNION ALL SELECT p2, p1 FROM e),
+      |xy AS (SELECT da.d AS x, db.d AS y FROM sym
+      |       JOIN deg da ON da.v = sym.p1 JOIN deg db ON db.v = sym.p2),
+      |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+      |        SUM(CAST(x AS HUGEINT) * y) AS sxy, SUM(CAST(x AS HUGEINT) * x) AS sxx
+      |      FROM xy)
+      |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+      |  CAST(CASE WHEN n * sxx - sx * sx > 0
+      |    THEN ((n * sxy - sx * sx) * 1000000) // (n * sxx - sx * sx)
+      |    END AS BIGINT) AS assort_ppm
+      |FROM s""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
@@ -578,7 +686,10 @@ object MetricsQueries {
     "g2_triangles" -> g2,
     "t_entropy" -> tEntropy,
     "t_kl_drift" -> tKl,
-    "o16_decile" -> o16)
+    "o16_decile" -> o16,
+    "a18_cube" -> a18,
+    "w12_gap_stats" -> w12,
+    "g3_assortativity" -> g3)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> g1Sql,
@@ -594,5 +705,8 @@ object MetricsQueries {
     "g2_triangles" -> g2Sql,
     "t_entropy" -> tEntropySql,
     "t_kl_drift" -> tKlSql,
-    "o16_decile" -> o16Sql)
+    "o16_decile" -> o16Sql,
+    "a18_cube" -> a18Sql,
+    "w12_gap_stats" -> w12Sql,
+    "g3_assortativity" -> g3Sql)
 }

@@ -460,6 +460,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"o16 window must sit above the P-row stats aggregate:\n${p.take(900)}")
   }
 
+  test("cube is one Expand over one scan; gap stats is one window over one shuffle") {
+    val pc = plan("a18_cube")
+    assert(pc.contains("Expand"), "a18 lost the grouping-sets Expand")
+    assert(!pc.contains("Join") && "Scan parquet".r.findAllIn(pc).size == 1,
+      s"a18 must aggregate one scan:\n${pc.take(600)}")
+    val pw = plan("w12_gap_stats")
+    assert(pw.contains("Window"), "w12 lost its lag window")
+    assert("Exchange hashpartitioning".r.findAllIn(pw).size == 1,
+      s"w12 must shuffle once on user_id:\n${pw.take(700)}")
+    assert(!pw.contains("Join"), s"w12 must not join:\n${pw.take(600)}")
+  }
+
+  test("assortativity: keyed joins and one fold — no cartesian, no window") {
+    val p = plan("g3_assortativity")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"g3 regressed:\n${p.take(600)}")
+    assert(p.contains("partial_sum"), "g3 lost map-side combine")
+  }
+
   test("triangle census: keyed equi-joins only — no cartesian, no nested loop") {
     val p = plan("g2_triangles")
     assert(!p.contains("CartesianProduct"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -111,6 +112,61 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert((w, t, cc) == ((12L, 4L, Some(1000000L)))) // transitivity 1.0
     check(k4)
     check((1 to 8).map(i => (0L, i.toLong))) // star: wedges 28, triangles 0
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("gap stats match a collected-and-recomputed reference at sf0.001") {
+    // Independent reference: collect the (small) fixture, sort per user
+    // by (ts, event_id) in scala, diff epoch-us, aggregate — no Spark
+    // window involved.
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ref = ev.groupBy(_._1).collect { case (u, rows) if rows.length > 1 =>
+      val gaps = rows.sortBy(r => (r._3, r._2)).sliding(2)
+        .map { case Array(a, b) => b._3 - a._3 }.toSeq
+      u -> ((gaps.size.toLong, gaps.min, gaps.max, gaps.sum / gaps.size))
+    }
+    val got = graft.SparkEntry.queries("w12_gap_stats")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == ref.toMap)
+  }
+
+  test("assortativity matches the BigInt Pearson reference at sf0.001") {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSeq.distinct
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, o) => v -> BigInt(o.size) }
+    val xy = edges.flatMap(e => Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val n = BigInt(xy.size)
+    val sx = xy.map(_._1).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val expected = ((n * sxy - sx * sx) * 1000000) / (n * sxx - sx * sx)
+    val r = graft.SparkEntry.queries("g3_assortativity")(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == edges.size.toLong)
+    assert(r.getLong(1) == expected.toLong)
+  }
+
+  test("cube adds exactly the source-only margin over rollup") {
+    val cube = graft.SparkEntry.queries("a18_cube")(spark, sfDir).collect()
+    val roll = graft.SparkEntry.queries("a15_rollup")(spark, sfDir).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.get(0)), Option(r.get(1)), r.getInt(2))
+    val extra = cube.map(key).toSet -- roll.map(key).toSet
+    assert(extra.nonEmpty && extra.forall(_._3 == 2),
+      s"cube-only rows must all be the gid=2 source margin: $extra")
+    // the grand total (gid=3) agrees between the two groupings
+    val tot = cube.filter(_.getInt(2) == 3).map(_.getLong(3)).head
+    assert(tot == roll.filter(_.getInt(2) == 3).map(_.getLong(3)).head)
   }
 
   test("triangleStats: degree-tie orientation stays a strict total order") {
