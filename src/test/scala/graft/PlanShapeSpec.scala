@@ -479,6 +479,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "g3 lost map-side combine")
   }
 
+  test("fuzzy key matching runs over the aggregated value space, blocked equi-join only") {
+    val p = plan("dedup_fuzzy_key")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy matching must stay blocked:\n${p.take(600)}")
+    // The per-value aggregate must sit BELOW the pair join (value-space
+    // design): the plan prints parents first, so an aggregate must
+    // appear after the first join node.
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && p.indexOf("HashAggregate", joinIdx) >= 0,
+      s"fuzzy pairs must form over grouped values, not raw rows:\n${p.take(800)}")
+  }
+
+  test("PSI drift: bounds and totals ride broadcasts; no window, no shuffle join") {
+    val p = plan("t_psi_drift")
+    assert(!p.contains("Window"), s"psi must not window:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"psi's joins are all tiny broadcasts:\n${p.take(600)}")
+  }
+
   test("triangle census: keyed equi-joins only — no cartesian, no nested loop") {
     val p = plan("g2_triangles")
     assert(!p.contains("CartesianProduct"),

@@ -180,6 +180,58 @@ class CorpusMetricsSpec extends AnyFunSuite {
     assert(r1.getAs[Long]("kl_ba_ppm") > 0L, "smoothed KL is positive both ways")
   }
 
+  /** Scratch dir with a parts table (the fuzzy-key fixture). */
+  private def partsDir(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_metrics").toString
+    rows.toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  test("fuzzy key matching: typos pair inside a block, exact dupes and cross-block typos don't") {
+    val dir = partsDir(Seq(
+      (1L, "red widget"), (2L, "red widget"),     // exact dupes: dist 0, excluded
+      (3L, "red wdget"), (4L, "red widgget"),     // typos of 1: must pair with it
+      (5L, "rad widget"),                          // first-token typo: blocked away
+      (6L, "red sprocket")))                       // same block, dist > 3: no pair
+    val got = graft.SparkEntry.queries("dedup_fuzzy_key")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(
+      ("red wdget", "red widgget", 2),  // both are edits of the same value
+      ("red wdget", "red widget", 1),
+      ("red widget", "red widgget", 1)))
+    // rows_a/rows_b carry the per-VALUE row counts (value-space design)
+    val rows = graft.SparkEntry.queries("dedup_fuzzy_key")(spark, dir).collect()
+      .find(r => r.getString(1) == "red widget").get
+    assert(rows.getLong(4) == 2L, "duplicate rows fold into one value row")
+  }
+
+  /** Scratch documents dir with lang AND n_chars (the PSI fixture). */
+  private def docsDirLangChars(rows: Seq[(Long, String, Long)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_metrics").toString
+    rows.map { case (id, lang, nc) => (id, "t", lang, nc) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("PSI drift: identical length distributions give exactly 0; a shift is large and positive") {
+    val lens = (1L to 50L).map(_ * 7 % 100 + 10)
+    val same = docsDirLangChars(
+      lens.zipWithIndex.flatMap { case (n, i) =>
+        Seq((i * 2L, "en", n), (i * 2L + 1, "fr", n)) })
+    val r0 = graft.SparkEntry.queries("t_psi_drift")(spark, same).collect()(0)
+    assert(r0.getAs[Long]("psi_ppm") == 0L) // ca=cb per bucket, na=nb: exact
+    val shifted = docsDirLangChars(
+      lens.zipWithIndex.flatMap { case (n, i) =>
+        Seq((i * 2L, "en", n), (i * 2L + 1, "fr", n + 60)) })
+    val r1 = graft.SparkEntry.queries("t_psi_drift")(spark, shifted).collect()(0)
+    assert(r1.getAs[Long]("psi_ppm") > 200000L,
+      s"a 60-char shift must read as major drift, got ${r1.getAs[Long]("psi_ppm")}")
+  }
+
   test("decile profile: closed-form buckets split 1..20 into exact pairs") {
     val docs = (1L to 20L).map(i => (i, "t", i))
     val dir = docsDir(docs)
