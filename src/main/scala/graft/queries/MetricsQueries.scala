@@ -786,6 +786,123 @@ object MetricsQueries {
        |SELECT na, nb, CAST(s // (CAST(na + 10 AS HUGEINT) * (nb + 10)) AS BIGINT) AS psi_ppm
        |FROM s""".stripMargin
 
+  // ---------------------------------------------------- t_heaps_slope
+
+  /** T-HEAPS: Heaps'-law vocabulary-growth exponent β (V ≈ K·nᵝ) —
+    * the Zipf fit's companion corpus-health scalar (natural text grows
+    * vocabulary at β ≈ 0.4–0.7; template floods flatten it, id-spam
+    * pushes it toward 1). The scale-correct formulation NEVER runs a
+    * running sum over doc rows: the growth curve is sampled at 64
+    * doc-id RANGE BUCKETS — per-bucket token totals and NEW-vocabulary
+    * counts (term → min bucket, one combine) prefix-sum over the
+    * 64-row spine, and the log-log least squares (the t_zipf_slope
+    * integer fit over lnq points) runs on ≤ 64 curve points. Bucket
+    * bounds come from a 1-row min/max broadcast (the psi two-pass
+    * shape). Curve resolution is a parameter of the REPORT, not the
+    * corpus: 64 points pin a power-law slope as well as a billion
+    * would. */
+  private val heapsB = 64
+  private val tHeaps: Q = (s, dir) => {
+    import graft.queries.{RetrievalQueries => RQ}
+    val docs = t(s, dir, "documents")
+    val mm = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val tok = RQ.tokenTf(Tables.fanOut(docs), "doc_id")
+      .crossJoin(broadcast(mm))
+      .select(expr(s"CAST((doc_id - mn) div ((mx - mn) div $heapsB + 1) AS INT)")
+        .as("b"), col("term"), col("tf"))
+    val toks = tok.groupBy("b").agg(sum(col("tf")).as("tk"))
+    val nv = tok.groupBy("term").agg(min(col("b")).as("fb"))
+      .groupBy(col("fb").as("b")).agg(count(lit(1)).as("nv"))
+    val spine = s.range(heapsB).select(col("id").cast("int").as("b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val curve = spine
+      .join(toks, Seq("b"), "left").join(nv, Seq("b"), "left")
+      .na.fill(0L, Seq("tk", "nv"))
+      .withColumn("ct", sum(col("tk")).over(w))
+      .withColumn("cv", sum(col("nv")).over(w))
+      .filter(col("ct") > 0)
+      .select(expr(s"${lnFp("ct")}").as("x"), expr(s"${lnFp("cv")}").as("y"))
+    curve.agg(count(lit(1)).as("n_points"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .select(col("n_points"),
+        expr("CAST(CASE WHEN n_points * sxx - sx * sx > 0 THEN ((n_points * sxy - sx * sy) * 1000000) div (n_points * sxx - sx * sx) END AS BIGINT)")
+          .as("heaps_beta_ppm"))
+  }
+  private val tHeapsSql =
+    s"""WITH mm AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+       |tok AS (
+       |  SELECT CAST((doc_id - mn) // ((mx - mn) // $heapsB + 1) AS INT) AS b,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+       |  FROM documents, mm),
+       |tk AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tk FROM tok GROUP BY b),
+       |nv AS (SELECT fb AS b, CAST(COUNT(*) AS BIGINT) AS nv FROM
+       |  (SELECT term, MIN(b) AS fb FROM tok GROUP BY term) GROUP BY fb),
+       |curve AS (
+       |  SELECT SUM(COALESCE(tk, 0)) OVER (ORDER BY sp.b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+       |    SUM(COALESCE(nv, 0)) OVER (ORDER BY sp.b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+       |  FROM range($heapsB) sp(b) LEFT JOIN tk ON sp.b = tk.b
+       |    LEFT JOIN nv ON sp.b = nv.b),
+       |xy AS (SELECT ${lnFp("ct")} AS x, ${lnFp("cv")} AS y FROM curve WHERE ct > 0)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       |  CAST(CASE WHEN COUNT(*) * SUM(CAST(x AS HUGEINT) * x) - SUM(CAST(x AS HUGEINT)) * SUM(x) > 0
+       |    THEN ((COUNT(*) * SUM(CAST(x AS HUGEINT) * y) - SUM(CAST(x AS HUGEINT)) * SUM(y)) * 1000000) //
+       |         (COUNT(*) * SUM(CAST(x AS HUGEINT) * x) - SUM(CAST(x AS HUGEINT)) * SUM(x))
+       |    END AS BIGINT) AS heaps_beta_ppm
+       |FROM xy""".stripMargin
+
+  // ------------------------------------------------------------- a19
+
+  /** A19: top-20 frequent part pairs by co-purchase support, with lift
+    * — the association-mining primitive (market-basket / co-occurrence
+    * analysis). Pair generation is the bounded within-order explode
+    * (the j8/g2 class); support counts aggregate with map-side
+    * combine; the global top-20 is orderBy+limit, which Spark executes
+    * as a bounded per-partition heap (TakeOrdered — pinned), never a
+    * full sort; lift joins per-part transaction counts onto the 20
+    * survivors only. lift_ppm = support·T·10⁶ div (c1·c2) > 10⁶ means
+    * the pair co-occurs MORE than independence predicts. */
+  private val a19K = 20
+  private val a19: Q = (s, dir) => {
+    val op = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true) // pair explode + part counts + T read it
+    val pairs = op.select(col("o"), col("p").as("p1"))
+      .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(a19K)
+    val pc = op.groupBy("p").agg(count(lit(1)).as("c"))
+    val tx = op.agg(countDistinct(col("o")).as("tt"))
+    pairs
+      .join(pc.select(col("p").as("p1"), col("c").as("c1")), Seq("p1"))
+      .join(pc.select(col("p").as("p2"), col("c").as("c2")), Seq("p2"))
+      .crossJoin(broadcast(tx))
+      .select(col("p1"), col("p2"), col("support"),
+        expr("CAST((support * tt * 1000000) div (c1 * c2) AS BIGINT)")
+          .as("lift_ppm"))
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+  }
+  private val a19Sql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pr AS (
+       |  SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS support
+       |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+       |  GROUP BY a.p, b.p
+       |  ORDER BY support DESC, p1, p2 LIMIT $a19K),
+       |pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY p),
+       |tx AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS tt FROM op)
+       |SELECT p1, p2, support,
+       |  CAST((support * tt * 1000000) // (c1.c * c2.c) AS BIGINT) AS lift_ppm
+       |FROM pr JOIN pc c1 ON pr.p1 = c1.p JOIN pc c2 ON pr.p2 = c2.p, tx
+       |ORDER BY support DESC, p1, p2""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
@@ -807,7 +924,9 @@ object MetricsQueries {
     "w12_gap_stats" -> w12,
     "g3_assortativity" -> g3,
     "dedup_fuzzy_key" -> fuzzy,
-    "t_psi_drift" -> psi)
+    "t_psi_drift" -> psi,
+    "t_heaps_slope" -> tHeaps,
+    "a19_frequent_pairs" -> a19)
 
   val oracle: Map[String, String] = Map(
     "g1_pagerank" -> g1Sql,
@@ -828,5 +947,7 @@ object MetricsQueries {
     "w12_gap_stats" -> w12Sql,
     "g3_assortativity" -> g3Sql,
     "dedup_fuzzy_key" -> fuzzySql,
-    "t_psi_drift" -> psiSql)
+    "t_psi_drift" -> psiSql,
+    "t_heaps_slope" -> tHeapsSql,
+    "a19_frequent_pairs" -> a19Sql)
 }

@@ -498,6 +498,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"psi's joins are all tiny broadcasts:\n${p.take(600)}")
   }
 
+  test("Heaps curve: the only window runs over the 64-row bucket spine, above aggregates") {
+    val p = plan("t_heaps_slope")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "t_heaps lost its curve prefix sums")
+    assert(p.indexOf("HashAggregate", winIdx) >= 0,
+      s"t_heaps window must sit above the bucket aggregates:\n${p.take(900)}")
+  }
+
+  test("frequent pairs: global top-k is a bounded heap, never a full sort") {
+    val p = plan("a19_frequent_pairs")
+    assert(p.contains("TakeOrdered"),
+      s"a19 must TakeOrdered its top-k:\n${p.take(700)}")
+    assert(!p.contains("CartesianProduct"), "a19 went cartesian")
+  }
+
   test("triangle census: keyed equi-joins only — no cartesian, no nested loop") {
     val p = plan("g2_triangles")
     assert(!p.contains("CartesianProduct"),

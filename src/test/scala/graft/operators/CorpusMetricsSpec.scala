@@ -232,6 +232,47 @@ class CorpusMetricsSpec extends AnyFunSuite {
       s"a 60-char shift must read as major drift, got ${r1.getAs[Long]("psi_ppm")}")
   }
 
+  test("Heaps slope: all-fresh vocabulary fits exactly 1e6 ppm, a fixed vocabulary exactly 0") {
+    // A: every doc introduces 10 corpus-unique words -> V(n) = n at
+    // every curve point -> y = x -> the integer LS slope is EXACTLY 1e6.
+    // pure-alpha words (the tokenizer treats digits as separators)
+    val fresh = (1L to 128L).map(d =>
+      (d, (0 until 10).map(i =>
+        s"w${('a' + d / 26).toChar}${('a' + d % 26).toChar}q${('a' + i).toChar}")
+        .mkString(" "), 1L))
+    val a = graft.SparkEntry.queries("t_heaps_slope")(spark, docsDir(fresh))
+      .collect()(0)
+    assert(a.getLong(1) == 1000000L, s"fresh-vocab beta: ${a.getLong(1)}")
+    // B: one shared 10-word vocabulary -> cumulative vocab is constant,
+    // so the slope is exactly 0 (y constant while x grows).
+    val fixed = (1L to 128L).map(d =>
+      (d, (0 until 10).map(i => s"commonword${('a' + i).toChar}").mkString(" "), 1L))
+    val b = graft.SparkEntry.queries("t_heaps_slope")(spark, docsDir(fixed))
+      .collect()(0)
+    assert(b.getLong(1) == 0L, s"fixed-vocab beta: ${b.getLong(1)}")
+  }
+
+  /** Scratch dir with a lineitem table (the basket fixture). */
+  private def basketDir(rows: Seq[(Long, Long)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_metrics").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("frequent pairs: exact support and lift on a constructed basket set") {
+    // 10 orders: parts (1,2) together in 6, (1,3) in 2, part 4 alone in 2.
+    val rows = (1L to 6L).flatMap(o => Seq((o, 1L), (o, 2L))) ++
+      (7L to 8L).flatMap(o => Seq((o, 1L), (o, 3L))) ++
+      (9L to 10L).map(o => (o, 4L))
+    val got = graft.SparkEntry.queries("a19_frequent_pairs")(spark, basketDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // support(1,2)=6, lift = 6*10/(8*6) = 1.25 -> 1_250_000 ppm;
+    // support(1,3)=2, lift = 2*10/(8*2) = 1.25 -> 1_250_000 ppm.
+    assert(got.toSeq == Seq((1L, 2L, 6L, 1250000L), (1L, 3L, 2L, 1250000L)))
+  }
+
   test("decile profile: closed-form buckets split 1..20 into exact pairs") {
     val docs = (1L to 20L).map(i => (i, "t", i))
     val dir = docsDir(docs)
