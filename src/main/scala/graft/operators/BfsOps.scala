@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-hop multi-source BFS over an edge list (beyond-reference,
+  * SURVEY §2.11) — the "distance to a trusted seed set" signal a
+  * web-corpus build uses for spam rank (hops from a whitelist domain),
+  * crawl-frontier depth caps, and near-seed sampling; the complement of
+  * [[PageRankOps]]' global authority and GraphOps' component ids.
+  *
+  * Frontier expansion is relational, never driver-side: each round is
+  * ONE keyed shuffle — the bounded distance table joins the edge list on
+  * `src` (candidate hop = dist+1), the previous table unions in, and a
+  * map-side-combined MIN per node keeps the shortest hop. Distances only
+  * ever shrink, so re-expanding already-settled nodes is redundant work
+  * but not an error; with hop counts bounded by `maxHops` the table
+  * holds ≤ |V| rows per round. A short loop (quality signals use 2-5
+  * hops) stays ONE lazy DAG — the PageRankOps measurement (eager
+  * per-round checkpoints 11.9 s vs 4.9 s lazy at sf0.1) applies verbatim
+  * since the loop shape is identical; `checkpointEvery` truncates
+  * lineage on longer walks.
+  */
+object BfsOps {
+
+  /** Minimum hop count from any seed after `maxHops` rounds on the
+    * directed graph `edges0(srcCol, dstCol)`. `seeds` carries one
+    * column, the seed node ids (hop 0). Returns (node, hops) for every
+    * node appearing as source or destination, hops = -1 where no seed
+    * reaches the node within `maxHops` (a defined sentinel: unreached
+    * is data, not absence — downstream gates filter on it).
+    *
+    * `assumeDistinct` skips the edge dedup shuffle under the caller's
+    * uniqueness guarantee (the PageRankOps contract — duplicates are
+    * harmless for MIN-combine BFS, unlike rank mass, but the dedup
+    * still halves the join volume when the input is dirty).
+    */
+  def multiSourceBfs(
+      edges0: DataFrame, srcCol: String, dstCol: String, seeds: DataFrame,
+      maxHops: Int, checkpointEvery: Int = 4,
+      assumeDistinct: Boolean = false): DataFrame = {
+    require(maxHops > 0, "maxHops must be positive")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    val projected = edges0
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val edgesRaw = if (assumeDistinct) projected else projected.distinct()
+    val materialize = maxHops >= checkpointEvery
+    val edges = if (materialize) edgesRaw.localCheckpoint(true) else edgesRaw
+    val nodesRaw = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val nodes = if (materialize) nodesRaw.localCheckpoint(true) else nodesRaw
+
+    val seedCol = seeds.columns.head
+    var dist = seeds.select(col(seedCol).cast("long").as("node"))
+      .withColumn("hops", lit(0L))
+    for (i <- 1 to maxHops) {
+      val expanded = edges.join(dist, edges("src") === dist("node"))
+        .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
+      dist = dist.union(expanded)
+        .groupBy("node").agg(min(col("hops")).as("hops"))
+      if (i % checkpointEvery == 0 && i < maxHops)
+        dist = dist.localCheckpoint(true)
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hops"), lit(-1L)).as("hops"))
+  }
+}

@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{PowerIterOps, RankOps}
+
+/** Round-8 beyond-reference operators (SURVEY §2.11), signal/shape
+  * family: dominant-direction power iteration over embeddings, CUSUM
+  * change detection over event streams, the Gini concentration
+  * coefficient, and Jensen–Shannon drift — each oracle replaying the
+  * exact integer / fixed-IEEE arithmetic (a17_moments discipline).
+  */
+object SignalQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private def lnFp(x: String): String =
+    s"CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST($x AS DOUBLE))) AS BIGINT)"
+
+  // ---------------------------------------------------- emb_power_iter
+
+  /** EMB-PI: dominant principal direction of the embedding collection
+    * after 2 power-iteration rounds (PowerIterOps — covariance-free
+    * C·v passes; micro-int quantization; fixed-IEEE renormalization).
+    * The oracle unrolls both rounds with the identical op sequence:
+    * integer dot/component sums in HUGEINT, ascending-dimension
+    * left-fold for the norm, floor(x / nrm * 1e6). */
+  private val piDim = 64
+  private val piIters = 2
+  private val pi: Q = (s, dir) =>
+    PowerIterOps.dominantDirection(
+        t(s, dir, "embeddings"), "embedding", dim = piDim, iters = piIters)
+      .orderBy("dim_j")
+  private val piSql =
+    s"""WITH xq AS (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xq
+       |  FROM embeddings),
+       |r1 AS (SELECT xq, list_reduce(xq, (a, b) -> a + b) AS s FROM xq),
+       |c1 AS (
+       |  SELECT j - 1 AS j, SUM(CAST(xq[j] AS HUGEINT) * s) AS c
+       |  FROM r1, range(1, ${piDim + 1}) t(j) GROUP BY j - 1),
+       |f1 AS (SELECT list(CAST(c AS DOUBLE) ORDER BY j) AS cd FROM c1),
+       |n1 AS (SELECT cd, sqrt(list_reduce(list_transform(cd, x -> x * x),
+       |  (a, b) -> a + b)) AS nrm FROM f1),
+       |v1 AS (SELECT list_transform(cd,
+       |  x -> CAST(floor(x / nrm * 1000000.0) AS BIGINT)) AS v FROM n1),
+       |r2 AS (
+       |  SELECT xq, list_reduce(list_transform(range(1, ${piDim + 1}),
+       |    j -> xq[j] * v[j]), (a, b) -> a + b) AS s
+       |  FROM xq, v1),
+       |c2 AS (
+       |  SELECT j - 1 AS j, SUM(CAST(xq[j] AS HUGEINT) * s) AS c
+       |  FROM r2, range(1, ${piDim + 1}) t(j) GROUP BY j - 1),
+       |f2 AS (SELECT list(CAST(c AS DOUBLE) ORDER BY j) AS cd FROM c2),
+       |n2 AS (SELECT cd, sqrt(list_reduce(list_transform(cd, x -> x * x),
+       |  (a, b) -> a + b)) AS nrm FROM f2),
+       |v2 AS (SELECT list_transform(cd,
+       |  x -> CAST(floor(x / nrm * 1000000.0) AS BIGINT)) AS v FROM n2)
+       |SELECT CAST(j AS INT) AS dim_j, v[j + 1] AS v_fp
+       |FROM v2, range($piDim) t(j) ORDER BY dim_j""".stripMargin
+
+  // -------------------------------------------------------- w13_cusum
+
+  /** W13: per-user one-sided CUSUM change detection over event values —
+    * the sequential drift alarm (feed abuse, metric regressions) that
+    * complements w12's cadence stats with a MAGNITUDE signal. The
+    * recurrence S_i = max(0, S_{i-1} + y_i) is deliberately NOT
+    * computed as a recurrence: by the reflection identity
+    * S_i = cum_i − min(0, min_{j≤i} cum_j), so the whole detector is
+    * two stacked windows over ONE per-user (ts, event_id) sort — the
+    * w11 exchange-sharing shape, no driver loop, no UDAF state.
+    * Values quantize to cents; the drift allowance k is the corpus
+    * mean (sum div count — nonneg, identical truncation) and the alarm
+    * threshold h = 5k is a fixture parameter of the registered query,
+    * both riding a 1-row broadcast. Output: per-user event count, max
+    * CUSUM excursion, and alarm count. */
+  private val cusumHMult = 5
+  private val w13: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v_fp"))
+    val k = ev.agg(expr("sum(v_fp) div count(1)").as("k_fp"))
+    val w = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.crossJoin(broadcast(k))
+      .withColumn("cum", sum(col("v_fp") - col("k_fp")).over(w))
+      .withColumn("s_fp", col("cum") - least(min(col("cum")).over(w), lit(0L)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("s_fp")).as("max_s_fp"),
+        sum(when(col("s_fp") >= lit(cusumHMult.toLong) * col("k_fp"), 1L)
+          .otherwise(0L)).as("n_alarms"))
+      .orderBy("user_id")
+  }
+  private val w13Sql =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tu,
+       |    CAST(floor(value * 100) AS BIGINT) AS v_fp
+       |  FROM events WHERE value IS NOT NULL),
+       |k AS (SELECT SUM(v_fp) // COUNT(*) AS k_fp FROM ev),
+       |c AS (
+       |  SELECT user_id, k_fp, tu, event_id,
+       |    SUM(v_fp - k_fp) OVER (PARTITION BY user_id ORDER BY tu, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM ev, k),
+       |sr AS (
+       |  SELECT user_id, k_fp,
+       |    cum - least(MIN(cum) OVER (PARTITION BY user_id ORDER BY tu, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s_fp
+       |  FROM c)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(MAX(s_fp) AS BIGINT) AS max_s_fp,
+       |  CAST(SUM(CASE WHEN s_fp >= $cusumHMult * k_fp THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_alarms
+       |FROM sr GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------- a20_gini
+
+  /** A20: Gini concentration of document length — the inequality
+    * scalar a curation pass tracks (is the corpus a few giant docs or
+    * an even spread?). Closed form over the ascending (n_chars,
+    * doc_id) total order:
+    *   gini_ppm = (2·Σ rn·x − (n+1)·Σx)·10⁶ div (n·Σx),
+    * nonnegative by the Chebyshev sum inequality, so truncation
+    * agrees engine-to-engine. The rank is RankOps' distributed global
+    * row number (range exchange + in-partition offsets — never a
+    * single-task ORDER BY window); products lift to DECIMAL(38,0) ≙
+    * HUGEINT (rn·x is quadratic-scale). */
+  private val a20: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    RankOps.globalRowNumber(
+        docs, Seq(col("n_chars").asc, col("doc_id").asc), "rn")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+        sum((col("rn").cast("decimal(38,0)") * col("n_chars"))).as("srx"))
+      .select(expr("CAST(n AS BIGINT)").as("n_docs"),
+        expr("CAST(sx AS BIGINT)").as("sum_chars"),
+        expr("CAST(((2 * srx - (n + 1) * sx) * 1000000) div (n * sx) AS BIGINT)")
+          .as("gini_ppm"))
+  }
+  private val a20Sql =
+    """WITH r AS (
+      |  SELECT CAST(n_chars AS HUGEINT) AS x,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS HUGEINT) AS rn
+      |  FROM documents)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(x) AS BIGINT) AS sum_chars,
+      |  CAST(((2 * SUM(rn * x) - (COUNT(*) + 1) * SUM(x)) * 1000000) //
+      |    (COUNT(*) * SUM(x)) AS BIGINT) AS gini_ppm
+      |FROM r""".stripMargin
+
+  // ------------------------------------------------------ t_jsd_drift
+
+  /** T-JSD: Jensen–Shannon divergence between the en-slice and
+    * rest-of-corpus term distributions — the SYMMETRIC, bounded
+    * companion to t_kl_drift (same add-1 smoothing over the joint
+    * vocabulary). With p = (ca+1)/Da, q = (cb+1)/Db, m = (p+q)/2:
+    *   jsd_ppm = Σ (ca+1)·(lnq(2(ca+1)Db) − lnq((ca+1)Db + (cb+1)Da)) div (2Da)
+    *           + Σ (cb+1)·(lnq(2(cb+1)Da) − lnq(…)) div (2Db)
+    * — every ln lands on an integer PRODUCT (lifted to DECIMAL/HUGEINT
+    * before the multiply, then cast once to double inside lnq — the
+    * identical rounding both engines apply), so the sums are exact
+    * integer math. Identical slices give EXACTLY zero (each term's two
+    * ln arguments coincide). Each half-sum is Da·KL(P‖M) ≥ 0
+    * mathematically; quantization can push a near-zero sum a few
+    * micro-units negative, where Spark div truncates but DuckDB //
+    * floors — greatest(·, 0) clamps both engines to the same value
+    * (and to the true limit). The vocab-bounded per-term table is
+    * localCheckpointed once (a19's treatment): totals AND the scored
+    * pass read it, and re-deriving it would re-run the corpus
+    * tokenize. */
+  private val jsd: Q = (s, dir) => {
+    import graft.queries.{RetrievalQueries => RQ}
+    val tok = RQ.tokenTf(Tables.fanOut(t(s, dir, "documents")), "lang")
+    val perTerm = tok.groupBy("term").agg(
+        sum(when(col("lang") === lit("en"), col("tf")).otherwise(lit(0L))).as("ca"),
+        sum(when(col("lang") =!= lit("en"), col("tf")).otherwise(lit(0L))).as("cb"))
+      .localCheckpoint(true)
+    val tot = perTerm.agg(count(lit(1)).as("nt"),
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    perTerm.crossJoin(broadcast(tot))
+      .select(col("ca"), col("cb"), col("nt"), col("na"), col("nb"),
+        expr("CAST(na + nt AS DECIMAL(38,0))").as("da"),
+        expr("CAST(nb + nt AS DECIMAL(38,0))").as("db"))
+      .select(col("nt"), col("na"), col("nb"), col("da"), col("db"),
+        expr(s"CAST(ca + 1 AS DECIMAL(38,0)) * (${lnFp("2 * CAST(ca + 1 AS DECIMAL(38,0)) * db")} - ${lnFp("CAST(ca + 1 AS DECIMAL(38,0)) * db + CAST(cb + 1 AS DECIMAL(38,0)) * da")})")
+          .as("sa_t"),
+        expr(s"CAST(cb + 1 AS DECIMAL(38,0)) * (${lnFp("2 * CAST(cb + 1 AS DECIMAL(38,0)) * da")} - ${lnFp("CAST(ca + 1 AS DECIMAL(38,0)) * db + CAST(cb + 1 AS DECIMAL(38,0)) * da")})")
+          .as("sb_t"))
+      .groupBy()
+      .agg(min(col("nt")).as("n_terms"), min(col("na")).as("na"),
+        min(col("nb")).as("nb"), min(col("da")).as("da"),
+        min(col("db")).as("db"),
+        sum(col("sa_t")).as("sa"), sum(col("sb_t")).as("sb"))
+      .select(col("n_terms"), col("na"), col("nb"),
+        expr("CAST(greatest(sa, CAST(0 AS DECIMAL(38,0))) div (2 * da) + " +
+          "greatest(sb, CAST(0 AS DECIMAL(38,0))) div (2 * db) AS BIGINT)")
+          .as("jsd_ppm"))
+  }
+  private val jsdSql =
+    s"""WITH tok AS (
+       |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+       |  FROM documents),
+       |pt AS (
+       |  SELECT term,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM tok GROUP BY term),
+       |tt AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nt, CAST(SUM(ca) AS BIGINT) AS na,
+       |    CAST(SUM(cb) AS BIGINT) AS nb,
+       |    CAST(SUM(ca) + COUNT(*) AS HUGEINT) AS da,
+       |    CAST(SUM(cb) + COUNT(*) AS HUGEINT) AS db
+       |  FROM pt),
+       |sc AS (
+       |  SELECT nt, na, nb, da, db,
+       |    SUM(CAST(ca + 1 AS HUGEINT) * (${lnFp("2 * CAST(ca + 1 AS HUGEINT) * db")} - ${lnFp("CAST(ca + 1 AS HUGEINT) * db + CAST(cb + 1 AS HUGEINT) * da")})) AS sa,
+       |    SUM(CAST(cb + 1 AS HUGEINT) * (${lnFp("2 * CAST(cb + 1 AS HUGEINT) * da")} - ${lnFp("CAST(ca + 1 AS HUGEINT) * db + CAST(cb + 1 AS HUGEINT) * da")})) AS sb
+       |  FROM pt, tt GROUP BY nt, na, nb, da, db)
+       |SELECT nt AS n_terms, na, nb,
+       |  CAST(greatest(sa, 0) // (2 * da) + greatest(sb, 0) // (2 * db) AS BIGINT)
+       |    AS jsd_ppm
+       |FROM sc""".stripMargin
+
+  // ------------------------------------------------------------ maps
+
+  val queries: Map[String, Q] = Map(
+    "emb_power_iter" -> pi,
+    "w13_cusum" -> w13,
+    "a20_gini" -> a20,
+    "t_jsd_drift" -> jsd)
+
+  val oracle: Map[String, String] = Map(
+    "emb_power_iter" -> piSql,
+    "w13_cusum" -> w13Sql,
+    "a20_gini" -> a20Sql,
+    "t_jsd_drift" -> jsdSql)
+}

@@ -21,7 +21,8 @@ object GenOracleBody {
       DedupQueries.oracle ++ IoQueries.oracle ++
       StatefulQueries.oracle ++ MiscQueries.oracle ++
       ScaleQueries.oracle ++ RetrievalQueries.oracle ++
-      CurationQueries.oracle ++ MetricsQueries.oracle
+      CurationQueries.oracle ++ MetricsQueries.oracle ++
+      AssocQueries.oracle ++ SignalQueries.oracle
 
   /** Whitespace-collapse: safe because no oracle SQL string literal
     * contains a newline or a run of 2+ spaces (asserted in OracleSyncSpec).

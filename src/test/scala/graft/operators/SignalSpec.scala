@@ -1,0 +1,164 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Behavioral pins for the signal/shape family: PowerIterOps against a
+  * full Scala replay of its fixed-point arithmetic plus a geometric
+  * sanity (an axis-dominated cloud must point down that axis), CUSUM
+  * against the textbook recurrence, Gini closed forms (all-equal → 0,
+  * one-giant → (n−1)/n), and JSD's exact-zero-on-identical-slices
+  * integer identity. Everything runs through the REAL registered
+  * queries (SparkEntry.queries) on scratch parquet dirs. */
+class SignalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def embDir(rows: Seq[(Long, Array[Float], Int)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_signal").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def docsDir(rows: Seq[(Long, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_signal").toString
+    rows.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def eventsDir(rows: Seq[(Long, Long, Timestamp, String, Double)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_signal").toString
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  // ------------------------------------------------------ emb_power_iter
+
+  /** Scala replay of PowerIterOps' exact arithmetic: micro-int rows,
+    * BigInt component sums, double left-fold renormalization. */
+  private def refPowerIter(rows: Seq[Array[Float]], dim: Int, iters: Int)
+      : Array[Long] = {
+    val xq = rows.map(_.map(x => math.floor(x.toDouble * 1e6).toLong))
+    var v = Array.fill(dim)(1L)
+    for (_ <- 1 to iters) {
+      val c = Array.fill(dim)(BigInt(0))
+      for (r <- xq) {
+        var s = 0L
+        var j = 0
+        while (j < dim) { s += r(j) * v(j); j += 1 }
+        j = 0
+        while (j < dim) { c(j) += BigInt(r(j)) * s; j += 1 }
+      }
+      val cd = c.map(_.toDouble)
+      var acc = 0.0
+      cd.foreach(x => acc += x * x)
+      val nrm = math.sqrt(acc)
+      v = cd.map(x => math.floor(x / nrm * 1e6).toLong)
+    }
+    v
+  }
+
+  test("emb_power_iter matches the Scala fixed-point replay and finds the axis") {
+    // 20 points hugging dimension 3 (value ±large on dim 3, noise
+    // elsewhere): the dominant direction must be ±e3.
+    val dim = 64
+    val rows = (0 until 20).map { i =>
+      val a = Array.fill(dim)(0.01f * ((i * 7 + 3) % 5 - 2))
+      a(3) = if (i % 2 == 0) 0.9f else -0.9f
+      (i.toLong, a, 0)
+    }
+    val dir = embDir(rows)
+    val got = graft.SparkEntry.queries("emb_power_iter")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val want = refPowerIter(rows.map(_._2), dim, 2)
+    assert((0 until dim).forall(j => got(j) == want(j)),
+      s"fixed-point mismatch: got ${got.toSeq.sortBy(_._1)} want ${want.toSeq}")
+    val vAbs = got.map { case (j, v) => j -> math.abs(v) }
+    assert(vAbs(3) == vAbs.values.max, "dominant direction must be dim 3")
+    assert(vAbs(3) > 900000L, "dim-3 component of the unit vector near ±1")
+  }
+
+  // ----------------------------------------------------------- w13_cusum
+
+  test("w13_cusum: step-change user alarms, steady user does not") {
+    // steady user 1 at value 1.00 each event; user 2 jumps to 9.00 for
+    // its last 6 events. Global mean sits between, so user 2's CUSUM
+    // climbs while user 1's pins at 0.
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = (0 until 10).map(i => (i.toLong, 1L, ts(i), "a", 1.00)) ++
+      (0 until 4).map(i => (100L + i, 2L, ts(i), "a", 1.00)) ++
+      (4 until 10).map(i => (100L + i, 2L, ts(i), "a", 9.00))
+    val got = graft.SparkEntry.queries("w13_cusum")(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // Scala reference of the textbook recurrence S_i = max(0, S+y).
+    val all = rows.map(r => math.floor(r._5 * 100).toLong)
+    val k = all.sum / all.size
+    def ref(vs: Seq[Long]): (Long, Long, Long) = {
+      var s = 0L; var mx = 0L; var alarms = 0L
+      vs.foreach { v =>
+        s = math.max(0L, s + (v - k))
+        mx = math.max(mx, s)
+        if (s >= 5 * k) alarms += 1
+      }
+      (vs.size.toLong, mx, alarms)
+    }
+    val u1 = ref(Seq.fill(10)(100L))
+    val u2 = ref(Seq.fill(4)(100L) ++ Seq.fill(6)(900L))
+    assert(got(1L) == u1 && got(2L) == u2)
+    assert(got(1L)._3 == 0L, "steady user must not alarm")
+    assert(got(2L)._3 > 0L, "step-change user must alarm")
+    assert(got(1L)._2 == 0L, "below-mean user's CUSUM pins at zero")
+  }
+
+  // ------------------------------------------------------------ a20_gini
+
+  test("a20_gini: all-equal lengths give exactly 0; one-giant approaches (n-1)/n") {
+    val eq = (0 until 8).map(i => (i.toLong, "x", "en", 50L))
+    val r1 = graft.SparkEntry.queries("a20_gini")(spark, docsDir(eq))
+      .collect().head
+    assert(r1.getAs[Long]("gini_ppm") == 0L)
+    // 9 docs of length ~0 can't exist (lengths >= 1); use 1 vs one 10^6:
+    // G -> (n-1)/n · (1 - small correction); just pin the exact integer
+    // against the closed form computed here.
+    val n = 10
+    val lens = Seq.fill(n - 1)(1L) :+ 1000000L
+    val rows = lens.zipWithIndex.map { case (l, i) => (i.toLong, "x", "en", l) }
+    val r2 = graft.SparkEntry.queries("a20_gini")(spark, docsDir(rows))
+      .collect().head
+    val sx = BigInt(lens.sum)
+    val srx = lens.sorted.zipWithIndex
+      .map { case (x, i) => BigInt(i + 1) * x }.sum
+    val want = ((2 * srx - (n + 1) * sx) * 1000000 / (n * sx)).toLong
+    assert(r2.getAs[Long]("gini_ppm") == want)
+    assert(want > 880000L, "one-giant corpus must be near (n-1)/n = 0.9")
+  }
+
+  // --------------------------------------------------------- t_jsd_drift
+
+  test("t_jsd_drift: identical slices are exactly zero; drifted slices are not") {
+    val text = "alpha beta gamma delta epsilon zeta alpha beta"
+    val same = Seq((0L, text, "en", 1L), (1L, text, "vi", 1L))
+    val r1 = graft.SparkEntry.queries("t_jsd_drift")(spark, docsDir(same))
+      .collect().head
+    assert(r1.getAs[Long]("jsd_ppm") == 0L,
+      "identical term distributions must be an exact integer zero")
+    val drift = Seq((0L, "alpha alpha alpha beta", "en", 1L),
+      (1L, "omega omega psi psi chi", "vi", 1L))
+    val r2 = graft.SparkEntry.queries("t_jsd_drift")(spark, docsDir(drift))
+      .collect().head
+    val jsd = r2.getAs[Long]("jsd_ppm")
+    // JSD is bounded by ln 2 ≈ 0.693: smoothed disjoint vocabularies
+    // land high but under the bound.
+    assert(jsd > 100000L && jsd < 693148L, s"got $jsd")
+  }
+}
