@@ -523,4 +523,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), "g2 lost its equi-joins")
   }
+
+  test("PMI pairs: bounded-heap top-k, no cartesian") {
+    val p = plan("t_pmi_pairs")
+    assert(p.contains("TakeOrdered"),
+      s"t_pmi must TakeOrdered its top-k:\n${p.take(700)}")
+    assert(!p.contains("CartesianProduct"), "t_pmi went cartesian")
+  }
+
+  test("KS drift: the only window runs over the value spine, above an aggregate; " +
+      "argmax is a bounded heap") {
+    val p = plan("t_ks_drift")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "t_ks lost its ECDF prefix sums")
+    assert(p.indexOf("HashAggregate", winIdx) >= 0,
+      s"t_ks window must sit above the spine aggregate:\n${p.take(900)}")
+    assert(p.contains("TakeOrdered"),
+      s"t_ks argmax must be TakeOrdered(1):\n${p.take(700)}")
+  }
+
+  test("BFS: keyed joins and map-side-combined MIN per round — no cartesian, no window") {
+    val p = plan("g4_bfs_hops")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"g4 regressed:\n${p.take(600)}")
+    assert(p.contains("partial_min"), "g4 lost the map-side MIN combine")
+  }
+
+  test("CUSUM: both stacked windows share ONE per-user exchange") {
+    val p = plan("w13_cusum")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")),
+      s"w13 windows must partition by user_id:\n${winLines.mkString("\n")}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"w13 must shuffle once on user_id (shared sort):\n${p.take(900)}")
+  }
+
+  test("Gini ranks via the distributed global row number, not a data-row window") {
+    val p = plan("a20_gini")
+    assert(p.contains("Exchange rangepartitioning"), "a20 lost the range exchange")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx < 0 || p.indexOf("HashAggregate", winIdx) >= 0,
+      s"a20 window must sit above the P-row stats aggregate:\n${p.take(900)}")
+  }
+
+  test("JSD drift: totals ride broadcasts over the checkpointed vocab table; " +
+      "no window, no cartesian") {
+    val p = plan("t_jsd_drift")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"),
+      s"t_jsd regressed:\n${p.take(600)}")
+    assert(p.contains("partial_sum"), "t_jsd lost map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"t_jsd's only join is the 1-row totals broadcast:\n${p.take(700)}")
+  }
 }
