@@ -210,15 +210,201 @@ object AssocQueries {
        |FROM n LEFT JOIN d$bfsHops ON n.node = d$bfsHops.node
        |ORDER BY n.node""".stripMargin
 
+  // ------------------------------------------------------ g5_kcore_peel
+
+  /** G5: iterated k-core peeling (3 rounds toward the 3-core) on the
+    * g1/g4 bipartite supply graph — the density filter that strips
+    * low-engagement fringe before community/influence analysis (a
+    * crawl-graph build prunes leaf chains exactly this way). Each round
+    * is ONE degree aggregate (map-side combined count on the mirrored
+    * edge list) and two keyed semi-joins restricting edges to surviving
+    * endpoints; 3 rounds stay one lazy DAG (the PageRankOps/BfsOps
+    * measurement). A FIXED round count is a defined REPORT of the
+    * peeling front — full-core convergence iterates to fixpoint with
+    * periodic lineage truncation, same loop body. Output: nodes
+    * surviving round 3 with their residual degree. */
+  private val kcoreK = 3
+  private val kcoreRounds = 3
+  private val g5: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_partkey"))
+    val fwd = li.select((col("l_suppkey") * 2 + 1).as("src"),
+      (col("l_partkey") * 2).as("dst")).distinct()
+    var edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    for (_ <- 1 to kcoreRounds) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= kcoreK).select(col("src").as("node"))
+      edges = edges
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+    }
+    edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .orderBy("node")
+  }
+  private def g5Round(i: Int): String =
+    s"""k$i AS (SELECT src AS node FROM (
+       |  SELECT src, COUNT(*) AS d FROM e${i - 1} GROUP BY src) WHERE d >= $kcoreK),
+       |e$i AS (
+       |  SELECT e.src, e.dst FROM e${i - 1} e
+       |  JOIN k$i a ON e.src = a.node JOIN k$i b ON e.dst = b.node)""".stripMargin
+  private val g5Sql =
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+       |  FROM lineitem
+       |  UNION
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |${(1 to kcoreRounds).map(g5Round).mkString(",\n")}
+       |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+       |FROM e$kcoreRounds GROUP BY src ORDER BY node""".stripMargin
+
+  // ------------------------------------------------------ t_burstiness
+
+  /** T-BURST: top-20 bursty terms by variance-to-mean ratio of per-doc
+    * term frequency, zeros included (Church–Gale burstiness — content
+    * words clump, function words spread; a quality pipeline uses the
+    * signal to separate topical from boilerplate vocabulary). With
+    * n = Σtf, s2 = Σtf², N docs:
+    *   vmr_ppm = (N·s2 − n²)·10⁶ div (N·n)
+    * — zero-docs never materialize (the identity absorbs them), the
+    * numerator is nonnegative by Cauchy–Schwarz so truncation agrees,
+    * and products lift to DECIMAL(38,0) ≙ HUGEINT. One tokenizer pass
+    * to per-(doc,term) tf, one vocab-bounded term fold, df floor, then
+    * a TakeOrdered top-20. */
+  private val burstMinDf = 3
+  private val burstK = 20
+  private val burst: Q = (s, dir) => {
+    import graft.queries.{RetrievalQueries => RQ}
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("nn"))
+    RQ.tokenTf(Tables.fanOut(docs), "doc_id")
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("n"),
+        sum((col("tf") * col("tf")).cast("decimal(38,0)")).as("s2"))
+      .filter(col("df") >= burstMinDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("n"),
+        expr("CAST(((nn * s2 - CAST(n AS DECIMAL(38,0)) * n) * 1000000) div (nn * CAST(n AS DECIMAL(38,0))) AS BIGINT)")
+          .as("vmr_ppm"))
+      .orderBy(col("vmr_ppm").desc, col("term"))
+      .limit(burstK)
+      .orderBy(col("vmr_ppm").desc, col("term"))
+  }
+  private val burstSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY doc_id, term),
+       |st AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS n,
+       |    SUM(CAST(tf AS HUGEINT) * tf) AS s2
+       |  FROM tf GROUP BY term),
+       |nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn FROM documents)
+       |SELECT term, df, n,
+       |  CAST(((nn * s2 - CAST(n AS HUGEINT) * n) * 1000000) //
+       |    (nn * CAST(n AS HUGEINT)) AS BIGINT) AS vmr_ppm
+       |FROM st, nn WHERE df >= $burstMinDf
+       |ORDER BY vmr_ppm DESC, term LIMIT $burstK""".stripMargin
+
+  // --------------------------------------------------- t_tfidf_keywords
+
+  /** T-TFIDF: per-document top-3 keywords by tf·idf for the first 30
+    * doc ids — the extractive keyword primitive (faceting, index
+    * previews, weak topic labels). idf quantizes as
+    * lnq(N) − lnq(df) over the FULL corpus (df computed before the
+    * doc-id restriction — a keyword report for a slice still weights
+    * by global rarity); score_fp = tf · idf_fp is exact integer math.
+    * The per-doc top-3 is a row_number window PARTITIONED by doc_id
+    * (parallel across docs, the w1 class — never a global sort). */
+  private val tfidfDocs = 30
+  private val tfidfK = 3
+  private val tfidf: Q = (s, dir) => {
+    import graft.queries.{RetrievalQueries => RQ}
+    val docs = t(s, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("nn"))
+    val tf = RQ.tokenTf(Tables.fanOut(docs), "doc_id")
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_fp").desc, col("term"))
+    tf.filter(col("doc_id") < tfidfDocs)
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * (expr(lnFp("nn")) - expr(lnFp("df")))).as("score_fp"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= tfidfK)
+      .select(col("doc_id"), col("rank"), col("term"), col("score_fp"))
+      .orderBy("doc_id", "rank")
+  }
+  private val tfidfSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY doc_id, term),
+       |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+       |sc AS (
+       |  SELECT doc_id, term, tf * (${lnFp("nn")} - ${lnFp("df")}) AS score_fp
+       |  FROM tf JOIN dft USING (term), nn
+       |  WHERE doc_id < $tfidfDocs)
+       |SELECT doc_id, rank, term, score_fp FROM (
+       |  SELECT doc_id, term, score_fp,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score_fp DESC, term) AS INT) AS rank
+       |  FROM sc)
+       |WHERE rank <= $tfidfK ORDER BY doc_id, rank""".stripMargin
+
+  // ----------------------------------------------------------- a22_hhi
+
+  /** A22: per-language Herfindahl–Hirschman concentration of doc
+    * counts across sources — the mix-health scalar (is a language
+    * slice one crawl dump or a diversified blend?) read next to
+    * o7_domain_cap before fixing quota gates.
+    *   hhi_ppm = Σ_s c_s² · 10⁶ div tot²  (10⁶ = single source).
+    * Two stacked map-side-combined aggregates, squares lifted to
+    * DECIMAL(38,0) ≙ HUGEINT. */
+  private val hhi: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("ss"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        expr("CAST((ss * 1000000) div (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)")
+          .as("hhi_ppm"))
+      .orderBy("lang")
+  private val hhiSql =
+    """WITH c AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY lang, source)
+      |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_sources,
+      |  CAST((SUM(CAST(c AS HUGEINT) * c) * 1000000) //
+      |    (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT) AS hhi_ppm
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
     "t_pmi_pairs" -> pmi,
     "t_ks_drift" -> ks,
-    "g4_bfs_hops" -> g4)
+    "g4_bfs_hops" -> g4,
+    "g5_kcore_peel" -> g5,
+    "t_burstiness" -> burst,
+    "t_tfidf_keywords" -> tfidf,
+    "a22_hhi" -> hhi)
 
   val oracle: Map[String, String] = Map(
     "t_pmi_pairs" -> pmiSql,
     "t_ks_drift" -> ksSql,
-    "g4_bfs_hops" -> g4Sql)
+    "g4_bfs_hops" -> g4Sql,
+    "g5_kcore_peel" -> g5Sql,
+    "t_burstiness" -> burstSql,
+    "t_tfidf_keywords" -> tfidfSql,
+    "a22_hhi" -> hhiSql)
 }

@@ -566,6 +566,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a20 window must sit above the P-row stats aggregate:\n${p.take(900)}")
   }
 
+  test("k-core peel: keyed semi-joins and map-side degree counts — no cartesian") {
+    val p = plan("g5_kcore_peel")
+    assert(!p.contains("CartesianProduct"), s"g5 went cartesian:\n${p.take(600)}")
+    assert(p.contains("LeftSemi"), "g5 lost its survivor semi-joins")
+    assert(p.contains("partial_count"), "g5 lost the map-side degree combine")
+  }
+
+  test("burstiness: vocab fold is map-side combined; top-k is a bounded heap; no window") {
+    val p = plan("t_burstiness")
+    assert(p.contains("TakeOrdered"), s"t_burst must TakeOrdered:\n${p.take(700)}")
+    assert(!p.contains("Window"), "t_burst must not window")
+    assert(p.contains("partial_sum"), "t_burst lost map-side combine")
+  }
+
+  test("tfidf keywords: the per-doc top-k window partitions by doc_id") {
+    val p = plan("t_tfidf_keywords")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("doc_id")),
+      s"tfidf window not per-doc:\n${winLines.mkString("\n")}")
+  }
+
+  test("HHI: two stacked aggregates over one scan — no join, no window") {
+    val p = plan("a22_hhi")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"a22 regressed:\n${p.take(600)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "a22 must read one scan")
+  }
+
   test("JSD drift: totals ride broadcasts over the checkpointed vocab table; " +
       "no window, no cartesian") {
     val p = plan("t_jsd_drift")

@@ -161,4 +161,93 @@ class AssocSpec extends AnyFunSuite {
     assert(!got.exists(p => p._1 == "rare" || p._2 == "rare"),
       "support floor must exclude the twice-seen pair")
   }
+
+  // -------------------------------------------------------- g5_kcore_peel
+
+  test("g5_kcore_peel matches iterated Scala peeling: core survives, chain peels") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_assoc").toString
+    // Suppliers 1..3 × parts 1..3 complete bipartite block (degree 3
+    // everywhere — survives k=3) plus a pendant chain supplier 9 - part
+    // 9 (degree 1 — peels in round 1) and supplier 1 - part 9 (part 9's
+    // removal drops nothing else: supplier 1 keeps degree 3).
+    val li = (for { s <- 1L to 3L; p <- 1L to 3L } yield (s, p)) ++
+      Seq((9L, 9L), (1L, 9L))
+    li.toDF("l_suppkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.SparkEntry.queries("g5_kcore_peel")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Scala reference: 3 peel rounds at k = 3 over mirrored edges.
+    var edges = li.flatMap { case (s, p) =>
+      Seq((2 * s + 1, 2 * p), (2 * p, 2 * s + 1)) }.distinct
+    for (_ <- 1 to 3) {
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size }
+      val keep = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+    }
+    val want = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    assert(got == want)
+    assert(got.keySet == Set(3L, 5L, 7L, 2L, 4L, 6L),
+      "exactly the 3x3 block survives")
+    assert(!got.contains(18L) && !got.contains(19L), "the pendant chain peeled")
+  }
+
+  // --------------------------------------------------------- t_burstiness
+
+  test("t_burstiness: a clumped term outranks an evenly spread one at equal mass") {
+    // "clump": 7+1+1 across 3 docs (clears the df >= 3 floor, heavily
+    // clumped); "spread": once in each of 9 docs. Equal total mass n = 9.
+    val rows = (0 until 9).map { i =>
+      val text = i match {
+        case 0 => "clump " * 7 + "spread"
+        case 1 | 2 => "clump spread"
+        case _ => "spread filler"
+      }
+      (i.toLong, text, "en", 1L)
+    }
+    val got = graft.SparkEntry.queries("t_burstiness")(spark, docsDir(rows))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("df"),
+        r.getAs[Long]("n"), r.getAs[Long]("vmr_ppm")))
+    val byTerm = got.map(t => t._1 -> t).toMap
+    // N = 9 docs. clump: df 3, n 9, s2 = 49+1+1 = 51 ->
+    // vmr = (9*51 - 81)*1e6 / (9*9) = 378e6/81 = 4666666 (floor)
+    assert(byTerm("clump") == (("clump", 3L, 9L, 4666666L)))
+    // spread: df 9, n 9, s2 9 -> vmr = (81-81)*1e6/81 = 0
+    assert(byTerm("spread") == (("spread", 9L, 9L, 0L)))
+    assert(got.head._1 == "clump", "clumped term must rank first")
+  }
+
+  // ----------------------------------------------------- t_tfidf_keywords
+
+  test("t_tfidf_keywords: ubiquitous terms score zero; rare terms lead") {
+    val rows = Seq(
+      (0L, "everywhere quantum quantum flux", "en", 1L),
+      (1L, "everywhere lattice", "en", 1L),
+      (2L, "everywhere vortex", "en", 1L))
+    val got = graft.SparkEntry.queries("t_tfidf_keywords")(spark, docsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getAs[Long]("score_fp")))
+    val doc0 = got.filter(_._1 == 0L)
+    // df(everywhere) = 3 = N -> idf_fp = 0 -> score 0, ranked last of 3.
+    assert(doc0.map(_._3).toSeq == Seq("quantum", "flux", "everywhere"))
+    val idfRare = lnFp(3) - lnFp(1)
+    assert(doc0.head._4 == 2 * idfRare, "tf=2 times idf of a df=1 term")
+    assert(doc0.last._4 == 0L, "df = N term must score exactly zero")
+  }
+
+  // -------------------------------------------------------------- a22_hhi
+
+  test("a22_hhi: single source is exactly 1e6; uniform 4-way split is 250000") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_assoc").toString
+    val rows = (0 until 8).map(i => (i.toLong, "x", "en", "only", 1L)) ++
+      (0 until 12).map(i => (100L + i, "x", "vi", s"s${i % 4}", 1L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("a22_hhi")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("en") == ((8L, 1L, 1000000L)))
+    assert(got("vi") == ((12L, 4L, 250000L)))
+  }
 }
