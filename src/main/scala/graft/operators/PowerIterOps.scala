@@ -44,8 +44,25 @@ object PowerIterOps {
     */
   def dominantDirection(df: DataFrame, vecCol: String, dim: Int,
       iters: Int = 2): DataFrame = {
-    require(iters > 0, "iters must be positive")
     val spark = df.sparkSession
+    val v = dominantVector(df, vecCol, dim, iters)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(v.zipWithIndex.map {
+        case (vf, j) => org.apache.spark.sql.Row(j, vf)
+      }.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dim_j",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("v_fp",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** The iterate itself (micro-units), for operators that consume the
+    * direction — common-direction removal, SRP bucketing seeds. Bounded
+    * model state (dim longs), the KMeansOps/PqOps collect contract. */
+  def dominantVector(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 2): Array[Long] = {
+    require(iters > 0, "iters must be positive")
     // Row-side quantization: float -> double is exact; floor(x*1e6)
     // makes every subsequent product integer math.
     val xq = df.select(expr(
@@ -56,7 +73,6 @@ object PowerIterOps {
     // scale cancels in the final normalization, so round 1 folds with
     // literal weight 1 per dimension (identical in the oracle).
     var v: Array[Long] = Array.fill(dim)(1L)
-    var out: DataFrame = null
     for (_ <- 1 to iters) {
       val vLit = v.mkString("array(", "L,", "L)")
       // s = x_q . v  (BIGINT: |x_q| <= ~1e6-scale, |v| <= 1e6, dim 64
@@ -82,16 +98,7 @@ object PowerIterOps {
       // The iterate is bounded model state (dim longs) — the
       // KMeansOps/PqOps collect contract.
       v = folded.collect()(0).getSeq[Long](0).toArray
-      out = spark.createDataFrame(
-        spark.sparkContext.parallelize(v.zipWithIndex.map {
-          case (vf, j) => org.apache.spark.sql.Row(j, vf)
-        }.toIndexedSeq, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("dim_j",
-            org.apache.spark.sql.types.IntegerType, nullable = false),
-          org.apache.spark.sql.types.StructField("v_fp",
-            org.apache.spark.sql.types.LongType, nullable = false))))
     }
-    out
+    v
   }
 }

@@ -36,9 +36,11 @@ object SignalQueries {
     PowerIterOps.dominantDirection(
         t(s, dir, "embeddings"), "embedding", dim = piDim, iters = piIters)
       .orderBy("dim_j")
-  private val piSql =
-    s"""WITH xq AS (
-       |  SELECT list_transform(embedding,
+  /** The unrolled two-round power-iteration CTE chain (ends at v2),
+    * shared by the direction report and the residual query. */
+  private val piWith =
+    s"""xq AS (
+       |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS xq
        |  FROM embeddings),
        |r1 AS (SELECT xq, list_reduce(xq, (a, b) -> a + b) AS s FROM xq),
@@ -61,7 +63,10 @@ object SignalQueries {
        |n2 AS (SELECT cd, sqrt(list_reduce(list_transform(cd, x -> x * x),
        |  (a, b) -> a + b)) AS nrm FROM f2),
        |v2 AS (SELECT list_transform(cd,
-       |  x -> CAST(floor(x / nrm * 1000000.0) AS BIGINT)) AS v FROM n2)
+       |  x -> CAST(floor(x / nrm * 1000000.0) AS BIGINT)) AS v FROM n2)""".stripMargin
+
+  private val piSql =
+    s"""WITH $piWith
        |SELECT CAST(j AS INT) AS dim_j, v[j + 1] AS v_fp
        |FROM v2, range($piDim) t(j) ORDER BY dim_j""".stripMargin
 
@@ -228,17 +233,108 @@ object SignalQueries {
        |    AS jsd_ppm
        |FROM sc""".stripMargin
 
+  // ------------------------------------------------- emb_residual_norms
+
+  /** EMB-RES: common-direction removal (Arora et al.'s all-but-the-top
+    * postprocess) — per-vector residual norm after projecting out the
+    * power-iteration direction. The direction v is bounded model state
+    * (PowerIterOps.dominantVector); the removal itself is row-local and
+    * shuffle-free: s = x_q·v and Σv² are exact integers, the residual
+    * components r_j = x_q[j]·Σv² − s·v_j evaluate in DOUBLE through a
+    * FIXED op sequence (the products can graze int64, and doubles are
+    * fine because both engines run the identical IEEE multiply/subtract/
+    * divide chain on identical integer inputs), squares fold in
+    * ascending-dimension order, sqrt, floor to micro-units. A vector
+    * parallel to v reports ~0; anisotropy shows up as the gap between
+    * res_fp and the vector's own norm. */
+  private val resid: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val v = PowerIterOps.dominantVector(emb, "embedding", piDim, piIters)
+    val vLit = v.mkString("array(", "L,", "L)")
+    val vv = v.map(x => x * x).sum // <= 64e12: exact in Long
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("xq"))
+      .select(col("vec_id"), col("xq"),
+        expr(s"aggregate(zip_with(xq, $vLit, (a, b) -> a * b), 0L, (acc, t) -> acc + t)")
+          .as("sv"))
+      .select(col("vec_id"),
+        expr(s"""CAST(floor(sqrt(aggregate(transform(
+          zip_with(xq, $vLit, (a, b) ->
+            (CAST(a AS DOUBLE) * CAST($vv AS DOUBLE) -
+             CAST(sv AS DOUBLE) * CAST(b AS DOUBLE)) / CAST($vv AS DOUBLE)),
+          d -> d * d), CAST(0 AS DOUBLE), (acc, t) -> acc + t))) AS BIGINT)""")
+          .as("res_fp"))
+      .orderBy("vec_id")
+  }
+  private val residSql =
+    s"""WITH $piWith,
+       |vvt AS (SELECT v, list_reduce(list_transform(v, x -> x * x),
+       |  (a, b) -> a + b) AS vv FROM v2),
+       |sv AS (
+       |  SELECT vec_id, xq, v, vv,
+       |    list_reduce(list_transform(range(1, ${piDim + 1}), j -> xq[j] * v[j]),
+       |      (a, b) -> a + b) AS s
+       |  FROM xq, vvt)
+       |SELECT vec_id, CAST(floor(sqrt(list_reduce(list_transform(
+       |  list_transform(range(1, ${piDim + 1}), j ->
+       |    (CAST(xq[j] AS DOUBLE) * CAST(vv AS DOUBLE) -
+       |     CAST(s AS DOUBLE) * CAST(v[j] AS DOUBLE)) / CAST(vv AS DOUBLE)),
+       |  d -> d * d), (a, b) -> a + b))) AS BIGINT) AS res_fp
+       |FROM sv ORDER BY vec_id""".stripMargin
+
+  // ----------------------------------------------------- a23_median_mad
+
+  /** A23: exact median and MAD (median absolute deviation) of document
+    * length — the robust location/scale pair that survives the heavy
+    * tails where a17's moments explode. Lower-median convention: the
+    * element at rank (n+1) div 2 of the (value, doc_id) total order —
+    * deterministic and engine-identical, no interpolation float. Two
+    * distributed rank passes (RankOps — range exchange, never a
+    * single-task window): one for the median, one over |x − med| with
+    * the 1-row median riding a broadcast. */
+  private val a23: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val nn = docs.agg(count(lit(1)).as("nn"))
+    val med = RankOps.globalRowNumber(
+        docs, Seq(col("n_chars").asc, col("doc_id").asc), "rn")
+      .crossJoin(broadcast(nn))
+      .filter(expr("rn = (nn + 1) div 2"))
+      .select(col("n_chars").as("med"))
+    val dev = docs.crossJoin(broadcast(med))
+      .select(col("doc_id"), abs(col("n_chars") - col("med")).as("ad"))
+    RankOps.globalRowNumber(dev, Seq(col("ad").asc, col("doc_id").asc), "rn")
+      .crossJoin(broadcast(nn))
+      .filter(expr("rn = (nn + 1) div 2"))
+      .crossJoin(broadcast(med))
+      .select(col("nn").as("n_docs"), col("med").as("median_chars"),
+        col("ad").as("mad_chars"))
+  }
+  private val a23Sql =
+    """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+      |r AS (SELECT n_chars,
+      |  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn FROM documents),
+      |med AS (SELECT n_chars AS med FROM r, nn WHERE rn = (nn + 1) // 2),
+      |d AS (SELECT doc_id, abs(n_chars - med) AS ad FROM documents, med),
+      |r2 AS (SELECT ad, ROW_NUMBER() OVER (ORDER BY ad, doc_id) AS rn FROM d)
+      |SELECT nn AS n_docs, med AS median_chars, ad AS mad_chars
+      |FROM r2, nn, med WHERE rn = (nn + 1) // 2""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
     "emb_power_iter" -> pi,
     "w13_cusum" -> w13,
     "a20_gini" -> a20,
-    "t_jsd_drift" -> jsd)
+    "t_jsd_drift" -> jsd,
+    "emb_residual_norms" -> resid,
+    "a23_median_mad" -> a23)
 
   val oracle: Map[String, String] = Map(
     "emb_power_iter" -> piSql,
     "w13_cusum" -> w13Sql,
     "a20_gini" -> a20Sql,
-    "t_jsd_drift" -> jsdSql)
+    "t_jsd_drift" -> jsdSql,
+    "emb_residual_norms" -> residSql,
+    "a23_median_mad" -> a23Sql)
 }

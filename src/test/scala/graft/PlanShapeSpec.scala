@@ -566,6 +566,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a20 window must sit above the P-row stats aggregate:\n${p.take(900)}")
   }
 
+  test("median/MAD: both rank passes use range exchanges, not data-row windows") {
+    val p = plan("a23_median_mad")
+    // The printed tree repeats the med/nn subtrees per consumer (ReuseExchange
+    // collapses identical exchanges at execution) — require the range
+    // exchanges EXIST and that no hash-keyed data shuffle replaced them.
+    assert("Exchange rangepartitioning".r.findAllIn(p).size >= 2,
+      s"a23 must range-partition each rank pass:\n${p.take(900)}")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx < 0 || p.indexOf("HashAggregate", winIdx) >= 0,
+      s"a23 windows must sit above stats aggregates only:\n${p.take(900)}")
+  }
+
+  test("residual norms are row-local: no exchange but the harness sort, no join") {
+    val p = plan("emb_residual_norms")
+    assert(!p.contains("Join"), s"resid must not join:\n${p.take(600)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"resid must not shuffle on a key:\n${p.take(700)}")
+  }
+
   test("k-core peel: keyed semi-joins and map-side degree counts — no cartesian") {
     val p = plan("g5_kcore_peel")
     assert(!p.contains("CartesianProduct"), s"g5 went cartesian:\n${p.take(600)}")

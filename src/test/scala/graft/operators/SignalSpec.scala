@@ -161,4 +161,102 @@ class SignalSpec extends AnyFunSuite {
     // land high but under the bound.
     assert(jsd > 100000L && jsd < 693148L, s"got $jsd")
   }
+
+  // ---------------------------------------------------- a23_median_mad
+
+  test("a23_median_mad: lower-median convention, odd and even n") {
+    def run(lens: Seq[Long]): (Long, Long, Long) = {
+      val rows = lens.zipWithIndex.map { case (l, i) => (i.toLong, "x", "en", l) }
+      val r = graft.SparkEntry.queries("a23_median_mad")(spark, docsDir(rows))
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // odd n: median 30; deviations 25,20,0,20,970 -> sorted 0,20,20,25,970 -> mad 20
+    assert(run(Seq(5L, 10L, 30L, 50L, 1000L)) == ((5L, 30L, 20L)))
+    // even n = 4: lower median = rank (4+1) div 2 = 2 -> 10;
+    // deviations |5-10|,0,20,90 -> sorted 0,5,20,90 -> lower median 5
+    assert(run(Seq(5L, 10L, 30L, 100L)) == ((4L, 10L, 5L)))
+  }
+
+  // ----------------------------------------------- emb_residual_norms
+
+  test("emb_residual_norms matches the Scala replay; parallel ~0, orthogonal ~own norm") {
+    val dim = 64
+    // axis-dominated cloud (dim 5) plus one vector ON the axis and one
+    // orthogonal to it (dim 11).
+    val rows = (0 until 16).map { i =>
+      val a = Array.fill(dim)(0.0f)
+      a(5) = if (i % 2 == 0) 0.8f else -0.8f
+      a(11) = 0.001f * i
+      (i.toLong, a, 0)
+    } :+ {
+      val a = Array.fill(dim)(0.0f); a(5) = 0.7f; (100L, a, 0)
+    } :+ {
+      val a = Array.fill(dim)(0.0f); a(11) = 0.6f; (101L, a, 0)
+    }
+    val dir = embDir(rows)
+    val got = graft.SparkEntry.queries("emb_residual_norms")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Scala replay of the registered arithmetic.
+    val v = refPowerIter(rows.map(_._2), dim, 2)
+    val vv = v.map(x => x * x).sum
+    def refRes(x: Array[Float]): Long = {
+      val xq = x.map(f => math.floor(f.toDouble * 1e6).toLong)
+      var s = 0L
+      (0 until dim).foreach(j => s += xq(j) * v(j))
+      var acc = 0.0
+      (0 until dim).foreach { j =>
+        val d = (xq(j).toDouble * vv.toDouble - s.toDouble * v(j).toDouble) / vv.toDouble
+        acc += d * d
+      }
+      math.floor(math.sqrt(acc)).toLong
+    }
+    rows.foreach { case (id, x, _) =>
+      assert(got(id) == refRes(x), s"vec $id")
+    }
+    assert(got(100L) < 1000L, "on-axis vector: residual ~0 after removal")
+    assert(got(101L) > 590000L && got(101L) <= 600000L,
+      "orthogonal vector keeps ~its own norm (0.6 = 600k micro)")
+  }
+
+  // ------------------------------------------------- streaming CUSUM
+
+  test("streaming CUSUM parity: final per-user state equals the batch fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingCusum
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = (0 until 10).map(i => (i.toLong, 1L, ts(i), "a", 1.00)) ++
+      (0 until 4).map(i => (100L + i, 2L, ts(i), "a", 1.00)) ++
+      (4 until 10).map(i => (100L + i, 2L, ts(i), "a", 9.00))
+    // deploy-time constants = the batch profile (w13's derivation)
+    val cents = rows.map(r => math.floor(r._5 * 100).toLong)
+    val kFp = cents.sum / cents.size
+    val hFp = 5 * kFp
+    val evs = rows.map(r => StreamingCusum.Ev(r._2, r._3.getTime * 1000, r._1,
+      math.floor(r._5 * 100).toLong))
+    val mem = MemoryStream[StreamingCusum.Ev]
+    val q = StreamingCusum.cusum(mem.toDS(), kFp, hFp)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("update").start()
+    try {
+      // split mid-history: the recurrence must fold across the boundary
+      mem.addData(evs.take(9): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(9): _*)
+      q.processAllAvailable()
+      val finalPerUser = spark.table("cusum_out")
+        .as[StreamingCusum.Out].collect()
+        .groupBy(_.user_id)
+        .map { case (u, outs) => u -> outs.maxBy(_.n_events) }
+      val batch = graft.SparkEntry.queries("w13_cusum")(spark, eventsDir(rows))
+        .collect().map(r => r.getLong(0) ->
+          StreamingCusum.Out(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(finalPerUser == batch,
+        s"stream $finalPerUser != batch $batch")
+      assert(batch(2L).n_alarms > 0L, "the step-change user alarms in both forms")
+    } finally q.stop()
+  }
 }
