@@ -388,6 +388,117 @@ object AssocQueries {
       |    (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT) AS hhi_ppm
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------ w14_debounce
+
+  /** W14: per-user event debounce — drop events closer than one hour to
+    * the previously KEPT-OR-NOT event (lag-based: the standard burst
+    * filter that precedes cadence analytics; a retry storm collapses to
+    * its first row). One shuffle on user_id, lag over the (ts,
+    * event_id) total order (w12's tie rule), exact epoch-µs compare.
+    * Summary output (total vs kept) so the gate's effect is auditable
+    * before anyone applies it. */
+  private val debounceGapUs = 3600000000L // 1 hour
+  private val w14: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"))
+      .withColumn("prev", lag(col("tu"), 1).over(w))
+      .withColumn("keep",
+        col("prev").isNull || col("tu") - col("prev") >= debounceGapUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("user_id")
+  }
+  private val w14Sql =
+    s"""WITH g AS (
+       |  SELECT user_id,
+       |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS gap
+       |  FROM events)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  CAST(SUM(CASE WHEN gap IS NULL OR gap >= $debounceGapUs
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------- t_ngram_novelty
+
+  /** T-NOVEL: per-document novelty — the fraction of a doc's DISTINCT
+    * word-3-gram shingles first seen in THIS doc under the doc_id
+    * order (heaps-curve resolution at document grain; a crawl pipeline
+    * reads the novelty drop-off to decide when a source is mined out).
+    * One shingle pass (the dedup family's distinct_kgrams kernel — the
+    * short-doc single-gram convention is shared with its oracles), a
+    * vocab-keyed MIN fold, one join back on the shingle key; novelty
+    * is an exact nonneg integer ratio. */
+  private val novel: Q = (s, dir) => {
+    val sh = Tables.fanOut(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        explode(expr("distinct_kgrams(ascii_alpha_tokens(text, 3), 3)")).as("g"))
+    val fs = sh.groupBy("g").agg(min(col("doc_id")).as("fd"))
+    sh.join(fs, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+      .select(col("doc_id"), col("n_shingles"), col("n_new"),
+        expr("(n_new * 1000000) div n_shingles").as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+  private val novelSql =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 2, 1) + 1),
+      |    j -> array_to_string(toks[j:j+2], ' ')))) AS g
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]{3,}') AS toks
+      |        FROM documents)),
+      |fs AS (SELECT g, MIN(doc_id) AS fd FROM sh GROUP BY g)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST((SUM(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+      |    AS BIGINT) AS novelty_ppm
+      |FROM sh JOIN fs USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- g7_link_predict
+
+  /** G7: top-20 supplier pairs by Adamic–Adar over shared parts — the
+    * link-prediction primitive (two suppliers stocking the same niche
+    * parts are "close" even though the bipartite graph never joins
+    * them). Weight per common part = 10¹² div lnq(deg) — rare parts
+    * count more; the quantized-log weight is exact integer math and
+    * deg ≥ 2 keeps the divisor positive. Pair generation is the
+    * inverted-index join on the part key with a degree cap (the
+    * SparseSimOps df-cap argument: a ubiquitous part contributes
+    * quadratic pairs and near-zero weight — Adamic–Adar itself says
+    * to ignore it). TakeOrdered top-20. */
+  private val aaDegCap = 64
+  private val aa: Q = (s, dir) => {
+    val e = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+    val w = e.groupBy("p").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2 && col("d") <= aaDegCap)
+      .select(col("p"),
+        expr(s"1000000000000L div ${lnFp("d")}").as("w_fp"))
+    e.join(w, Seq("p"))
+      .join(e.select(col("p"), col("s").as("s2")), Seq("p"))
+      .filter(col("s") < col("s2"))
+      .groupBy(col("s").as("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w_fp")).as("aa_fp"))
+      .orderBy(col("aa_fp").desc, col("s1"), col("s2"))
+      .limit(20)
+      .orderBy(col("aa_fp").desc, col("s1"), col("s2"))
+  }
+  private val aaSql =
+    s"""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |w AS (
+       |  SELECT p, 1000000000000 // ${lnFp("d")} AS w_fp FROM (
+       |    SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY p)
+       |  WHERE d >= 2 AND d <= $aaDegCap)
+       |SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS n_common,
+       |  CAST(SUM(w_fp) AS BIGINT) AS aa_fp
+       |FROM e a JOIN w USING (p) JOIN e b ON a.p = b.p AND a.s < b.s
+       |GROUP BY a.s, b.s
+       |ORDER BY aa_fp DESC, s1, s2 LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
@@ -397,7 +508,10 @@ object AssocQueries {
     "g5_kcore_peel" -> g5,
     "t_burstiness" -> burst,
     "t_tfidf_keywords" -> tfidf,
-    "a22_hhi" -> hhi)
+    "a22_hhi" -> hhi,
+    "w14_debounce" -> w14,
+    "t_ngram_novelty" -> novel,
+    "g7_link_predict" -> aa)
 
   val oracle: Map[String, String] = Map(
     "t_pmi_pairs" -> pmiSql,
@@ -406,5 +520,8 @@ object AssocQueries {
     "g5_kcore_peel" -> g5Sql,
     "t_burstiness" -> burstSql,
     "t_tfidf_keywords" -> tfidfSql,
-    "a22_hhi" -> hhiSql)
+    "a22_hhi" -> hhiSql,
+    "w14_debounce" -> w14Sql,
+    "t_ngram_novelty" -> novelSql,
+    "g7_link_predict" -> aaSql)
 }

@@ -566,6 +566,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a20 window must sit above the P-row stats aggregate:\n${p.take(900)}")
   }
 
+  test("debounce: one per-user shuffle, lag window partitioned by user_id") {
+    val p = plan("w14_debounce")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("user_id")),
+      s"w14 window not per-user:\n${winLines.mkString("\n")}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"w14 must shuffle once:\n${p.take(700)}")
+  }
+
+  test("ngram novelty: shingle-keyed MIN fold and join — no cartesian, no window") {
+    val p = plan("t_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"),
+      s"novelty regressed:\n${p.take(600)}")
+    assert(p.contains("partial_min"), "novelty lost the map-side MIN combine")
+  }
+
+  test("link prediction: inverted-index equi-join on the part key; bounded top-k") {
+    val p = plan("g7_link_predict")
+    assert(!p.contains("CartesianProduct"), s"g7 went cartesian:\n${p.take(600)}")
+    assert(p.contains("TakeOrdered"), "g7 must TakeOrdered its top-k")
+  }
+
   test("median/MAD: both rank passes use range exchanges, not data-row windows") {
     val p = plan("a23_median_mad")
     // The printed tree repeats the med/nn subtrees per consumer (ReuseExchange

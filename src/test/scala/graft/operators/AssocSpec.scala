@@ -250,4 +250,66 @@ class AssocSpec extends AnyFunSuite {
     assert(got("en") == ((8L, 1L, 1000000L)))
     assert(got("vi") == ((12L, 4L, 250000L)))
   }
+
+  // ------------------------------------------------------- w14_debounce
+
+  test("w14_debounce: bursts collapse to their first event; spaced events all keep") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_assoc").toString
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: burst of 4 within 3 minutes, then one 2h later -> keep 2.
+    // user 2: 3 events exactly 1h apart -> boundary (gap == threshold) keeps.
+    val rows = Seq(
+      (1L, 1L, ts(10, 0)), (2L, 1L, ts(10, 1)), (3L, 1L, ts(10, 2)),
+      (4L, 1L, ts(10, 3)), (5L, 1L, ts(12, 10)),
+      (10L, 2L, ts(8, 0)), (11L, 2L, ts(9, 0)), (12L, 2L, ts(10, 0)))
+    rows.map { case (e, u, t) => (e, t, u, "a", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("w14_debounce")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((5L, 2L)), "burst collapses to first + the spaced event")
+    assert(got(2L) == ((3L, 3L)), "gap exactly at the threshold keeps (>=)")
+  }
+
+  // --------------------------------------------------- t_ngram_novelty
+
+  test("t_ngram_novelty: first doc fully novel, exact dup fully stale, overlap exact") {
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "alpha beta gamma delta epsilon zeta" // dup of doc 0
+    // doc 2 shares its first 3-gram window with doc 0, rest fresh:
+    val c = "alpha beta gamma omega sigma tau"
+    val rows = Seq((0L, a, "en", 1L), (1L, b, "en", 1L), (2L, c, "en", 1L))
+    val got = graft.SparkEntry.queries("t_ngram_novelty")(spark, docsDir(rows))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) == ((4L, 4L, 1000000L)), "doc 0: all 4 shingles novel")
+    assert(got(1L) == ((4L, 0L, 0L)), "exact dup: nothing novel")
+    // doc 2 shingles: 'alpha beta gamma' (seen), then 3 fresh
+    assert(got(2L) == ((4L, 3L, 750000L)))
+  }
+
+  // -------------------------------------------------- g7_link_predict
+
+  test("g7_link_predict: rare shared parts outrank common ones; exact AA weights") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_assoc").toString
+    // parts: 500 shared by suppliers {1,2} only (deg 2, rare);
+    // 600 shared by {3,4} and also stocked by 5..8 (deg 6, common);
+    // 700 stocked by ALL suppliers 1..70 (deg 70 > cap 64: excluded).
+    val li = Seq((1L, 500L), (2L, 500L)) ++
+      Seq(3L, 4L, 5L, 6L, 7L, 8L).map(s => (s, 600L)) ++
+      (1L to 70L).map(s => (s, 700L))
+    li.toDF("l_suppkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.SparkEntry.queries("g7_link_predict")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    def w(d: Long) = 1000000000000L / lnFp(d)
+    assert(got((1L, 2L)) == ((1L, w(2))), "rare pair weight = 1e12/lnq(2)")
+    assert(got((3L, 4L)) == ((1L, w(6))))
+    assert(w(2) > w(6), "rarer common part must weigh more")
+    assert(!got.keySet.exists { case (x, y) => x >= 9L || y > 8L && y != 2L },
+      "the capped deg-70 part must generate no pairs")
+  }
 }
