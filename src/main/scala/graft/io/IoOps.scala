@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** File sources and sinks (SURVEY §2.1 S1–S9 / K1–K8) as one thin module.
   * Readers take explicit schemas (the engine's schema policy, SURVEY §1.3);
@@ -23,6 +23,21 @@ object IoOps {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema)
       .option("mode", "PERMISSIVE").csv(path)
+
+  /** S11-class robust ingest: headerless CSV under PERMISSIVE mode with
+    * an explicit corrupt-record column — a type-level parse failure
+    * nulls the offending field AND captures the raw row in `corruptCol`,
+    * while a genuinely EMPTY field is a plain null with no capture (the
+    * distinction a quarantine pipeline is built on: re-queue corrupt
+    * rows, accept sparse ones). The schema passed here must NOT contain
+    * `corruptCol`; it is appended. */
+  def readCsvQuarantine(spark: SparkSession, path: String, schema: StructType,
+      corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read.option("header", "false")
+      .schema(schema.add(StructField(corruptCol, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
 
   /** S2: forced-all-string CSV, empty string preserved (NOT null) —
     * pandas dtype=str, keep_default_na=False (crawler/metadata.py:308-325).

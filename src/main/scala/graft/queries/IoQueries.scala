@@ -499,9 +499,51 @@ object IoQueries {
        |WHERE i % 3 = 0
        |ORDER BY fname, frame_idx""".stripMargin
 
+  // --------------------------------------------------------- S11 + K1
+  /** S11-quarantine: robust CSV ingest with malformed-row capture. The
+    * fixture (authored through the text sink from orders) carries three
+    * row classes: clean "key,cents", legit-sparse "key," (empty cents —
+    * accepted as null), and corrupt "key,N/A" (type failure —
+    * quarantined). Spark's PERMISSIVE corrupt-record column and the
+    * oracle's TRY_CAST replica must agree row-for-row on which class is
+    * which; the summary keeps the gate auditable (the w14 convention). */
+  private val s11: Q = (s, dir) => {
+    val d = fixDir("s11_quarantine")
+    val lines = t(s, dir, "orders").select(
+      concat(col("o_orderkey").cast("string"), lit(","),
+        when(col("o_orderkey") % 7 === 0, lit("N/A"))
+          .when(col("o_orderkey") % 11 === 0, lit(""))
+          .otherwise(expr("CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING)")))
+        .as("line"))
+    IoOps.writeTextLines(lines, "line", d)
+    IoOps.readCsvQuarantine(s, d + "/*.txt", StructType(Seq(
+        StructField("k", LongType), StructField("cents", LongType))))
+      .agg(
+        count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+        count(when(col("_corrupt_record").isNull && col("cents").isNull, 1))
+          .as("n_sparse"),
+        count(col("_corrupt_record")).as("n_quarantined"),
+        sum(when(col("_corrupt_record").isNull, col("cents"))).as("sum_cents"))
+  }
+  private val s11Sql =
+    s"""WITH raw AS (
+       |  SELECT k, p FROM read_csv('$fixRoot/s11_quarantine/*.txt',
+       |    header=false, columns={'k':'VARCHAR','p':'VARCHAR'}, auto_detect=false)),
+       |cls AS (
+       |  SELECT TRY_CAST(p AS BIGINT) AS cents,
+       |    (p IS NOT NULL AND TRY_CAST(p AS BIGINT) IS NULL) AS bad,
+       |    p IS NULL AS sparse
+       |  FROM raw)
+       |SELECT CAST(SUM(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       |  CAST(SUM(CASE WHEN sparse THEN 1 ELSE 0 END) AS BIGINT) AS n_sparse,
+       |  CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       |  CAST(SUM(CASE WHEN NOT bad THEN cents END) AS BIGINT) AS sum_cents
+       |FROM cls""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "io_s11_quarantine" -> s11,
     "io_s1_csv" -> s1,
     "io_s2_csv_forced_string" -> s2,
     "io_s3_tsv" -> s3,
@@ -523,6 +565,7 @@ object IoQueries {
     "mm_frame_sample" -> mmFrames)
 
   val oracle: Map[String, String] = Map(
+    "io_s11_quarantine" -> s11Sql,
     "io_s1_csv" -> s1Sql,
     "io_s2_csv_forced_string" -> s2Sql,
     "io_s3_tsv" -> s3Sql,

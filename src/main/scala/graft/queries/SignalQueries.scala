@@ -320,6 +320,113 @@ object SignalQueries {
       |SELECT nn AS n_docs, med AS median_chars, ad AS mad_chars
       |FROM r2, nn, med WHERE rn = (nn + 1) // 2""".stripMargin
 
+  // ----------------------------------------------- a24_winsorized_mean
+
+  /** A24: winsorized mean of document length — clamp at the exact p10 /
+    * p90 ORDER STATISTICS (ranks ceil(N/10), ceil(9N/10) over the
+    * (value, doc_id) total order — integer ceil via (N+9) div 10, no
+    * interpolation float) and average the clamped values. The robust
+    * location estimate that, unlike a23's median, still moves with the
+    * bulk. One distributed rank pass (RankOps); the two 1-row
+    * thresholds ride broadcasts; the clamped mean is an exact
+    * nonneg integer division reported in ppm. */
+  private val a24: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val nn = docs.agg(count(lit(1)).as("nn"))
+    val ranked = RankOps.globalRowNumber(
+        docs, Seq(col("n_chars").asc, col("doc_id").asc), "rn")
+      .crossJoin(broadcast(nn))
+    val lo = ranked.filter(expr("rn = (nn + 9) div 10"))
+      .select(col("n_chars").as("lo"))
+    val hi = ranked.filter(expr("rn = (9 * nn + 9) div 10"))
+      .select(col("n_chars").as("hi"))
+    docs.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("n_chars"))).as("w"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_docs"), min(col("lo")).as("p10"),
+        min(col("hi")).as("p90"),
+        sum(col("w").cast("decimal(38,0)")).as("sw"))
+      .select(expr("CAST(n_docs AS BIGINT)").as("n_docs"),
+        col("p10"), col("p90"),
+        expr("CAST((sw * 1000000) div n_docs AS BIGINT)").as("wmean_ppm"))
+  }
+  private val a24Sql =
+    """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+      |r AS (SELECT n_chars,
+      |  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn FROM documents),
+      |lo AS (SELECT n_chars AS lo FROM r, nn WHERE rn = (nn + 9) // 10),
+      |hi AS (SELECT n_chars AS hi FROM r, nn WHERE rn = (9 * nn + 9) // 10)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(lo) AS BIGINT) AS p10, CAST(MIN(hi) AS BIGINT) AS p90,
+      |  CAST((SUM(CAST(greatest(lo, least(hi, n_chars)) AS HUGEINT)) * 1000000)
+      |    // COUNT(*) AS BIGINT) AS wmean_ppm
+      |FROM documents, lo, hi""".stripMargin
+
+  // ------------------------------------------------------ a25_cramers_v
+
+  /** A25: Cramér's V between lang and source — the categorical
+    * association scalar (is "source" just a proxy for "language"?) a
+    * mix audit reads next to a22's HHI. The contingency table is ONE
+    * map-side-combined aggregate whose size is the CATEGORY SPACE
+    * (langs × sources — bounded by the schema, not the corpus), so it
+    * collects as model state and the χ² fold runs driver-side in
+    * BigInt (the o12_dsir 128-bit discipline — exact at any corpus
+    * scale; the oracle's HUGEINT replica is exact to ~1e9 rows/cell,
+    * after which only the oracle saturates). Quantization: each cell
+    * contributes floor(d²·1000 / (r·c·N)) with d = o·N − r·c, summed
+    * to chi2_milli; v_ppm applies ONE fixed IEEE divide/sqrt/floor
+    * sequence at the end (the a17 rule — no float accumulates). */
+  private val a25: Q = (s, dir) => {
+    val spark = s
+    val cells = t(s, dir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rSums = cells.groupBy(_._1).map { case (k, cs) => k -> cs.map(_._3).sum }
+    val cSums = cells.groupBy(_._2).map { case (k, cs) => k -> cs.map(_._3).sum }
+    val n = BigInt(cells.map(_._3).sum)
+    // Zero-count (lang, source) cells contribute d = -r*c: iterate the
+    // full cross product of observed categories, not just observed cells.
+    val obs = cells.map { case (l, src, o) => (l, src) -> BigInt(o) }.toMap
+    var chi2Milli = BigInt(0)
+    for ((l, r) <- rSums; (c, cc) <- cSums) {
+      val o = obs.getOrElse((l, c), BigInt(0))
+      val d = o * n - BigInt(r) * BigInt(cc)
+      chi2Milli += d * d * 1000 / (BigInt(r) * BigInt(cc) * n)
+    }
+    val minDim = math.min(rSums.size, cSums.size) - 1
+    val vPpm =
+      if (minDim <= 0 || n == 0) 0L
+      else math.floor(1e6 * math.sqrt(
+        chi2Milli.toDouble / (1000.0 * n.toDouble * minDim))).toLong
+    import spark.implicits._
+    Seq((rSums.size.toLong, cSums.size.toLong, chi2Milli.toLong, vPpm))
+      .toDF("n_langs", "n_sources", "chi2_milli", "v_ppm")
+  }
+  private val a25Sql =
+    """WITH o AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS o
+      |  FROM documents GROUP BY lang, source),
+      |rs AS (SELECT lang, CAST(SUM(o) AS HUGEINT) AS r FROM o GROUP BY lang),
+      |cs AS (SELECT source, CAST(SUM(o) AS HUGEINT) AS c FROM o GROUP BY source),
+      |nn AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM o),
+      |grid AS (
+      |  SELECT rs.lang, cs.source, rs.r, cs.c, COALESCE(o.o, 0) AS o
+      |  FROM rs CROSS JOIN cs LEFT JOIN o
+      |    ON o.lang = rs.lang AND o.source = cs.source),
+      |chi AS (
+      |  SELECT SUM(((o * n - r * c) * (o * n - r * c) * 1000) // (r * c * n))
+      |    AS chi2_milli
+      |  FROM grid, nn),
+      |dims AS (
+      |  SELECT (SELECT COUNT(*) FROM rs) AS nr, (SELECT COUNT(*) FROM cs) AS nc)
+      |SELECT CAST(nr AS BIGINT) AS n_langs, CAST(nc AS BIGINT) AS n_sources,
+      |  CAST(chi2_milli AS BIGINT) AS chi2_milli,
+      |  CAST(CASE WHEN least(nr, nc) > 1 THEN floor(1000000.0 * sqrt(
+      |    CAST(chi2_milli AS DOUBLE) / (1000.0 * CAST((SELECT n FROM nn) AS DOUBLE)
+      |      * (least(nr, nc) - 1)))) ELSE 0 END AS BIGINT) AS v_ppm
+      |FROM chi, dims""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
@@ -328,7 +435,9 @@ object SignalQueries {
     "a20_gini" -> a20,
     "t_jsd_drift" -> jsd,
     "emb_residual_norms" -> resid,
-    "a23_median_mad" -> a23)
+    "a23_median_mad" -> a23,
+    "a24_winsorized_mean" -> a24,
+    "a25_cramers_v" -> a25)
 
   val oracle: Map[String, String] = Map(
     "emb_power_iter" -> piSql,
@@ -336,5 +445,7 @@ object SignalQueries {
     "a20_gini" -> a20Sql,
     "t_jsd_drift" -> jsdSql,
     "emb_residual_norms" -> residSql,
-    "a23_median_mad" -> a23Sql)
+    "a23_median_mad" -> a23Sql,
+    "a24_winsorized_mean" -> a24Sql,
+    "a25_cramers_v" -> a25Sql)
 }

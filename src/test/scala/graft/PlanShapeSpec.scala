@@ -566,6 +566,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a20 window must sit above the P-row stats aggregate:\n${p.take(900)}")
   }
 
+  test("winsorized mean: rank via range exchange; thresholds ride broadcasts") {
+    val p = plan("a24_winsorized_mean")
+    assert(p.contains("Exchange rangepartitioning"), "a24 lost the range exchange")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "a24 thresholds must ride broadcasts")
+  }
+
   test("debounce: one per-user shuffle, lag window partitioned by user_id") {
     val p = plan("w14_debounce")
     val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList

@@ -219,6 +219,70 @@ class SignalSpec extends AnyFunSuite {
       "orthogonal vector keeps ~its own norm (0.6 = 600k micro)")
   }
 
+  // ------------------------------------------- a24_winsorized_mean
+
+  test("a24_winsorized_mean clamps at the exact p10/p90 order statistics") {
+    // n = 10: lo rank (10+9)/10 = 1 -> min; hi rank (90+9)/10 = 9.
+    val lens = Seq(2L, 4L, 6L, 8L, 10L, 12L, 14L, 16L, 18L, 1000000L)
+    val rows = lens.zipWithIndex.map { case (l, i) => (i.toLong, "x", "en", l) }
+    val r = graft.SparkEntry.queries("a24_winsorized_mean")(spark, docsDir(rows))
+      .collect().head
+    assert(r.getLong(0) == 10L)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 18L, "thresholds = ranks 1 and 9")
+    // clamped: 2,4,...,18 with the giant clamped to 18 -> sum 108
+    assert(r.getAs[Long]("wmean_ppm") == 108L * 1000000L / 10L,
+      "the outlier contributes exactly the p90 value")
+  }
+
+  // ----------------------------------------------------- a25_cramers_v
+
+  test("a25_cramers_v: independence is exactly chi2=0; perfect dependence ~1e6") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String, String)]): (Long, Long) = {
+      val dir = Files.createTempDirectory("graft_signal").toString
+      rows.map { case (i, l, s) => (i, "x", l, s, 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val r = graft.SparkEntry.queries("a25_cramers_v")(spark, dir)
+        .collect().head
+      (r.getAs[Long]("chi2_milli"), r.getAs[Long]("v_ppm"))
+    }
+    // independent: every (lang, source) cell has the same count
+    val indep = for {
+      l <- Seq("en", "vi"); s <- Seq("a", "b"); i <- 0 until 5
+    } yield (0L, l, s)
+    val (chiI, vI) = run(indep.zipWithIndex.map { case ((_, l, s), i) => (i.toLong, l, s) })
+    assert(chiI == 0L && vI == 0L, "uniform grid must be an exact integer zero")
+    // perfectly dependent: lang determines source
+    val dep = (0 until 6).map(i => (i.toLong, "en", "a")) ++
+      (0 until 6).map(i => (10L + i, "vi", "b"))
+    val (chiD, vD) = run(dep)
+    assert(chiD == 12000L, "chi2 = N exactly for a 2x2 perfect association")
+    assert(vD > 999000L && vD <= 1000000L, s"V ~ 1.0, got $vD")
+  }
+
+  // --------------------------------------------------- io_s11_quarantine
+
+  test("io_s11_quarantine: corrupt rows quarantine, sparse rows pass as null") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_signal").toString
+    // keys 1..22: key%7==0 -> corrupt (7,14,21); else key%11==0 -> sparse (11,22)
+    val rows = (1L to 22L).map(k => (k, k * 100.0 + 0.5))
+    rows.toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.SparkEntry.queries("io_s11_quarantine")(spark, dir)
+      .collect().head
+    val corrupt = (1L to 22L).filter(_ % 7 == 0)
+    val sparse = (1L to 22L).filter(k => k % 7 != 0 && k % 11 == 0)
+    val good = (1L to 22L).filterNot(corrupt.contains)
+    assert(r.getLong(0) == good.size.toLong, "n_good")
+    assert(r.getLong(1) == sparse.size.toLong, "n_sparse")
+    assert(r.getLong(2) == corrupt.size.toLong, "n_quarantined")
+    val sumCents = good.filterNot(sparse.contains)
+      .map(k => math.round(k * 10000.0 + 50.0)).sum
+    assert(r.getLong(3) == sumCents, "sum over parsed cents only")
+  }
+
   // ------------------------------------------------- streaming CUSUM
 
   test("streaming CUSUM parity: final per-user state equals the batch fold") {
