@@ -540,10 +540,76 @@ object IoQueries {
        |  CAST(SUM(CASE WHEN NOT bad THEN cents END) AS BIGINT) AS sum_cents
        |FROM cls""".stripMargin
 
+  // ------------------------------------------------- mm_binary_simhash
+
+  /** MM-SIMHASH: near-duplicate detection for OPAQUE BINARY payloads —
+    * the dedup × multimodal intersection (re-encoded images, re-muxed
+    * audio, and trailing-metadata variants hash differently under exact
+    * md5 but sit one flipped chunk apart here). The 16-bit simhash
+    * votes over non-overlapping 4-byte chunks' md5 parities (the
+    * dedup_simhash vote construction applied to lower-hex 8-grams —
+    * deliberately the same oracle-replicable recipe, not a second hash
+    * family), candidate pairs block on the top 8 bits (prefix blocking,
+    * never all-pairs), verify is exact Hamming ≤ 3. Row-local
+    * signature; one keyed self-join on the block. Files shorter than
+    * one chunk are excluded by contract (a sub-4-byte payload has no
+    * content to vote with). */
+  private def genSimTree(base: String): Unit =
+    (0 until 40).foreach { k =>
+      val body = s"chunk-family-${k % 8}-payload-" * 6 + s"tail-$k"
+      Files.write(Paths.get(base, f"f$k%03d.bin"),
+        body.getBytes(StandardCharsets.US_ASCII))
+    }
+  private val simhashExpr =
+    """aggregate(transform(sequence(0, 15), i ->
+      |  CASE WHEN aggregate(transform(hs, h ->
+      |      (ascii(substring(h, i + 1, 1)) % 2) * 2 - 1), 0, (a, b) -> a + b) >= 0
+      |  THEN shiftleft(1, 15 - i) ELSE 0 END), 0, (a, b) -> a + b)"""
+      .stripMargin.replaceAll("\n", " ")
+  private val mmSim: Q = (s, dir) => {
+    val d = fixDir("mm_sim")
+    genSimTree(d)
+    val sims = s.read.format("binaryFile").load(d + "/*.bin")
+      .select(expr("regexp_extract(path, '([^/]+)$', 1)").as("fname"),
+        expr("lower(hex(content))").as("hx"))
+      .filter(length(col("hx")) >= 8)
+      .select(col("fname"), expr(
+        "transform(sequence(1, length(hx) div 8), j -> md5(substring(hx, (j - 1) * 8 + 1, 8)))")
+        .as("hs"))
+      .select(col("fname"), expr(simhashExpr).as("sim"))
+      .select(col("fname"), col("sim"), expr("sim div 256").as("block"))
+    sims.as("a").join(sims.as("b"),
+        expr("a.block = b.block AND a.fname < b.fname"))
+      .select(col("a.fname").as("id_a"), col("b.fname").as("id_b"),
+        expr("CAST(bit_count(a.sim ^ b.sim) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+  private val mmSimSql =
+    s"""WITH sims AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+       |    list_sum(list_transform(range(16), i ->
+       |      CASE WHEN COALESCE(list_sum(list_transform(hs,
+       |             h -> (ascii(substr(h, i + 1, 1)) % 2) * 2 - 1)), 0) >= 0
+       |           THEN 1 << (15 - i) ELSE 0 END)) AS sim
+       |  FROM (
+       |    SELECT filename, list_transform(range(1, len(hx) // 8 + 1),
+       |      j -> md5(substr(hx, (j - 1) * 8 + 1, 8))) AS hs
+       |    FROM (SELECT filename, lower(hex(content)) AS hx
+       |          FROM read_blob('$fixRoot/mm_sim/*.bin'))
+       |    WHERE len(hx) >= 8)),
+       |blocked AS (SELECT fname, sim, sim // 256 AS block FROM sims)
+       |SELECT a.fname AS id_a, b.fname AS id_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+       |FROM blocked a JOIN blocked b ON a.block = b.block AND a.fname < b.fname
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "io_s11_quarantine" -> s11,
+    "mm_binary_simhash" -> mmSim,
     "io_s1_csv" -> s1,
     "io_s2_csv_forced_string" -> s2,
     "io_s3_tsv" -> s3,
@@ -566,6 +632,7 @@ object IoQueries {
 
   val oracle: Map[String, String] = Map(
     "io_s11_quarantine" -> s11Sql,
+    "mm_binary_simhash" -> mmSimSql,
     "io_s1_csv" -> s1Sql,
     "io_s2_csv_forced_string" -> s2Sql,
     "io_s3_tsv" -> s3Sql,
