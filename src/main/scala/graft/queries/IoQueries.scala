@@ -605,11 +605,60 @@ object IoQueries {
        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------- j15_bucketed_join
+  /** J15: the co-located join — both sides written `bucketBy(8, key)`
+    * (external tables, fixture path), so the join consumes the storage
+    * layout and plans NO exchange on either side (PlanShapeSpec pins
+    * it). THE shuffle lever at 100 TB: a fact-to-fact join on a shared
+    * bucketing runs map-side forever after one layout write, where the
+    * plain join re-shuffles both inputs every query. The oracle
+    * replays the JOIN SEMANTICS from the source tables — the bucketed
+    * write is a physical materialization the result must be invariant
+    * to (that invariance is what the round-trip checks). */
+  private val j15: Q = (s, dir) => {
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val liAgg = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_items")
+    ord.write.mode("overwrite").format("parquet")
+      .option("path", fixDir("j15_bkt_orders"))
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt_orders")
+    liAgg.write.mode("overwrite").format("parquet")
+      .option("path", fixDir("j15_bkt_items"))
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt_items")
+    // MERGE hint: at fixture scale AQE would broadcast the small side
+    // and mark the scans "Bucketed: false (disabled by query planner)" —
+    // correct for a dim join, but this operator exists to pin the
+    // FACT-TO-FACT path where neither side broadcasts and the layout is
+    // the whole point. The hint selects the plan a 100 TB join gets.
+    s.table("graft_bkt_orders").hint("merge")
+      .join(s.table("graft_bkt_items"),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("n_items"), col("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+  private val j15Sql =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(n_items AS BIGINT) AS n_items, sum_qty
+      |FROM orders JOIN (
+      |  SELECT l_orderkey, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey) ON o_orderkey = l_orderkey
+      |WHERE o_orderkey % 100 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
     "io_s11_quarantine" -> s11,
     "mm_binary_simhash" -> mmSim,
+    "j15_bucketed_join" -> j15,
     "io_s1_csv" -> s1,
     "io_s2_csv_forced_string" -> s2,
     "io_s3_tsv" -> s3,
@@ -633,6 +682,7 @@ object IoQueries {
   val oracle: Map[String, String] = Map(
     "io_s11_quarantine" -> s11Sql,
     "mm_binary_simhash" -> mmSimSql,
+    "j15_bucketed_join" -> j15Sql,
     "io_s1_csv" -> s1Sql,
     "io_s2_csv_forced_string" -> s2Sql,
     "io_s3_tsv" -> s3Sql,

@@ -566,6 +566,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a20 window must sit above the P-row stats aggregate:\n${p.take(900)}")
   }
 
+  test("bucketed join consumes the storage layout: NO hash exchange on either side") {
+    val p = plan("j15_bucketed_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"j15 must join the bucketed tables:\n${p.take(700)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"j15 must not re-shuffle bucketed inputs:\n${p.take(900)}")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"j15 must read bucketed scans:\n${p.take(900)}")
+  }
+
   test("winsorized mean: rank via range exchange; thresholds ride broadcasts") {
     val p = plan("a24_winsorized_mean")
     assert(p.contains("Exchange rangepartitioning"), "a24 lost the range exchange")
