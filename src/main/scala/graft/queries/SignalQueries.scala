@@ -427,6 +427,73 @@ object SignalQueries {
       |      * (least(nr, nc) - 1)))) ELSE 0 END AS BIGINT) AS v_ppm
       |FROM chi, dims""".stripMargin
 
+  // ---------------------------------------------------- a26_heavy_change
+
+  /** A26: top-20 users by absolute activity CHANGE between the two
+    * halves of the observation window — the heavy-CHANGE primitive
+    * (heavy hitters find loud keys; operations cares about keys that
+    * got loud). The split point is the exact midpoint of the observed
+    * epoch-µs range ((mn + mx) div 2 — deterministic, no median pass),
+    * counts are one conditional aggregate, the ranking is TakeOrdered.
+    * Report includes both halves so the direction is auditable. */
+  private val a26: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"))
+    val mid = ev.agg(expr("(min(tu) + max(tu)) div 2").as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("tu") < col("mid"), 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("tu") >= col("mid"), 1L).otherwise(0L)).as("n_second"))
+      .withColumn("abs_change", abs(col("n_second") - col("n_first")))
+      .orderBy(col("abs_change").desc, col("user_id"))
+      .limit(20)
+      .orderBy(col("abs_change").desc, col("user_id"))
+  }
+  private val a26Sql =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS tu FROM events),
+      |m AS (SELECT (MIN(tu) + MAX(tu)) // 2 AS mid FROM ev)
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN tu < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+      |  CAST(SUM(CASE WHEN tu >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_second,
+      |  CAST(abs(SUM(CASE WHEN tu >= mid THEN 1 ELSE 0 END) -
+      |    SUM(CASE WHEN tu < mid THEN 1 ELSE 0 END)) AS BIGINT) AS abs_change
+      |FROM ev, m GROUP BY user_id
+      |ORDER BY abs_change DESC, user_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------- a27_decay_score
+
+  /** A27: per-user exponentially time-decayed engagement score with
+    * half-life = 1 day — the feature-store recency primitive. The
+    * decay factor is EXACTLY a right-shift: age in whole days from the
+    * newest observed event, weight = cents >> min(age_days, 62) —
+    * integer-exact in both engines (no pow(), no float decay), and the
+    * >> 62 clamp makes ancient events contribute 0 rather than
+    * overflowing the shift. One conditional aggregate; the newest-ts
+    * anchor rides a 1-row broadcast. */
+  private val a27: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+    val anchor = ev.agg(max(col("tu")).as("mx"))
+    ev.crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        expr("cents div shiftleft(CAST(1 AS BIGINT), CAST(least((mx - tu) div 86400000000, 62) AS INT))")
+          .as("w"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decay_score"))
+      .orderBy("user_id")
+  }
+  private val a27Sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tu,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE value IS NOT NULL),
+      |a AS (SELECT MAX(tu) AS mx FROM ev)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(cents // (CAST(1 AS BIGINT) <<
+      |    least((mx - tu) // 86400000000, 62))) AS BIGINT) AS decay_score
+      |FROM ev, a GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
@@ -437,7 +504,9 @@ object SignalQueries {
     "emb_residual_norms" -> resid,
     "a23_median_mad" -> a23,
     "a24_winsorized_mean" -> a24,
-    "a25_cramers_v" -> a25)
+    "a25_cramers_v" -> a25,
+    "a26_heavy_change" -> a26,
+    "a27_decay_score" -> a27)
 
   val oracle: Map[String, String] = Map(
     "emb_power_iter" -> piSql,
@@ -447,5 +516,7 @@ object SignalQueries {
     "emb_residual_norms" -> residSql,
     "a23_median_mad" -> a23Sql,
     "a24_winsorized_mean" -> a24Sql,
-    "a25_cramers_v" -> a25Sql)
+    "a25_cramers_v" -> a25Sql,
+    "a26_heavy_change" -> a26Sql,
+    "a27_decay_score" -> a27Sql)
 }

@@ -283,6 +283,39 @@ class SignalSpec extends AnyFunSuite {
     assert(r.getLong(3) == sumCents, "sum over parsed cents only")
   }
 
+  // -------------------------------------------------- a26_heavy_change
+
+  test("a26_heavy_change: vanished and appeared users lead; balanced user trails") {
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // window 00:00..20:00, midpoint 10:00. user 1: 6 events then gone;
+    // user 2: appears late with 4; user 3: 2+2 balanced (change 0).
+    val rows = (0 until 6).map(i => (i.toLong, 1L, ts(i), "a", 1.0)) ++
+      (0 until 4).map(i => (10L + i, 2L, ts(16 + i), "a", 1.0)) ++
+      Seq((20L, 3L, ts(0), "a", 1.0), (21L, 3L, ts(8), "a", 1.0),
+        (22L, 3L, ts(12), "a", 1.0), (23L, 3L, ts(20), "a", 1.0))
+    val got = graft.SparkEntry.queries("a26_heavy_change")(spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.head._1 == 1L && got.head._4 == 6L, "the vanished user leads")
+    assert(got(1) == ((2L, 0L, 4L, 4L)), "the appeared user is second")
+    assert(got.last == ((3L, 2L, 2L, 0L)), "the balanced user reports zero change")
+  }
+
+  // --------------------------------------------------- a27_decay_score
+
+  test("a27_decay_score: half-life-per-day weights are exact right-shifts") {
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-${10 + d}%02d 12:00:00")
+    // anchor = newest (day 3). ages: 3, 1, 0 days.
+    val rows = Seq(
+      (1L, 1L, ts(0), "a", 8.00),  // 800 >> 3 = 100
+      (2L, 1L, ts(2), "a", 5.00),  // 500 >> 1 = 250
+      (3L, 1L, ts(3), "a", 3.00),  // 300 >> 0 = 300
+      (4L, 2L, ts(3), "a", 1.23))  // 123 (anchor event itself)
+    val got = graft.SparkEntry.queries("a27_decay_score")(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((3L, 650L)), "100 + 250 + 300")
+    assert(got(2L) == ((1L, 123L)))
+  }
+
   // ------------------------------------------------- streaming CUSUM
 
   test("streaming CUSUM parity: final per-user state equals the batch fold") {
