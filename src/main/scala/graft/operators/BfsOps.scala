@@ -45,12 +45,22 @@ object BfsOps {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
     val edgesRaw = if (assumeDistinct) projected else projected.distinct()
-    val materialize = maxHops >= checkpointEvery
+    // Measured three ways at sf0.1, 3 hops (2 runs each): all-lazy
+    // 4.5/1.6 s, base checkpoint only 1.8/1.5 s, base + per-2-round
+    // dist checkpoints 2.8/2.7 s. The base cut pays off because `dist`
+    // is read twice per round (expand + union) and the lazy subtree
+    // containing the distinct+mirror doubles per round (the k-core
+    // finding); eagerly cutting the SMALL dist table, by contrast,
+    // serializes rounds for no saved recompute — so dist only truncates
+    // lineage on long walks (checkpointEvery), never short ones.
+    val materialize = maxHops >= 2
     val edges = if (materialize) edgesRaw.localCheckpoint(true) else edgesRaw
-    val nodesRaw = edges.select(col("src").as("node"))
+    // nodes is read ONCE (the final left join) and derives from the
+    // already-cut edges — materializing it would be a pure extra job
+    // (unlike PageRank, whose per-round update re-reads it).
+    val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-    val nodes = if (materialize) nodesRaw.localCheckpoint(true) else nodesRaw
 
     val seedCol = seeds.columns.head
     var dist = seeds.select(col(seedCol).cast("long").as("node"))
@@ -60,6 +70,9 @@ object BfsOps {
         .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
       dist = dist.union(expanded)
         .groupBy("node").agg(min(col("hops")).as("hops"))
+      // The double-read of `dist` doubles ITS subtree per round even
+      // with the base cut; truncate every `checkpointEvery` rounds
+      // (|dist| <= |V|, so each cut is node-table-sized).
       if (i % checkpointEvery == 0 && i < maxHops)
         dist = dist.localCheckpoint(true)
     }

@@ -180,10 +180,17 @@ object AssocQueries {
     val fwd = li.select((col("l_suppkey") * 2 + 1).as("src"),
       (col("l_partkey") * 2).as("dst")).distinct()
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    val seeds = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-      .filter(col("node") % bfsSeedMod === 0)
+    // Seeds come from the RAW table, not the edge plan: every endpoint
+    // is both src and dst under the mirror, so {2s+1} ∪ {2p} IS the
+    // node set — and a seeds subtree hanging off `edges` would
+    // re-execute the whole distinct+mirror lineage that BfsOps
+    // checkpoints internally (measured: the seed-off-edges form held
+    // g4 at 4.0 s after the base cut; this one reads a filtered ~1%
+    // slice). Seed duplicates would be harmless (min-combine), the
+    // distinct is a tiny-set courtesy.
+    val seeds = li.select((col("l_suppkey") * 2 + 1).as("node"))
+      .union(li.select((col("l_partkey") * 2).as("node")))
+      .filter(col("node") % bfsSeedMod === 0).distinct()
     BfsOps.multiSourceBfs(edges, "src", "dst", seeds,
         maxHops = bfsHops, assumeDistinct = true)
       .orderBy("node")
@@ -229,7 +236,14 @@ object AssocQueries {
     val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_partkey"))
     val fwd = li.select((col("l_suppkey") * 2 + 1).as("src"),
       (col("l_partkey") * 2).as("dst")).distinct()
+    // Eager per-round checkpoints, UNLIKE PageRank's lazy short loop:
+    // each peel round reads edges_{i-1} TWICE (degree pass + semi-join
+    // input), so a lazy DAG doubles the base subtree per round — 2^3
+    // re-executions of the distinct+mirror by round 3. Measured at
+    // sf0.1: 9.5 s lazy -> 3.0 s checkpointed. The edge list shrinks
+    // monotonically, so each materialization is smaller than the last.
     var edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     for (_ <- 1 to kcoreRounds) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= kcoreK).select(col("src").as("node"))
@@ -237,6 +251,7 @@ object AssocQueries {
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
+        .localCheckpoint(true)
     }
     edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
@@ -472,14 +487,23 @@ object AssocQueries {
     * to ignore it). TakeOrdered top-20. */
   private val aaDegCap = 64
   private val aa: Q = (s, dir) => {
+    // Measured three-way bake-off (sf0.1, 3 runs each): letting AQE
+    // broadcast the 1.1M-row pair list for the self-join is SLOW AND
+    // UNSTABLE (4-11 s — driver-side hash-relation build + memory
+    // pressure); merge-hinting the pair join is stable 3.5 s; cutting
+    // the distinct once (three consumers) plus broadcasting only the
+    // part-vocab-sized weight table and merging the pair join lands
+    // 2.2-2.6 s. Broadcast is for DIM-sized sides; a same-sized
+    // self-join wants the keyed merge.
     val e = t(s, dir, "lineitem")
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true)
     val w = e.groupBy("p").agg(count(lit(1)).as("d"))
       .filter(col("d") >= 2 && col("d") <= aaDegCap)
       .select(col("p"),
         expr(s"1000000000000L div ${lnFp("d")}").as("w_fp"))
-    e.join(w, Seq("p"))
-      .join(e.select(col("p"), col("s").as("s2")), Seq("p"))
+    e.join(broadcast(w), Seq("p"))
+      .join(e.select(col("p"), col("s").as("s2")).hint("merge"), Seq("p"))
       .filter(col("s") < col("s2"))
       .groupBy(col("s").as("s1"), col("s2"))
       .agg(count(lit(1)).as("n_common"), sum(col("w_fp")).as("aa_fp"))

@@ -252,19 +252,26 @@ object SignalQueries {
     val v = PowerIterOps.dominantVector(emb, "embedding", piDim, piIters)
     val vLit = v.mkString("array(", "L,", "L)")
     val vv = v.map(x => x * x).sum // <= 64e12: exact in Long
+    // Closed form: ||x − (s/vv)v||² = Σx² − s²/vv (s = x·v, vv = Σv²) —
+    // two EXACT integer folds per row plus one fixed-IEEE scalar tail
+    // (multiply, divide, subtract, clamp, sqrt, floor), instead of the
+    // per-component double chain. Measured 3.2 s -> 0.3 s at sf0.1:
+    // chained interpreted HOF lambdas with an outer reference cost
+    // ~1.6 ms/row; the closed form leaves only integer lambdas. The
+    // clamp guards the x ∥ v cancellation (Σx² ≈ s²/vv would otherwise
+    // float a hair negative and sqrt it to NaN).
     emb.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
           .as("xq"))
-      .select(col("vec_id"), col("xq"),
-        expr(s"aggregate(zip_with(xq, $vLit, (a, b) -> a * b), 0L, (acc, t) -> acc + t)")
-          .as("sv"))
       .select(col("vec_id"),
-        expr(s"""CAST(floor(sqrt(aggregate(transform(
-          zip_with(xq, $vLit, (a, b) ->
-            (CAST(a AS DOUBLE) * CAST($vv AS DOUBLE) -
-             CAST(sv AS DOUBLE) * CAST(b AS DOUBLE)) / CAST($vv AS DOUBLE)),
-          d -> d * d), CAST(0 AS DOUBLE), (acc, t) -> acc + t))) AS BIGINT)""")
-          .as("res_fp"))
+        expr(s"aggregate(zip_with(xq, $vLit, (a, b) -> a * b), 0L, (acc, t) -> acc + t)")
+          .as("sv"),
+        expr("aggregate(xq, 0L, (acc, x) -> acc + x * x)").as("sumx2"))
+      .select(col("vec_id"),
+        expr(s"""CAST(floor(sqrt(greatest(
+          CAST(sumx2 AS DOUBLE) -
+            CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST($vv AS DOUBLE),
+          CAST(0 AS DOUBLE)))) AS BIGINT)""").as("res_fp"))
       .orderBy("vec_id")
   }
   private val residSql =
@@ -272,15 +279,15 @@ object SignalQueries {
        |vvt AS (SELECT v, list_reduce(list_transform(v, x -> x * x),
        |  (a, b) -> a + b) AS vv FROM v2),
        |sv AS (
-       |  SELECT vec_id, xq, v, vv,
+       |  SELECT vec_id, vv,
        |    list_reduce(list_transform(range(1, ${piDim + 1}), j -> xq[j] * v[j]),
-       |      (a, b) -> a + b) AS s
+       |      (a, b) -> a + b) AS s,
+       |    list_reduce(list_transform(xq, x -> x * x), (a, b) -> a + b) AS sumx2
        |  FROM xq, vvt)
-       |SELECT vec_id, CAST(floor(sqrt(list_reduce(list_transform(
-       |  list_transform(range(1, ${piDim + 1}), j ->
-       |    (CAST(xq[j] AS DOUBLE) * CAST(vv AS DOUBLE) -
-       |     CAST(s AS DOUBLE) * CAST(v[j] AS DOUBLE)) / CAST(vv AS DOUBLE)),
-       |  d -> d * d), (a, b) -> a + b))) AS BIGINT) AS res_fp
+       |SELECT vec_id, CAST(floor(sqrt(greatest(
+       |  CAST(sumx2 AS DOUBLE) -
+       |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(vv AS DOUBLE),
+       |  CAST(0 AS DOUBLE)))) AS BIGINT) AS res_fp
        |FROM sv ORDER BY vec_id""".stripMargin
 
   // ----------------------------------------------------- a23_median_mad

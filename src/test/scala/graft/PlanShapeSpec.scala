@@ -624,11 +624,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"resid must not shuffle on a key:\n${p.take(700)}")
   }
 
-  test("k-core peel: keyed semi-joins and map-side degree counts — no cartesian") {
+  test("k-core peel: final degree fold is map-side combined over the checkpointed core") {
+    // The per-round eager checkpoints (measured 9.5 -> 2.9 s, see the
+    // query's comment) collapse the printed plan to the LAST round's
+    // aggregate over a checkpointed scan — the semi-join rounds execute
+    // during construction (the g1 eager-checkpoint plan-visibility
+    // trade). Pin what remains observable.
     val p = plan("g5_kcore_peel")
     assert(!p.contains("CartesianProduct"), s"g5 went cartesian:\n${p.take(600)}")
-    assert(p.contains("LeftSemi"), "g5 lost its survivor semi-joins")
     assert(p.contains("partial_count"), "g5 lost the map-side degree combine")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD") ||
+      p.contains("LogicalRDD"), s"g5 must read the checkpointed core:\n${p.take(600)}")
   }
 
   test("burstiness: vocab fold is map-side combined; top-k is a bounded heap; no window") {

@@ -202,14 +202,11 @@ class SignalSpec extends AnyFunSuite {
     val vv = v.map(x => x * x).sum
     def refRes(x: Array[Float]): Long = {
       val xq = x.map(f => math.floor(f.toDouble * 1e6).toLong)
-      var s = 0L
-      (0 until dim).foreach(j => s += xq(j) * v(j))
-      var acc = 0.0
-      (0 until dim).foreach { j =>
-        val d = (xq(j).toDouble * vv.toDouble - s.toDouble * v(j).toDouble) / vv.toDouble
-        acc += d * d
-      }
-      math.floor(math.sqrt(acc)).toLong
+      var s = 0L; var sumx2 = 0L
+      (0 until dim).foreach { j => s += xq(j) * v(j); sumx2 += xq(j) * xq(j) }
+      // the registered closed form: Σx² − s²/vv, clamped, sqrt, floor
+      val d2 = math.max(sumx2.toDouble - s.toDouble * s.toDouble / vv.toDouble, 0.0)
+      math.floor(math.sqrt(d2)).toLong
     }
     rows.foreach { case (id, x, _) =>
       assert(got(id) == refRes(x), s"vec $id")
