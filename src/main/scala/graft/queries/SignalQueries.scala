@@ -501,6 +501,131 @@ object SignalQueries {
       |    least((mx - tu) // 86400000000, 62))) AS BIGINT) AS decay_score
       |FROM ev, a GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------- a28_autocorr_lag1
+
+  /** A28: per-user lag-1 autocorrelation of event values — the temporal-
+    * dependence scalar (bursty bots repeat magnitudes; organic values
+    * mix) completing the cadence family (w12 gaps, w13 CUSUM, a27
+    * recency). Pearson over the (v_i, v_{i+1}) pairs of the (ts,
+    * event_id) total order, cross-multiplied to ONE integer division:
+    *   r_ppm = (n·Σxy − Σx·Σy)·10⁶ div denom, denom² = (n·Σx²−(Σx)²)·(n·Σy²−(Σy)²)
+    * with the sqrt of the denom product the single fixed-IEEE step
+    * (a17 discipline); sums lift to DECIMAL(38,0) ≙ HUGEINT. Users
+    * with < 3 events or zero variance report null. One per-user
+    * shuffle; the lag window shares w12's sort. */
+  private val a28: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+    Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      .withColumn("x", lag(col("v"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("v").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("v")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("syy"))
+      .select(col("user_id"), expr("CAST(n AS BIGINT)").as("n_pairs"),
+        expr("""CAST(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN floor(CAST((n * sxy - sx * sy) * 1000000 AS DOUBLE) /
+              sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)))
+            END AS BIGINT)""").as("acf1_ppm"))
+      .orderBy("user_id")
+  }
+  private val a28Sql =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    lag(CAST(floor(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS x,
+      |    CAST(floor(value * 100) AS BIGINT) AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |sums AS (
+      |  SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM p WHERE x IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |    THEN floor(CAST((n * sxy - sx * sy) * 1000000 AS DOUBLE) /
+      |      sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)))
+      |    END AS BIGINT) AS acf1_ppm
+      |FROM sums ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------- o17_rendezvous_assign
+
+  /** O17: rendezvous (highest-random-weight) shard assignment — the
+    * consistent-assignment primitive: each doc goes to the shard whose
+    * md5(doc_id:shard) digest ranks highest, so REMOVING a shard moves
+    * ONLY that shard's documents (no global reshuffle — the property
+    * that makes incremental recluster/resharding cheap at fleet scale;
+    * pinned in the spec). Row-local argmax over a fixed shard list;
+    * summary output keeps the gate auditable. */
+  private val rdvShards = 8
+  private val o17: Q = (s, dir) => {
+    val shardScore = (0 until rdvShards).map(k =>
+      s"struct(md5(concat(CAST(doc_id AS STRING), ':', '$k')) AS h, $k AS shard)")
+      .mkString("array(", ", ", ")")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"array_max($shardScore).shard").as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+  }
+  private val o17Sql = {
+    val structs = (0 until rdvShards).map(k =>
+      s"{'h': md5(CAST(doc_id AS VARCHAR) || ':' || '$k'), 'shard': $k}")
+      .mkString("[", ", ", "]")
+    s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+       |FROM (SELECT doc_id, CAST(list_max($structs).shard AS INT) AS shard
+       |      FROM documents)
+       |GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
+  // ---------------------------------------------- a29_markov_transitions
+
+  /** A29: first-order event-type transition matrix with row-normalized
+    * probabilities — the Markov sibling of w11's fixed funnel (the
+    * funnel asks "did THIS path happen"; the matrix reports which
+    * paths dominate). Transitions pair consecutive events per user
+    * over the (ts, event_id) total order (one shuffle, w12's sort);
+    * probabilities are exact nonneg integer ppm of the row total. */
+  private val a29: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+    val tr = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"),
+        col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = tr.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    tr.join(rowTot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000000) div tot").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+  private val a29Sql =
+    """WITH tr AS (
+      |  SELECT prev AS from_type, event_type AS to_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT user_id, event_type,
+      |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |    FROM events)
+      |  WHERE prev IS NOT NULL GROUP BY prev, event_type),
+      |rt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM tr GROUP BY from_type)
+      |SELECT from_type, to_type, n, CAST((n * 1000000) // tot AS BIGINT) AS p_ppm
+      |FROM tr JOIN rt USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
@@ -513,7 +638,10 @@ object SignalQueries {
     "a24_winsorized_mean" -> a24,
     "a25_cramers_v" -> a25,
     "a26_heavy_change" -> a26,
-    "a27_decay_score" -> a27)
+    "a27_decay_score" -> a27,
+    "a28_autocorr_lag1" -> a28,
+    "o17_rendezvous_assign" -> o17,
+    "a29_markov_transitions" -> a29)
 
   val oracle: Map[String, String] = Map(
     "emb_power_iter" -> piSql,
@@ -525,5 +653,8 @@ object SignalQueries {
     "a24_winsorized_mean" -> a24Sql,
     "a25_cramers_v" -> a25Sql,
     "a26_heavy_change" -> a26Sql,
-    "a27_decay_score" -> a27Sql)
+    "a27_decay_score" -> a27Sql,
+    "a28_autocorr_lag1" -> a28Sql,
+    "o17_rendezvous_assign" -> o17Sql,
+    "a29_markov_transitions" -> a29Sql)
 }

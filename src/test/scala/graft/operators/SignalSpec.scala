@@ -313,6 +313,62 @@ class SignalSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 123L)))
   }
 
+  // ------------------------------------------------ a28_autocorr_lag1
+
+  test("a28_autocorr_lag1: alternating -1, constant null, trend positive") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows =
+      (0 until 8).map(i => (i.toLong, 1L, ts(i), "a", if (i % 2 == 0) 1.0 else 9.0)) ++
+      (0 until 5).map(i => (10L + i, 2L, ts(i), "a", 5.0)) ++
+      (0 until 8).map(i => (20L + i, 3L, ts(i), "a", 1.0 + i))
+    val got = graft.SparkEntry.queries("a28_autocorr_lag1")(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(1L)._2.exists(_ < -900000L), "alternating values anticorrelate")
+    assert(got(2L) == ((4L, None)), "zero variance reports null, not a blow-up")
+    assert(got(3L)._2.exists(_ > 900000L), "a monotone trend correlates")
+  }
+
+  // -------------------------------------------- o17_rendezvous_assign
+
+  test("o17_rendezvous_assign: md5 argmax replay; shard removal moves only its docs") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    }
+    def assign(doc: Long, shards: Seq[Int]): Int =
+      shards.maxBy(k => md5hex(s"$doc:$k"))
+    val rows = (0 until 200).map(i => (i.toLong, "x", "en", 1L))
+    val got = graft.SparkEntry.queries("o17_rendezvous_assign")(spark, docsDir(rows))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ref8 = (0L until 200L).map(d => d -> assign(d, 0 until 8))
+    assert(got == ref8.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong },
+      "per-shard counts must match the md5 argmax replay")
+    // the rendezvous property: dropping shard 7 reassigns ONLY shard 7's docs
+    val ref7 = (0L until 200L).map(d => d -> assign(d, 0 until 7)).toMap
+    ref8.foreach { case (d, s8) =>
+      if (s8 != 7) assert(ref7(d) == s8, s"doc $d moved without its shard dying")
+    }
+  }
+
+  // ------------------------------------------ a29_markov_transitions
+
+  test("a29_markov_transitions: exact counts and row-normalized ppm") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: view->view->buy ; user 2: view->buy
+    val rows = Seq(
+      (1L, 1L, ts(0), "view", 1.0), (2L, 1L, ts(1), "view", 1.0),
+      (3L, 1L, ts(2), "buy", 1.0),
+      (10L, 2L, ts(0), "view", 1.0), (11L, 2L, ts(1), "buy", 1.0))
+    val got = graft.SparkEntry.queries("a29_markov_transitions")(spark, eventsDir(rows))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // from view: 1 view + 2 buy = 3 transitions
+    assert(got(("view", "view")) == ((1L, 333333L)))
+    assert(got(("view", "buy")) == ((2L, 666666L)))
+    assert(got.size == 2, "no transitions FROM the terminal buy events")
+  }
+
   // ------------------------------------------------- streaming CUSUM
 
   test("streaming CUSUM parity: final per-user state equals the batch fold") {
