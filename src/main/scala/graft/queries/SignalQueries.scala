@@ -303,6 +303,12 @@ object SignalQueries {
   private val a23: Q = (s, dir) => {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
     val nn = docs.agg(count(lit(1)).as("nn"))
+    // Measured A/B at sf0.1: checkpointing the 1-row median does NOT
+    // help (1.2 vs 1.1 s warm) — exchange reuse already collapses the
+    // repeated rank subtree. The ~1.1 s floor is ~10 sequential stages'
+    // fixed cost (two rank passes at 5 stages each) on a corpus whose
+    // total volume is one task's worth — the g1 iteration-cost class;
+    // the per-stage work itself is keyed and bounded.
     val med = RankOps.globalRowNumber(
         docs, Seq(col("n_chars").asc, col("doc_id").asc), "rn")
       .crossJoin(broadcast(nn))
