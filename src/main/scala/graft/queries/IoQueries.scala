@@ -653,6 +653,44 @@ object IoQueries {
       |WHERE o_orderkey % 100 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------- io_s17_schema_evolution
+  /** S17: schema-evolution ingest — a landing zone accretes batches
+    * whose schema GREW over time (a `quality` column appears in later
+    * drops); `mergeSchema` unions the schemas and nulls the missing
+    * column in old batches, so ONE reader serves the whole history
+    * (the alternative — a backfill rewrite of every old file — is the
+    * operation this capability exists to avoid at fleet scale). The
+    * oracle replays with DuckDB's union_by_name over the same two file
+    * trees; the aggregate keeps both the null-count (old batch rows)
+    * and the new column's sum auditable. */
+  private val s17: Q = (s, dir) => {
+    val d = fixDir("s17_evolve")
+    val docs = t(s, dir, "documents")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$d/batch1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("n_chars") % 97).as("quality"))
+      .write.mode("overwrite").parquet(s"$d/batch2")
+    s.read.option("mergeSchema", "true").parquet(s"$d/batch1", s"$d/batch2")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("quality")).as("n_with_quality"),
+        sum(col("quality")).as("sum_quality"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+  private val s17Sql =
+    s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(quality) AS BIGINT) AS n_with_quality,
+       |  CAST(SUM(quality) AS BIGINT) AS sum_quality,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM read_parquet(
+       |  ['$fixRoot/s17_evolve/batch1/*.parquet',
+       |   '$fixRoot/s17_evolve/batch2/*.parquet'], union_by_name=true)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Steady-state bench form of j15: write the bucketed layout ONCE
     * per session (first rep), then measure the join that consumes it —
     * at fleet scale the layout is written once and read forever, and
@@ -678,6 +716,7 @@ object IoQueries {
 
   val queries: Map[String, Q] = Map(
     "io_s11_quarantine" -> s11,
+    "io_s17_schema_evolution" -> s17,
     "mm_binary_simhash" -> mmSim,
     "j15_bucketed_join" -> j15,
     "io_s1_csv" -> s1,
@@ -702,6 +741,7 @@ object IoQueries {
 
   val oracle: Map[String, String] = Map(
     "io_s11_quarantine" -> s11Sql,
+    "io_s17_schema_evolution" -> s17Sql,
     "mm_binary_simhash" -> mmSimSql,
     "j15_bucketed_join" -> j15Sql,
     "io_s1_csv" -> s1Sql,

@@ -632,6 +632,53 @@ object SignalQueries {
       |FROM tr JOIN rt USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  // ------------------------------------------- w16_expanding_zscore
+
+  /** W16: per-user expanding-window z-score anomaly count — "how many
+    * events sat 3σ from the user's OWN running history" (the
+    * self-calibrating cousin of w13's fixed-allowance CUSUM). The
+    * z-compare never forms a z: |n·v − Σ|² > 9·(n·Σx² − Σ²) is the
+    * EXACT integer cross-multiplication of (v−μ)² > 9σ² over the
+    * prior-rows prefix sums (squares lift to DECIMAL(38,0) ≙ HUGEINT;
+    * prior-rows framing so an event is judged against history that
+    * excludes it; n ≥ 3 warm-up). Two prefix sums over ONE per-user
+    * sort — the w13 exchange-sharing shape. */
+  private val w16: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("v")).over(w))
+      .withColumn("s2", sum((col("v") * col("v")).cast("decimal(38,0)")).over(w))
+      .withColumn("alarm",
+        col("n") >= 3 &&
+          expr("""CAST((n * v - s1) AS DECIMAL(38,0)) * (n * v - s1) >
+            9 * (n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)"""))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_anomalies"))
+      .orderBy("user_id")
+  }
+  private val w16Sql =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    CAST(floor(value * 100) AS BIGINT) AS v,
+      |    COUNT(*) OVER pw AS n,
+      |    SUM(CAST(floor(value * 100) AS BIGINT)) OVER pw AS s1,
+      |    SUM(CAST(CAST(floor(value * 100) AS BIGINT) AS HUGEINT) *
+      |        CAST(floor(value * 100) AS BIGINT)) OVER pw AS s2
+      |  FROM events WHERE value IS NOT NULL
+      |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN n >= 3 AND
+      |    CAST(n * v - s1 AS HUGEINT) * (n * v - s1) >
+      |      9 * (n * s2 - CAST(s1 AS HUGEINT) * s1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
@@ -647,7 +694,8 @@ object SignalQueries {
     "a27_decay_score" -> a27,
     "a28_autocorr_lag1" -> a28,
     "o17_rendezvous_assign" -> o17,
-    "a29_markov_transitions" -> a29)
+    "a29_markov_transitions" -> a29,
+    "w16_expanding_zscore" -> w16)
 
   val oracle: Map[String, String] = Map(
     "emb_power_iter" -> piSql,
@@ -662,5 +710,6 @@ object SignalQueries {
     "a27_decay_score" -> a27Sql,
     "a28_autocorr_lag1" -> a28Sql,
     "o17_rendezvous_assign" -> o17Sql,
-    "a29_markov_transitions" -> a29Sql)
+    "a29_markov_transitions" -> a29Sql,
+    "w16_expanding_zscore" -> w16Sql)
 }

@@ -369,6 +369,28 @@ class SignalSpec extends AnyFunSuite {
     assert(got.size == 2, "no transitions FROM the terminal buy events")
   }
 
+  // ---------------------------------------------- w16_expanding_zscore
+
+  test("w16_expanding_zscore: a spike after stable history alarms once; " +
+      "constant and warm-up rows never do") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: 1.00,1.02,0.98,1.01,9.00 -> only the spike alarms
+    // (the spike value itself is excluded from its own history).
+    // user 2: constant values -> zero variance -> never alarms.
+    // user 3: wild values but only 3 events -> rows 1-2 are warm-up and
+    // row 3's history n=2 < 3 -> no alarm possible.
+    val rows = Seq(1.00, 1.02, 0.98, 1.01, 9.00).zipWithIndex.map {
+      case (v, i) => (i.toLong, 1L, ts(i), "a", v)
+    } ++ (0 until 5).map(i => (10L + i, 2L, ts(i), "a", 5.0)) ++
+      Seq((20L, 3L, ts(0), "a", 1.0), (21L, 3L, ts(1), "a", 99.0),
+        (22L, 3L, ts(2), "a", 0.01))
+    val got = graft.SparkEntry.queries("w16_expanding_zscore")(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((5L, 1L)), "exactly the spike alarms")
+    assert(got(2L) == ((5L, 0L)), "zero variance never alarms")
+    assert(got(3L) == ((3L, 0L)), "n < 3 history is warm-up")
+  }
+
   // ------------------------------------------------- streaming CUSUM
 
   test("streaming CUSUM parity: final per-user state equals the batch fold") {
