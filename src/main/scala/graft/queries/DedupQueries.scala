@@ -238,9 +238,9 @@ object DedupQueries {
     DedupOps.simHashPairs(corpus(s, dir), "doc_id", "t",
         bits = 16, prefixBits = 8, maxHamming = 3)
       .orderBy("id_a", "id_b")
-  private val dedupSimhashSql =
-    "WITH " + corpusCte +
-    """, sims AS (
+  /** Shared simhash signature/block CTEs (pair query + recall eval). */
+  private val simhashCtes =
+    """sims AS (
       |  SELECT doc_id,
       |    list_sum(list_transform(range(16), i ->
       |      CASE WHEN COALESCE(list_sum(list_transform(hs,
@@ -249,8 +249,10 @@ object DedupQueries {
       |  FROM (SELECT doc_id,
       |          list_transform(regexp_extract_all(lower(t), '[a-z]+'), tok -> md5(tok)) AS hs
       |        FROM corpus)),
-      |blocked AS (SELECT doc_id, sim, sim >> 8 AS block FROM sims)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |blocked AS (SELECT doc_id, sim, sim >> 8 AS block FROM sims)""".stripMargin
+  private val dedupSimhashSql =
+    "WITH " + corpusCte + ", " + simhashCtes + "\n" +
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
       |FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sim, b.sim)) <= 3
@@ -842,6 +844,88 @@ object DedupQueries {
        |SELECT method, n_brute, n_hits, n_hits * 10000 // n_brute AS recall_bp
        |FROM rows_out ORDER BY method""".stripMargin
 
+  // ----------------------------------------------------- dedup_recall
+
+  /** DEDUP-RECALL: measured recall of the two approximate near-dup
+    * candidate generators (MinHash LSH banding, simhash Hamming) against
+    * EXACT token-Jaccard >= 0.6 truth — the ann_recall discipline
+    * applied to dedup: an approximate method you haven't measured is a
+    * guess. Truth is brute force over a bounded probe slice (lower-id
+    * endpoint < 50), which at any corpus scale is a broadcast of the
+    * probe token sets against one corpus pass — never all-pairs (the
+    * ann_recall truth-bounding argument). The Jaccard compare is the
+    * same exact small-integer division both engines already share in
+    * dedup_ngram_jaccard. */
+  private val recallProbe = 50
+  private val dedupRecall: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    // Truth similarity = distinct word-3-gram SHINGLE Jaccard — the
+    // quantity MinHash actually sketches (token-set Jaccard saturates
+    // on the fixture's small vocabulary: first cut measured 2277
+    // "truth" pairs at sf0.01 where shingle truth has the planted
+    // dups — the ContainmentSpec token-df finding again).
+    val tok = c.select(col("doc_id"),
+      expr("distinct_kgrams(ascii_tokens(t), 3)").as("toks"))
+    val probe = tok.filter(col("doc_id") < recallProbe)
+      .select(col("doc_id").as("id_a"), col("toks").as("ta"))
+    val truth = tok.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+      .crossJoin(broadcast(probe))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(expr("array_intersect(ta, tb)")))
+      .filter(expr(
+        "CAST(inter AS DOUBLE) / CAST(size(ta) + size(tb) - inter AS DOUBLE) >= 0.6"))
+      .select("id_a", "id_b")
+      .localCheckpoint(true) // read by both method joins; probe-bounded
+    val mh = DedupOps.minHashLshPairs(c, "doc_id", "t",
+        shingleK = 3, numHashes = 8, bands = 2)
+      .filter(col("id_a") < recallProbe).select("id_a", "id_b")
+    val sh = DedupOps.simHashPairs(c, "doc_id", "t",
+        bits = 16, prefixBits = 8, maxHamming = 3)
+      .filter(col("id_a") < recallProbe).select("id_a", "id_b")
+    def row(method: String, cand: DataFrame) =
+      truth.agg(count(lit(1)).as("n_truth")).crossJoin(
+          truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("n_hits")))
+        .select(lit(method).as("method"), col("n_truth"), col("n_hits"),
+          expr("CASE WHEN n_truth > 0 THEN (n_hits * 10000) div n_truth END")
+            .as("recall_bp"))
+    row("minhash_lsh", mh).unionByName(row("simhash", sh)).orderBy("method")
+  }
+  private val dedupRecallSql =
+    "WITH " + corpusCte + ", " + minhashPairCtes + ", " + simhashCtes + "," +
+    s"""
+      |tokd AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(w) - 2, 1) + 1),
+      |    j -> array_to_string(w[j:j+2], ' '))) AS toks
+      |  FROM (SELECT doc_id, regexp_extract_all(lower(t), '[a-z0-9]+') AS w
+      |        FROM corpus)),
+      |truth AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM tokd a JOIN tokd b ON a.doc_id < b.doc_id
+      |  WHERE a.doc_id < $recallProbe
+      |    AND len(list_intersect(a.toks, b.toks)) /
+      |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.6),
+      |mh AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id < $recallProbe),
+      |sh AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM blocked a JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.sim, b.sim)) <= 3 AND a.doc_id < $recallProbe)
+      |SELECT method, n_truth, n_hits,
+      |  CASE WHEN n_truth > 0 THEN (n_hits * 10000) // n_truth END AS recall_bp
+      |FROM (
+      |  SELECT 'minhash_lsh' AS method,
+      |    CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+      |    CAST((SELECT COUNT(*) FROM truth JOIN mh USING (id_a, id_b)) AS BIGINT) AS n_hits
+      |  UNION ALL
+      |  SELECT 'simhash',
+      |    CAST((SELECT COUNT(*) FROM truth) AS BIGINT),
+      |    CAST((SELECT COUNT(*) FROM truth JOIN sh USING (id_a, id_b)) AS BIGINT))
+      |ORDER BY method""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** Bench-only forms: the global ORDER BY on pair outputs exists purely
@@ -1097,6 +1181,7 @@ object DedupQueries {
     "dedup_dup_spans" -> dedupDupSpans,
     "dedup_winnow_pairs" -> dedupWinnowPairs,
     "dedup_exact" -> dedupExact,
+    "dedup_lsh_recall" -> dedupRecall,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_cc_clusters" -> dedupCc,
     "dedup_cc_best" -> dedupCcBest,
@@ -1121,6 +1206,7 @@ object DedupQueries {
     "dedup_dup_spans" -> dedupDupSpansSql,
     "dedup_winnow_pairs" -> dedupWinnowPairsSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_lsh_recall" -> dedupRecallSql,
     "dedup_minhash_lsh" -> dedupMinhashSql,
     "dedup_cc_clusters" -> dedupCcSql,
     "dedup_cc_best" -> dedupCcBestSql,

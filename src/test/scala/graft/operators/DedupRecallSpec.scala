@@ -1,0 +1,43 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** dedup_lsh_recall behavioral pins on a constructed corpus: the
+  * planted near-dup pairs ARE the shingle-Jaccard truth, MinHash
+  * banding must recover all of them (8 hashes / 2 bands at J ~ 0.9
+  * has candidate probability 1 − (1 − J⁴)² ≈ 0.95 per pair — and the
+  * planted construction is deterministic, so the measured recall is a
+  * REPLAYABLE number, not a flaky expectation: this corpus measures
+  * 10000 bp), and an unrelated doc pair must stay out of truth. */
+class DedupRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("planted near-dups form the truth set; minhash recovers them on this corpus") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_recall").toString
+    // 30 docs with distinct content-heavy text; doc_id % 20 == 0 gets a
+    // planted near-dup at +100000 (the corpus() construction).
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val rows = (0L until 30L).map { i =>
+      val body = (0 until 24).map(k => words(((i * 7 + k * 5) % 12).toInt))
+        .mkString(" ")
+      (i, body, "en", body.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("dedup_lsh_recall")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (nTruth, nHits, bp) = got("minhash_lsh")
+    // planted dups exist for doc ids 0 and 20 (both < probe 50)
+    assert(nTruth >= 2L, s"planted pairs must enter the truth set, got $nTruth")
+    assert(nHits == nTruth && bp == 10000L,
+      s"minhash must recover every planted pair on this corpus: $got")
+    assert(got("simhash")._1 == nTruth, "both methods measure the same truth")
+  }
+}
