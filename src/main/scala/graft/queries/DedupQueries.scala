@@ -926,6 +926,61 @@ object DedupQueries {
       |    CAST((SELECT COUNT(*) FROM truth JOIN sh USING (id_a, id_b)) AS BIGINT))
       |ORDER BY method""".stripMargin
 
+  // --------------------------------------------------- pipe_dedup_pass
+
+  /** PIPE-DEDUP: the whole dedup pass as ONE composed flow — exact
+    * fingerprint keep-first, then MinHash-LSH near-dup clustering over
+    * the exact survivors (CC keep-min), then the audit summary a
+    * pipeline owner actually reads (raw → exact → near counts + chars
+    * kept). Completes the pipe_* trio (pack, curation, dedup). The
+    * exact-survivor set is the pass's natural materialization point —
+    * a real pipeline writes it to storage before the near-dup stage;
+    * localCheckpoint stands in for that write (three consumers: the
+    * count, the pair generation, and the kept-side anti-join). */
+  private val pipeDedup: Q = (s, dir) => {
+    val raw = Tables.fanOut(t(s, dir, "documents"))
+    val exact = DedupOps.exactDedup(raw, "text", "doc_id")
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("t"),
+        col("n_chars"))
+      .localCheckpoint(true)
+    val pairs = DedupOps.minHashLshPairs(exact, "doc_id", "t",
+      shingleK = 3, numHashes = 8, bands = 2)
+    val deletes = graft.operators.GraphOps
+      .connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    val kept = exact.join(deletes, Seq("doc_id"), "left_anti")
+    raw.agg(count(lit(1)).as("n_raw"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_after_exact")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_after_near"),
+        sum(col("n_chars")).as("chars_kept")))
+  }
+  private val pipeDedupSql =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, substr(text, 1, 200) AS t, n_chars FROM documents
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |    ORDER BY doc_id) = 1),
+      |""".stripMargin + minhashPairCtes + "," +
+    """
+      |prs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.s = b.s AND a.doc_id < b.doc_id),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+      |reach(node, m) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.node = e.b),
+      |deletes AS (
+      |  SELECT node FROM (SELECT node, MIN(m) AS comp FROM reach GROUP BY node)
+      |  WHERE node <> comp),
+      |kept AS (SELECT c.doc_id, c.n_chars FROM corpus c
+      |         ANTI JOIN deletes d ON c.doc_id = d.node)
+      |SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_raw,
+      |  CAST((SELECT COUNT(*) FROM corpus) AS BIGINT) AS n_after_exact,
+      |  CAST((SELECT COUNT(*) FROM kept) AS BIGINT) AS n_after_near,
+      |  CAST((SELECT SUM(n_chars) FROM kept) AS BIGINT) AS chars_kept""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   /** Bench-only forms: the global ORDER BY on pair outputs exists purely
@@ -1182,6 +1237,7 @@ object DedupQueries {
     "dedup_winnow_pairs" -> dedupWinnowPairs,
     "dedup_exact" -> dedupExact,
     "dedup_lsh_recall" -> dedupRecall,
+    "pipe_dedup_pass" -> pipeDedup,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_cc_clusters" -> dedupCc,
     "dedup_cc_best" -> dedupCcBest,
@@ -1207,6 +1263,7 @@ object DedupQueries {
     "dedup_winnow_pairs" -> dedupWinnowPairsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_lsh_recall" -> dedupRecallSql,
+    "pipe_dedup_pass" -> pipeDedupSql,
     "dedup_minhash_lsh" -> dedupMinhashSql,
     "dedup_cc_clusters" -> dedupCcSql,
     "dedup_cc_best" -> dedupCcBestSql,
