@@ -298,6 +298,90 @@ object DedupQueries {
       |WHERE jaccard >= 0.6
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------- threshold curve
+
+  /** THRESHOLD-CURVE: the dedup operating-point sweep — for each
+    * candidate Jaccard threshold τ ∈ {50..90}%, how many near-dup pairs
+    * survive and how many documents a keep-first policy would drop.
+    * This is the curve a curator reads BEFORE committing a threshold to
+    * a 100 TB pass (too low → over-deletion, too high → residual dups);
+    * running one sweep over the SAME candidate set costs one pair
+    * generation, vs five full dedup runs.
+    *
+    * Exactness: the τ-compare is integer cross-multiplication
+    * (100·|∩| ≥ τ·|∪|) — the float jaccard never exists, so no
+    * quantization seam. Candidates are the dedup_ngram_jaccard LSH
+    * block (same band recipe, same kernels); thresholds below the
+    * block's recall floor would need wider bands — the curve is "per
+    * threshold GIVEN this candidate generator", stated, not hidden.
+    *
+    * Scale shape: one blocked self-join builds pairs ONCE; the sweep is
+    * a 5-row broadcast cross join + one map-side-combined aggregate.
+    * distinct-doc counts are exact per τ (count distinct inside the
+    * 5-group aggregate — bounded by pair count, never corpus-wide). */
+  private val curveTaus = Seq(50, 60, 70, 80, 90)
+  private val dedupCurve: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    val blocks = DedupOps.minHashSignatures(c, "doc_id", "t",
+        shingleK = 3, numHashes = 2)
+      .select(col("doc_id"), md5(concat_ws(",", col("mh0"), col("mh1"))).as("block"))
+    val prepped = c.join(blocks, Seq("doc_id"))
+      .select(col("doc_id"), col("block"),
+        array_distinct(expr("ascii_alpha_tokens(t)")).as("toks"))
+      .repartition(col("block"))
+    val a = prepped.toDF("id_a", "block", "toks_a")
+    val b = prepped.toDF("id_b", "block", "toks_b")
+    val pairs = a.hint("shuffle_hash").join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("toks_a")) + size(col("toks_b"))).cast("long") - col("inter"))
+      .select("id_a", "id_b", "inter", "uni")
+    import s.implicits._
+    val taus = curveTaus.toDF("tau_pct")
+    val agg = pairs.crossJoin(broadcast(taus))
+      .filter(col("inter") * 100 >= col("tau_pct") * col("uni"))
+      .groupBy("tau_pct")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_docs_dropped"))
+    taus.join(agg, Seq("tau_pct"), "left")
+      .select(col("tau_pct"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
+      .orderBy("tau_pct")
+  }
+  private val dedupCurveSql =
+    "WITH " + corpusCte +
+    s""", toked AS (
+      |  SELECT doc_id, regexp_extract_all(lower(t), '[a-z0-9]+') AS stoks FROM corpus),
+      |blocks AS (
+      |  SELECT doc_id, md5(array_to_string(list_transform(range(2), i ->
+      |    list_min(list_transform(
+      |      list_transform(range(1, greatest(len(stoks) - 2, 1) + 1),
+      |        j -> array_to_string(stoks[j:j+2], ' ')),
+      |      sh -> substr(md5(CAST(i // 4 AS VARCHAR) || ':' || sh),
+      |                   (i % 4) * 8 + 1, 8)))), ',')) AS block
+      |  FROM toked),
+      |toksets AS (
+      |  SELECT c.doc_id, b.block, list_distinct(regexp_extract_all(lower(c.t), '[a-z]+')) AS toks
+      |  FROM corpus c JOIN blocks b USING (doc_id)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+      |    CAST(len(a.toks) + len(b.toks)
+      |      - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+      |  FROM toksets a JOIN toksets b ON a.block = b.block AND a.doc_id < b.doc_id),
+      |taus(tau_pct) AS (VALUES ${curveTaus.map(t => s"($t)").mkString(", ")}),
+      |agg AS (
+      |  SELECT tau_pct, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_docs_dropped
+      |  FROM pairs, taus WHERE inter * 100 >= tau_pct * uni
+      |  GROUP BY tau_pct)
+      |SELECT t.tau_pct, CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST(COALESCE(n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped
+      |FROM taus t LEFT JOIN agg USING (tau_pct) ORDER BY tau_pct""".stripMargin
+
   // ------------------------------------------------ embedding near-dup
 
   private def embCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -1245,6 +1329,7 @@ object DedupQueries {
     "dedup_cc_survivors" -> dedupCcSurvivors,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupJaccard,
+    "dedup_threshold_curve" -> dedupCurve,
     "emb_near_dup" -> embNearDup,
     "ann_brute_topk" -> annBrute,
     "ann_bucketed_topk" -> annBucketed,
@@ -1271,6 +1356,7 @@ object DedupQueries {
     "dedup_cc_survivors" -> dedupCcSurvivorsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql,
+    "dedup_threshold_curve" -> dedupCurveSql,
     "emb_near_dup" -> embNearDupSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_bucketed_topk" -> annBucketedSql,

@@ -138,6 +138,112 @@ object RetrievalQueries {
        |  FROM agg)
        |WHERE rn <= $bm25K ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------------- t_ndcg_eval
+
+  /** T-NDCG: NDCG@5 of the BM25 ranking against corpus-wide graded
+    * relevance — the ranking-quality audit for the retrieval family
+    * (does the curation ranker actually surface the most relevant
+    * docs?). Relevance is label-free: rel(q, doc) = number of DISTINCT
+    * q-terms the doc contains — the standard term-coverage
+    * pseudo-label. The ideal ranking is CORPUS-WIDE top-5 by
+    * (rel DESC, doc_id), not a re-sort of the retrieved set, so the
+    * metric is recall-aware: a relevant doc BM25 missed lowers it.
+    *
+    * Exactness: the only transcendental is ln(pos+1) for pos 1..5 —
+    * distinct small integers, quantized lnq = floor(1e6·ln) (the
+    * unigram-NLL discipline); the discount w(pos) = 10¹² div lnq(pos+1)
+    * and both DCG sums are pure BIGINT. DCG ≤ IDCG by the rearrangement
+    * argument (IDCG maximizes over every 5-subset and order), so
+    * ndcg_ppm ∈ [0, 10⁶] — pinned in RetrievalSpec.
+    *
+    * Scale shape: the rel table is the bm25 posting prune (broadcast
+    * semi join on the tiny term set) + one map-side-combined count;
+    * both rankings are bounded-buffer top-k (TopKOps) — never a global
+    * or per-group sort; the final fold is 5 rows per query. */
+  private val ndcgWSql =
+    "CAST(1000000000000 div CAST(floor(CAST(1000000 AS DOUBLE) " +
+      "* ln(CAST(rank + 1 AS DOUBLE))) AS BIGINT) AS BIGINT)"
+  private val ndcg: Q = (s, dir) => {
+    val docs = Tables.fanOut(t(s, dir, "documents"))
+    import s.implicits._
+    val qdf = bm25Queries.toDF("q_id", "term")
+    val qterms = qdf.select("term").distinct()
+    val rel = docs.select(col("doc_id"),
+        explode(expr("array_distinct(ascii_alpha_tokens(text, 3))")).as("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(qdf), Seq("term"))
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("rel"))
+    val ranked = bm25(s, dir).select("q_id", "rank", "doc_id")
+    val dcg = ranked.join(rel, Seq("q_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .select(col("q_id"), (col("rel") * expr(ndcgWSql)).as("g"))
+      .groupBy("q_id").agg(sum(col("g")).as("dcg_fp"))
+    val ideal = graft.operators.TopKOps.topKByValue(
+        rel, Seq("q_id"), col("rel"), col("doc_id"), bm25K,
+        orderName = "rel", tieName = "doc_id")
+      .select(col("q_id"), (col("rel") * expr(ndcgWSql)).as("g"))
+      .groupBy("q_id").agg(sum(col("g")).as("idcg_fp"))
+    dcg.join(ideal, Seq("q_id"))
+      .select(col("q_id"), col("dcg_fp"), col("idcg_fp"),
+        expr("CAST(CASE WHEN idcg_fp > 0 THEN (dcg_fp * 1000000) div idcg_fp END AS BIGINT)")
+          .as("ndcg_ppm"))
+      .orderBy("q_id")
+  }
+  private val ndcgSql =
+    s"""WITH q(q_id, term) AS (VALUES $bm25QueryValues),
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS term
+       |  FROM documents),
+       |dlt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+       |  WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    (SELECT CAST(COALESCE(SUM(dl), 0) AS BIGINT) FROM dlt) AS tot_dl
+       |  FROM documents),
+       |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |sc AS (
+       |  SELECT q.q_id, tf.doc_id, $bm25ScoreSql AS s_fp
+       |  FROM tf
+       |  JOIN dft USING (term) JOIN q USING (term) JOIN dlt USING (doc_id),
+       |    (SELECT n_docs, CAST(tot_dl AS DOUBLE) / n_docs AS avgdl FROM st)),
+       |agg AS (
+       |  SELECT q_id, doc_id, CAST(SUM(s_fp) AS BIGINT) AS score_fp
+       |  FROM sc GROUP BY q_id, doc_id),
+       |topk AS (
+       |  SELECT q_id, doc_id, rank FROM (
+       |    SELECT q_id, doc_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score_fp DESC, doc_id) AS rank
+       |    FROM agg)
+       |  WHERE rank <= $bm25K),
+       |rel AS (
+       |  SELECT q.q_id, tf.doc_id, CAST(COUNT(*) AS BIGINT) AS rel
+       |  FROM tf JOIN q USING (term) GROUP BY q.q_id, tf.doc_id),
+       |dcg AS (
+       |  SELECT topk.q_id,
+       |    CAST(SUM(COALESCE(rel.rel, 0) * (1000000000000 //
+       |      CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(rank + 1 AS DOUBLE))) AS BIGINT)))
+       |      AS BIGINT) AS dcg_fp
+       |  FROM topk LEFT JOIN rel
+       |    ON rel.q_id = topk.q_id AND rel.doc_id = topk.doc_id
+       |  GROUP BY topk.q_id),
+       |irk AS (
+       |  SELECT q_id, rel,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, doc_id) AS rank
+       |  FROM rel),
+       |idcg AS (
+       |  SELECT q_id,
+       |    CAST(SUM(rel * (1000000000000 //
+       |      CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(rank + 1 AS DOUBLE))) AS BIGINT)))
+       |      AS BIGINT) AS idcg_fp
+       |  FROM irk WHERE rank <= $bm25K GROUP BY q_id)
+       |SELECT dcg.q_id, dcg_fp, idcg_fp,
+       |  CAST(CASE WHEN idcg_fp > 0 THEN (dcg_fp * 1000000) // idcg_fp END AS BIGINT)
+       |    AS ndcg_ppm
+       |FROM dcg JOIN idcg USING (q_id) ORDER BY q_id""".stripMargin
+
   // ------------------------------------------------------ t_unigram_nll
 
   /** T-NLL: per-document unigram-LM negative log-likelihood — the CCNet
@@ -334,12 +440,14 @@ object RetrievalQueries {
 
   val queries: Map[String, Q] = Map(
     "t_bm25_topk" -> bm25,
+    "t_ndcg_eval" -> ndcg,
     "t_unigram_nll" -> unigramNll,
     "t_bigram_nll" -> bigramNll,
     "emb_rp_project" -> rp)
 
   val oracle: Map[String, String] = Map(
     "t_bm25_topk" -> bm25Sql,
+    "t_ndcg_eval" -> ndcgSql,
     "t_unigram_nll" -> unigramNllSql,
     "t_bigram_nll" -> bigramNllSql,
     "emb_rp_project" -> rpSql)

@@ -595,6 +595,67 @@ object SignalQueries {
        |GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  // ------------------------------------------------- o18_epoch_shuffle
+
+  /** O18: deterministic epoch shuffle — the training loader's per-epoch
+    * permutation, computed as a LAYOUT (not a runtime RNG): epoch e
+    * orders docs by (md5(e ':' doc_id), doc_id) and cuts the order into
+    * S contiguous shards of near-equal size (shard = (rn−1)·S div n —
+    * sizes differ by ≤ 1 BY CONSTRUCTION). Different epochs give
+    * independent permutations of the SAME doc set; re-running an epoch
+    * gives byte-identical shards (resumable training). Output is the
+    * auditable summary: per (epoch, shard) the size, the first doc in
+    * shard order, and an order-SENSITIVE permutation fingerprint
+    * Σ (rn·doc_id mod (2³¹−1)) — equal doc sets with different orders
+    * fingerprint differently, so epoch independence is checkable from
+    * the summary alone (pinned in SignalSpec).
+    *
+    * Scale shape: one RankOps range-exchange rank per epoch (never a
+    * single-task ORDER BY window; epochs are a tiny fixed loop), then
+    * one map-side-combined aggregate. Each mod term is < 2³¹ so the
+    * BIGINT fingerprint sum holds past 4×10⁹ rows; the rn·doc_id
+    * product lifts to DECIMAL(38,0) before the mod so the product
+    * itself can never overflow. */
+  private val o18Epochs = 2
+  private val o18Shards = 8
+  private val o18: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val nn = docs.agg(count(lit(1)).as("nn"))
+    (0 until o18Epochs).map { e =>
+      RankOps.globalRowNumber(
+          docs.withColumn("h",
+            md5(concat(lit(s"$e:"), col("doc_id").cast("string")))),
+          Seq(col("h").asc, col("doc_id").asc), "rn")
+        .crossJoin(broadcast(nn))
+        .select(lit(e).as("epoch"), col("doc_id"), col("rn"),
+          expr(s"CAST((rn - 1) * $o18Shards div nn AS INT)").as("shard"))
+    }.reduce(_ unionAll _)
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("rn")).as("first_doc"),
+        sum(expr(
+          "CAST(pmod(CAST(rn AS DECIMAL(38,0)) * doc_id, 2147483647) AS BIGINT)"))
+          .as("perm_fp"))
+      .select(col("epoch").cast("int").as("epoch"), col("shard"),
+        col("n_docs"), col("first_doc"), col("perm_fp").cast("long").as("perm_fp"))
+      .orderBy("epoch", "shard")
+  }
+  private val o18Sql =
+    s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+       |ep AS (SELECT unnest(range($o18Epochs)) AS epoch),
+       |r AS (
+       |  SELECT epoch, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY
+       |      md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),
+       |      doc_id) AS rn
+       |  FROM documents, ep)
+       |SELECT CAST(epoch AS INT) AS epoch,
+       |  CAST((rn - 1) * $o18Shards // nn AS INT) AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(arg_min(doc_id, rn) AS BIGINT) AS first_doc,
+       |  CAST(SUM((CAST(rn AS HUGEINT) * doc_id) % 2147483647) AS BIGINT) AS perm_fp
+       |FROM r, nn GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin
+
   // ---------------------------------------------- a29_markov_transitions
 
   /** A29: first-order event-type transition matrix with row-normalized
@@ -694,6 +755,7 @@ object SignalQueries {
     "a27_decay_score" -> a27,
     "a28_autocorr_lag1" -> a28,
     "o17_rendezvous_assign" -> o17,
+    "o18_epoch_shuffle" -> o18,
     "a29_markov_transitions" -> a29,
     "w16_expanding_zscore" -> w16)
 
@@ -710,6 +772,7 @@ object SignalQueries {
     "a27_decay_score" -> a27Sql,
     "a28_autocorr_lag1" -> a28Sql,
     "o17_rendezvous_assign" -> o17Sql,
+    "o18_epoch_shuffle" -> o18Sql,
     "a29_markov_transitions" -> a29Sql,
     "w16_expanding_zscore" -> w16Sql)
 }

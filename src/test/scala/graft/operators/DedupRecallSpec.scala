@@ -40,4 +40,33 @@ class DedupRecallSpec extends AnyFunSuite {
       s"minhash must recover every planted pair on this corpus: $got")
     assert(got("simhash")._1 == nTruth, "both methods measure the same truth")
   }
+
+  test("dedup_threshold_curve: all thresholds reported, counts monotone " +
+      "non-increasing in tau, planted near-dups caught at the low end") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_curve").toString
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val rows = (0L until 30L).map { i =>
+      val body = (0 until 24).map(k => words(((i * 7 + k * 5) % 12).toInt))
+        .mkString(" ")
+      (i, body, "en", body.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("dedup_threshold_curve")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(50, 60, 70, 80, 90),
+      "every threshold must appear exactly once, ordered")
+    val pairs = got.map(_._2._1)
+    val dropped = got.map(_._2._2)
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b },
+      s"pair count must not rise with tau: ${pairs.mkString(",")}")
+    assert(dropped.zip(dropped.tail).forall { case (a, b) => a >= b },
+      s"dropped-doc count must not rise with tau: ${dropped.mkString(",")}")
+    assert(got.forall { case (_, (p, d)) => d <= p },
+      "a dropped doc implies at least one surviving pair")
+    // the planted +100000 near-dups sit at J ~ 0.9+: present at tau=50
+    assert(got.head._2._1 >= 2, s"planted near-dups missed: ${got.toSeq}")
+  }
 }

