@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the transitive-
@@ -239,5 +240,54 @@ object GraphOps {
         when(col("n_wedges") > 0,
           expr("(n_triangles * 3 * 1000000) div n_wedges"))
           .cast("long").as("global_cc_ppm"))
+  }
+
+  /** Synchronized label propagation (Raghavan et al. 2007) — community
+    * detection WITHIN components: connectedComponents answers "are these
+    * transitively linked at all"; LPA's majority rule answers "which
+    * densely-linked group does each node sit in". Deterministic variant:
+    * every round, every node adopts its neighbors' most frequent label,
+    * ties broken to the SMALLEST label; labels start as node ids. A
+    * fixed round count is a defined report of the propagation front (the
+    * kcore peeling-front convention in this file) — synchronized LPA can
+    * oscillate on bipartite-ish shapes (star hubs trade labels with
+    * their leaves; pinned in GraphOpsSpec), so a round count, not a
+    * convergence test, is the only deterministic contract.
+    *
+    * Scale shape per round: one keyed join (labels onto the symmetric
+    * edge list), one map-side-combined (node, label) count, one window
+    * partitioned BY NODE for the argmax (bounded by the node's distinct
+    * neighbor labels — never a global sort). The loop stays lazy: each
+    * round reads the prior labels exactly once, the PageRank
+    * single-read-round measurement (per-round checkpoints HURT there).
+    * Returns (v, label). */
+  def labelPropagation(
+      edges0: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    val e = edges0
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      // the symmetric list is read once per round plus the node seed:
+      // checkpoint the canonical edges so an expensive upstream candidate
+      // generator runs once (connectedComponents' treatment)
+      .localCheckpoint(true)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    for (_ <- 1 to rounds) {
+      val cnt = sym
+        .join(labels.select(col("v").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("v"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("v").orderBy(col("c").desc, col("label").asc)
+      labels = cnt.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("v", "label")
+    }
+    labels
   }
 }

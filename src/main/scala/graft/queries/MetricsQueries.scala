@@ -674,6 +674,47 @@ object MetricsQueries {
       |    END AS BIGINT) AS assort_ppm
       |FROM s""".stripMargin
 
+  // ------------------------------------------------------------- g6
+
+  /** G6: label-propagation communities over the part co-purchase graph —
+    * the densely-linked-group report completing the graph family (CC
+    * answers reachability; LPA's majority rule separates the dense
+    * groups INSIDE a giant component). 2 synchronized rounds,
+    * deterministic min-label ties ([[graft.operators.GraphOps
+    * .labelPropagation]]); a fixed round count is the defined report,
+    * the g5 peeling-front convention. Output is the bounded per-community
+    * summary, never the node list. */
+  private val g6: Q = (s, dir) =>
+    graft.operators.GraphOps.labelPropagation(coEdges(s, dir), "p1", "p2",
+        rounds = 2)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), min(col("v")).as("min_node"),
+        max(col("v")).as("max_node"))
+      .select(col("label").as("community"), col("n_nodes"),
+        col("min_node"), col("max_node"))
+      .orderBy("community")
+  private def g6Round(i: Int): String =
+    s"""c$i AS (
+       |  SELECT s.dst AS v, l.label, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM sym s JOIN l${i - 1} l ON l.v = s.src GROUP BY 1, 2),
+       |l$i AS (
+       |  SELECT v, label FROM (
+       |    SELECT v, label,
+       |      row_number() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+       |    FROM c$i)
+       |  WHERE rn = 1)""".stripMargin
+  private val g6Sql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+       |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+       |sym AS (SELECT p1 AS src, p2 AS dst FROM e
+       |        UNION ALL SELECT p2, p1 FROM e),
+       |l0 AS (SELECT DISTINCT src AS v, src AS label FROM sym),
+       |${(1 to 2).map(g6Round).mkString(",\n")}
+       |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(MIN(v) AS BIGINT) AS min_node, CAST(MAX(v) AS BIGINT) AS max_node
+       |FROM l2 GROUP BY label ORDER BY community""".stripMargin
+
   // ------------------------------------------------- dedup_fuzzy_key
 
   /** FUZZY-KEY: entity resolution over dirty string keys — part-name
@@ -923,6 +964,7 @@ object MetricsQueries {
     "a18_cube" -> a18,
     "w12_gap_stats" -> w12,
     "g3_assortativity" -> g3,
+    "g6_label_prop" -> g6,
     "dedup_fuzzy_key" -> fuzzy,
     "t_psi_drift" -> psi,
     "t_heaps_slope" -> tHeaps,
@@ -946,6 +988,7 @@ object MetricsQueries {
     "a18_cube" -> a18Sql,
     "w12_gap_stats" -> w12Sql,
     "g3_assortativity" -> g3Sql,
+    "g6_label_prop" -> g6Sql,
     "dedup_fuzzy_key" -> fuzzySql,
     "t_psi_drift" -> psiSql,
     "t_heaps_slope" -> tHeapsSql,

@@ -88,4 +88,31 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(cid <= id - 100000L, s"planted $id not linked to its source")
     }
   }
+
+  // -------------------------------------------------- label propagation
+
+  test("label propagation: disjoint triangles collapse to their min label " +
+      "in 2 rounds; repeated runs agree") {
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    def run() = GraphOps.labelPropagation(tri.toDF("a", "b"), "a", "b", 2)
+      .as[(Long, Long)].collect().toMap
+    val got = run()
+    // hand trace: round 1 gives (0→1, 1→0, 2→0); round 2 settles all → 0
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $got")
+    assert(run() == got, "LPA must be deterministic across runs")
+  }
+
+  test("label propagation: the star oscillation is the defined 2-round report") {
+    // Synchronized LPA on a star trades labels hub↔leaves each round —
+    // the classic bipartite oscillation. The operator's contract is a
+    // FIXED round count (a defined front report, not convergence);
+    // round 2 lands hub=5 (its leaves all said 5) and leaves=6 (the
+    // hub said 6 in round 1). Pinning it documents the semantics.
+    val star = Seq((5L, 6L), (5L, 7L), (5L, 8L))
+    val got = GraphOps.labelPropagation(star.toDF("a", "b"), "a", "b", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 6L), s"got $got")
+  }
 }
