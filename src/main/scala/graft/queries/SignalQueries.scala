@@ -595,6 +595,54 @@ object SignalQueries {
        |GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  // -------------------------------------------------- a30_lang_entropy
+
+  /** A30: per-language token-distribution Shannon entropy — the
+    * diversity scalar behind temperature-mix decisions (a language whose
+    * token mass concentrates in few types is boilerplate-heavy; a
+    * collapsing entropy across snapshots means the crawl is looping).
+    * Completes the concentration family: Gini/HHI measure size
+    * concentration, entropy measures distributional richness.
+    *
+    *   H = ln N − (Σ c·ln c) / N   (nats, ppm-quantized)
+    *
+    * lnq = floor(1e6·ln) over DISTINCT INTEGER COUNTS only (the
+    * Moore–Lewis / unigram-NLL discipline), so the whole score is
+    * order-independent integer math; c·lnq(c) lifts to DECIMAL(38,0)
+    * (HUGEINT oracle-side) so the per-lang sum survives 10¹³-token
+    * languages. One shuffle to (lang, term) counts (vocab-bounded,
+    * Zipf), one map-side-combined per-lang fold. */
+  private val a30: Q = (s, dir) => {
+    val c = Tables.fanOut(t(s, dir, "documents"))
+      .select(col("lang"), explode(expr("ascii_alpha_tokens(text, 3)")).as("tk"))
+      .groupBy("lang", "tk").agg(count(lit(1)).as("c"))
+    c.groupBy("lang").agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).as("v"),
+        sum(col("c").cast("decimal(38,0)") *
+          expr("CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS BIGINT)"))
+          .as("sc"))
+      .select(col("lang"), col("n").as("n_tokens"), col("v").as("vocab"),
+        expr("""CAST(CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS BIGINT)
+              - CAST(sc div n AS BIGINT) AS BIGINT)""".replaceAll("\\s+", " "))
+          .as("ent_ppm"))
+      .orderBy("lang")
+  }
+  private val a30Sql =
+    """WITH tok AS (
+      |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]{3,}')) AS tk
+      |  FROM documents),
+      |c AS (SELECT lang, tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      |s AS (
+      |  SELECT lang, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v,
+      |    SUM(CAST(c AS HUGEINT) *
+      |      CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS BIGINT)) AS sc
+      |  FROM c GROUP BY lang)
+      |SELECT lang, n AS n_tokens, v AS vocab,
+      |  CAST(CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS BIGINT)
+      |    - CAST(sc // n AS BIGINT) AS BIGINT) AS ent_ppm
+      |FROM s ORDER BY lang""".stripMargin
+
   // ------------------------------------------------- o18_epoch_shuffle
 
   /** O18: deterministic epoch shuffle — the training loader's per-epoch
@@ -756,6 +804,7 @@ object SignalQueries {
     "a28_autocorr_lag1" -> a28,
     "o17_rendezvous_assign" -> o17,
     "o18_epoch_shuffle" -> o18,
+    "a30_lang_entropy" -> a30,
     "a29_markov_transitions" -> a29,
     "w16_expanding_zscore" -> w16)
 
@@ -773,6 +822,7 @@ object SignalQueries {
     "a28_autocorr_lag1" -> a28Sql,
     "o17_rendezvous_assign" -> o17Sql,
     "o18_epoch_shuffle" -> o18Sql,
+    "a30_lang_entropy" -> a30Sql,
     "a29_markov_transitions" -> a29Sql,
     "w16_expanding_zscore" -> w16Sql)
 }

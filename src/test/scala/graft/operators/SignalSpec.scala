@@ -351,6 +351,25 @@ class SignalSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------- a30_lang_entropy
+
+  test("a30_lang_entropy: a single-type language is exactly 0; an " +
+      "all-distinct language is exactly lnq(N)") {
+    val rows = Seq(
+      (1L, "foo foo foo foo", "aa", 15L),
+      (2L, "foo foo foo foo", "aa", 15L),
+      (3L, "alpha bravo charlie delta echoes foxtrot golfer hotels", "bb", 54L))
+    val got = graft.SparkEntry.queries("a30_lang_entropy")(spark, docsDir(rows))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // aa: one type, c = N = 8 -> lnq(8) - (8*lnq(8)) div 8 = exactly 0
+    assert(got("aa") == ((8L, 1L, 0L)), s"got ${got("aa")}")
+    // bb: 8 singleton types -> sc = 0 (lnq(1) = 0) -> exactly lnq(8)
+    val lnq8 = math.floor(1e6 * math.log(8.0)).toLong
+    assert(got("bb") == ((8L, 8L, lnq8)), s"got ${got("bb")}")
+    assert(got("bb")._3 > got("aa")._3, "diversity must rank above repetition")
+  }
+
   // ------------------------------------------------ o18_epoch_shuffle
 
   test("o18_epoch_shuffle: md5-order replay; balanced shards; epochs permute " +
