@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.BfsOps
+import graft.streaming.StreamingRateLimit
 
 /** Round-8 beyond-reference operators (SURVEY §2.11), association /
   * drift / graph-reach family: PMI collocation mining, exact two-sample
@@ -436,6 +437,68 @@ object AssocQueries {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ----------------------------------------------------- w17_rate_limit
+
+  /** W17: per-user token-bucket admission — the batch replay of
+    * [[graft.streaming.StreamingRateLimit]] (SAME `advance` fold, so
+    * batch/stream parity holds by construction, not by test alone).
+    * Cap 2 tokens, 1 token/hour refill at integer µtoken resolution;
+    * rejected events still advance the refill clock. Summary output
+    * (total vs admitted per user) so the gate's effect is auditable
+    * before anyone enforces it at ingest.
+    *
+    * The clamped two-sided recurrence (cap above, spend-on-admit below)
+    * has NO window-expressible closed form — CUSUM's reflection trick
+    * needs a one-sided clamp — so the batch form is a per-user typed
+    * fold (`groupByKey.mapGroups`): one shuffle on user_id, state two
+    * longs, per-user event counts bounded (the sessionization-fold
+    * class; max 99 on the fixture, and a user's event history is
+    * humanly bounded at any corpus scale). The oracle replays the
+    * identical recurrence as a rank-stepped recursive CTE — truncating
+    * integer division IS the defined semantics, shared by both. */
+  private val w17: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (u, it) =>
+        val evs = it.map(t => StreamingRateLimit.Ev(t._1, t._2, t._3)).toSeq
+        val (_, res) = StreamingRateLimit.advance(None, evs)
+        (u, res.size.toLong, res.count(_._2).toLong)
+      }
+      .toDF("user_id", "n_total", "n_admitted")
+      .orderBy("user_id")
+  }
+  private val w17Sql =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tu, event_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |step AS (
+       |  SELECT user_id, rn, tu,
+       |    CAST(${StreamingRateLimit.CapUtok - StreamingRateLimit.CostUtok}
+       |      AS BIGINT) AS tok,
+       |    CAST(1 AS BIGINT) AS adm
+       |  FROM ev WHERE rn = 1
+       |  UNION ALL
+       |  SELECT e.user_id, e.rn, e.tu,
+       |    CASE WHEN least(${StreamingRateLimit.CapUtok},
+       |           s.tok + (e.tu - s.tu) // ${StreamingRateLimit.RefillDiv})
+       |           >= ${StreamingRateLimit.CostUtok}
+       |      THEN least(${StreamingRateLimit.CapUtok},
+       |             s.tok + (e.tu - s.tu) // ${StreamingRateLimit.RefillDiv})
+       |           - ${StreamingRateLimit.CostUtok}
+       |      ELSE least(${StreamingRateLimit.CapUtok},
+       |             s.tok + (e.tu - s.tu) // ${StreamingRateLimit.RefillDiv}) END,
+       |    CASE WHEN least(${StreamingRateLimit.CapUtok},
+       |           s.tok + (e.tu - s.tu) // ${StreamingRateLimit.RefillDiv})
+       |           >= ${StreamingRateLimit.CostUtok} THEN 1 ELSE 0 END
+       |  FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  CAST(SUM(adm) AS BIGINT) AS n_admitted
+       |FROM step GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // --------------------------------------------------- t_ngram_novelty
 
   /** T-NOVEL: per-document novelty — the fraction of a doc's DISTINCT
@@ -534,6 +597,7 @@ object AssocQueries {
     "t_tfidf_keywords" -> tfidf,
     "a22_hhi" -> hhi,
     "w14_debounce" -> w14,
+    "w17_rate_limit" -> w17,
     "t_ngram_novelty" -> novel,
     "g7_link_predict" -> aa)
 
@@ -546,6 +610,7 @@ object AssocQueries {
     "t_tfidf_keywords" -> tfidfSql,
     "a22_hhi" -> hhiSql,
     "w14_debounce" -> w14Sql,
+    "w17_rate_limit" -> w17Sql,
     "t_ngram_novelty" -> novelSql,
     "g7_link_predict" -> aaSql)
 }
