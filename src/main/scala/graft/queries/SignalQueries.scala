@@ -704,6 +704,59 @@ object SignalQueries {
        |  CAST(SUM((CAST(rn AS HUGEINT) * doc_id) % 2147483647) AS BIGINT) AS perm_fp
        |FROM r, nn GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin
 
+  // -------------------------------------------------- o19_zorder_layout
+
+  /** O19: Z-order (Morton) layout buckets over (n_chars, doc_id) — the
+    * multi-dimensional clustering primitive behind data-skipping file
+    * layouts: sorting by the interleaved-bit key makes every
+    * contiguous bucket a RECTANGLE in both dimensions, so min/max file
+    * stats prune range predicates on EITHER column (a single-column
+    * sort only prunes its own column). The report is the layout audit:
+    * per bucket (top 12 Morton bits = 6 high bits per dimension) the
+    * row count and both min/max ranges — each range provably < 2¹⁰
+    * wide because the 6-bit prefixes are fixed within a bucket
+    * (pinned in SignalSpec).
+    *
+    * The Morton code is pure integer bit algebra (Σ over 16 bits of
+    * each dimension, clamped to 16 bits by & 0xFFFF as the DEFINED
+    * domain), emitted as engine-native bit ops — Spark's
+    * shiftleft/shiftright/& functions and DuckDB's <</>>/& operators
+    * compute the identical integer, no float anywhere. One row-local
+    * map + one map-side-combined aggregate; ordering by zbucket is the
+    * write-side sort a real layout pass would apply. */
+  private def mortonSpark(a: String, b: String): String =
+    (0 until 16).map(i =>
+      s"shiftleft(shiftright($a, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($b, $i) & 1, ${2 * i + 1})")
+      .mkString(" + ")
+  private def mortonDuck(a: String, b: String): String =
+    (0 until 16).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+  private val o19: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        expr(mortonSpark("(CAST(n_chars AS BIGINT) & 65535)",
+          "(CAST(doc_id AS BIGINT) & 65535)")).as("z"))
+      .groupBy(expr("CAST(shiftright(z, 20) AS BIGINT)").as("zbucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("zbucket")
+  private val o19Sql =
+    s"""WITH z AS (
+       |  SELECT doc_id, n_chars,
+       |    ${mortonDuck("(CAST(n_chars AS BIGINT) & 65535)",
+                         "(CAST(doc_id AS BIGINT) & 65535)")} AS z
+       |  FROM documents)
+       |SELECT CAST(z >> 20 AS BIGINT) AS zbucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+       |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
+
   // ---------------------------------------------- a29_markov_transitions
 
   /** A29: first-order event-type transition matrix with row-normalized
@@ -805,6 +858,7 @@ object SignalQueries {
     "o17_rendezvous_assign" -> o17,
     "o18_epoch_shuffle" -> o18,
     "a30_lang_entropy" -> a30,
+    "o19_zorder_layout" -> o19,
     "a29_markov_transitions" -> a29,
     "w16_expanding_zscore" -> w16)
 
@@ -823,6 +877,7 @@ object SignalQueries {
     "o17_rendezvous_assign" -> o17Sql,
     "o18_epoch_shuffle" -> o18Sql,
     "a30_lang_entropy" -> a30Sql,
+    "o19_zorder_layout" -> o19Sql,
     "a29_markov_transitions" -> a29Sql,
     "w16_expanding_zscore" -> w16Sql)
 }

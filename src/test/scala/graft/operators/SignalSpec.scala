@@ -405,6 +405,35 @@ class SignalSpec extends AnyFunSuite {
       "different epochs must produce different permutations")
   }
 
+  // -------------------------------------------------- o19_zorder_layout
+
+  test("o19_zorder_layout: buckets match the Morton replay and every " +
+      "bucket is a sub-1024 rectangle in BOTH dimensions") {
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map(i =>
+        (((a >> i) & 1L) << (2 * i)) + (((b >> i) & 1L) << (2 * i + 1))).sum
+    // spread doc ids and lengths so several buckets appear
+    val rows = (0L until 300L).map(i =>
+      ((i * 37) % 4096, s"d$i", "en", (i * 191) % 3000))
+    val got = graft.SparkEntry.queries("o19_zorder_layout")(spark, docsDir(rows))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // full replay
+    val want = rows.groupBy { case (id, _, _, nc) =>
+        morton(nc & 0xFFFFL, id & 0xFFFFL) >> 20 }
+      .map { case (zb, xs) =>
+        zb -> (xs.size.toLong, xs.map(_._4).min, xs.map(_._4).max,
+          xs.map(_._1).min, xs.map(_._1).max) }
+    assert(got == want, "bucket report diverges from the Morton replay")
+    assert(got.size > 1, "fixture must span several buckets")
+    // the pruning property: fixed 6-bit prefixes confine each dimension
+    got.values.foreach { case (_, minC, maxC, minD, maxD) =>
+      assert(maxC - minC < 1024, s"chars range too wide: $minC..$maxC")
+      assert(maxD - minD < 1024, s"doc range too wide: $minD..$maxD")
+    }
+  }
+
   // ------------------------------------------ a29_markov_transitions
 
   test("a29_markov_transitions: exact counts and row-normalized ppm") {
