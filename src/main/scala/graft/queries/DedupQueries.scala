@@ -1,9 +1,11 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextFns
 import graft.operators.{DedupOps, SimilarityOps}
 
 /** LLM-training-data operators: exact + near dedup and similarity search,
@@ -381,6 +383,87 @@ object DedupQueries {
       |SELECT t.tau_pct, CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
       |  CAST(COALESCE(n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped
       |FROM taus t LEFT JOIN agg USING (tau_pct) ORDER BY tau_pct""".stripMargin
+
+  // ------------------------------------------------- incremental dedup
+
+  /** INCREMENTAL: dedup a NEW BATCH against an existing corpus — the
+    * production mode at 100 TB, where a daily increment must never
+    * trigger a full-corpus recompute. The state carried between runs is
+    * the FINGERPRINT INDEX (16-byte canonical-md5 + keeper id per doc),
+    * not the text: the increment joins that bounded index for
+    * dup-of-base detection, then keep-first dedups WITHIN itself for
+    * batch-internal copies. Each incremental row is classified
+    * 'dup_of_base' (base keeper wins — base precedence is the
+    * invariant that makes increments commutative), 'dup_in_increment'
+    * (first new copy wins), or 'new', with the keeper id attached, so
+    * the downstream delete/append is a pure join.
+    *
+    * Fixture construction (the corpus() planting convention): the
+    * increment is 3 slices of documents — exact copies (+200000, base
+    * dups), fresh-tail variants (+300000, genuinely new), and a second
+    * copy of those variants (+400000, within-increment dups).
+    *
+    * Scale shape: fingerprints are row-local (the dedup_exact kernel);
+    * the classify join is fp-keyed against the index (broadcastable
+    * while it fits, keyed shuffle beyond); the within-batch keep-first
+    * windows partition by fingerprint — never a global sort. In a real
+    * deployment the base index is a persisted side table; the fixture
+    * computes it inline because no side state exists, and the plan
+    * shape is identical either way. */
+  private val dedupIncremental: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" fresh tail")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(col("text"), lit(" fresh tail")).as("text")))
+    val index = docs.select(TextFns.fingerprint(col("text")).as("fp"),
+        col("doc_id"))
+      .groupBy("fp").agg(min(col("doc_id")).as("base_id"))
+    val incFp = inc.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+    val wRank = Window.partitionBy("fp").orderBy(col("doc_id"))
+    val wMin = Window.partitionBy("fp")
+    incFp.join(index, Seq("fp"), "left")
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("first_inc", min(col("doc_id")).over(wMin))
+      .select(col("doc_id"),
+        when(col("base_id").isNotNull, lit("dup_of_base"))
+          .when(col("rn") === 1, lit("new"))
+          .otherwise(lit("dup_in_increment")).as("status"),
+        when(col("base_id").isNotNull, col("base_id"))
+          .when(col("rn") > 1, col("first_inc"))
+          .cast("long").as("dup_of"))
+      .orderBy("doc_id")
+  }
+  private val dedupIncrementalSql =
+    """WITH docs AS (SELECT doc_id, text FROM documents),
+      |inc AS (
+      |  SELECT doc_id + 200000 AS doc_id, text FROM docs WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 300000, text || ' fresh tail' FROM docs WHERE doc_id % 10 = 5
+      |  UNION ALL
+      |  SELECT doc_id + 400000, text || ' fresh tail' FROM docs WHERE doc_id % 10 = 5),
+      |idx AS (
+      |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |    CAST(MIN(doc_id) AS BIGINT) AS base_id
+      |  FROM docs GROUP BY 1),
+      |i AS (
+      |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM inc),
+      |r AS (
+      |  SELECT i.doc_id, idx.base_id,
+      |    row_number() OVER (PARTITION BY i.fp ORDER BY i.doc_id) AS rn,
+      |    MIN(i.doc_id) OVER (PARTITION BY i.fp) AS first_inc
+      |  FROM i LEFT JOIN idx USING (fp))
+      |SELECT doc_id,
+      |  CASE WHEN base_id IS NOT NULL THEN 'dup_of_base'
+      |       WHEN rn = 1 THEN 'new' ELSE 'dup_in_increment' END AS status,
+      |  CAST(CASE WHEN base_id IS NOT NULL THEN base_id
+      |       WHEN rn > 1 THEN first_inc END AS BIGINT) AS dup_of
+      |FROM r ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------ embedding near-dup
 
@@ -1330,6 +1413,7 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_threshold_curve" -> dedupCurve,
+    "dedup_incremental" -> dedupIncremental,
     "emb_near_dup" -> embNearDup,
     "ann_brute_topk" -> annBrute,
     "ann_bucketed_topk" -> annBucketed,
@@ -1357,6 +1441,7 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupJaccardSql,
     "dedup_threshold_curve" -> dedupCurveSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "emb_near_dup" -> embNearDupSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_bucketed_topk" -> annBucketedSql,

@@ -69,4 +69,26 @@ class DedupRecallSpec extends AnyFunSuite {
     // the planted +100000 near-dups sit at J ~ 0.9+: present at tau=50
     assert(got.head._2._1 >= 2, s"planted near-dups missed: ${got.toSeq}")
   }
+
+  test("dedup_incremental: base copies flag dup_of_base with the base " +
+      "keeper; fresh variants are new once and dup_in_increment after") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_incr").toString
+    val rows = (0L until 30L).map(i => (i, s"doc body $i", "en", 10L))
+    rows.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("dedup_incremental")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // increment = ids 0,10,20 copied (+200000), ids 5,15,25 fresh
+    // (+300000) and their second copies (+400000)
+    assert(got.size == 9, s"increment size: ${got.keys.toSeq.sorted}")
+    for (i <- Seq(0L, 10L, 20L))
+      assert(got(i + 200000) == (("dup_of_base", i)), s"id $i: ${got(i + 200000)}")
+    for (i <- Seq(5L, 15L, 25L)) {
+      assert(got(i + 300000) == (("new", -1L)), s"id $i: ${got(i + 300000)}")
+      assert(got(i + 400000) == (("dup_in_increment", i + 300000)),
+        s"id $i: ${got(i + 400000)}")
+    }
+  }
 }
