@@ -704,6 +704,50 @@ object SignalQueries {
        |  CAST(SUM((CAST(rn AS HUGEINT) * doc_id) % 2147483647) AS BIGINT) AS perm_fp
        |FROM r, nn GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin
 
+  // ------------------------------------------------- emb_int8_quantize
+
+  /** EMB-INT8: symmetric int8 quantization audit per embedding — the
+    * compression step memory-bound ANN serving runs (4× smaller than
+    * f32; PQ is the codebook cousin, this is the scalar-quantization
+    * baseline). q_i = floor(x_i·127/scale) with scale = max|x_i| —
+    * floor-quantization is the DEFINED semantics, so |q_i| ≤ 127 and
+    * the vector reconstructs within scale/127 per coordinate.
+    *
+    * Exactness: the float chain is exactly two correctly-rounded IEEE
+    * ops per element (multiply, divide) over the same parse tree in
+    * both engines (every literal routed through CAST(· AS DOUBLE) —
+    * the bm25 discipline), then an immediate floor to BIGINT; the
+    * reported sums/maxima are pure integer folds, order-independent.
+    * Row-local and shuffle-free — the rp_project scale class. */
+  private val int8: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))").as("s"),
+        col("embedding"))
+      .select(col("vec_id"), col("s"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+          "* CAST(127 AS DOUBLE) / s) AS BIGINT))").as("q"))
+      .select(col("vec_id"),
+        expr("CAST(floor(CAST(1000000 AS DOUBLE) * s) AS BIGINT)").as("scale_fp"),
+        expr("aggregate(q, 0L, (a, v) -> a + v)").as("sum_q"),
+        expr("array_max(transform(q, v -> abs(v)))").as("max_abs_q"))
+      .orderBy("vec_id")
+  private val int8Sql =
+    """WITH sc AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, s,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+      |      * CAST(127 AS DOUBLE) / s) AS BIGINT)) AS q
+      |  FROM sc)
+      |SELECT vec_id,
+      |  CAST(floor(CAST(1000000 AS DOUBLE) * s) AS BIGINT) AS scale_fp,
+      |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+      |  CAST(list_max(list_transform(q, v -> abs(v))) AS BIGINT) AS max_abs_q
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // -------------------------------------------------- o19_zorder_layout
 
   /** O19: Z-order (Morton) layout buckets over (n_chars, doc_id) — the
@@ -859,6 +903,7 @@ object SignalQueries {
     "o18_epoch_shuffle" -> o18,
     "a30_lang_entropy" -> a30,
     "o19_zorder_layout" -> o19,
+    "emb_int8_quantize" -> int8,
     "a29_markov_transitions" -> a29,
     "w16_expanding_zscore" -> w16)
 
@@ -878,6 +923,7 @@ object SignalQueries {
     "o18_epoch_shuffle" -> o18Sql,
     "a30_lang_entropy" -> a30Sql,
     "o19_zorder_layout" -> o19Sql,
+    "emb_int8_quantize" -> int8Sql,
     "a29_markov_transitions" -> a29Sql,
     "w16_expanding_zscore" -> w16Sql)
 }

@@ -405,6 +405,23 @@ class SignalSpec extends AnyFunSuite {
       "different epochs must produce different permutations")
   }
 
+  // ------------------------------------------------- emb_int8_quantize
+
+  test("emb_int8_quantize: hand-traced floor quantization; |q| caps at 127 " +
+      "only for the max-magnitude coordinate") {
+    // scale = 2.0; q = floor(x*127/2): 2.0 -> 127, -1.0 -> -64 (floor of
+    // -63.5), 0.5 -> 31 (floor of 31.75)
+    val rows = Seq(
+      (1L, Array(2.0f, -1.0f, 0.5f), 0),
+      (2L, Array(-4.0f, 4.0f, 1.0f), 0)) // scale 4: -127... floor(-127.0)
+    val got = graft.SparkEntry.queries("emb_int8_quantize")(spark, embDir(rows))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((2000000L, 127L - 64L + 31L, 127L)), s"got ${got(1L)}")
+    // vec 2: q = (-127, 127, floor(31.75)=31) -> sum 31, max 127
+    assert(got(2L) == ((4000000L, 31L, 127L)), s"got ${got(2L)}")
+  }
+
   // -------------------------------------------------- o19_zorder_layout
 
   test("o19_zorder_layout: buckets match the Morton replay and every " +
