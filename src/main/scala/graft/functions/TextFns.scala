@@ -190,6 +190,29 @@ object TextFns {
   /** Whitespace collapse + trim (used standalone in the full pipeline). */
   def ws_collapse(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 
+  /** HTML strip for web-corpus ingest: script/style blocks WITH their
+    * content (code is not text), then every remaining tag, then the
+    * five core entities (a single pass, &amp; decoded LAST so
+    * double-escapes like `&amp;lt;` resolve one level — the defined
+    * non-recursive rule), then whitespace collapse. Regex subset is
+    * deliberately RE2-safe (non-greedy + inline flags, no
+    * backreferences) so the DuckDB oracle runs the IDENTICAL patterns;
+    * script and style are matched separately because the
+    * backreference-free alternation `</(script|style)>` could
+    * cross-close malformed nesting. All chained builtins — codegen'd,
+    * no UDF. */
+  def strip_html(c: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    ws_collapse(entities.foldLeft(noTags) { case (acc, (e, r)) =>
+      replace(acc, lit(e), lit(r))
+    })
+  }
+
   // ---------------------------------------------------------------- F11
   /** Whitespace word count. Reference: process_all.py:318-332. */
   def word_count(c: Column): Column =

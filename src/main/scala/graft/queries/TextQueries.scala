@@ -202,6 +202,46 @@ object TextQueries {
       |  translate('a.b,c- ' || p_type || '!?', '!"#$%&''()*+,-./:;<=>?@[\]^_`{|}~', '') AS stripped
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  // --------------------------------------------------- fn_strip_html
+  /** Web-corpus HTML strip ([[TextFns.strip_html]]): script/style
+    * blocks with content, tags, core entities, whitespace collapse —
+    * the ingest step between a crawler's raw page and every text
+    * operator in this engine. The raw page is CONSTRUCTED around part
+    * rows (the fn-family convention) with a `<` inside the script
+    * body, a style block, and double-escaped-free entities, so the
+    * pins cover the tricky cases. Row-local, chained codegen'd
+    * builtins; the oracle replays the identical RE2-safe patterns. */
+  private val htmlPre =
+    "<html><head><style>p {color: red}</style></head><body><p class=\"x\">"
+  private val htmlPost =
+    " &amp; sons &lt;est. 1999&gt; &quot;brand&quot;</p>" +
+      "<script>var a = 1 < 2;</script><br/>tail</body></html>"
+  private val fnHtml: Q = (s, dir) =>
+    t(s, dir, "part")
+      .withColumn("raw", concat(lit(htmlPre), col("p_type"), lit(htmlPost)))
+      .select(col("p_partkey"), col("raw"),
+        TextFns.strip_html(col("raw")).as("clean"))
+      .orderBy("p_partkey")
+  private val fnHtmlSql =
+    """WITH r AS (
+      |  SELECT p_partkey,
+      |    '<html><head><style>p {color: red}</style></head><body><p class="x">'
+      |    || p_type ||
+      |    ' &amp; sons &lt;est. 1999&gt; &quot;brand&quot;</p><script>var a = 1 < 2;</script><br/>tail</body></html>'
+      |    AS raw
+      |  FROM part)
+      |SELECT p_partkey, raw,
+      |  trim(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(regexp_replace(regexp_replace(raw,
+      |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |        '(?s)<[^>]*>', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      |    '\s+', ' ', 'g')) AS clean
+      |FROM r ORDER BY p_partkey""".stripMargin
+
   // ---------------------------------------------------------- 2.8-F9
   private val fnQuotes: Q = (s, dir) =>
     t(s, dir, "customer")
@@ -751,6 +791,7 @@ object TextQueries {
     "fn_dates" -> fnDates,
     "fn_normalize_pipeline" -> fnPipeline,
     "fn_strip_punct" -> fnPunct,
+    "fn_strip_html" -> fnHtml,
     "fn_clean_quotes" -> fnQuotes,
     "fn_sentence_tokenize" -> fnSent,
     "fn_word_count" -> fnWc,
@@ -781,6 +822,7 @@ object TextQueries {
     "fn_dates" -> fnDatesSql,
     "fn_normalize_pipeline" -> fnPipelineSql,
     "fn_strip_punct" -> fnPunctSql,
+    "fn_strip_html" -> fnHtmlSql,
     "fn_clean_quotes" -> fnQuotesSql,
     "fn_sentence_tokenize" -> fnSentSql,
     "fn_word_count" -> fnWcSql,

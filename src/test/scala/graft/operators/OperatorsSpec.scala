@@ -394,6 +394,20 @@ class OperatorsSpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("TextFns.strip_html: blocks go with their content, tags become " +
+      "spaces, entities decode once, whitespace collapses") {
+    val raw = "<html><head><style>p {c:red}</style></head><body>" +
+      "<p class=\"x\">A &amp; B &lt;C&gt; &quot;D&quot; &#39;E&#39;&nbsp;F</p>" +
+      "<script>if (1 < 2) { alert(\"x\") }</script><br/>tail</body></html>"
+    val out = Seq(raw).toDF("t")
+      .select(graft.functions.TextFns.strip_html($"t")).as[String].head()
+    assert(out == "A & B <C> \"D\" 'E' F tail", s"got [$out]")
+    // double-escape resolves exactly ONE level (&amp; decoded last)
+    val once = Seq("x &amp;lt; y").toDF("t")
+      .select(graft.functions.TextFns.strip_html($"t")).as[String].head()
+    assert(once == "x &lt; y", s"got [$once]")
+  }
+
   test("TextFns.redact_pii: url swallows embedded email; order fixed url->email->phone") {
     val df = Seq(
       ("see https://ex.vn/u/a@b.co?x=1 then mail a@b.co or call +84 90 123 4567 end", 1)
