@@ -168,12 +168,37 @@ object RetrievalQueries {
     import s.implicits._
     val qdf = bm25Queries.toDF("q_id", "term")
     val qterms = qdf.select("term").distinct()
-    val rel = docs.select(col("doc_id"),
-        explode(expr("array_distinct(ascii_alpha_tokens(text, 3))")).as("term"))
-      .join(broadcast(qterms), Seq("term"))
-      .join(broadcast(qdf), Seq("term"))
-      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("rel"))
-    val ranked = bm25(s, dir).select("q_id", "rank", "doc_id")
+    // ONE tokenizer pass feeds BOTH the BM25 ranking and the relevance
+    // labels (the round-7 tf-sharing finding: the tokenize kernel is
+    // the dominant per-row cost in this family — rebuilding postings
+    // for rel would double it). tf_map emits each term once per doc,
+    // so the pruned posting rows per (q, doc) COUNT the distinct
+    // matched terms = rel.
+    val perDoc = docs.select(col("doc_id"),
+        expr("tf_map(ascii_alpha_tokens(text, 3))").as("tfm"))
+      .withColumn("dl",
+        expr("aggregate(map_values(tfm), 0L, (a, x) -> a + CAST(x AS LONG))"))
+    val dt = perDoc.select(col("doc_id"), col("dl"),
+        explode(col("tfm")).as(Seq("term", "tf")))
+      .withColumn("tf", col("tf").cast("long"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(expr("ascii_alpha_tokens(text, 3)")).cast("long")), lit(0L))
+        .as("tot_dl"))
+    val posted = dt.join(broadcast(qdf), Seq("term"))
+    val rel = posted.groupBy("q_id", "doc_id").agg(count(lit(1)).as("rel"))
+    val dft = posted.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = posted
+      .join(broadcast(dft), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr("CAST(tot_dl AS DOUBLE) / n_docs"))
+      .select(col("q_id"), col("doc_id"), expr(bm25ScoreSql).as("s_fp"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("s_fp")).as("score_fp"))
+    val ranked = graft.operators.TopKOps.topKByValue(
+      scored, Seq("q_id"), col("score_fp"), col("doc_id"), bm25K,
+      orderName = "score_fp", tieName = "doc_id")
     val dcg = ranked.join(rel, Seq("q_id", "doc_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0L)))
       .select(col("q_id"), (col("rel") * expr(ndcgWSql)).as("g"))
