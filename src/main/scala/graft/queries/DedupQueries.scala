@@ -465,6 +465,121 @@ object DedupQueries {
       |       WHEN rn > 1 THEN first_inc END AS BIGINT) AS dup_of
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** NEAR-INCREMENTAL: the near-dup sibling of [[dedupIncremental]] —
+    * a new batch classifies against the base corpus' LSH BAND INDEX
+    * (per base doc: 4 band keys of its 8-lane MinHash signature — a
+    * few dozen bytes, never the text), the production near-dedup mode
+    * at 100 TB. Inc docs compute the SAME signature kernel as
+    * dedup_minhash_lsh but banded 4×2 instead of 2×4 — an incremental
+    * CLASSIFIER wants recall (1−(1−J²)⁴ ≈ 0.997 at J ≈ 0.88 vs ≈ 0.84
+    * for 2×4) and exact verification makes the extra candidates free
+    * in correctness, paid only in candidate-join volume. Candidates
+    * join the band index, and each is verified by exact token-set
+    * Jaccard ≥ 0.5 as integer cross-multiplication (2·|∩| ≥ |∪| — no
+    * float). Result per inc doc: the min matching base keeper, or
+    * 'new'. Banding recall is the LSH contract (stated, as in
+    * dedup_lsh_recall which MEASURES it); verification makes false
+    * candidates impossible, so band collisions never misclassify.
+    *
+    * Fixture: inc = near-dup tails (+100000, the corpus() planting)
+    * plus synthetic fresh docs (+500000, disjoint vocabulary).
+    *
+    * Scale shape: candidate generation is one keyed join against the
+    * bounded index (band buckets control fan-out — the LSH parameter
+    * contract); the verify join touches only candidate pairs; the
+    * classify fold is map-side-combined min per inc doc. */
+  private val nearIncr: Q = (s, dir) => {
+    val d = Tables.fanOut(t(s, dir, "documents"))
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("t"))
+    val base = d
+    val inc = d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("t"), lit(" near dup tail")).as("t"))
+      .unionByName(d.filter(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(lit("fresh unseen content block "),
+            col("doc_id").cast("string"), lit(" standing alone")).as("t")))
+    def bandsOf(df: DataFrame, idName: String): DataFrame = {
+      val sigs = DedupOps.minHashSignatures(df, "doc_id", "t",
+        shingleK = 3, numHashes = 8)
+      val bandCols = (0 until 4).map(b =>
+        md5(concat_ws(",", (0 until 2).map(r => col(s"mh${b * 2 + r}")): _*)))
+      sigs.select(col("doc_id").as(idName),
+        posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    }
+    def toksOf(df: DataFrame, idName: String): DataFrame =
+      df.select(col("doc_id").as(idName),
+        array_distinct(expr("ascii_alpha_tokens(t)")).as(s"toks_$idName"))
+    val cand = bandsOf(inc, "inc_id")
+      .join(bandsOf(base, "base_id"), Seq("band", "sig"))
+      .select("inc_id", "base_id").distinct()
+    val verified = cand
+      .join(toksOf(inc, "inc_id"), Seq("inc_id"))
+      .join(toksOf(base, "base_id"), Seq("base_id"))
+      .withColumn("inter",
+        size(array_intersect(col("toks_inc_id"), col("toks_base_id"))).cast("long"))
+      .withColumn("uni",
+        (size(col("toks_inc_id")) + size(col("toks_base_id"))).cast("long")
+          - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .groupBy("inc_id").agg(min(col("base_id")).as("dup_of"))
+    inc.select(col("doc_id"))
+      .join(verified.withColumnRenamed("inc_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, lit("near_dup_of_base"))
+          .otherwise(lit("new")).as("status"),
+        col("dup_of").cast("long").as("dup_of"))
+      .orderBy("doc_id")
+  }
+  private val nearIncrSql =
+    """WITH b0 AS (SELECT doc_id, substr(text, 1, 200) AS t FROM documents),
+      |i0 AS (
+      |  SELECT doc_id + 100000 AS doc_id, t || ' near dup tail' AS t
+      |  FROM b0 WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 500000,
+      |    'fresh unseen content block ' || CAST(doc_id AS VARCHAR) || ' standing alone'
+      |  FROM b0 WHERE doc_id % 20 = 7),
+      |al AS (SELECT 'b' AS side, doc_id, t FROM b0
+      |       UNION ALL SELECT 'i', doc_id, t FROM i0),
+      |toked AS (
+      |  SELECT side, doc_id, regexp_extract_all(lower(t), '[a-z0-9]+') AS stoks FROM al),
+      |sig AS (
+      |  SELECT side, doc_id,
+      |    list_transform(range(8), i ->
+      |      list_min(list_transform(
+      |        list_transform(range(1, greatest(len(stoks) - 2, 1) + 1),
+      |          j -> array_to_string(stoks[j:j+2], ' ')),
+      |        sh -> substr(md5(CAST(i // 4 AS VARCHAR) || ':' || sh),
+      |                     (i % 4) * 8 + 1, 8)))) AS mh
+      |  FROM toked),
+      |bands AS (
+      |  SELECT side, doc_id, CAST(b.i AS INT) AS band,
+      |    md5(array_to_string(mh[b.i * 2 + 1 : b.i * 2 + 2], ',')) AS s
+      |  FROM sig, range(4) b(i)),
+      |cand AS (
+      |  SELECT DISTINCT i.doc_id AS inc_id, b.doc_id AS base_id
+      |  FROM bands i JOIN bands b ON i.band = b.band AND i.s = b.s
+      |  WHERE i.side = 'i' AND b.side = 'b'),
+      |tok2 AS (
+      |  SELECT side, doc_id, list_distinct(regexp_extract_all(lower(t), '[a-z]+')) AS toks
+      |  FROM al),
+      |ver AS (
+      |  SELECT inc_id, CAST(MIN(base_id) AS BIGINT) AS dup_of FROM (
+      |    SELECT c.inc_id, c.base_id,
+      |      CAST(len(list_intersect(ti.toks, tb.toks)) AS BIGINT) AS inter,
+      |      CAST(len(ti.toks) + len(tb.toks)
+      |        - len(list_intersect(ti.toks, tb.toks)) AS BIGINT) AS uni
+      |    FROM cand c
+      |    JOIN tok2 ti ON ti.side = 'i' AND ti.doc_id = c.inc_id
+      |    JOIN tok2 tb ON tb.side = 'b' AND tb.doc_id = c.base_id)
+      |  WHERE inter * 2 >= uni GROUP BY inc_id)
+      |SELECT i0.doc_id,
+      |  CASE WHEN v.dup_of IS NOT NULL THEN 'near_dup_of_base' ELSE 'new' END AS status,
+      |  v.dup_of
+      |FROM i0 LEFT JOIN ver v ON v.inc_id = i0.doc_id
+      |ORDER BY i0.doc_id""".stripMargin
+
   // ------------------------------------------------ embedding near-dup
 
   private def embCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -1414,6 +1529,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupJaccard,
     "dedup_threshold_curve" -> dedupCurve,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_near_incremental" -> nearIncr,
     "emb_near_dup" -> embNearDup,
     "ann_brute_topk" -> annBrute,
     "ann_bucketed_topk" -> annBucketed,
@@ -1442,6 +1558,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupJaccardSql,
     "dedup_threshold_curve" -> dedupCurveSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_near_incremental" -> nearIncrSql,
     "emb_near_dup" -> embNearDupSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_bucketed_topk" -> annBucketedSql,

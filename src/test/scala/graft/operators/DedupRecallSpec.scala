@@ -91,4 +91,38 @@ class DedupRecallSpec extends AnyFunSuite {
         s"id $i: ${got(i + 400000)}")
     }
   }
+
+  test("dedup_near_incremental: planted tails classify against their base " +
+      "source; fresh-vocabulary docs stay new") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_nearincr").toString
+    // DISJOINT per-doc vocabulary (tok<i>x<k>), so cross-doc token-set
+    // Jaccard is ~0 and only a doc's own tail can verify against it —
+    // the classification is decided by the verify step, not by which
+    // band buckets happen to collide
+    // PURE-ALPHA distinct tokens (digits encode as letters): the verify
+    // step tokenizes with [a-z]+, so a digit-bearing vocabulary would
+    // collapse every doc to the same tiny token set and reject
+    // correctly-banded pairs. ~24 distinct tokens survive the 200-char
+    // cap; the 3-token tail leaves J ≈ 24/27 — far above the 0.5 gate,
+    // and band recall at 4x2 is recovered on this corpus (measured,
+    // the dedup_lsh_recall pinning convention).
+    def alpha(n: Long): String = n.toString.map(c => ('a' + (c - '0')).toChar)
+    val rows = (0L until 40L).map { i =>
+      val body = (0 until 100).map(k => s"q${alpha(i)}x${alpha(k)}").mkString(" ")
+      (i, body, "en", body.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("dedup_near_incremental")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // inc = tails of ids 0, 20 (+100000) and fresh docs for ids 7, 27
+    assert(got.size == 4, s"increment: ${got.keys.toSeq.sorted}")
+    for (i <- Seq(0L, 20L))
+      assert(got(i + 100000) == (("near_dup_of_base", i)),
+        s"tail of $i: ${got(i + 100000)}")
+    for (i <- Seq(7L, 27L))
+      assert(got(i + 500000) == (("new", -1L)), s"fresh $i: ${got(i + 500000)}")
+  }
 }
