@@ -704,6 +704,67 @@ object SignalQueries {
        |  CAST(SUM((CAST(rn AS HUGEINT) * doc_id) % 2147483647) AS BIGINT) AS perm_fp
        |FROM r, nn GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin
 
+  // ------------------------------------------------- a31_column_profile
+
+  /** A31: single-pass column profile — the data-quality report every
+    * ingest gate starts from (rows, nulls, exact distinct count, and a
+    * min/max rendering per column). ONE scan computes every aggregate
+    * (Spark expands the multi-distinct into one logical pass;
+    * map-side-combined), then `stack` unpivots the 1-row result to one
+    * row per column — never one job per column.
+    *
+    * Rendering is per-type and engine-exact BY CONSTRUCTION: integers
+    * and strings cast directly (identical text both engines), DOUBLEs
+    * render as exact cents (floor·100 BIGINT — two engines' float
+    * pretty-printers are NOT a stable contract), timestamps as epoch
+    * micros. The rendering rule is part of the operator definition. */
+  private val a31Cols: Seq[(String, String, String)] = Seq(
+    // (column, min/max rendering expr template, label)
+    ("l_orderkey", "CAST(%s(l_orderkey) AS STRING)", "l_orderkey"),
+    ("l_quantity",
+      "CAST(CAST(floor(%s(l_quantity) * 100) AS BIGINT) AS STRING)",
+      "l_quantity"),
+    ("l_returnflag", "%s(l_returnflag)", "l_returnflag"),
+    // NTZ timestamp renders at DATE grain: no session-timezone seam,
+    // identical 'yyyy-MM-dd' text in both engines
+    ("l_shipdate", "CAST(CAST(%s(l_shipdate) AS DATE) AS STRING)", "l_shipdate"))
+  private val a31: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val aggs = Seq(count(lit(1)).as("n")) ++ a31Cols.zipWithIndex.flatMap {
+      case ((c, render, _), i) => Seq(
+        count(col(c)).as(s"c$i"),
+        countDistinct(col(c)).as(s"d$i"),
+        expr(render.format("min")).as(s"mn$i"),
+        expr(render.format("max")).as(s"mx$i"))
+    }
+    val stackArgs = a31Cols.zipWithIndex.map { case ((_, _, label), i) =>
+      s"'$label', n - c$i, d$i, mn$i, mx$i"
+    }.mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(col("n").as("n_rows"), expr(
+        s"stack(${a31Cols.size}, $stackArgs) AS (col_name, n_nulls, ndv, min_s, max_s)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
+        col("min_s"), col("max_s"))
+      .orderBy("col_name")
+  }
+  private val a31Sql = {
+    val per = Seq(
+      ("l_orderkey", "CAST(%s(l_orderkey) AS VARCHAR)"),
+      ("l_quantity", "CAST(CAST(floor(%s(l_quantity) * 100) AS BIGINT) AS VARCHAR)"),
+      ("l_returnflag", "%s(l_returnflag)"),
+      ("l_shipdate", "CAST(CAST(%s(l_shipdate) AS DATE) AS VARCHAR)"))
+    val aggs = per.zipWithIndex.map { case ((c, render), i) =>
+      s"CAST(COUNT($c) AS BIGINT) AS c$i, CAST(COUNT(DISTINCT $c) AS BIGINT) AS d$i, " +
+        s"${render.format("MIN")} AS mn$i, ${render.format("MAX")} AS mx$i"
+    }.mkString(", ")
+    val rows = per.zipWithIndex.map { case ((c, _), i) =>
+      s"SELECT '$c' AS col_name, n AS n_rows, n - c$i AS n_nulls, d$i AS ndv, " +
+        s"mn$i AS min_s, mx$i AS max_s FROM s"
+    }.mkString(" UNION ALL ")
+    s"WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, $aggs FROM lineitem) " +
+      s"SELECT * FROM ($rows) ORDER BY col_name"
+  }
+
   // ------------------------------------------------- emb_int8_quantize
 
   /** EMB-INT8: symmetric int8 quantization audit per embedding — the
@@ -904,6 +965,7 @@ object SignalQueries {
     "a30_lang_entropy" -> a30,
     "o19_zorder_layout" -> o19,
     "emb_int8_quantize" -> int8,
+    "a31_column_profile" -> a31,
     "a29_markov_transitions" -> a29,
     "w16_expanding_zscore" -> w16)
 
@@ -924,6 +986,7 @@ object SignalQueries {
     "a30_lang_entropy" -> a30Sql,
     "o19_zorder_layout" -> o19Sql,
     "emb_int8_quantize" -> int8Sql,
+    "a31_column_profile" -> a31Sql,
     "a29_markov_transitions" -> a29Sql,
     "w16_expanding_zscore" -> w16Sql)
 }

@@ -405,6 +405,34 @@ class SignalSpec extends AnyFunSuite {
       "different epochs must produce different permutations")
   }
 
+  // ------------------------------------------------ a31_column_profile
+
+  test("a31_column_profile: one row per profiled column; metrics match " +
+      "direct aggregates on the same table") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("a31_column_profile")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got.keySet == Set("l_orderkey", "l_quantity", "l_returnflag",
+      "l_shipdate"))
+    val li = graft.Tables.load(spark, dir, "lineitem")
+    val n = li.count()
+    got.values.foreach { case (rows, nulls, ndv, _, _) =>
+      assert(rows == n && nulls >= 0 && ndv >= 1 && ndv <= rows - nulls)
+    }
+    val rf = li.agg(countDistinct(col("l_returnflag")),
+      min(col("l_returnflag")), max(col("l_returnflag"))).head()
+    assert(got("l_returnflag")._3 == rf.getLong(0))
+    assert(got("l_returnflag")._4 == rf.getString(1))
+    assert(got("l_returnflag")._5 == rf.getString(2))
+    // cents rendering is the floor-scaled integer of the true extrema
+    val q = li.agg(min(col("l_quantity")), max(col("l_quantity"))).head()
+    assert(got("l_quantity")._4 == math.floor(q.getDouble(0) * 100).toLong.toString)
+    assert(got("l_quantity")._5 == math.floor(q.getDouble(1) * 100).toLong.toString)
+  }
+
   // ------------------------------------------------- emb_int8_quantize
 
   test("emb_int8_quantize: hand-traced floor quantization; |q| caps at 127 " +
