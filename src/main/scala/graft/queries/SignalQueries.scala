@@ -708,10 +708,19 @@ object SignalQueries {
 
   /** A31: single-pass column profile — the data-quality report every
     * ingest gate starts from (rows, nulls, exact distinct count, and a
-    * min/max rendering per column). ONE scan computes every aggregate
-    * (Spark expands the multi-distinct into one logical pass;
-    * map-side-combined), then `stack` unpivots the 1-row result to one
-    * row per column — never one job per column.
+    * min/max rendering per column). TWO scans, both hash-shaped, then a
+    * 1-row-×-1-row cross join — never one job per column:
+    *   1. the exact-NDV pass: one agg holding ONLY the countDistincts
+    *      (Spark's multi-distinct Expand ×(k+1), partial HashAggregate
+    *      keyed by (gid, value) — map-side combine collapses each
+    *      partition to its distinct values before the shuffle);
+    *   2. the stats pass: counts + min/max renderings, grouping-key-free
+    *      so its SortAggregate (forced by min/max over STRING buffers,
+    *      which hash agg can't mutate in place) never actually sorts.
+    * Putting min/max(string) in the SAME agg as the countDistincts is
+    * the trap this split avoids: the string buffers force SortAggregate
+    * onto the ×(k+1) EXPANDED set, with a full sort per phase — measured
+    * 11.3 s vs 2 s at sf0.1 for the identical result.
     *
     * Rendering is per-type and engine-exact BY CONSTRUCTION: integers
     * and strings cast directly (identical text both engines), DOUBLEs
@@ -730,17 +739,20 @@ object SignalQueries {
     ("l_shipdate", "CAST(CAST(%s(l_shipdate) AS DATE) AS STRING)", "l_shipdate"))
   private val a31: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
-    val aggs = Seq(count(lit(1)).as("n")) ++ a31Cols.zipWithIndex.flatMap {
+    val ndvAggs = a31Cols.zipWithIndex.map { case ((c, _, _), i) =>
+      countDistinct(col(c)).as(s"d$i")
+    }
+    val statAggs = Seq(count(lit(1)).as("n")) ++ a31Cols.zipWithIndex.flatMap {
       case ((c, render, _), i) => Seq(
         count(col(c)).as(s"c$i"),
-        countDistinct(col(c)).as(s"d$i"),
         expr(render.format("min")).as(s"mn$i"),
         expr(render.format("max")).as(s"mx$i"))
     }
     val stackArgs = a31Cols.zipWithIndex.map { case ((_, _, label), i) =>
       s"'$label', n - c$i, d$i, mn$i, mx$i"
     }.mkString(", ")
-    li.agg(aggs.head, aggs.tail: _*)
+    li.agg(statAggs.head, statAggs.tail: _*)
+      .crossJoin(li.agg(ndvAggs.head, ndvAggs.tail: _*))
       .select(col("n").as("n_rows"), expr(
         s"stack(${a31Cols.size}, $stackArgs) AS (col_name, n_nulls, ndv, min_s, max_s)"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv"),
