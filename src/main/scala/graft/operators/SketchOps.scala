@@ -141,6 +141,26 @@ object SketchOps {
           .cast("long").as("est_distinct"): _*)
   }
 
+  /** The KMV buffer AS the value: the sorted ≤ k smallest distinct
+    * hashes themselves, for sketch ALGEBRA across datasets — the k
+    * smallest of the merged pair sketch the UNION, and membership of
+    * those k in both input sketches estimates the Jaccard overlap
+    * (Beyer et al. 2007's multi-set KMV). Same bounded buffer and
+    * merge as [[KmvAgg]]; only `finish` differs. */
+  final class KmvSketchAgg(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    private val inner = new KmvAgg(k)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(buf: Array[Long], h: Long): Array[Long] =
+      inner.reduce(buf, h)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      inner.merge(a, b)
+    override def finish(buf: Array[Long]): Seq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(buf)
+    override def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   // ------------------------------------------------------------- HLL
 
   /** HyperLogLog geometry shared between the Spark plan and the oracle

@@ -198,6 +198,91 @@ object ScaleQueries {
        |  abs(est_distinct - exact_distinct) * 10000 // exact_distinct AS err_bp
        |FROM est ORDER BY event_type""".stripMargin
 
+  // ----------------------------------------------------- t_kmv_join_card
+
+  /** T-KMV-JC: pre-join cardinality estimation from two KMV sketches —
+    * the planner question ("how many keys overlap, how many rows will
+    * the join emit?") answered WITHOUT shuffling either side. Each side
+    * reduces to its k smallest distinct key hashes ([[SketchOps.KmvSketchAgg]],
+    * ≤ 8k bytes, map-side mergeable); the k smallest of the merged pair
+    * sketch the union, and membership of those k in both inputs gives
+    * the Jaccard overlap (Beyer et al. 2007):
+    *   est_union = (k−1)·M / h_k,  est_inter = |u ∩ a ∩ b| · est_union / k,
+    *   est_join_rows = est_inter · rows_A / distinct_A.
+    * When the merged sketch never fills, the formulas degrade to EXACT
+    * counts (u IS the union). The exact hash-set intersection rides
+    * along as the calibration column (the ann_recall/t_kmv_distinct
+    * audit contract) — the estimate is what survives 100 TB, the exact
+    * join is the test-scale truth it is judged against. All floor math:
+    * both engines replay the estimate bit-for-bit. */
+  private val kmvJK = 1024
+  private val tKmvJoin: Q = (s, dir) => {
+    val sk = udaf(new SketchOps.KmvSketchAgg(kmvJK))
+    val aKeys = t(s, dir, "lineitem").select(col("l_orderkey").as("key"))
+    val bKeys = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("key"))
+    val aSk = aKeys.agg(sk(SketchOps.portableHash(col("key"))).as("a"),
+      count(lit(1)).as("n_a_rows"))
+    val bSk = bKeys.agg(sk(SketchOps.portableHash(col("key"))).as("b"))
+    val exact = aKeys.select(SketchOps.portableHash(col("key")).as("h")).distinct()
+      .join(bKeys.select(SketchOps.portableHash(col("key")).as("h")).distinct(), "h")
+      .agg(count(lit(1)).as("exact_inter"))
+    val kM = (kmvJK - 1).toLong * SketchOps.hashM
+    aSk.crossJoin(bSk).crossJoin(exact)
+      .withColumn("u", expr(s"slice(array_sort(array_union(a, b)), 1, $kmvJK)"))
+      .withColumn("est_a_distinct", expr(
+        s"CASE WHEN size(a) < $kmvJK THEN CAST(size(a) AS BIGINT) " +
+          s"ELSE $kM div element_at(a, $kmvJK) END"))
+      .withColumn("est_b_distinct", expr(
+        s"CASE WHEN size(b) < $kmvJK THEN CAST(size(b) AS BIGINT) " +
+          s"ELSE $kM div element_at(b, $kmvJK) END"))
+      .withColumn("est_union", expr(
+        s"CASE WHEN size(u) < $kmvJK THEN CAST(size(u) AS BIGINT) " +
+          s"ELSE $kM div element_at(u, $kmvJK) END"))
+      .withColumn("n_common", expr(
+        "CAST(size(filter(u, x -> array_contains(a, x) AND array_contains(b, x))) AS BIGINT)"))
+      .withColumn("est_inter", expr("n_common * est_union div greatest(size(u), 1)"))
+      .withColumn("est_join_rows",
+        expr("est_inter * n_a_rows div greatest(est_a_distinct, 1)"))
+      .select(col("n_a_rows"), col("est_a_distinct"), col("est_b_distinct"),
+        col("est_union"), col("n_common"), col("est_inter"), col("exact_inter"),
+        expr("abs(est_inter - exact_inter) * 1000000 div greatest(exact_inter, 1)")
+          .as("err_ppm"),
+        col("est_join_rows"))
+  }
+  private val tKmvJoinSql = {
+    val kM = (kmvJK - 1).toLong * SketchOps.hashM
+    s"""WITH ha AS (
+       |  SELECT DISTINCT ((l_orderkey % 999999937 + 999999937) * 123456791 + 7919)
+       |    % 999999937 AS h FROM lineitem),
+       |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a_rows FROM lineitem),
+       |hb AS (
+       |  SELECT DISTINCT ((o_orderkey % 999999937 + 999999937) * 123456791 + 7919)
+       |    % 999999937 AS h FROM orders WHERE o_orderstatus = 'F'),
+       |sa AS (SELECT list_slice(list_sort(list(h)), 1, $kmvJK) AS a FROM ha),
+       |sb AS (SELECT list_slice(list_sort(list(h)), 1, $kmvJK) AS b FROM hb),
+       |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM ha JOIN hb USING (h)),
+       |m AS (SELECT a, b,
+       |  list_slice(list_sort(list_distinct(a || b)), 1, $kmvJK) AS u FROM sa, sb),
+       |e AS (SELECT
+       |  CASE WHEN len(a) < $kmvJK THEN CAST(len(a) AS BIGINT)
+       |    ELSE $kM // a[$kmvJK] END AS est_a_distinct,
+       |  CASE WHEN len(b) < $kmvJK THEN CAST(len(b) AS BIGINT)
+       |    ELSE $kM // b[$kmvJK] END AS est_b_distinct,
+       |  CASE WHEN len(u) < $kmvJK THEN CAST(len(u) AS BIGINT)
+       |    ELSE $kM // u[$kmvJK] END AS est_union,
+       |  CAST(len(list_filter(u, x -> list_contains(a, x) AND list_contains(b, x)))
+       |    AS BIGINT) AS n_common,
+       |  CAST(greatest(len(u), 1) AS BIGINT) AS un FROM m)
+       |SELECT n_a_rows, est_a_distinct, est_b_distinct, est_union, n_common,
+       |  n_common * est_union // un AS est_inter, exact_inter,
+       |  abs(n_common * est_union // un - exact_inter) * 1000000
+       |    // greatest(exact_inter, 1) AS err_ppm,
+       |  (n_common * est_union // un) * n_a_rows // greatest(est_a_distinct, 1)
+       |    AS est_join_rows
+       |FROM e, ex, na""".stripMargin
+  }
+
   // --------------------------------------------------- t_sampled_quantiles
 
   /** T-SQ: per-event-type p50/p95 of `value` over a deterministic 1-in-8
@@ -660,6 +745,7 @@ object ScaleQueries {
     "j12_range_join" -> j12,
     "j13_interval_overlap" -> j13,
     "t_kmv_distinct" -> tKmv,
+    "t_kmv_join_card" -> tKmvJoin,
     "t_sampled_quantiles" -> tSq,
     "o6_quota_sample" -> o6,
     "o7_domain_cap" -> o7,
@@ -679,6 +765,7 @@ object ScaleQueries {
     "j12_range_join" -> j12Sql,
     "j13_interval_overlap" -> j13Sql,
     "t_kmv_distinct" -> tKmvSql,
+    "t_kmv_join_card" -> tKmvJoinSql,
     "t_sampled_quantiles" -> tSqSql,
     "o6_quota_sample" -> o6Sql,
     "o7_domain_cap" -> o7Sql,

@@ -958,9 +958,107 @@ object SignalQueries {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
       |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------- w18_forward_fill
+
+  /** W18: forward fill (last observation carried forward) of the event
+    * value series per user — the standard gap-fill step before any
+    * per-entity time-series feature (decay scores, z-scores, trend
+    * fits) can treat the series as dense. A null value takes the most
+    * recent non-null value at or before it in (ts, event_id) order;
+    * rows before the first observation stay null.
+    *
+    * Spark: `last(v, ignoreNulls).over(rows unbounded-preceding)` — one
+    * shuffle on user_id, then a single forward pass per partition (the
+    * running-last frame never buffers the window). Values are rendered
+    * as exact cents (floor·100 BIGINT, the fixture discipline) so the
+    * filled series replays bit-for-bit in any engine. */
+  private val w18: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("v"), col("v_filled"))
+      .orderBy("user_id", "event_id")
+  }
+  private val w18Sql =
+    """SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS v,
+      |  last_value(CAST(floor(value * 100) AS BIGINT) IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // --------------------------------------------------- a32_ols_trend
+
+  /** A32: per-user OLS trend — slope (cents·ppm per day) and fit
+    * quality (r²·ppm) of spend over days-since-first-event, the
+    * closed-form regression behind "is this entity growing or
+    * churning". x = (tu − min_user(tu)) div 86.4e9 (whole days,
+    * integer micros), y = exact cents; the five sums accumulate in
+    * DECIMAL(38,0) (HUGEINT on the oracle side), and the two ratios
+    * follow the a28 discipline: one floor over one IEEE division of
+    * exactly-represented integers — replayable bit-for-bit.
+    *
+    * Shape: the per-user min is a window over the same key the groupBy
+    * shuffles on, so the plan is ONE exchange reused by both (the
+    * window's hash partitioning satisfies the aggregate's
+    * distribution). Degenerate users (single day, or constant y for
+    * r²) yield NULL by the guarded CASE, not a division blow-up. */
+  private val a32: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      .withColumn("x", expr("(tu - min(tu) OVER (PARTITION BY user_id)) div 86400000000"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("v").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("v")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("syy"))
+      .select(col("user_id"), expr("CAST(n AS BIGINT)").as("n_events"),
+        expr("""CAST(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+            THEN floor(CAST((n * sxy - sx * sy) * 1000000 AS DOUBLE) /
+              CAST(n * sxx - sx * sx AS DOUBLE))
+            END AS BIGINT)""").as("slope_ppm"),
+        expr("""CAST(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN floor(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000 AS DOUBLE) /
+              CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))
+            END AS BIGINT)""").as("r2_ppm"))
+      .orderBy("user_id")
+  }
+  private val a32Sql =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+      |      // 86400000000 AS x,
+      |    CAST(floor(value * 100) AS BIGINT) AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |sums AS (
+      |  SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM p GROUP BY user_id)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+      |  CAST(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+      |    THEN floor(CAST((n * sxy - sx * sy) * 1000000 AS DOUBLE) /
+      |      CAST(n * sxx - sx * sx AS DOUBLE))
+      |    END AS BIGINT) AS slope_ppm,
+      |  CAST(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |    THEN floor(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000 AS DOUBLE) /
+      |      CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))
+      |    END AS BIGINT) AS r2_ppm
+      |FROM sums ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
+    "w18_forward_fill" -> w18,
+    "a32_ols_trend" -> a32,
     "emb_power_iter" -> pi,
     "w13_cusum" -> w13,
     "a20_gini" -> a20,
@@ -982,6 +1080,8 @@ object SignalQueries {
     "w16_expanding_zscore" -> w16)
 
   val oracle: Map[String, String] = Map(
+    "w18_forward_fill" -> w18Sql,
+    "a32_ols_trend" -> a32Sql,
     "emb_power_iter" -> piSql,
     "w13_cusum" -> w13Sql,
     "a20_gini" -> a20Sql,

@@ -778,9 +778,53 @@ object TextQueries {
       |  CAST(length_grapheme(substr(text, 1, 50) || repeat('e' || chr(769), doc_id % 3 + 1)) AS INT) AS g_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- t_readability
+
+  /** T-READ: Flesch-style readability score per document, in integer
+    * milli-points — the quality-gate cousin of `t_quality` that scores
+    * SENTENCE/WORD SHAPE rather than character ratios. The three counts
+    * are regex-run counts on the RAW text (no lower() — the character
+    * classes carry both cases, so there is no cross-engine lowercasing
+    * seam on non-ASCII input):
+    *   words     = runs of [A-Za-z]+
+    *   syllables = runs of [AEIOUYaeiouy]+ (the standard vowel-group
+    *               heuristic; a DEFINED approximation, not dictionary
+    *               syllabification)
+    *   sentences = runs of [.!?]+, floored at 1
+    * score_milli = 206835 − (1015·w) div s − (84600·syl) div w — the
+    * Flesch reading-ease constants scaled ×1000, with floor division as
+    * the DEFINED rounding (all operands non-negative, so Spark's
+    * truncating `div` and DuckDB's `//` agree). Row-local, shuffle-free;
+    * at 100 TB this is a pure map over the scan. */
+  private val tRead: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT)")
+          .as("n_words"),
+        expr("CAST(size(regexp_extract_all(text, '[AEIOUYaeiouy]+', 0)) AS BIGINT)")
+          .as("n_syll"),
+        expr("CAST(greatest(1, size(regexp_extract_all(text, '[.!?]+', 0))) AS BIGINT)")
+          .as("n_sents"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch_milli", expr(
+        "206835 - (1015 * n_words) div n_sents - (84600 * n_syll) div n_words"))
+      .orderBy("doc_id")
+  private val tReadSql =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+      |    CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+')) AS BIGINT) AS n_syll,
+      |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sents
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_syll, n_sents,
+      |  206835 - (1015 * n_words) // n_sents - (84600 * n_syll) // n_words
+      |    AS flesch_milli
+      |FROM c WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, Q] = Map(
+    "t_readability" -> tRead,
     "fn_nfc_normalize" -> fnNfc,
     "t_grapheme_len" -> tGrapheme,
     "fn_duration_hours" -> fnDur,
@@ -812,6 +856,7 @@ object TextQueries {
     "t_gopher_gate" -> tGopherGate)
 
   val oracle: Map[String, String] = Map(
+    "t_readability" -> tReadSql,
     "fn_nfc_normalize" -> fnNfcSql,
     "t_grapheme_len" -> tGraphemeSql,
     "fn_duration_hours" -> fnDurSql,

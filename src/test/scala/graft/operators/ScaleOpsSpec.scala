@@ -234,4 +234,38 @@ class ScaleOpsSpec extends AnyFunSuite {
         .select("lang", "id").as[(String, Long)].collect().toSet
     assert(draw(df) == draw(df.repartition(13)))
   }
+
+  // ------------------------------------------------------ KmvSketchAgg
+
+  test("KmvSketchAgg: buffer IS the k smallest distinct hashes, sorted, " +
+      "partitioning-invariant") {
+    val vals = (0L until 5000L).map(_ * 13 % 700)
+    val want = vals.distinct
+      .map(v => ((v % SketchOps.hashM + SketchOps.hashM) * 123456791L + 7919L)
+        % SketchOps.hashM)
+      .distinct.sorted.take(32)
+    def sketch(parts: Int): Seq[Long] = {
+      val agg = udaf(new SketchOps.KmvSketchAgg(32))
+      vals.toDF("v").repartition(parts)
+        .agg(agg(SketchOps.portableHash(col("v"))))
+        .as[Seq[Long]].head()
+    }
+    assert(sketch(1) == want)
+    assert(sketch(11) == want)
+  }
+
+  test("t_kmv_join_card: below-k sides degrade to exact counts end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmvjc").toString
+    // A: keys 1..10, each twice (20 rows). B('F'): keys 6..12. inter = 5.
+    (1L to 10L).flatMap(k => Seq(k, k)).toDF("l_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (6L to 15L).map(k => (k, if (k <= 12) "F" else "P"))
+      .toDF("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.SparkEntry.queries("t_kmv_join_card")(spark, dir).head()
+    val got = (0 until 9).map(i => r.getLong(i))
+    // (n_a_rows, est_a, est_b, est_union, n_common, est_inter,
+    //  exact_inter, err_ppm, est_join_rows)
+    assert(got == Seq(20L, 10L, 7L, 12L, 5L, 5L, 5L, 0L, 10L), got)
+  }
 }

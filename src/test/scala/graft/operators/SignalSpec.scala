@@ -559,4 +559,75 @@ class SignalSpec extends AnyFunSuite {
       assert(batch(2L).n_alarms > 0L, "the step-change user alarms in both forms")
     } finally q.stop()
   }
+
+  // ------------------------------------------------- w18_forward_fill
+
+  /** Events fixture with NULLABLE values (the tuple-based eventsDir can't
+    * express a null Double). */
+  private def nullableEventsDir(
+      rows: Seq[(Long, Long, Timestamp, String, Option[Double])]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_signal").toString
+    rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("w18_forward_fill: nulls take the latest prior observation; " +
+      "leading nulls stay null; fills never cross users") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, 1L, ts(0), "view", None: Option[Double]),
+      (2L, 1L, ts(1), "view", Some(10.0)),
+      (3L, 1L, ts(2), "view", None),
+      (4L, 1L, ts(3), "view", None),
+      (5L, 1L, ts(4), "view", Some(20.5)),
+      (6L, 1L, ts(5), "view", None),
+      (7L, 2L, ts(0), "view", None)) // user 2 must NOT see user 1's 10.0
+    val got = graft.SparkEntry.queries("w18_forward_fill")(
+        spark, nullableEventsDir(rows))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> None, 2L -> Some(1000L), 3L -> Some(1000L), 4L -> Some(1000L),
+      5L -> Some(2050L), 6L -> Some(2050L), 7L -> None))
+  }
+
+  // ---------------------------------------------------- a32_ols_trend
+
+  test("a32_ols_trend: perfect line recovers exact slope and r2 = 1e6; " +
+      "constant series gives slope 0 with NULL r2; single day gives NULL") {
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-${d + 1}%02d 00:00:00")
+    val rows =
+      // user 1: y = 100·x + 100 cents exactly (days 0,1,2)
+      Seq((1L, 1L, day(0), "p", 1.0), (2L, 1L, day(1), "p", 2.0),
+        (3L, 1L, day(2), "p", 3.0)) ++
+      // user 2: constant value across two days -> slope 0, r2 undefined
+      Seq((4L, 2L, day(0), "p", 5.0), (5L, 2L, day(1), "p", 5.0)) ++
+      // user 3: both events the same day -> x-variance 0 -> all NULL
+      Seq((6L, 3L, day(0), "p", 1.0), (7L, 3L, day(0), "p", 9.0))
+    val got = graft.SparkEntry.queries("a32_ols_trend")(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, Some(100L * 1000000L), Some(1000000L))), got(1L))
+    assert(got(2L) == ((2L, Some(0L), None)), got(2L))
+    assert(got(3L) == ((2L, None, None)), got(3L))
+  }
+
+  // ---------------------------------------------------- t_readability
+
+  test("t_readability: hand-traced Flesch counts; wordless docs drop") {
+    val rows = Seq(
+      // words {The,cat,sat,It,ran}=5, vowel runs {e,a,a,I,a}=5,
+      // sentence runs {., !}=2
+      (1L, "The cat sat. It ran!", "en", 20L),
+      (2L, "12345 67 89", "en", 11L)) // no [A-Za-z] word -> filtered out
+    val got = graft.SparkEntry.queries("t_readability")(spark, docsDir(rows))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val flesch = 206835L - (1015L * 5L) / 2L - (84600L * 5L) / 5L
+    assert(got == Map(1L -> ((5L, 5L, 2L, flesch))), got)
+  }
 }
