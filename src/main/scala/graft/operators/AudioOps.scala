@@ -135,4 +135,36 @@ object AudioOps {
     val until = math.max(from, math.min((endSec * sr).toInt, samples.length))
     java.util.Arrays.copyOfRange(samples, from, until)
   }
+
+  /** Energy-threshold voice-activity segments — the silence-trim /
+    * utterance-split primitive a TTS-corpus pipeline runs before
+    * alignment (the array-kernel form of pydub.silence-style splitting,
+    * reference alignment/aeneas_batch_align.py's per-utterance cuts).
+    * The signal is cut into fixed `frame`-sample windows (a partial tail
+    * frame is DROPPED — the DEFINED boundary rule), a frame is ACTIVE
+    * iff its sum of |s| exceeds `thr`, and maximal runs of active frames
+    * merge into segments of (start_frame, end_frame_exclusive).
+    *
+    * The per-frame sum is a sequential left-fold over ≤ `frame` floats —
+    * for dyadic sample values (k/2^n, e.g. PCM16-exact) the partial sums
+    * stay exactly representable, so the active set replays bit-for-bit
+    * from the frame/region arithmetic alone. */
+  def vadSegments(samples: Array[Float], frame: Int, thr: Float): Seq[(Int, Int)] = {
+    require(frame > 0, "frame must be positive")
+    val nf = samples.length / frame
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var f = 0
+    var start = -1
+    while (f < nf) {
+      var s = 0.0f
+      var i = f * frame
+      val end = i + frame
+      while (i < end) { s += math.abs(samples(i)); i += 1 }
+      if (s > thr) { if (start < 0) start = f }
+      else if (start >= 0) { segs += ((start, f)); start = -1 }
+      f += 1
+    }
+    if (start >= 0) segs += ((start, nf))
+    segs.toSeq
+  }
 }

@@ -71,6 +71,36 @@ object MultimodalOps {
     }(Encoders.product[WavInfo]).toDF()
   }
 
+  final case class VadSeg(path: String, seg_idx: Int, start_frame: Int,
+    end_frame: Int, n_frames: Int)
+
+  /** Energy-threshold voice-activity segmentation over PCM16 wav blobs:
+    * full decode ([[AudioOps.decodePcm16Wav]], mono mixdown), then
+    * [[AudioOps.vadSegments]] per file — one row per maximal active run
+    * (start/end in FRAME units; a file with no active frame emits
+    * nothing). This is the utterance-split step a TTS corpus pipeline
+    * runs between download and alignment; malformed blobs emit nothing
+    * rather than throwing inside the task (the wavProbe guard rule).
+    * Row-local fan-out — no shuffle; at 100 TB this is a pure map over
+    * the binaryFile scan with bounded per-row output. */
+  def audioVad(df: DataFrame, pathCol: String, contentCol: String,
+      frame: Int, thr: Float): DataFrame = {
+    val in = df.select(col(pathCol).cast("string"), col(contentCol))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val path = r.getString(0)
+        val b = r.getAs[Array[Byte]](1)
+        if (b == null || b.length < 44) Iterator.empty
+        else {
+          val (samples, _) = AudioOps.decodePcm16Wav(b)
+          AudioOps.vadSegments(samples, frame, thr).iterator.zipWithIndex.map {
+            case ((s0, e0), i) => VadSeg(path, i, s0, e0, e0 - s0)
+          }
+        }
+      }
+    }(Encoders.product[VadSeg]).toDF()
+  }
+
   final case class Mp3Info(
     path: String, version: String, layer: Int, bitrate_kbps: Int,
     sample_rate: Int, channels: Int, n_frames: Long, n_samples: Long,

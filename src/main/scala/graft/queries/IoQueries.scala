@@ -393,6 +393,89 @@ object IoQueries {
        |FROM read_blob('$fixRoot/mm_wav/*.wav')
        |ORDER BY fname""".stripMargin
 
+  /** VAD fixture wavs: mono 16 kHz PCM16, layout silence(a) + tone(b) +
+    * silence(c) + tone(d) samples, parameters in the filename (the
+    * oracle's ground truth, the genWavs convention). Tone = alternating
+    * ±16384, i.e. |s| = 0.5 EXACTLY in float — frame energy sums are
+    * multiples of 0.5 with no rounding, so the active set is pure
+    * integer overlap arithmetic both engines replay. Cases cover
+    * frame-aligned segments, boundary-straddling tones, a leading tone,
+    * an all-silence file (must emit NO rows), a barely-over-threshold
+    * sliver (33 samples > the 32-sample cut), and a dropped partial
+    * tail frame. */
+  private def genVadWavs(base: String): Unit = {
+    val cases = Seq(
+      (320, 480, 320, 480), // frame-aligned: segments (2,5) and (7,10)
+      (100, 500, 200, 0),   // straddles boundaries: one segment (0,4)
+      (0, 250, 350, 170),   // leading tone; tail frame [640,770) dropped
+      (1600, 0, 0, 0),      // all silence: no output rows
+      (50, 33, 400, 160))   // 33-sample sliver: ov=33 > 32, barely active
+    cases.foreach { case (a, b, c, d) =>
+      val n = a + b + c + d
+      val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + n * 2)
+        .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+        .put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+        .putShort(1).putShort(1).putInt(16000)
+        .putInt(16000 * 2).putShort(2).putShort(16)
+        .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(n * 2)
+      (0 until n).foreach { i =>
+        val inTone = (i >= a && i < a + b) || i >= a + b + c
+        bb.putShort(if (!inTone) 0 else if (i % 2 == 0) 16384 else -16384)
+      }
+      Files.write(Paths.get(base, s"vad_a${a}_b${b}_c${c}_d$d.wav"), bb.array())
+    }
+  }
+
+  /** MM-VAD: energy-threshold utterance segmentation of the wav tree —
+    * 160-sample (10 ms) frames, active iff Σ|s| > 16.0 (mean |s| > 0.1).
+    * With the fixture's exact-0.5 tone amplitude that is "tone overlap
+    * > 32 samples", which is what the oracle computes per frame from the
+    * filename-encoded layout before replaying the same run-merging with
+    * gaps-and-islands SQL. */
+  private val mmVadFrame = 160
+  private val mmVadThr = 16.0f
+  private val mmVad: Q = (s, dir) => {
+    val d = fixDir("mm_vad")
+    genVadWavs(d)
+    val files = s.read.format("binaryFile").load(d + "/*.wav")
+    MultimodalOps.audioVad(files, "path", "content", mmVadFrame, mmVadThr)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("seg_idx"), col("start_frame"), col("end_frame"), col("n_frames"))
+      .orderBy("fname", "seg_idx")
+  }
+  private val mmVadSql =
+    s"""WITH p AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+       |    CAST(regexp_extract(filename, '_a(\\d+)_', 1) AS BIGINT) AS a,
+       |    CAST(regexp_extract(filename, '_b(\\d+)_', 1) AS BIGINT) AS b,
+       |    CAST(regexp_extract(filename, '_c(\\d+)_', 1) AS BIGINT) AS c,
+       |    CAST(regexp_extract(filename, '_d(\\d+)\\.', 1) AS BIGINT) AS d
+       |  FROM read_blob('$fixRoot/mm_vad/*.wav')),
+       |fr AS (
+       |  SELECT fname, a, b, c, d,
+       |    unnest(range(0, (a + b + c + d) // $mmVadFrame)) AS f
+       |  FROM p),
+       |act AS (
+       |  SELECT fname, f,
+       |    greatest(0, least(f * $mmVadFrame + $mmVadFrame, a + b)
+       |      - greatest(f * $mmVadFrame, a)) +
+       |    greatest(0, least(f * $mmVadFrame + $mmVadFrame, a + b + c + d)
+       |      - greatest(f * $mmVadFrame, a + b + c)) AS ov
+       |  FROM fr),
+       |isl AS (
+       |  SELECT fname, f,
+       |    f - row_number() OVER (PARTITION BY fname ORDER BY f) AS g
+       |  FROM act WHERE ov > 32)
+       |SELECT fname,
+       |  CAST(row_number() OVER (PARTITION BY fname ORDER BY MIN(f)) - 1 AS INT)
+       |    AS seg_idx,
+       |  CAST(MIN(f) AS INT) AS start_frame,
+       |  CAST(MAX(f) + 1 AS INT) AS end_frame,
+       |  CAST(MAX(f) + 1 - MIN(f) AS INT) AS n_frames
+       |FROM isl GROUP BY fname, g ORDER BY fname, seg_idx""".stripMargin
+
   private val mmBin: Q = (s, dir) => {
     val d = fixDir("mm_bin")
     genTree(d)
@@ -733,6 +816,7 @@ object IoQueries {
     "io_s15_orc" -> s15,
     "io_s16_jsonl_gz" -> s16,
     "mm_wav_probe" -> mmWav,
+    "mm_audio_vad" -> mmVad,
     "mm_mp3_probe" -> mmMp3,
     "mm_bin_features" -> mmBin,
     "mm_image_probe" -> mmImage,
@@ -758,6 +842,7 @@ object IoQueries {
     "io_s15_orc" -> s15Sql,
     "io_s16_jsonl_gz" -> s16Sql,
     "mm_wav_probe" -> mmWavSql,
+    "mm_audio_vad" -> mmVadSql,
     "mm_mp3_probe" -> mmMp3Sql,
     "mm_bin_features" -> mmBinSql,
     "mm_image_probe" -> mmImageSql,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -673,6 +674,50 @@ object ScaleQueries {
        |  FROM documents) d JOIN q USING (lang)
        |WHERE rn <= quota ORDER BY lang, doc_id""".stripMargin
 
+  // ------------------------------------------------- o20_stratified_split
+
+  /** O20: stratified 80/10/10 train/val/test split — EXACT per-stratum
+    * proportions, unlike `o8_hash_split` whose global hash split only
+    * hits the ratios in expectation (a small language can land all in
+    * test by chance; stratification is how eval sets stay representative).
+    * Within each lang, rows rank by (portable hash, id) — the hash order
+    * IS the shuffle, deterministic and engine-replayable — and the first
+    * ⌊0.8n⌋ go to train, up to ⌊0.9n⌋ to val, rest to test (floor
+    * boundaries are the DEFINED rounding; compared as rn·10 ≤ n·8 to
+    * stay in integers).
+    *
+    * Scale shape: one shuffle on lang; rank and count share the single
+    * per-stratum sort (two window functions over the same
+    * partition/order spec collapse into one Window exec). Skewed-stratum
+    * caveat at 100 TB: a single giant language serializes its sort into
+    * one task — pre-split by (lang, hash-bucket) and stitch counts if a
+    * stratum outgrows a task. */
+  private val o20: Q = (s, dir) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        SketchOps.portableHash(col("doc_id")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .select(col("doc_id"), col("lang"),
+        expr("CASE WHEN rn * 10 <= n * 8 THEN 'train' " +
+          "WHEN rn * 10 <= n * 9 THEN 'val' ELSE 'test' END").as("split"))
+      .orderBy("doc_id")
+  }
+  private val o20Sql =
+    """SELECT doc_id, lang,
+      |  CASE WHEN rn * 10 <= n * 8 THEN 'train'
+      |       WHEN rn * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY ((doc_id % 999999937 + 999999937) * 123456791 + 7919)
+      |        % 999999937, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------- pipe (flagship)
 
   /** End-to-end pre-training pass, composed from the verified operators
@@ -757,6 +802,7 @@ object ScaleQueries {
     "o9_kcenter_diverse" -> o9,
     "o10_token_budget" -> o10,
     "o11_temperature_mix" -> o11,
+    "o20_stratified_split" -> o20,
     "pipe_pretrain_pack" -> pipe)
 
   val oracle: Map[String, String] = Map(
@@ -777,6 +823,7 @@ object ScaleQueries {
     "o9_kcenter_diverse" -> o9Sql,
     "o10_token_budget" -> o10Sql,
     "o11_temperature_mix" -> o11Sql,
+    "o20_stratified_split" -> o20Sql,
     "pipe_pretrain_pack" -> pipeSql)
 
   /** Sort-free forms for the bench (global ORDER BY exists only for the

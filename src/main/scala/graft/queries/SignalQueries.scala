@@ -1054,11 +1054,99 @@ object SignalQueries {
       |    END AS BIGINT) AS r2_ppm
       |FROM sums ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------ a33_key_skew_audit
+
+  /** A33: join-key skew audit — the pre-flight report that decides
+    * whether `j9_salted_skew_join`'s salting is needed and with how many
+    * salts. Per join key the row count; globally the key count, row
+    * count, heaviest key, the skew ratio max/avg in ppm, and the salt
+    * count a balanced plan needs (⌈max_cnt/avg_cnt⌉ — the fan-out that
+    * makes the heaviest key's salted slices no bigger than the average
+    * key). The top-10 heavy hitters ride along with per-key and
+    * cumulative shares.
+    *
+    * Scale shape: one map-side-combined count per key, then TakeOrdered
+    * for the top-10 (never a global single-partition window over all
+    * keys) and 1-row global totals broadcast-crossed in. The windowed
+    * cumulative share runs over ≤ 10 rows. */
+  private val a33TopN = 10
+  private val a33: Q = (s, dir) => {
+    val cnt = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).cast("long").as("n_rows"), max(col("cnt")).as("max_cnt"))
+    val top = cnt.orderBy(col("cnt").desc, col("key")).limit(a33TopN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("key"))))
+    top.crossJoin(tot)
+      .select(col("rank"), col("key"), col("cnt"),
+        expr("cnt * 1000000 div n_rows").as("share_ppm"),
+        (sum(col("cnt")).over(Window.orderBy(col("rank"))) * 1000000L)
+          .divide(col("n_rows")).cast("long").as("cum_share_ppm"),
+        col("n_keys"), col("n_rows"),
+        expr("max_cnt * n_keys * 1000000 div n_rows").as("skew_ratio_ppm"),
+        expr("(max_cnt * n_keys + n_rows - 1) div n_rows").as("n_salts"))
+      .orderBy("rank")
+  }
+  private val a33Sql =
+    s"""WITH c AS (
+       |  SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM lineitem GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       |  CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c),
+       |top AS (SELECT key, cnt,
+       |  CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INT) AS rank
+       |  FROM c ORDER BY cnt DESC, key LIMIT $a33TopN)
+       |SELECT rank, key, cnt,
+       |  cnt * 1000000 // n_rows AS share_ppm,
+       |  CAST(SUM(cnt) OVER (ORDER BY rank) AS BIGINT) * 1000000 // n_rows
+       |    AS cum_share_ppm,
+       |  n_keys, n_rows,
+       |  max_cnt * n_keys * 1000000 // n_rows AS skew_ratio_ppm,
+       |  (max_cnt * n_keys + n_rows - 1) // n_rows AS n_salts
+       |FROM top, tot ORDER BY rank""".stripMargin
+
+  // --------------------------------------------- a34_retention_cohorts
+
+  /** A34: retention cohort grid — users cohorted by their first active
+    * week (integer weeks since epoch: epoch_us div 604.8e9, exact in
+    * both engines), counted once per (cohort, weeks-since-first) cell.
+    * THE product-analytics retention table; every cell divided by its
+    * cohort's age-0 cell is the classic retention curve (left as counts
+    * so the output is pure integers).
+    *
+    * Shape: the per-user first week is a window over the same user_id
+    * key the dedup distinct then re-shuffles — two exchanges total,
+    * both map-side-combined. */
+  private val a34: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      .withColumn("cohort_wk",
+        min(col("wk")).over(Window.partitionBy("user_id")))
+      .select(col("user_id"), col("cohort_wk"),
+        (col("wk") - col("cohort_wk")).as("age_wk"))
+      .distinct()
+      .groupBy("cohort_wk", "age_wk")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort_wk", "age_wk")
+  private val a34Sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |c AS (SELECT user_id, wk,
+      |  min(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM ev)
+      |SELECT cohort_wk, wk - cohort_wk AS age_wk,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      |FROM c GROUP BY cohort_wk, wk - cohort_wk
+      |ORDER BY cohort_wk, age_wk""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
     "w18_forward_fill" -> w18,
     "a32_ols_trend" -> a32,
+    "a33_key_skew_audit" -> a33,
+    "a34_retention_cohorts" -> a34,
     "emb_power_iter" -> pi,
     "w13_cusum" -> w13,
     "a20_gini" -> a20,
@@ -1082,6 +1170,8 @@ object SignalQueries {
   val oracle: Map[String, String] = Map(
     "w18_forward_fill" -> w18Sql,
     "a32_ols_trend" -> a32Sql,
+    "a33_key_skew_audit" -> a33Sql,
+    "a34_retention_cohorts" -> a34Sql,
     "emb_power_iter" -> piSql,
     "w13_cusum" -> w13Sql,
     "a20_gini" -> a20Sql,

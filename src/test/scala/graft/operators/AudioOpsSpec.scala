@@ -79,4 +79,21 @@ class AudioOpsSpec extends AnyFunSuite {
     assert(AudioOps.durationSeconds(24000, 24000) == 1.0)
     assert(AudioOps.durationSeconds(100, 0) == 0.0)
   }
+
+  test("vadSegments: run merging, strict > threshold, partial tail drop") {
+    def sig(frames: Float*): Array[Float] =
+      frames.toArray.flatMap(v => Array.fill(4)(v / 4)) // frame=4, sum = v
+    // frames sums: 0, 5, 5, 0, 5, 0 -> segments (1,3) and (4,5) at thr 1
+    assert(AudioOps.vadSegments(sig(0, 5, 5, 0, 5, 0), 4, 1f)
+      == Seq((1, 3), (4, 5)))
+    // trailing active run closes at nf
+    assert(AudioOps.vadSegments(sig(0, 5, 5), 4, 1f) == Seq((1, 3)))
+    // strict >: a frame summing EXACTLY to thr stays inactive
+    assert(AudioOps.vadSegments(sig(1, 2), 4, 1f) == Seq((1, 2)))
+    // partial tail frame (3 extra loud samples) is dropped, not a segment
+    assert(AudioOps.vadSegments(sig(0) ++ Array(9f, 9f, 9f), 4, 1f) == Seq())
+    // all silence -> empty; empty input -> empty
+    assert(AudioOps.vadSegments(sig(0, 0), 4, 1f) == Seq())
+    assert(AudioOps.vadSegments(Array.emptyFloatArray, 4, 1f) == Seq())
+  }
 }

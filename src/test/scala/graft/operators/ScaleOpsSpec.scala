@@ -254,6 +254,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(sketch(11) == want)
   }
 
+  test("o20_stratified_split: exact floor 80/10/10 counts per stratum; " +
+      "tiny strata spill to test; assignment is deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o20").toString
+    val rows =
+      (1L to 10L).map(i => (i, "a")) ++ (11L to 33L).map(i => (i, "b")) ++
+        Seq((34L, "c")) ++ Seq((35L, "d"), (36L, "d"))
+    rows.toDF("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def draw() = graft.SparkEntry.queries("o20_stratified_split")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val got = draw()
+    assert(got.length == 36 && got.map(_._1).distinct.length == 36)
+    val bySplit = got.groupBy(x => (x._2, x._3)).view.mapValues(_.length).toMap
+    assert(bySplit.getOrElse(("a", "train"), 0) == 8)
+    assert(bySplit.getOrElse(("a", "val"), 0) == 1)
+    assert(bySplit.getOrElse(("a", "test"), 0) == 1)
+    // n=23: floor boundaries 18 / 2 / 3
+    assert(bySplit.getOrElse(("b", "train"), 0) == 18)
+    assert(bySplit.getOrElse(("b", "val"), 0) == 2)
+    assert(bySplit.getOrElse(("b", "test"), 0) == 3)
+    // n=1 -> all test; n=2 -> 1 train 1 test (floor(1.6)=1, floor(1.8)=1)
+    assert(bySplit.getOrElse(("c", "test"), 0) == 1 && !bySplit.contains(("c", "train")))
+    assert(bySplit.getOrElse(("d", "train"), 0) == 1)
+    assert(bySplit.getOrElse(("d", "test"), 0) == 1)
+    assert(draw().toSeq == got.toSeq) // deterministic rerun
+  }
+
   test("t_kmv_join_card: below-k sides degrade to exact counts end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kmvjc").toString
     // A: keys 1..10, each twice (20 rows). B('F'): keys 6..12. inter = 5.

@@ -615,6 +615,56 @@ class SignalSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, None, None)), got(3L))
   }
 
+  // ------------------------------------------------ a33_key_skew_audit
+
+  test("a33_key_skew_audit: hand-traced counts, shares, skew ratio, and " +
+      "the salting fan-out j9 would need") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_a33").toString
+    // key 1 x6, key 2 x3, keys 3..5 x1 -> 5 keys, 12 rows, max 6
+    val keys = Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 4L, 5L)
+    keys.toDF("l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.SparkEntry.queries("a33_key_skew_audit")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8)))
+    assert(got.toSeq == Seq(
+      (1, 1L, 6L, 500000L, 500000L, 5L, 12L, 2500000L, 3L),
+      (2, 2L, 3L, 250000L, 750000L, 5L, 12L, 2500000L, 3L),
+      (3, 3L, 1L, 83333L, 833333L, 5L, 12L, 2500000L, 3L),
+      (4, 4L, 1L, 83333L, 916666L, 5L, 12L, 2500000L, 3L),
+      (5, 5L, 1L, 83333L, 1000000L, 5L, 12L, 2500000L, 3L)), got.toSeq)
+  }
+
+  // --------------------------------------------- a34_retention_cohorts
+
+  test("a34_retention_cohorts: users cohort at their first week and count " +
+      "once per (cohort, age) cell — replayed from the week arithmetic") {
+    def at(day: Int, hour: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+    // user 1 active in 3 weeks (two events in week 0 must count once);
+    // user 2 joins a week later; user 3 overlaps user 1's cohort
+    val rows = Seq(
+      (1L, 1L, at(1, 9), "v", 1.0), (2L, 1L, at(2, 9), "v", 1.0),
+      (3L, 1L, at(9, 9), "v", 1.0), (4L, 1L, at(16, 9), "v", 1.0),
+      (5L, 2L, at(9, 10), "v", 1.0), (6L, 2L, at(17, 9), "v", 1.0),
+      (7L, 3L, at(3, 9), "v", 1.0))
+    def wk(ts: Timestamp): Long = ts.getTime * 1000L / 604800000000L
+    val byUser = rows.groupBy(_._2)
+    val expect = byUser.toSeq.flatMap { case (_, evs) =>
+      val c = evs.map(e => wk(e._3)).min
+      evs.map(e => (c, wk(e._3) - c)).distinct
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.SparkEntry.queries("a34_retention_cohorts")(
+        spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect, s"got $got want $expect")
+    // structural pins independent of the epoch-week offset
+    assert(got.values.sum == 6L) // 7 events, one same-week duplicate
+    assert(got.keys.map(_._1).toSeq.distinct.size == 2) // two cohorts
+  }
+
   // ---------------------------------------------------- t_readability
 
   test("t_readability: hand-traced Flesch counts; wordless docs drop") {
