@@ -896,6 +896,99 @@ object DedupQueries {
     * the survivor anti-join broadcasts. Oracle: unrolled Lloyd CTEs
     * (same determinism spec as ann_kmeans_cells) + within-cell pair
     * replay + anti-join. */
+  // ----------------------------------------------- dedup_url_canonical
+
+  /** URL-CANON: canonicalize-then-dedup — the first dedup a web corpus
+    * runs, BEFORE any content hash exists (the same page re-crawled via
+    * a tracking link or a cased host must not be fetched/kept twice).
+    * DEFINED canonical form, applied identically by both engines:
+    *   1. scheme and host lowercase; default port stripped (:80 for
+    *      http, :443 for https);
+    *   2. fragment dropped;
+    *   3. path: trailing slashes stripped, empty path → '/';
+    *   4. query: params split on '&', tracking params dropped (utm_*
+    *      prefixes and ref=), survivors SORTED (param order never
+    *      distinguishes resources here — the aggressive-canonicalizer
+    *      variant) and rejoined.
+    * Keep-first by id within a canonical group (the dedup_exact rule).
+    * Fixture: six messy variants per logical resource synthesized from
+    * part (the fn_url_parse pattern) — five canonicalize together, the
+    * sixth is a genuinely different resource.
+    * Row-local string kernels + one keyed window — at 100 TB this is a
+    * map plus a single shuffle on the canonical key. */
+  private val dedupUrlCanonical: Q = (s, dir) => {
+    val urlExpr = expr(
+      """CASE p_partkey % 6
+        |  WHEN 0 THEN 'HTTPS://Host.Example.COM:443/a/b/?utm_source=x&id=' || CAST(p_partkey div 6 AS STRING)
+        |  WHEN 1 THEN 'https://host.example.com/a/b?id=' || CAST(p_partkey div 6 AS STRING)
+        |  WHEN 2 THEN 'https://host.example.com/a/b/?id=' || CAST(p_partkey div 6 AS STRING) || '&utm_campaign=c'
+        |  WHEN 3 THEN 'https://HOST.example.com/a/b?id=' || CAST(p_partkey div 6 AS STRING) || '#frag'
+        |  WHEN 4 THEN 'https://host.example.com/a/b?ref=z&id=' || CAST(p_partkey div 6 AS STRING)
+        |  ELSE 'https://other.example.com/p?id=' || CAST(p_partkey div 6 AS STRING)
+        |END""".stripMargin)
+    val canon = t(s, dir, "part")
+      .select(col("p_partkey"), urlExpr.as("url"))
+      .withColumn("scheme", expr("lower(regexp_extract(url, '^([A-Za-z]+)://', 1))"))
+      .withColumn("rest", expr("regexp_extract(url, '^[A-Za-z]+://([^#]*)', 1)"))
+      .withColumn("host", expr(
+        """CASE WHEN scheme = 'http'
+          |  THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':80$', '')
+          |  ELSE regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':443$', '')
+          |END""".stripMargin))
+      .withColumn("path", expr(
+        "regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '/+$', '')"))
+      .withColumn("qs", expr(
+        "array_join(array_sort(filter(split(regexp_extract(rest, '\\\\?(.*)$', 1), '&'), " +
+          "p -> p != '' AND NOT startswith(p, 'utm_') AND NOT startswith(p, 'ref='))), '&')"))
+      .withColumn("canonical", expr(
+        "concat(scheme, '://', host, CASE WHEN path = '' THEN '/' ELSE path END, " +
+          "CASE WHEN qs = '' THEN '' ELSE '?' || qs END)"))
+    canon
+      .withColumn("keeper", min(col("p_partkey"))
+        .over(Window.partitionBy(col("canonical"))))
+      .select(col("p_partkey"), col("url"), col("canonical"),
+        (col("p_partkey") === col("keeper")).as("is_keeper"), col("keeper"))
+      .orderBy("p_partkey")
+  }
+  private val dedupUrlCanonicalSql =
+    """WITH u AS (
+      |  SELECT p_partkey,
+      |    CASE p_partkey % 6
+      |      WHEN 0 THEN 'HTTPS://Host.Example.COM:443/a/b/?utm_source=x&id=' || CAST(p_partkey // 6 AS VARCHAR)
+      |      WHEN 1 THEN 'https://host.example.com/a/b?id=' || CAST(p_partkey // 6 AS VARCHAR)
+      |      WHEN 2 THEN 'https://host.example.com/a/b/?id=' || CAST(p_partkey // 6 AS VARCHAR) || '&utm_campaign=c'
+      |      WHEN 3 THEN 'https://HOST.example.com/a/b?id=' || CAST(p_partkey // 6 AS VARCHAR) || '#frag'
+      |      WHEN 4 THEN 'https://host.example.com/a/b?ref=z&id=' || CAST(p_partkey // 6 AS VARCHAR)
+      |      ELSE 'https://other.example.com/p?id=' || CAST(p_partkey // 6 AS VARCHAR)
+      |    END AS url
+      |  FROM part),
+      |c AS (
+      |  SELECT p_partkey, url,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+      |    regexp_extract(url, '^[A-Za-z]+://([^#]*)', 1) AS rest
+      |  FROM u),
+      |c2 AS (
+      |  SELECT p_partkey, url, scheme,
+      |    CASE WHEN scheme = 'http'
+      |      THEN regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':80$', '')
+      |      ELSE regexp_replace(lower(regexp_extract(rest, '^([^/?]*)', 1)), ':443$', '')
+      |    END AS host,
+      |    regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1), '/+$', '') AS path,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+      |      p -> p != '' AND NOT starts_with(p, 'utm_')
+      |        AND NOT starts_with(p, 'ref='))), '&') AS qs
+      |  FROM c),
+      |k AS (
+      |  SELECT p_partkey, url,
+      |    scheme || '://' || host || (CASE WHEN path = '' THEN '/' ELSE path END)
+      |      || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical
+      |  FROM c2)
+      |SELECT p_partkey, url, canonical,
+      |  p_partkey = min(p_partkey) OVER (PARTITION BY canonical) AS is_keeper,
+      |  min(p_partkey) OVER (PARTITION BY canonical) AS keeper
+      |FROM k ORDER BY p_partkey""".stripMargin
+
   private val dedupSemantic: Q = (s, dir) => {
     // The assigned table feeds BOTH the pair generation and the final
     // anti-join base; localCheckpoint materializes the (bounded-width)
@@ -1539,6 +1632,7 @@ object DedupQueries {
     "ann_ivf_topk" -> annIvf,
     "ann_kmeans_cells" -> annKmeans,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_url_canonical" -> dedupUrlCanonical,
     "ann_recall" -> annRecall)
 
   val oracle: Map[String, String] = Map(
@@ -1568,5 +1662,6 @@ object DedupQueries {
     "ann_ivf_topk" -> annIvfSql,
     "ann_kmeans_cells" -> annKmeansSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "dedup_url_canonical" -> dedupUrlCanonicalSql,
     "ann_recall" -> annRecallSql)
 }

@@ -572,6 +572,93 @@ object ScaleQueries {
        |  GROUP BY p.a, p.b)
        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------- t_bpe_encode
+
+  /** T-BPE-ENC: ENCODE the corpus with the learned top merges — the
+    * serving-side companion of `t_bpe_merge_pairs` (train emits the merge
+    * table; this applies it and reports the per-doc compression). DEFINED
+    * semantics: the top-8 first-round pairs, in (count desc, a, b) rank
+    * order, each applied as ONE corpus-wide greedy leftmost-
+    * non-overlapping pass (true BPE recomputes pair counts between
+    * merges; the one-round ranking is this operator's documented
+    * approximation, and the oracle re-derives the identical table in
+    * SQL, so both engines apply the same merges in the same order).
+    *
+    * Mechanics: a doc's token array serializes with \u0001 sentinels
+    * (token t → ␁t␁, doc → concatenation; \u0001 is stripped from the
+    * text first so no token can collide with the sentinel), merge (a,b)
+    * is the LITERAL replace of ␁a␁␁b␁ with ␁ab␁ — both engines'
+    * replace() scans leftmost, never rescanning the replacement, which
+    * IS BPE's greedy adjacency rule — and the final token count is half
+    * the surviving sentinel count. The merge table is 8 rows of
+    * driver-collected model state (the a25/o12 bounded-state pattern);
+    * the applies themselves are row-local codegen'd string kernels, so
+    * at 100 TB this is a pure map over the scan. */
+  private val bpeEncN = 8
+  private val tBpeEnc: Q = (s, dir) => {
+    val clean = expr("bpe_tokens(replace(text, char(1), ''))")
+    val merges = Tables.fanOut(t(s, dir, "documents"))
+      .select(clean.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] AS a, tk[i] AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(bpeEncN)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val S = "\u0001"
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), clean.as("tk"))
+      .filter(size(col("tk")) >= 1)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok_before"),
+        concat(lit(S), array_join(col("tk"), S + S), lit(S)).as("enc"))
+    val encoded = merges.foldLeft(base) { case (df, (a, b)) =>
+      df.withColumn("enc", call_function("replace", col("enc"),
+        lit(S + a + S + S + b + S), lit(S + a + b + S)))
+    }
+    encoded
+      .withColumn("n_tok_after", expr(
+        "CAST((length(enc) - length(replace(enc, char(1), ''))) div 2 AS BIGINT)"))
+      .select(col("doc_id"), col("n_tok_before"), col("n_tok_after"),
+        (col("n_tok_before") - col("n_tok_after")).as("n_merged"),
+        expr("n_tok_after * 1000000 div n_tok_before").as("ratio_ppm"))
+      .orderBy("doc_id")
+  }
+  private val tBpeEncSql = {
+    val toks = s"regexp_extract_all(replace(text, chr(1), ''), '${TextFns.bpeTokenPat}')"
+    val applied = (1 to bpeEncN).foldLeft("enc") { (acc, i) =>
+      s"replace($acc, (SELECT srch FROM m WHERE rn = $i), " +
+        s"(SELECT repl FROM m WHERE rn = $i))"
+    }
+    s"""WITH m AS (
+       |  SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) AS srch,
+       |    chr(1) || a || b || chr(1) AS repl,
+       |    row_number() OVER (ORDER BY cnt DESC, a, b) AS rn
+       |  FROM (
+       |    SELECT p.a AS a, p.b AS b, COUNT(*) AS cnt FROM (
+       |      SELECT unnest(list_transform(range(1, len(tk)),
+       |        i -> {'a': tk[i], 'b': tk[i + 1]})) AS p
+       |      FROM (SELECT $toks AS tk FROM documents)
+       |      WHERE len(tk) >= 2)
+       |    GROUP BY p.a, p.b)
+       |  ORDER BY cnt DESC, a, b LIMIT $bpeEncN),
+       |base AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok_before,
+       |    chr(1) || array_to_string(tk, chr(1) || chr(1)) || chr(1) AS enc
+       |  FROM (SELECT doc_id, $toks AS tk FROM documents)
+       |  WHERE len(tk) >= 1),
+       |enc2 AS (
+       |  SELECT doc_id, n_tok_before,
+       |    CAST((length(e) - length(replace(e, chr(1), ''))) // 2 AS BIGINT)
+       |      AS n_tok_after
+       |  FROM (SELECT doc_id, n_tok_before, $applied AS e FROM base))
+       |SELECT doc_id, n_tok_before, n_tok_after,
+       |  n_tok_before - n_tok_after AS n_merged,
+       |  n_tok_after * 1000000 // n_tok_before AS ratio_ppm
+       |FROM enc2 ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- o9
 
   /** O9: k-center greedy diversity sampling (Gonzalez farthest-point
@@ -799,6 +886,7 @@ object ScaleQueries {
     "t_cms_heavy" -> tCms,
     "t_split_contamination" -> tSplitContam,
     "t_bpe_merge_pairs" -> tBpePairs,
+    "t_bpe_encode" -> tBpeEnc,
     "o9_kcenter_diverse" -> o9,
     "o10_token_budget" -> o10,
     "o11_temperature_mix" -> o11,
@@ -820,6 +908,7 @@ object ScaleQueries {
     "t_cms_heavy" -> tCmsSql,
     "t_split_contamination" -> tSplitContamSql,
     "t_bpe_merge_pairs" -> tBpePairsSql,
+    "t_bpe_encode" -> tBpeEncSql,
     "o9_kcenter_diverse" -> o9Sql,
     "o10_token_budget" -> o10Sql,
     "o11_temperature_mix" -> o11Sql,

@@ -1054,6 +1054,47 @@ object SignalQueries {
       |    END AS BIGINT) AS r2_ppm
       |FROM sums ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------- w19_ewma_smooth
+
+  /** W19: per-user integer EWMA (α = 1/4) of the value series with a
+    * spike count — see [[graft.operators.EwmaOps]] for the recurrence
+    * and why truncation == floor here. One shuffle on user_id; the fold
+    * is a per-user typed `mapGroups` (the w17 bounded-group class), and
+    * the oracle replays the identical arithmetic as a rank-stepped
+    * recursive CTE. */
+  private val w19: Q = (s, dir) => {
+    import s.implicits._
+    Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"), col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (u, it) =>
+        val (n, sFinal, spikes) = graft.operators.EwmaOps.fold(
+          it.toSeq.sortBy(t => (t._2, t._3)).iterator.map(_._4))
+        (u, n, sFinal, spikes)
+      }
+      .toDF("user_id", "n_events", "ewma_cents", "n_spikes")
+      .orderBy("user_id")
+  }
+  private val w19Sql =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE value IS NOT NULL),
+      |nn AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY user_id),
+      |step AS (
+      |  SELECT user_id, rn, v AS s, CAST(0 AS BIGINT) AS spikes
+      |  FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, (3 * st.s + e.v) // 4,
+      |    st.spikes + CASE WHEN e.v > 2 * st.s THEN 1 ELSE 0 END
+      |  FROM ev e JOIN step st ON e.user_id = st.user_id AND e.rn = st.rn + 1)
+      |SELECT st.user_id, n AS n_events, st.s AS ewma_cents,
+      |  st.spikes AS n_spikes
+      |FROM step st JOIN nn USING (user_id) WHERE st.rn = n
+      |ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------ a33_key_skew_audit
 
   /** A33: join-key skew audit — the pre-flight report that decides
@@ -1146,6 +1187,7 @@ object SignalQueries {
     "w18_forward_fill" -> w18,
     "a32_ols_trend" -> a32,
     "a33_key_skew_audit" -> a33,
+    "w19_ewma_smooth" -> w19,
     "a34_retention_cohorts" -> a34,
     "emb_power_iter" -> pi,
     "w13_cusum" -> w13,
@@ -1171,6 +1213,7 @@ object SignalQueries {
     "w18_forward_fill" -> w18Sql,
     "a32_ols_trend" -> a32Sql,
     "a33_key_skew_audit" -> a33Sql,
+    "w19_ewma_smooth" -> w19Sql,
     "a34_retention_cohorts" -> a34Sql,
     "emb_power_iter" -> piSql,
     "w13_cusum" -> w13Sql,

@@ -281,6 +281,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(draw().toSeq == got.toSeq) // deterministic rerun
   }
 
+  test("t_bpe_encode: hand-traced merges — greedy leftmost non-overlap, " +
+      "no cross-token-boundary matches, exact compression accounting") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    // tokens: doc1 [a b a b], doc2 [a b c]. pair counts: (a,b)=3,
+    // (b,a)=1, (b,c)=1 -> ranked merges (a,b), (b,a), (b,c).
+    Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("t_bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc1: (a,b) merges twice -> [ab ab]; "aba b" overlap must NOT merge
+    assert(got(1L) == ((4L, 2L, 2L, 500000L)), got(1L))
+    // doc2: [ab c]; the later (b,c) merge must not fire on ab's inner b
+    assert(got(2L) == ((3L, 2L, 1L, 666666L)), got(2L))
+  }
+
+  test("dedup_url_canonical: five messy variants canonicalize together, " +
+      "the sixth stays distinct; keep-first keeper") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_url").toString
+    (0L to 11L).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = graft.SparkEntry.queries("dedup_url_canonical")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getBoolean(3),
+        r.getLong(4)))
+    val byKey = got.map(x => x._1 -> x).toMap
+    // group N=0: keys 0..4 share one canonical, keeper 0
+    val canon0 = byKey(0L)._2
+    assert(canon0 == "https://host.example.com/a/b?id=0", canon0)
+    (0L to 4L).foreach { k =>
+      assert(byKey(k)._2 == canon0 && byKey(k)._4 == 0L)
+      assert(byKey(k)._3 == (k == 0L))
+    }
+    // key 5 is a different resource, its own keeper
+    assert(byKey(5L)._2 == "https://other.example.com/p?id=0")
+    assert(byKey(5L)._3 && byKey(5L)._4 == 5L)
+    // second group maps to id=1, keeper 6
+    assert(byKey(7L)._2 == "https://host.example.com/a/b?id=1")
+    assert(byKey(7L)._4 == 6L)
+  }
+
   test("t_kmv_join_card: below-k sides degrade to exact counts end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kmvjc").toString
     // A: keys 1..10, each twice (20 rows). B('F'): keys 6..12. inter = 5.

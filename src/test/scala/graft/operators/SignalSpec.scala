@@ -615,6 +615,25 @@ class SignalSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, None, None)), got(3L))
   }
 
+  // ------------------------------------------------- w19_ewma_smooth
+
+  test("w19_ewma_smooth: hand-traced integer EWMA with spike counting; " +
+      "single-event users pass their value through") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      // s1=400; 4000 > 800 spike, s2=(1200+4000)/4=1300;
+      // 400 < 2600 no spike, s3=(3900+400)/4=1075
+      (1L, 1L, ts(0), "v", 4.0), (2L, 1L, ts(1), "v", 40.0),
+      (3L, 1L, ts(2), "v", 4.0),
+      (4L, 2L, ts(0), "v", 7.5)) // single event: s = 750, no spikes
+    val got = graft.SparkEntry.queries("w19_ewma_smooth")(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(1L -> ((3L, 1075L, 1L)), 2L -> ((1L, 750L, 0L))), got)
+    // kernel edge: empty fold is the (0,0,0) identity
+    assert(EwmaOps.fold(Iterator.empty) == ((0L, 0L, 0L)))
+  }
+
   // ------------------------------------------------ a33_key_skew_audit
 
   test("a33_key_skew_audit: hand-traced counts, shares, skew ratio, and " +
