@@ -19,20 +19,24 @@ package graft.operators
   */
 object EwmaOps {
 
+  /** The fold state: event count, current smoothed value, spike count.
+    * Shared by the batch typed fold and the streaming operator
+    * ([[graft.streaming.StreamingEwma]]) so batch/stream parity holds by
+    * construction (the w13/w17 convention). */
+  final case class St(n: Long, s: Long, spikes: Long)
+
+  val emptySt: St = St(0L, 0L, 0L)
+
+  /** One recurrence step. */
+  def step(st: St, v: Long): St =
+    if (st.n == 0L) St(1L, v, 0L)
+    else St(st.n + 1L, (3L * st.s + v) / 4L,
+      st.spikes + (if (v > 2L * st.s) 1L else 0L))
+
   /** Fold an ORDERED value iterator; returns (n, final s, n_spikes).
     * Empty input → (0, 0, 0) (callers drop empty groups upstream). */
   def fold(vs: Iterator[Long]): (Long, Long, Long) = {
-    var n = 0L
-    var s = 0L
-    var spikes = 0L
-    vs.foreach { v =>
-      if (n == 0L) s = v
-      else {
-        if (v > 2L * s) spikes += 1L
-        s = (3L * s + v) / 4L
-      }
-      n += 1L
-    }
-    (n, s, spikes)
+    val st = vs.foldLeft(emptySt)(step)
+    (st.n, st.s, st.spikes)
   }
 }

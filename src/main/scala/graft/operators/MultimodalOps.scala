@@ -101,6 +101,26 @@ object MultimodalOps {
     }(Encoders.product[VadSeg]).toDF()
   }
 
+  final case class ImgHash(path: String, hash_hi: Long, hash_lo: Long)
+
+  /** Pixel-level perceptual hash per image blob ([[ImageOps]]: real
+    * 24bpp BMP decode + 8×8 average hash as two non-negative BIGINT
+    * halves). Undecodable blobs emit nothing (probe-guard rule).
+    * Row-local; the downstream near-dup join bands on hash_hi. */
+  def imageAHash(df: DataFrame, pathCol: String, contentCol: String): DataFrame = {
+    val in = df.select(col(pathCol).cast("string"), col(contentCol))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        ImageOps.decodeBmp24Gray(r.getAs[Array[Byte]](1)) match {
+          case Some((w, h, gray)) =>
+            val (hi, lo) = ImageOps.aHash(w, h, gray)
+            Iterator.single(ImgHash(r.getString(0), hi, lo))
+          case None => Iterator.empty
+        }
+      }
+    }(Encoders.product[ImgHash]).toDF()
+  }
+
   final case class Mp3Info(
     path: String, version: String, layer: Int, bitrate_kbps: Int,
     sample_rate: Int, channels: Int, n_frames: Long, n_samples: Long,

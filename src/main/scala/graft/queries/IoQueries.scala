@@ -476,6 +476,91 @@ object IoQueries {
        |  CAST(MAX(f) + 1 - MIN(f) AS INT) AS n_frames
        |FROM isl GROUP BY fname, g ORDER BY fname, seg_idx""".stripMargin
 
+  /** aHash fixture BMPs: REAL 24bpp bottom-up bitmaps (54-byte headers,
+    * BGR rows padded to 4 bytes), 32×24, pixel gray from the
+    * filename-encoded formula g(x,y) = (7x + 13y + 31·seed) mod 256,
+    * all three channels equal. v0/v1 are pixel-identical (planted exact
+    * perceptual dups under different names); v2 (seeds 1–2 only) adds
+    * +128 on the single (0,0) sample point — a NEAR dup whose hash
+    * Hamming distance the oracle derives from the same formula. */
+  private def genAhashBmps(base: String): Unit = {
+    val (w, h) = (32, 24)
+    val stride = ((3 * w + 3) / 4) * 4
+    for (seed <- 1 to 5; variant <- 0 to 2
+         if variant < 2 || seed <= 2) {
+      val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+        .putInt(0).putInt(54)
+        .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      // bottom-up row order, as real BMP writers emit
+      for (y <- h - 1 to 0 by -1) {
+        for (x <- 0 until w) {
+          val g = ((7 * x + 13 * y + 31 * seed +
+            (if (variant == 2 && x == 0 && y == 0) 128 else 0)) % 256).toByte
+          bb.put(g).put(g).put(g)
+        }
+        (3 * w until stride).foreach(_ => bb.put(0.toByte))
+      }
+      Files.write(Paths.get(base, s"img_s${seed}_v$variant.bmp"), bb.array())
+    }
+  }
+
+  /** MM-AHASH: pixel-level image near-dup — real BMP decode, 8×8
+    * average hash ([[graft.operators.ImageOps]]), candidates banded on
+    * the hash's hi half (the simhash-prefix discipline: renamed exact
+    * dups always collide, near dups collide when their hi bits agree),
+    * Hamming ≤ 10 on the lo half confirms. The oracle never decodes a
+    * byte: it recomputes every sampled gray from the filename-encoded
+    * formula, rebuilds both hash halves with the identical bit packing,
+    * and replays the banded join. */
+  private val mmAhash: Q = (s, dir) => {
+    val d = fixDir("mm_ahash")
+    genAhashBmps(d)
+    val files = s.read.format("binaryFile").load(d + "/*.bmp")
+    val hs = MultimodalOps.imageAHash(files, "path", "content")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("hash_hi"), col("hash_lo"))
+    val a = hs.select(col("fname").as("fname_a"), col("hash_hi"),
+      col("hash_lo").as("lo_a"))
+    val b = hs.select(col("fname").as("fname_b"), col("hash_hi"),
+      col("hash_lo").as("lo_b"))
+    a.join(b, Seq("hash_hi")).filter(col("fname_a") < col("fname_b"))
+      .select(col("fname_a"), col("fname_b"),
+        expr("CAST(bit_count(lo_a ^ lo_b) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 10)
+      .orderBy("fname_a", "fname_b")
+  }
+  private val mmAhashSql =
+    s"""WITH f AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+       |    CAST(regexp_extract(filename, '_s(\\d+)_', 1) AS BIGINT) AS seed,
+       |    CAST(regexp_extract(filename, '_v(\\d+)\\.', 1) AS BIGINT) AS variant
+       |  FROM read_blob('$fixRoot/mm_ahash/*.bmp')),
+       |samp AS (
+       |  SELECT fname, 8 * i + j AS b,
+       |    (7 * (j * 4) + 13 * (i * 3) + 31 * seed +
+       |     CASE WHEN variant = 2 AND i = 0 AND j = 0
+       |          THEN 128 ELSE 0 END) % 256 AS v
+       |  FROM f, range(0, 8) t1(i), range(0, 8) t2(j)),
+       |m AS (SELECT fname, CAST(SUM(v) // 64 AS BIGINT) AS mean
+       |      FROM samp GROUP BY fname),
+       |bits AS (
+       |  SELECT s.fname,
+       |    CAST(SUM(CASE WHEN v > mean AND b >= 32
+       |      THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS BIGINT) AS hash_hi,
+       |    CAST(SUM(CASE WHEN v > mean AND b < 32
+       |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS hash_lo
+       |  FROM samp s JOIN m USING (fname) GROUP BY s.fname)
+       |SELECT a.fname AS fname_a, b2.fname AS fname_b,
+       |  CAST(bit_count(xor(a.hash_lo, b2.hash_lo)) AS INT) AS hamming
+       |FROM bits a JOIN bits b2
+       |  ON a.hash_hi = b2.hash_hi AND a.fname < b2.fname
+       |WHERE bit_count(xor(a.hash_lo, b2.hash_lo)) <= 10
+       |ORDER BY fname_a, fname_b""".stripMargin
+
   private val mmBin: Q = (s, dir) => {
     val d = fixDir("mm_bin")
     genTree(d)
@@ -817,6 +902,7 @@ object IoQueries {
     "io_s16_jsonl_gz" -> s16,
     "mm_wav_probe" -> mmWav,
     "mm_audio_vad" -> mmVad,
+    "mm_image_ahash" -> mmAhash,
     "mm_mp3_probe" -> mmMp3,
     "mm_bin_features" -> mmBin,
     "mm_image_probe" -> mmImage,
@@ -843,6 +929,7 @@ object IoQueries {
     "io_s16_jsonl_gz" -> s16Sql,
     "mm_wav_probe" -> mmWavSql,
     "mm_audio_vad" -> mmVadSql,
+    "mm_image_ahash" -> mmAhashSql,
     "mm_mp3_probe" -> mmMp3Sql,
     "mm_bin_features" -> mmBinSql,
     "mm_image_probe" -> mmImageSql,

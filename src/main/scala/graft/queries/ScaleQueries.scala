@@ -805,6 +805,53 @@ object ScaleQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ o21_compaction_plan
+
+  /** O21: small-files compaction planner — THE table-maintenance job a
+    * 100 TB lake runs nightly: per table partition, pack the small files
+    * (in file-id order) into ~128 MB output bins and report each bin's
+    * file count, byte total, id range, and fill. Bin assignment is the
+    * w7 prefix-sum arithmetic on byte sizes (a file belongs to the bin
+    * of its starting byte, so a bin can overshoot by at most one file —
+    * the defined packing rule); the plan is one per-partition window +
+    * one aggregate, both on the same key. Sizes are synthesized
+    * deterministically from orders (1–41 MB — the pathological
+    * small-file regime). */
+  private val o21TargetB = 134217728L // 128 MiB
+  private val o21: Q = (s, dir) => {
+    val files = t(s, dir, "orders").select(
+      col("o_orderkey").as("file_id"),
+      concat(lit("p"), col("o_orderkey") % 8).as("part"),
+      (lit(1000000L) + (col("o_orderkey") * 7919L) % 40000000L).as("size_bytes"))
+    PackOps.packSequences(files, "part", Seq("file_id"), col("size_bytes"),
+        o21TargetB.toInt)
+      .groupBy(col("part"), col("seq_first").as("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_tok")).as("total_bytes"),
+        min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+      .withColumn("fill_ppm", expr(s"total_bytes * 1000000 div $o21TargetB"))
+      .orderBy("part", "bin")
+  }
+  private val o21Sql =
+    s"""WITH f AS (
+       |  SELECT o_orderkey AS file_id,
+       |    'p' || CAST(o_orderkey % 8 AS VARCHAR) AS part,
+       |    1000000 + (o_orderkey * 7919) % 40000000 AS size_bytes
+       |  FROM orders),
+       |c AS (
+       |  SELECT part, file_id, size_bytes,
+       |    CAST(SUM(size_bytes) OVER (PARTITION BY part ORDER BY file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - size_bytes AS start_b
+       |  FROM f)
+       |SELECT part, start_b // $o21TargetB AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+       |  CAST(MIN(file_id) AS BIGINT) AS first_file,
+       |  CAST(MAX(file_id) AS BIGINT) AS last_file,
+       |  CAST(SUM(size_bytes) AS BIGINT) * 1000000 // $o21TargetB AS fill_ppm
+       |FROM c GROUP BY part, start_b // $o21TargetB
+       |ORDER BY part, bin""".stripMargin
+
   // --------------------------------------------------------- pipe (flagship)
 
   /** End-to-end pre-training pass, composed from the verified operators
@@ -891,6 +938,7 @@ object ScaleQueries {
     "o10_token_budget" -> o10,
     "o11_temperature_mix" -> o11,
     "o20_stratified_split" -> o20,
+    "o21_compaction_plan" -> o21,
     "pipe_pretrain_pack" -> pipe)
 
   val oracle: Map[String, String] = Map(
@@ -913,6 +961,7 @@ object ScaleQueries {
     "o10_token_budget" -> o10Sql,
     "o11_temperature_mix" -> o11Sql,
     "o20_stratified_split" -> o20Sql,
+    "o21_compaction_plan" -> o21Sql,
     "pipe_pretrain_pack" -> pipeSql)
 
   /** Sort-free forms for the bench (global ORDER BY exists only for the

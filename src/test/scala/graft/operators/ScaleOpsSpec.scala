@@ -321,6 +321,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(byKey(7L)._4 == 6L)
   }
 
+  test("o21_compaction_plan: bins replay the prefix-sum arithmetic; " +
+      "every file lands in exactly one bin of its partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_o21").toString
+    (1L to 40L).toDF("o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.SparkEntry.queries("o21_compaction_plan")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    // Scala replay of the defined arithmetic
+    val target = 134217728L
+    val files = (1L to 40L).map(k =>
+      (s"p${k % 8}", k, 1000000L + (k * 7919L) % 40000000L))
+    val want = files.groupBy(_._1).flatMap { case (p, fs) =>
+      val sorted = fs.sortBy(_._2)
+      val starts = sorted.scanLeft(0L)(_ + _._3).init
+      sorted.zip(starts).groupBy { case (_, st) => st / target }
+        .map { case (bin, xs) =>
+          (p, bin) -> (xs.size.toLong, xs.map(_._1._3).sum,
+            xs.map(_._1._2).min, xs.map(_._1._2).max,
+            xs.map(_._1._3).sum * 1000000L / target)
+        }
+    }
+    assert(got == want, s"got $got want $want")
+    assert(got.values.map(_._1).sum == 40L) // every file binned once
+  }
+
   test("t_kmv_join_card: below-k sides degrade to exact counts end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kmvjc").toString
     // A: keys 1..10, each twice (20 rows). B('F'): keys 6..12. inter = 5.

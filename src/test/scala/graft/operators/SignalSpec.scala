@@ -634,6 +634,43 @@ class SignalSpec extends AnyFunSuite {
     assert(EwmaOps.fold(Iterator.empty) == ((0L, 0L, 0L)))
   }
 
+  test("StreamingEwma: final per-user state equals the w19 batch fold " +
+      "across a mid-history micro-batch boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingEwma
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, 1L, ts(0), "v", 4.0), (2L, 1L, ts(1), "v", 40.0),
+      (3L, 1L, ts(2), "v", 4.0), (4L, 1L, ts(3), "v", 12.0),
+      (5L, 2L, ts(0), "v", 7.5), (6L, 2L, ts(1), "v", 7.5))
+    val evs = rows.map(r => StreamingEwma.Ev(r._2, r._3.getTime * 1000, r._1,
+      math.floor(r._5 * 100).toLong))
+    val mem = MemoryStream[StreamingEwma.Ev]
+    val q = StreamingEwma.ewma(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(evs.take(3): _*) // user 1's history splits 2 | 2
+      q.processAllAvailable()
+      mem.addData(evs.drop(3): _*)
+      q.processAllAvailable()
+      val finalPerUser = spark.table("ewma_out")
+        .as[StreamingEwma.Out].collect()
+        .groupBy(_.user_id)
+        .map { case (u, outs) => u -> outs.maxBy(_.n_events) }
+      val batch = graft.SparkEntry.queries("w19_ewma_smooth")(
+          spark, eventsDir(rows))
+        .collect().map(r => r.getLong(0) ->
+          StreamingEwma.Out(r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+        .toMap
+      assert(finalPerUser == batch, s"stream $finalPerUser != batch $batch")
+      assert(batch(1L).n_spikes == 1L)
+    } finally q.stop()
+  }
+
   // ------------------------------------------------ a33_key_skew_audit
 
   test("a33_key_skew_audit: hand-traced counts, shares, skew ratio, and " +
