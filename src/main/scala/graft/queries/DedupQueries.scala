@@ -1057,6 +1057,66 @@ object DedupQueries {
     * driver-checked number (and RecallSpec pins floors). Counts are kept
     * as integers and recall as basis points (n_hits * 10000 // n_brute)
     * so the hash-compare never meets a float rounding edge. */
+  // ----------------------------------------------------- ann_trunc_recall
+
+  /** ANN-TRUNC: dimension-truncation recall audit — brute-force top-5
+    * over only the first d of 64 embedding dimensions, measured against
+    * the full-dimension truth (the Matryoshka/MRL serving question: how
+    * many dims can the first-stage retriever drop and still recall the
+    * true neighbors it will re-rank?). Same harness as `ann_recall`
+    * (bounded truth set checkpointed once, semi-join hit counting);
+    * the truncated scorer is the identical cosine kernel on
+    * slice(embedding, 1, d), so the oracle replays it by bounding the
+    * fold range at d. */
+  private val annTruncDims = Seq(8, 16, 32)
+  private val annTrunc: Q = (s, dir) => {
+    val e = Tables.fanOut(t(s, dir, "embeddings"))
+    val q20 = e.filter(col("vec_id") < 20)
+    val brute = SimilarityOps.bruteTopK(q20, e, "vec_id", "embedding", 5)
+      .select("q_id", "c_id").localCheckpoint(true)
+    def rec(d: Int): DataFrame = {
+      def tr(df: DataFrame) =
+        df.withColumn("embedding", expr(s"slice(embedding, 1, $d)"))
+      val m = SimilarityOps.bruteTopK(tr(q20), tr(e), "vec_id", "embedding", 5,
+        dim = d)
+      val hits = brute.join(m.select("q_id", "c_id"),
+        Seq("q_id", "c_id"), "left_semi")
+      brute.agg(count(lit(1)).as("n_brute"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(d).as("dim"), col("n_brute"), col("n_hits"),
+          floor(col("n_hits") * 10000 / col("n_brute")).cast("long")
+            .as("recall_bp"))
+    }
+    annTruncDims.map(rec).reduce(_ unionByName _).orderBy("dim")
+  }
+  private val annTruncSql = {
+    def dotD(a: String, b: String, d: Int) =
+      s"list_reduce(list_transform(range(1, ${d + 1}), j -> " +
+        s"CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE)), (x, y) -> x + y)"
+    def bruteD(name: String, d: Int) =
+      s"""$name AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY
+         |        ${dotD("qv", "cv", d)} /
+         |        (sqrt(${dotD("qv", "qv", d)}) * sqrt(${dotD("cv", "cv", d)})) DESC,
+         |        c_id) AS rank
+         |    FROM q, c WHERE q_id <> c_id) WHERE rank <= 5)""".stripMargin
+    val recs = annTruncDims.map { d =>
+      s"""SELECT CAST($d AS INT) AS dim,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM brute) AS n_brute,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM brute b
+         |     JOIN t$d USING (q_id, c_id)) AS n_hits""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id < 20),
+       |c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+       |${bruteD("brute", 64)},
+       |${annTruncDims.map(d => bruteD(s"t$d", d)).mkString(",\n")}
+       |SELECT dim, n_brute, n_hits,
+       |  n_hits * 10000 // n_brute AS recall_bp
+       |FROM ($recs) ORDER BY dim""".stripMargin
+  }
+
   private val annRecall: Q = (s, dir) => {
     val e = Tables.fanOut(t(s, dir, "embeddings"))
     val q20 = e.filter(col("vec_id") < 20)
@@ -1633,7 +1693,8 @@ object DedupQueries {
     "ann_kmeans_cells" -> annKmeans,
     "dedup_semantic" -> dedupSemantic,
     "dedup_url_canonical" -> dedupUrlCanonical,
-    "ann_recall" -> annRecall)
+    "ann_recall" -> annRecall,
+    "ann_trunc_recall" -> annTrunc)
 
   val oracle: Map[String, String] = Map(
     "dedup_containment" -> dedupContainmentSql,
@@ -1663,5 +1724,6 @@ object DedupQueries {
     "ann_kmeans_cells" -> annKmeansSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_url_canonical" -> dedupUrlCanonicalSql,
-    "ann_recall" -> annRecallSql)
+    "ann_recall" -> annRecallSql,
+    "ann_trunc_recall" -> annTruncSql)
 }

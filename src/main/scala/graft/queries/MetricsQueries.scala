@@ -715,6 +715,85 @@ object MetricsQueries {
        |  CAST(MIN(v) AS BIGINT) AS min_node, CAST(MAX(v) AS BIGINT) AS max_node
        |FROM l2 GROUP BY label ORDER BY community""".stripMargin
 
+  // ---------------------------------------------------------------- g8
+
+  /** G8: modularity of the g6 label-propagation communities — the
+    * quality score that says whether the detected communities are
+    * denser than chance (Newman's Q). Exact integer form: with m total
+    * edges, intra-community edge counts m_c and community degree mass
+    * D_c,   Q·4m² = Σ_c (4·m·m_c − D_c²),
+    * so every community's contribution and the global Q render as
+    * ppm via one HUGEINT/DECIMAL(38,0) cross-multiplied floor division
+    * — no per-community float accumulates. Negative contributions
+    * (sparser than chance) divide identically in both engines: Spark
+    * `div` and DuckDB `//` both truncate toward zero.
+    *
+    * Shape: the canonical edge list is checkpointed once and feeds the
+    * label rounds, the intra-edge classification (two keyed label
+    * joins), and the degree mass; m is one driver-side count of the
+    * checkpointed edges (bounded model state, the a25 rule). */
+  private val g8: Q = (s, dir) => {
+    // coEdges emits one row PER SHARED ORDER; modularity is over the
+    // simple graph, so collapse to distinct pairs (already p1 < p2) —
+    // triangleStats/labelPropagation do the same internally.
+    val e = coEdges(s, dir).distinct().localCheckpoint(true)
+    val labels = graft.operators.GraphOps
+      .labelPropagation(e, "p1", "p2", rounds = 2).localCheckpoint(true)
+    val m = e.count()
+    val dec = s"CAST($m AS DECIMAL(38,0))"
+    val intra = e
+      .join(labels.select(col("v").as("p1"), col("label").as("la")), Seq("p1"))
+      .join(labels.select(col("v").as("p2"), col("label").as("lb")), Seq("p2"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("m_intra"))
+    val deg = e.select(col("p1").as("v")).union(e.select(col("p2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val degC = deg.join(labels, Seq("v"))
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("deg_sum"))
+    val per = degC.join(intra, Seq("community"), "left")
+      .withColumn("m_intra", coalesce(col("m_intra"), lit(0L)))
+      .withColumn("num", expr(
+        s"4 * $dec * m_intra - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum"))
+    val qTot = per.agg(expr(
+      s"CAST(sum(num) * 1000000 div (4 * $dec * $m) AS BIGINT)")
+      .as("q_total_ppm"))
+    per.crossJoin(broadcast(qTot))
+      .select(col("community"), col("n_nodes"), col("m_intra"), col("deg_sum"),
+        expr(s"CAST(num * 1000000 div (4 * $dec * $m) AS BIGINT)")
+          .as("contrib_ppm"),
+        col("q_total_ppm"))
+      .orderBy("community")
+  }
+  private val g8Sql =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e AS (SELECT DISTINCT a.p AS p1, b.p AS p2
+       |      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+       |sym AS (SELECT p1 AS src, p2 AS dst FROM e
+       |        UNION ALL SELECT p2, p1 FROM e),
+       |l0 AS (SELECT DISTINCT src AS v, src AS label FROM sym),
+       |${(1 to 2).map(g6Round).mkString(",\n")},
+       |mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM e),
+       |intra AS (
+       |  SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS m_intra
+       |  FROM e JOIN l2 la ON la.v = e.p1 JOIN l2 lb ON lb.v = e.p2
+       |  WHERE la.label = lb.label GROUP BY 1),
+       |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+       |  FROM (SELECT p1 AS v FROM e UNION ALL SELECT p2 FROM e) GROUP BY v),
+       |degc AS (
+       |  SELECT l2.label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(d) AS BIGINT) AS deg_sum
+       |  FROM deg JOIN l2 ON l2.v = deg.v GROUP BY 1),
+       |per AS (
+       |  SELECT community, n_nodes, COALESCE(m_intra, 0) AS m_intra, deg_sum,
+       |    4 * m * COALESCE(m_intra, 0) - CAST(deg_sum AS HUGEINT) * deg_sum AS num
+       |  FROM degc LEFT JOIN intra USING (community), mm),
+       |qt AS (SELECT SUM(num) AS snum FROM per)
+       |SELECT community, n_nodes, CAST(m_intra AS BIGINT) AS m_intra, deg_sum,
+       |  CAST(num * 1000000 // (4 * m * m) AS BIGINT) AS contrib_ppm,
+       |  CAST(snum * 1000000 // (4 * m * m) AS BIGINT) AS q_total_ppm
+       |FROM per, qt, mm ORDER BY community""".stripMargin
+
   // ------------------------------------------------- dedup_fuzzy_key
 
   /** FUZZY-KEY: entity resolution over dirty string keys — part-name
@@ -965,6 +1044,7 @@ object MetricsQueries {
     "w12_gap_stats" -> w12,
     "g3_assortativity" -> g3,
     "g6_label_prop" -> g6,
+    "g8_modularity" -> g8,
     "dedup_fuzzy_key" -> fuzzy,
     "t_psi_drift" -> psi,
     "t_heaps_slope" -> tHeaps,
@@ -989,6 +1069,7 @@ object MetricsQueries {
     "w12_gap_stats" -> w12Sql,
     "g3_assortativity" -> g3Sql,
     "g6_label_prop" -> g6Sql,
+    "g8_modularity" -> g8Sql,
     "dedup_fuzzy_key" -> fuzzySql,
     "t_psi_drift" -> psiSql,
     "t_heaps_slope" -> tHeapsSql,

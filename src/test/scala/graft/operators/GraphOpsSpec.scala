@@ -115,4 +115,46 @@ class GraphOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 6L), s"got $got")
   }
+
+  test("g8_modularity: hand-traced Q on a triangle plus an isolated edge " +
+      "(including the negative sparser-than-chance contributions)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_g8").toString
+    // order 100 buys parts {1,2,3} -> triangle; order 200 buys {4,5}
+    Seq((100L, 1L), (100L, 2L), (100L, 3L), (200L, 4L), (200L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.SparkEntry.queries("g8_modularity")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // 2-round LP: triangle collapses to label 1; the 4-5 pair OSCILLATES
+    // into two singleton communities (documented LP artifact the score
+    // correctly penalizes). m=4, 4m^2=64:
+    //   c1: 4*4*3 - 6^2 = 12 -> 187500 ppm
+    //   c4, c5: 0 - 1 = -1 -> -15625 ppm (truncation toward zero)
+    //   Q = 10/64 -> 156250 ppm
+    assert(got == Map(
+      1L -> ((3L, 3L, 6L, 187500L, 156250L)),
+      4L -> ((1L, 0L, 1L, -15625L, 156250L)),
+      5L -> ((1L, 0L, 1L, -15625L, 156250L))), got)
+  }
+
+  test("ann_trunc_recall: lossless truncation (energy only in the first " +
+      "8 dims) recalls 100% at every truncation depth") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_trunc").toString
+    val rows = (0L until 30L).map { i =>
+      val v = Array.tabulate(64)(j =>
+        if (j < 8) ((i * 37 + j * 11) % 97 + 1).toFloat else 0.0f)
+      (i, v, (i % 3).toInt)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.SparkEntry.queries("ann_trunc_recall")(spark, dir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got.keySet == Set(8, 16, 32))
+    got.foreach { case (d, (nBrute, bp)) =>
+      assert(nBrute == 100L, s"dim $d truth size $nBrute") // 20 queries x 5
+      assert(bp == 10000L, s"dim $d recall $bp — truncation was lossless")
+    }
+  }
 }
