@@ -667,4 +667,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"t_jsd's only join is the 1-row totals broadcast:\n${p.take(700)}")
   }
+
+  test("session-6 operators plan no cartesian product (1-row broadcast " +
+      "crosses are the only nested loops)") {
+    for (q <- Seq("w18_forward_fill", "a32_ols_trend", "t_kmv_join_card",
+        "o20_stratified_split", "a33_key_skew_audit", "a34_retention_cohorts",
+        "t_bpe_encode", "dedup_url_canonical", "w19_ewma_smooth",
+        "mm_image_ahash", "o21_compaction_plan", "g8_modularity",
+        "ann_trunc_recall")) {
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q plans a cartesian product")
+    }
+  }
+
+  test("image near-dup joins on the hash band, never a nested loop") {
+    val p = plan("mm_image_ahash")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"banding lost:\n${p.take(600)}")
+  }
+
+  test("session-6 windows are partitioned (no single-task window)") {
+    for ((q, key) <- Seq(
+        "w18_forward_fill" -> "user_id",
+        "a32_ols_trend" -> "user_id",
+        "o20_stratified_split" -> "lang",
+        "o21_compaction_plan" -> "part",
+        "dedup_url_canonical" -> "canonical")) {
+      val p = plan(q)
+      val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+      assert(winLines.nonEmpty, s"$q has no window")
+      assert(winLines.forall(_.contains(key)),
+        s"$q window not partitioned by $key:\n${winLines.mkString("\n")}")
+    }
+  }
 }
