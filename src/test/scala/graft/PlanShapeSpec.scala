@@ -605,16 +605,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrdered"), "g7 must TakeOrdered its top-k")
   }
 
-  test("median/MAD: both rank passes use range exchanges, not data-row windows") {
+  test("median/MAD: cumulative windows run over VALUE HISTOGRAMS, never " +
+      "data rows (the round-8 histogram rewrite, 1.5 -> 0.7 s)") {
     val p = plan("a23_median_mad")
-    // The printed tree repeats the med/nn subtrees per consumer (ReuseExchange
-    // collapses identical exchanges at execution) — require the range
-    // exchanges EXIST and that no hash-keyed data shuffle replaced them.
-    assert("Exchange rangepartitioning".r.findAllIn(p).size >= 2,
-      s"a23 must range-partition each rank pass:\n${p.take(900)}")
+    // Each median pass is a map-side-combined value histogram (hash
+    // aggregate keyed on the value) whose output feeds the cumulative
+    // window — so every Window in the tree must have a HashAggregate
+    // below it (parents print first), and no range exchange of data
+    // rows may reappear.
     val winIdx = p.indexOf("Window")
-    assert(winIdx < 0 || p.indexOf("HashAggregate", winIdx) >= 0,
-      s"a23 windows must sit above stats aggregates only:\n${p.take(900)}")
+    assert(winIdx >= 0, "a23 lost its cumulative window")
+    assert(p.indexOf("HashAggregate", winIdx) >= 0,
+      s"a23 window must consume the value histogram:\n${p.take(900)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a23 regressed to a data-row rank sort:\n${p.take(900)}")
   }
 
   test("residual norms are row-local: no exchange but the harness sort, no join") {

@@ -671,6 +671,36 @@ class SignalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ----------------------------------------------------- a35_pr_curve
+
+  test("a35_pr_curve: hand-traced confusion counts per rung; precision " +
+      "NULLs when nothing is predicted positive") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, 1L, ts(0), "purchase", 60.0),  // 6000 cents
+      (2L, 1L, ts(1), "purchase", 110.0), // 11000
+      (3L, 2L, ts(2), "view", 40.0),      // 4000
+      (4L, 2L, ts(3), "view", 120.0))     // 12000
+    val got = graft.SparkEntry.queries("a35_pr_curve")(spark, eventsDir(rows))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toMap
+    assert(got.size == 8)
+    // t=5000: tp=2 fp=1 fn=0 -> p=2/3 r=1 f1=4/5
+    assert(got(5000L) == ((2L, 1L, 0L,
+      Some(666666L), Some(1000000L), Some(800000L))), got(5000L))
+    // t=10000: tp=1 (11000), fp=1 (12000), fn=1
+    assert(got(10000L) == ((1L, 1L, 1L,
+      Some(500000L), Some(500000L), Some(500000L))), got(10000L))
+    // t=15000..40000: nothing predicted positive
+    (3 to 8).foreach { k =>
+      assert(got(5000L * k) == ((0L, 0L, 2L, None, Some(0L), Some(0L))),
+        s"rung $k: ${got(5000L * k)}")
+    }
+  }
+
   // ------------------------------------------------ a33_key_skew_audit
 
   test("a33_key_skew_audit: hand-traced counts, shares, skew ratio, and " +
