@@ -82,26 +82,32 @@ object StatsOps {
     */
   def momentsFp(
       df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
-    // Per-row power terms stay in LONG — exact while |v| ≤ ~55 000
-    // (v⁴ < 2⁶³), which the n³·s4 < 10³⁸ caveat above already implies —
-    // and only the SUM lifts to DECIMAL(38,0), whose accumulator rides
-    // Decimal's compact-long fast path until it genuinely outgrows 18
-    // digits. Measured honestly at sf0.1: decimal-powers ≈ long-powers
-    // (1.8-2.1 s, VM noise) — the sums dominate, not the multiplies —
-    // and the real win was parallelising the SCAN (the registered query
-    // fans the narrow 2-column input to session width: 2.1 → 1.4 s);
-    // long powers are kept because they are never slower and skip the
-    // per-row precision-38 overflow checks entirely.
+    // Two-stage VALUE-HISTOGRAM form (round-8 rewrite). DECIMAL(38,0)
+    // aggregation buffers are not UnsafeRow-mutable, so a direct
+    // decimal-sum agg silently plans SortAggregate and SORTS EVERY DATA
+    // ROW by the group key (the a31_column_profile trap — measured
+    // 1.7 s at sf0.1). The measure is integral and |v| ≤ ~55 000 (the
+    // n³·s4 < 10³⁸ caveat above), so its value domain is bounded:
+    // stage 1 is a map-side-combined LONG-only HashAggregate keyed on
+    // (group, value) — histogram-sized output regardless of row count —
+    // and only stage 2's Σ c·vᵏ lifts to DECIMAL, sort-aggregating
+    // nothing bigger than the histogram. Measured: 1.7 → 0.7 s, same
+    // oracle-exact integers (the two groupings sum identically —
+    // addition is associative).
     val v = col("__v")
-    val sums = df.filter(col(valueCol).isNotNull)
+    val c = col("__c").cast("decimal(38,0)")
+    val hist = df.filter(col(valueCol).isNotNull)
       .withColumn("__v", col(valueCol).cast("long"))
+      .groupBy((groupCols.map(col) :+ v): _*)
+      .agg(count(lit(1)).as("__c"))
+    val sums = hist
       .groupBy(groupCols.map(col): _*)
       .agg(
-        count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum(v.cast("decimal(38,0)")).as("s1"),
-        sum((v * v).cast("decimal(38,0)")).as("s2"),
-        sum((v * v * v).cast("decimal(38,0)")).as("s3"),
-        sum((v * v * v * v).cast("decimal(38,0)")).as("s4"))
+        sum(c).as("n"),
+        sum(c * v).as("s1"),
+        sum(c * v * v).as("s2"),
+        sum(c * v * v * v).as("s3"),
+        sum(c * v * v * v * v).as("s4"))
     sums.select(
       groupCols.map(col) ++ Seq(
         col("n").cast("bigint").as("n"),

@@ -375,9 +375,12 @@ object MetricsQueries {
     * ≙ DuckDB HUGEINT; skew/kurt derived from the exact integers by a
     * fixed IEEE op sequence both engines replay bit-identically). */
   private val a17: Q = (s, dir) =>
+    // No fanOut since the histogram rewrite: the per-row map work is two
+    // long multiplies, so repartitioning every data row to session width
+    // costs more than it buys (the shuffle WAS the remaining time).
     graft.operators.StatsOps.momentsFp(
-        Tables.fanOut(t(s, dir, "lineitem")
-          .select(col("l_returnflag"), col("l_quantity").cast("bigint").as("q"))),
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast("bigint").as("q")),
         Seq("l_returnflag"), "q")
       .orderBy("l_returnflag")
   private val a17Sql =
