@@ -1101,6 +1101,106 @@ object SignalQueries {
       |FROM step st JOIN nn USING (user_id) WHERE st.rn = n
       |ORDER BY user_id""".stripMargin
 
+  // ----------------------------------------------------- a36_dq_audit
+
+  /** A36: declarative data-quality audit — the expectation-suite report
+    * (Great-Expectations-style) an ingest gate runs before promoting a
+    * batch: one row per constraint with its violation count. Five
+    * constraint SHAPES cover the standard families, each in its
+    * scale-correct plan:
+    *   not_null           — conditional count, map-side combined;
+    *   unique_key         — duplicate mass = Σ(c−1) over the key
+    *                        histogram (never a self-join);
+    *   foreign_key        — orphan count via LEFT ANTI to the parent
+    *                        keys (dims broadcast under AQE);
+    *   value_range        — conditional count on the scan;
+    *   enum_domain        — membership count against the literal set.
+    * The five 1-row aggregates union — at 100 TB the two lineitem
+    * checks share one scan via Spark's exchange/subplan reuse and the
+    * rest are independent narrow scans. */
+  private val a36: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    def row(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("check_name"),
+        col("n_violations").cast("long").as("n_violations"))
+    val notNull = row("lineitem_quantity_not_null",
+      li.agg(sum(when(col("l_quantity").isNull, 1L).otherwise(0L))
+        .as("n_violations")))
+    val unique = row("orders_orderkey_unique",
+      o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") - 1L).as("n_violations")))
+    val fk = row("lineitem_orderkey_fk",
+      li.select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_violations")))
+    val range = row("lineitem_quantity_range",
+      li.agg(sum(when(col("l_quantity") < 0 || col("l_quantity") > 100,
+        1L).otherwise(0L)).as("n_violations")))
+    val enumDom = row("lineitem_returnflag_enum",
+      li.agg(sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+        .otherwise(0L)).as("n_violations")))
+    Seq(notNull, unique, fk, range, enumDom).reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("check_name")
+  }
+  private val a36Sql =
+    """SELECT check_name, n_violations, n_violations = 0 AS passed FROM (
+      |  SELECT 'lineitem_quantity_not_null' AS check_name,
+      |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_violations FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders_orderkey_unique',
+      |    CAST(SUM(c - 1) AS BIGINT) FROM (
+      |      SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_orderkey_fk',
+      |    CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'lineitem_quantity_range',
+      |    CAST(SUM(CASE WHEN l_quantity < 0 OR l_quantity > 100
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_returnflag_enum',
+      |    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+      |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+      |ORDER BY check_name""".stripMargin
+
+  // ------------------------------------------------- w20_trending_topk
+
+  /** W20: per-hour trending event types — tumbling 1-hour windows (epoch
+    * micros div 3.6e9: exact integers, no timezone/session seam), top-3
+    * types per window by count with deterministic (count desc, type)
+    * tie-break. The real-time-analytics "trending now" query: one
+    * map-side-combined count keyed on (window, type) — histogram-sized —
+    * then a rank window over that aggregate, never over events. */
+  private val w20: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("hour_bucket"),
+        col("event_type"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("hour_bucket")
+          .orderBy(col("n_events").desc, col("event_type"))))
+      .filter(col("rank") <= 3)
+      .select(col("hour_bucket"), col("rank").cast("int").as("rank"),
+        col("event_type"), col("n_events"))
+      .orderBy("hour_bucket", "rank")
+  private val w20Sql =
+    """SELECT hour_bucket, CAST(rank AS INT) AS rank, event_type, n_events
+      |FROM (
+      |  SELECT hour_bucket, event_type, n_events,
+      |    row_number() OVER (PARTITION BY hour_bucket
+      |      ORDER BY n_events DESC, event_type) AS rank
+      |  FROM (
+      |    SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+      |      CAST(COUNT(*) AS BIGINT) AS n_events
+      |    FROM events GROUP BY 1, 2))
+      |WHERE rank <= 3 ORDER BY hour_bucket, rank""".stripMargin
+
   // ----------------------------------------------------- a35_pr_curve
 
   /** A35: precision/recall/F1 operating curve — the threshold-picking
@@ -1256,6 +1356,8 @@ object SignalQueries {
     "a33_key_skew_audit" -> a33,
     "w19_ewma_smooth" -> w19,
     "a35_pr_curve" -> a35,
+    "a36_dq_audit" -> a36,
+    "w20_trending_topk" -> w20,
     "a34_retention_cohorts" -> a34,
     "emb_power_iter" -> pi,
     "w13_cusum" -> w13,
@@ -1283,6 +1385,8 @@ object SignalQueries {
     "a33_key_skew_audit" -> a33Sql,
     "w19_ewma_smooth" -> w19Sql,
     "a35_pr_curve" -> a35Sql,
+    "a36_dq_audit" -> a36Sql,
+    "w20_trending_topk" -> w20Sql,
     "a34_retention_cohorts" -> a34Sql,
     "emb_power_iter" -> piSql,
     "w13_cusum" -> w13Sql,

@@ -671,6 +671,58 @@ class SignalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ----------------------------------------------------- a36_dq_audit
+
+  test("a36_dq_audit: every planted violation class is counted once; " +
+      "clean checks pass") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_a36").toString
+    Seq( // (l_orderkey, l_quantity, l_returnflag)
+      (1L, Some(5.0), "A"), (1L, Some(150.0), "N"), // one range violation
+      (2L, None: Option[Double], "R"),              // one null quantity
+      (2L, Some(3.0), "X"),                         // one bad enum
+      (99L, Some(1.0), "A"))                        // orphan order key
+      .toDF("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(1L, 2L, 2L, 3L).toDF("o_orderkey") // one duplicate key
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.SparkEntry.queries("a36_dq_audit")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got == Map(
+      "lineitem_quantity_not_null" -> ((1L, false)),
+      "orders_orderkey_unique" -> ((1L, false)),
+      "lineitem_orderkey_fk" -> ((1L, false)),
+      "lineitem_quantity_range" -> ((1L, false)),
+      "lineitem_returnflag_enum" -> ((1L, false))), got)
+  }
+
+  // ------------------------------------------------- w20_trending_topk
+
+  test("w20_trending_topk: rank by count desc with type tie-break; " +
+      "top-3 cut per hour bucket") {
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour A: view x3, click x2, buy x2, misc x1 (tie buy/click -> click
+    // ranks 2 by name); hour B: only one type
+    val rows =
+      (1 to 3).map(i => (i.toLong, 1L, at(10, i), "view", 1.0)) ++
+      (4 to 5).map(i => (i.toLong, 1L, at(10, i), "click", 1.0)) ++
+      (6 to 7).map(i => (i.toLong, 2L, at(10, i + 10), "buy", 1.0)) ++
+      Seq((8L, 2L, at(10, 30), "misc", 1.0), (9L, 1L, at(11, 0), "view", 1.0))
+    val got = graft.SparkEntry.queries("w20_trending_topk")(
+        spark, eventsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    val hours = got.keys.map(_._1).toSeq.distinct.sorted
+    assert(hours.size == 2)
+    val (hA, hB) = (hours.head, hours.last)
+    assert(got(hA -> 1) == (("view", 3L)))
+    assert(got(hA -> 2) == (("buy", 2L)))   // tie at 2: 'buy' < 'click'
+    assert(got(hA -> 3) == (("click", 2L)))
+    assert(!got.contains(hA -> 4))          // misc cut by top-3
+    assert(got(hB -> 1) == (("view", 1L)) && !got.contains(hB -> 2))
+  }
+
   // ----------------------------------------------------- a35_pr_curve
 
   test("a35_pr_curve: hand-traced confusion counts per rung; precision " +
