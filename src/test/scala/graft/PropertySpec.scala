@@ -4,7 +4,7 @@ import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
 import graft.functions.TextFns
-import graft.operators.{AudioOps, WerAgg}
+import graft.operators.{AudioOps, ImageOps, WerAgg}
 import graft.streaming.StreamingRegroup
 
 /** ScalaCheck properties for the pure scalar/agg kernels (SURVEY §5.2). */
@@ -357,5 +357,60 @@ object KernelProps extends Properties("graft.kernels") {
       if (a == b) ea == eb
       else if (a < b) ea < eb
       else ea > eb
+    }
+
+  // --------------------------------------------------- vadSegments laws
+  private val signal: Gen[Array[Float]] =
+    Gen.listOf(Gen.oneOf(0.0f, 0.1f, 0.5f, 1.0f)).map(_.toArray)
+
+  property("vadSegments: segments are disjoint, ordered, in-range, and " +
+      "exactly cover the over-threshold frames") =
+    forAll(signal, Gen.choose(1, 8), Gen.oneOf(0.5f, 1.5f, 4.0f)) {
+      (s: Array[Float], frame: Int, thr: Float) =>
+        val segs = AudioOps.vadSegments(s, frame, thr)
+        val nf = s.length / frame
+        def frameActive(f: Int): Boolean =
+          (f * frame until f * frame + frame).map(i => math.abs(s(i))).sum > thr
+        val covered = segs.flatMap { case (a, b) => a until b }.toSet
+        segs.forall { case (a, b) => a < b && a >= 0 && b <= nf } &&
+          segs.sliding(2).forall {
+            case Seq((_, e1), (s2, _)) => e1 < s2 // gap between runs
+            case _ => true
+          } &&
+          covered == (0 until nf).filter(frameActive).toSet
+    }
+
+  // -------------------------------------------------------- aHash laws
+  private val grayImg: Gen[(Int, Int, Array[Int])] = for {
+    w <- Gen.choose(8, 24)
+    h <- Gen.choose(8, 24)
+    px <- Gen.listOfN(w * h, Gen.choose(0, 200)).map(_.toArray)
+  } yield (w, h, px)
+
+  property("aHash: invariant under uniform brightness shift (no clipping)") =
+    forAll(grayImg, Gen.choose(1, 55)) { case ((w, h, px), shift) =>
+      ImageOps.aHash(w, h, px) == ImageOps.aHash(w, h, px.map(_ + shift))
+    }
+
+  property("aHash halves stay in 32-bit non-negative range") =
+    forAll(grayImg) { case (w, h, px) =>
+      val (hi, lo) = ImageOps.aHash(w, h, px)
+      hi >= 0L && hi <= 0xFFFFFFFFL && lo >= 0L && lo <= 0xFFFFFFFFL
+    }
+
+  // --------------------------------------------------------- EWMA laws
+  private val cents: Gen[List[Long]] = Gen.listOf(Gen.choose(0L, 100000L))
+
+  property("EWMA: final value stays within [min, max] of the inputs and " +
+      "the fold equals stepwise advance under any batch split") =
+    forAll(cents, Gen.choose(0, 20)) { (vs: List[Long], cut0: Int) =>
+      val (n, s, spikes) = graft.operators.EwmaOps.fold(vs.iterator)
+      val bounds = vs.isEmpty ||
+        (s >= vs.min - 1 && s <= vs.max) // -1: floor division slack
+      val cut = math.min(cut0, vs.length)
+      val st1 = vs.take(cut).foldLeft(graft.operators.EwmaOps.emptySt)(
+        graft.operators.EwmaOps.step)
+      val st2 = vs.drop(cut).foldLeft(st1)(graft.operators.EwmaOps.step)
+      bounds && (st2.n, st2.s, st2.spikes) == ((n, s, spikes))
     }
 }
