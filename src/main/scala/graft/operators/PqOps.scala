@@ -180,6 +180,143 @@ object PqOps {
       trainCodebooks(candidates, idCol, vecCol, dim, m, ks), dim)
   }
 
+  /** IVF-PQ top-k — the FAISS IVFPQ layout, completing the ANN ladder:
+    * a coarse quantizer prunes the scan (only `nProbe` of `nCells`
+    * cells are read per query) AND product quantization compresses what
+    * remains — but the codes quantize the RESIDUAL v − centroid(cell),
+    * not the vector: residuals concentrate near the origin, so the same
+    * ks codewords spend their resolution where the data actually is
+    * (the core IVFADC idea, Jégou et al. 2011).
+    *
+    * Determinism spec (oracle-replayable, the PqOps/KMeansOps
+    * discipline): coarse centroids = first nCells vectors by id (cell
+    * index = seed order); residual codebooks = the residuals of the
+    * first ks vectors by id under THEIR OWN nearest cell; every argmin
+    * is a strict ascending left-fold double sqdist with ties to the
+    * lower index. Scoring is exact-IEEE:
+    *   ip(q, ĉ) = dot(q, centroid_cell) + Σ_m dot(q_m, cb_m[code_m])
+    * (one addition joining the two exactly-ordered folds), ranked by
+    * ip / (q_norm · stored c_norm) DESC with id tie-break.
+    *
+    * Scale shape: centroids + codebooks are bounded driver-side model
+    * state; candidate assignment + encoding is ONE map-side UDF pass
+    * (vectors never shuffle — cell, M codes and one float do); the
+    * probe join is an equi-join on the cell key, never a cross
+    * product. */
+  def ivfPqTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 8, nProbe: Int = 2,
+      dim: Int = 64, m: Int = 8, ks: Int = 16): DataFrame = {
+    require(dim % m == 0, "dim must split evenly into M subspaces")
+    val sub = dim / m
+    def firstVecs(n: Int): Array[Array[Double]] = {
+      val rows = candidates
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>").as("__v"))
+        .filter(col("__v").isNotNull && size(col("__v")) === dim)
+        .orderBy(col(idCol)).limit(n).collect()
+        .map(_.getSeq[Double](1).toArray)
+      require(rows.length == n,
+        s"IVF-PQ needs $n well-formed $dim-dim seed vectors, found ${rows.length}")
+      rows
+    }
+    val cents = firstVecs(nCells)
+    def sqDistTo(a: Array[Double], c: Array[Double]): Double = {
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { val d = a(j) - c(j); acc += d * d; j += 1 }
+      acc
+    }
+    def nearestCell(a: Array[Double]): Int = {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < nCells) {
+        val d = sqDistTo(a, cents(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    // Residual codebooks: seed i's residual under its OWN nearest cell,
+    // sliced per subspace — cb(mi)(code)(j).
+    val books: Array[Array[Array[Double]]] = {
+      val seeds = firstVecs(ks)
+      val res = seeds.map { v =>
+        val c = cents(nearestCell(v))
+        Array.tabulate(dim)(j => v(j) - c(j))
+      }
+      Array.tabulate(m, ks)((mi, code) => res(code).slice(mi * sub, (mi + 1) * sub))
+    }
+    val encode = udf { (v: Seq[java.lang.Double]) =>
+      if (v == null || v.length < dim || v.contains(null)) None
+      else {
+        val a = VectorFns.densePrefix(v, dim)
+        val cell = nearestCell(a)
+        val cv = cents(cell)
+        val codes = (0 until m).map { mi =>
+          var best = 0
+          var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < ks) {
+            var acc = 0.0
+            var j = 0
+            while (j < sub) {
+              val d = (a(mi * sub + j) - cv(mi * sub + j)) - books(mi)(c)(j)
+              acc += d * d
+              j += 1
+            }
+            if (acc < bestD) { bestD = acc; best = c }
+            c += 1
+          }
+          best
+        }
+        Some((cell, codes))
+      }
+    }
+    val probes = udf { (v: Seq[java.lang.Double]) =>
+      if (v == null || v.length < dim || v.contains(null)) None
+      else {
+        val a = VectorFns.densePrefix(v, dim)
+        Some((0 until nCells).map(c => (sqDistTo(a, cents(c)), c))
+          .sortBy(identity).take(nProbe).map(_._2))
+      }
+    }
+    val dotCent = udf { (q: Seq[java.lang.Double], cell: Int) =>
+      if (q == null || q.length < dim || q.contains(null)) None
+      else {
+        val a = VectorFns.densePrefix(q, dim)
+        val cv = cents(cell)
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += a(j) * cv(j); j += 1 }
+        Some(acc)
+      }
+    }
+    val adc = adcIpUdf(books, dim)
+    val c = candidates
+      .select(col(idCol).as("c_id"), encode(col(vecCol)).as("__e"),
+        SimilarityOps.normFlat(col(vecCol), dim).as("c_norm"))
+      .filter(col("__e").isNotNull)
+      .select(col("c_id"), col("__e._1").as("cell"), col("__e._2").as("codes"),
+        col("c_norm"))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        probes(col(vecCol)).as("__cells"))
+      .filter(col("__cells").isNotNull)
+      .withColumn("q_norm", SimilarityOps.normFlat(col("q_vec"), dim))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        explode(col("__cells")).as("cell"))
+    TopKOps.topKByScore(
+        q.join(c, Seq("cell"))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("score",
+            (dotCent(col("q_vec"), col("cell")) + adc(col("q_vec"), col("codes"))) /
+              (col("q_norm") * col("c_norm"))),
+        Seq("q_id"), col("score"), col("c_id"), k, tieName = "c_id")
+      .select("q_id", "c_id", "rank")
+  }
+
   /** [[pqTopK]] with caller-supplied codebooks (e.g. k-means-trained via
     * [[trainCodebooksKMeans]], or trained offline on a sample). */
   def pqTopKWithBooks(

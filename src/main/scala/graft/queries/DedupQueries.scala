@@ -785,6 +785,89 @@ object DedupQueries {
        |  FROM scored)
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------------ ann_ivfpq_topk
+
+  /** ANN-IVFPQ: the FAISS IVFPQ layout — coarse cells prune the scan
+    * (nProbe=2 of 8), product quantization compresses the survivors,
+    * and the codes quantize the RESIDUAL v − centroid(cell) (IVFADC,
+    * Jégou et al. 2011). See [[graft.operators.PqOps.ivfPqTopK]] for
+    * the determinism spec; the oracle replays the full chain — seeded
+    * cells, per-seed residual codebooks under each seed's own cell,
+    * per-subspace residual encode, ADC ip = dot(q, centroid) + Σ_m
+    * dot(q_m, codeword) — with the identical fold orders. */
+  private val annIvfPq: Q = (s, dir) => {
+    val e = Tables.fanOut(t(s, dir, "embeddings"))
+    graft.operators.PqOps.ivfPqTopK(e.filter(col("vec_id") < 20), e,
+        "vec_id", "embedding", 5, nCells = 8, nProbe = 2,
+        dim = 64, m = 8, ks = 16)
+      .orderBy("q_id", "rank")
+  }
+  private val annIvfPqSql =
+    s"""WITH cseed AS (
+       |  SELECT rn - 1 AS cell, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM (SELECT embedding, row_number() OVER (ORDER BY vec_id) AS rn
+       |        FROM embeddings ORDER BY vec_id LIMIT 8)),
+       |asg AS (
+       |  SELECT vec_id, cell, cv FROM (
+       |    SELECT e.vec_id, c.cell, c.cv,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${sqlSqDistD("e.embedding", "c.cv")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cseed c) WHERE rn = 1),
+       |sres AS (
+       |  SELECT s.rn - 1 AS code,
+       |    list_transform(range(1, 65), j -> CAST(e.embedding[j] AS DOUBLE) - a.cv[j]) AS res
+       |  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+       |        FROM embeddings ORDER BY vec_id LIMIT 16) s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN asg a ON a.vec_id = s.vec_id),
+       |cb AS (
+       |  SELECT m, code, list_transform(range(1, 9), j -> res[m * 8 + j]) AS cw
+       |  FROM sres, range(8) t(m)),
+       |cres AS (
+       |  SELECT e.vec_id, a.cell,
+       |    list_transform(range(1, 65), j -> CAST(e.embedding[j] AS DOUBLE) - a.cv[j]) AS res
+       |  FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id),
+       |enc AS (
+       |  SELECT vec_id, cell, m, code FROM (
+       |    SELECT r.vec_id, r.cell, cb.m, cb.code,
+       |      row_number() OVER (PARTITION BY r.vec_id, cb.m ORDER BY
+       |        list_reduce(list_transform(range(1, 9), j ->
+       |          (r.res[cb.m * 8 + j] - cb.cw[j]) * (r.res[cb.m * 8 + j] - cb.cw[j])),
+       |          (x, y) -> x + y), cb.code) AS rn
+       |    FROM cres r CROSS JOIN cb) WHERE rn = 1),
+       |qpr AS (
+       |  SELECT q_id, cell, qv FROM (
+       |    SELECT e.vec_id AS q_id, c.cell, e.embedding AS qv,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${sqlSqDistD("e.embedding", "c.cv")}, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cseed c WHERE e.vec_id < 20) WHERE rn <= 2),
+       |nrm AS (SELECT vec_id, ${sqlNorm("embedding")} AS nrm FROM embeddings),
+       |ipm AS (
+       |  SELECT q.q_id, en.vec_id AS c_id, en.cell, en.m,
+       |    list_reduce(list_transform(range(1, 9), j ->
+       |      CAST(q.qv[en.m * 8 + j] AS DOUBLE) * cb.cw[j]), (x, y) -> x + y) AS ipm
+       |  FROM qpr q JOIN enc en ON en.cell = q.cell
+       |  JOIN cb ON cb.m = en.m AND cb.code = en.code
+       |  WHERE q.q_id <> en.vec_id),
+       |ips AS (
+       |  SELECT q_id, c_id, cell,
+       |    list_reduce(list(ipm ORDER BY m), (x, y) -> x + y) AS adc
+       |  FROM ipm GROUP BY q_id, c_id, cell),
+       |dc AS (
+       |  SELECT i.q_id, i.c_id,
+       |    list_reduce(list_transform(range(1, 65), j ->
+       |      CAST(q.qv[j] AS DOUBLE) * c.cv[j]), (x, y) -> x + y) + i.adc AS ip
+       |  FROM ips i
+       |  JOIN qpr q ON q.q_id = i.q_id AND q.cell = i.cell
+       |  JOIN cseed c ON c.cell = i.cell)
+       |SELECT q_id, c_id, rank FROM (
+       |  SELECT q_id, c_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY
+       |      ip / (qn.nrm * cn.nrm) DESC, c_id) AS INT) AS rank
+       |  FROM dc JOIN nrm qn ON dc.q_id = qn.vec_id
+       |  JOIN nrm cn ON dc.c_id = cn.vec_id)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   private val annPq: Q = (s, dir) => {
     val e = Tables.fanOut(t(s, dir, "embeddings"))
     graft.operators.PqOps.pqTopK(e.filter(col("vec_id") < 20), e,
@@ -1689,6 +1772,7 @@ object DedupQueries {
     "ann_multiprobe_topk" -> annMultiProbe,
     "ann_multitable_topk" -> annMultiTable,
     "ann_pq_topk" -> annPq,
+    "ann_ivfpq_topk" -> annIvfPq,
     "ann_ivf_topk" -> annIvf,
     "ann_kmeans_cells" -> annKmeans,
     "dedup_semantic" -> dedupSemantic,
@@ -1720,6 +1804,7 @@ object DedupQueries {
     "ann_multiprobe_topk" -> annMultiProbeSql,
     "ann_multitable_topk" -> annMultiTableSql,
     "ann_pq_topk" -> annPqSql,
+    "ann_ivfpq_topk" -> annIvfPqSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_kmeans_cells" -> annKmeansSql,
     "dedup_semantic" -> dedupSemanticSql,

@@ -678,7 +678,8 @@ class PlanShapeSpec extends AnyFunSuite {
         "o20_stratified_split", "a33_key_skew_audit", "a34_retention_cohorts",
         "t_bpe_encode", "dedup_url_canonical", "w19_ewma_smooth",
         "mm_image_ahash", "o21_compaction_plan", "g8_modularity",
-        "ann_trunc_recall")) {
+        "ann_trunc_recall", "ann_ivfpq_topk", "a35_pr_curve",
+        "a36_dq_audit", "w20_trending_topk")) {
       assert(!plan(q).contains("CartesianProduct"),
         s"$q plans a cartesian product")
     }

@@ -210,6 +210,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("well-formed"))
   }
 
+  test("PqOps.ivfPqTopK: lossless residual codebooks reproduce exact cosine " +
+      "ranking within each query's probed cells") {
+    // 16 vectors, ks=16: every candidate is a codebook seed, so its
+    // residual IS a codeword (distance 0) and reconstruction is exact up
+    // to float regrouping — the IVFPQ ranking must match a full Scala
+    // replay of cells -> probes -> exact cosine within probed cells.
+    val rnd = new scala.util.Random(17)
+    val data = (0L until 16L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val vecs = data.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 4)
+    val got = PqOps.ivfPqTopK(qs, vecs, "vec_id", "embedding", 5,
+        nCells = 8, nProbe = 2, dim = 64, m = 8, ks = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val v = data.map { case (i, a) => i -> a.map(_.toDouble) }.toMap
+    val cents = (0L until 8L).map(v)
+    def sqd(a: Array[Double], c: Array[Double]): Double =
+      a.indices.map(j => (a(j) - c(j)) * (a(j) - c(j))).sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(j => a(j) * b(j)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val cellOf = v.map { case (i, a) =>
+      i -> cents.indices.minBy(c => (sqd(a, cents(c)), c)) }
+    val want = (0L until 4L).flatMap { q =>
+      val probed = cents.indices.sortBy(c => (sqd(v(q), cents(c)), c))
+        .take(2).toSet
+      v.keys.filter(c => c != q && probed(cellOf(c))).toSeq
+        .sortBy(c => (-cos(v(q), v(c)), c)).take(5)
+        .zipWithIndex.map { case (c, r) => (q, c, r + 1) }
+    }.toSet
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("PqOps.trainCodebooksKMeans: deterministic, and training reduces quantization error") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
     val init = PqOps.trainCodebooks(e, "vec_id", "embedding", 64, 8, 16)
