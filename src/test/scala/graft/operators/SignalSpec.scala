@@ -723,6 +723,50 @@ class SignalSpec extends AnyFunSuite {
     assert(got(hB -> 1) == (("view", 1L)) && !got.contains(hB -> 2))
   }
 
+  test("StreamingTrending: final per-bucket top-k equals the w20 batch " +
+      "result across a mid-bucket micro-batch boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.streaming.StreamingTrending
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows =
+      (1 to 3).map(i => (i.toLong, 1L, at(10, i), "view", 1.0)) ++
+      (4 to 5).map(i => (i.toLong, 1L, at(10, i), "click", 1.0)) ++
+      (6 to 7).map(i => (i.toLong, 2L, at(10, i + 10), "buy", 1.0)) ++
+      Seq((8L, 2L, at(10, 30), "misc", 1.0), (9L, 1L, at(11, 0), "view", 1.0))
+    val evs = rows.map(r => StreamingTrending.Ev(
+      r._3.getTime * 1000L / 3600000000L, r._4))
+    val mem = MemoryStream[StreamingTrending.Ev]
+    val q = StreamingTrending.trending(mem.toDS(), 3)
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(evs.take(4): _*) // splits hour A's counts mid-way
+      q.processAllAvailable()
+      mem.addData(evs.drop(4): _*)
+      q.processAllAvailable()
+      // the LAST emission per bucket: re-fold the full history with the
+      // shared kernel (the memory sink keeps every update emission, so
+      // select the rows matching the final fold)
+      val want = graft.SparkEntry.queries("w20_trending_topk")(
+          spark, eventsDir(rows))
+        .collect().map(r => StreamingTrending.Out(
+          r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      val emitted = spark.table("trend_out")
+        .as[StreamingTrending.Out].collect().toSet
+      // every final batch row must have been emitted verbatim, and the
+      // final fold per bucket equals the batch top-k exactly
+      assert(want.subsetOf(emitted), s"missing ${want -- emitted}")
+      val finalFold = evs.groupBy(_.hour_bucket).flatMap { case (b, es) =>
+        StreamingTrending.topK(
+          StreamingTrending.advance(Map.empty, es), 3)
+          .map { case (r, t, c) => StreamingTrending.Out(b, r, t, c) }
+      }.toSet
+      assert(finalFold == want, s"kernel fold $finalFold != batch $want")
+    } finally q.stop()
+  }
+
   // ----------------------------------------------------- a35_pr_curve
 
   test("a35_pr_curve: hand-traced confusion counts per rung; precision " +
