@@ -1101,6 +1101,37 @@ object SignalQueries {
       |FROM step st JOIN nn USING (user_id) WHERE st.rn = n
       |ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------ w21_scd2_intervals
+
+  /** W21: slowly-changing-dimension type-2 history build — turn a
+    * change log into validity intervals: each observation becomes a row
+    * valid [its event time, the key's next event time), the key's last
+    * row is open-ended (NULL valid_to) and flagged current. THE
+    * warehouse dimension-build primitive (the j3 upsert applies the
+    * latest state; this keeps the full history queryable by as-of
+    * time). One `lead` over one (ts, event_id) sort per key — a single
+    * exchange; times are exact epoch micros. */
+  private val w21: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("tu"), col("event_id"))
+    Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("v"))
+      .withColumn("valid_to", lead(col("tu"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("v"),
+        col("tu").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+  private val w21Sql =
+    """SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS v,
+      |  epoch_us(ts) AS valid_from,
+      |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+      |    event_id) AS valid_to,
+      |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+      |    event_id) IS NULL AS is_current
+      |FROM events WHERE value IS NOT NULL
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   // ----------------------------------------------------- a36_dq_audit
 
   /** A36: declarative data-quality audit — the expectation-suite report
@@ -1357,6 +1388,7 @@ object SignalQueries {
     "w19_ewma_smooth" -> w19,
     "a35_pr_curve" -> a35,
     "a36_dq_audit" -> a36,
+    "w21_scd2_intervals" -> w21,
     "w20_trending_topk" -> w20,
     "a34_retention_cohorts" -> a34,
     "emb_power_iter" -> pi,
@@ -1386,6 +1418,7 @@ object SignalQueries {
     "w19_ewma_smooth" -> w19Sql,
     "a35_pr_curve" -> a35Sql,
     "a36_dq_audit" -> a36Sql,
+    "w21_scd2_intervals" -> w21Sql,
     "w20_trending_topk" -> w20Sql,
     "a34_retention_cohorts" -> a34Sql,
     "emb_power_iter" -> piSql,

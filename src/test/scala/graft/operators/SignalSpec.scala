@@ -671,6 +671,28 @@ class SignalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ------------------------------------------------ w21_scd2_intervals
+
+  test("w21_scd2_intervals: contiguous per-key validity intervals, " +
+      "open-ended current row, no cross-user leakage") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (1L, 1L, ts(0), "v", 1.0), (2L, 1L, ts(5), "v", 2.0),
+      (3L, 1L, ts(9), "v", 3.0),
+      (4L, 2L, ts(2), "v", 7.0))
+    def tu(m: Int) = ts(m).getTime * 1000L
+    val got = graft.SparkEntry.queries("w21_scd2_intervals")(
+        spark, eventsDir(rows))
+      .collect().map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(5))).toMap
+    assert(got == Map(
+      1L -> ((1L, 100L, tu(0), Some(tu(5)), false)),
+      2L -> ((1L, 200L, tu(5), Some(tu(9)), false)),
+      3L -> ((1L, 300L, tu(9), None, true)),
+      4L -> ((2L, 700L, tu(2), None, true))), got)
+  }
+
   // ----------------------------------------------------- a36_dq_audit
 
   test("a36_dq_audit: every planted violation class is counted once; " +
