@@ -19,6 +19,14 @@ import java.nio.file.{Files, Paths}
   * "runs" for noise diagnosis. The line is also written to
   * target/bench.json and ./bench.json so the driver has a copy free of
   * sbt's [info] stdout prefix.
+  *
+  * Suite hygiene (round-9): leftover localCheckpoint blocks are
+  * unpersisted and a GC pause taken between queries (see cooldown()),
+  * the artifact carries `warm_ge_median` (how many queries' cold run
+  * was ≥ their timed median — the suite-is-clean invariant), and the
+  * 10 most expensive queries are re-timed once each in isolation at
+  * the end (`isolated` map) so contention inflation is self-evident
+  * from the artifact alone.
   */
 object Bench {
   /** Headline set: every query whose plan decides 100 TB viability — one
@@ -88,6 +96,22 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // Hygiene between queries (round-8 postmortem: the 242-query run
+    // inflated per-query medians 2-18x vs isolation — j6 read 8.19 s in
+    // the artifact, 0.45 s isolated). Two causes, both cumulative:
+    // every localCheckpoint(true) pins its blocks in the block manager
+    // until the DataFrame is GC'd AND the async ContextCleaner runs, so
+    // storage memory fills and execution memory shrinks mid-suite; and
+    // GC debt from earlier queries lands in later queries' timed runs.
+    // Each run rebuilds its checkpoints from scratch, so between
+    // queries the leftovers are pure garbage: unpersist them all
+    // explicitly (no weak-reference race) and take one GC+pause so the
+    // next query starts from a clean heap it did not pay for.
+    def cooldown(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+      Thread.sleep(150)
+    }
     // Suite-global warmup: a fresh JVM's FIRST query pays codegen-compiler
     // and IO-path initialization that its own single warm run does not
     // absorb (a4_sum benched ~3x its steady state purely by running
@@ -98,6 +122,7 @@ object Bench {
       once(q); once(q)
     }
     val results = qs.map { name =>
+      cooldown()
       spark.sparkContext.setJobDescription(s"bench:$name")
       val warm = once(name)
       val timed = Seq.fill(Runs)(once(name)).sorted
@@ -105,6 +130,25 @@ object Bench {
       System.err.println(
         f"[bench] $name%-22s warm=$warm%7.2f runs=${timed.map(t => f"$t%.2f").mkString(",")} median=$median%7.2f")
       (name, median, warm +: timed)
+    }
+    // Self-check that the suite measured plans, not accumulated state:
+    // the warm (first) run should be the SLOWEST — codegen+cache cold.
+    // warm < median means the timed runs DEGRADED under leftover
+    // contention; the count rides the artifact so a dirty run is
+    // visible without stderr.
+    val warmGeMedian = results.count { case (_, m, rs) => rs.head >= m }
+    // Isolation spot-check (r8 VERDICT item 1): re-time the most
+    // expensive queries once each after a full cooldown, so the
+    // artifact itself records whether the in-suite medians are
+    // contention-inflated (isolated ≈ median) or honest.
+    val spotN = math.min(10, results.size)
+    val isolated = results.sortBy(-_._2).take(spotN).map { case (name, _, _) =>
+      cooldown()
+      spark.sparkContext.setJobDescription(s"bench-isolated:$name")
+      name -> once(name)
+    }
+    isolated.foreach { case (n, t) =>
+      System.err.println(f"[bench] isolated $n%-22s $t%7.2f")
     }
     // The driver records only the LAST ~2000 chars of stdout; round 5's
     // line (57 queries x full-precision medians + per-run arrays, ~4.6 KB)
@@ -129,15 +173,18 @@ object Bench {
     val skippedField =
       if (skippedTables.isEmpty) "" else s""","skipped_tables":$skippedJson"""
     def compactOf(rs: Seq[(String, Double, Seq[Double])]) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size}$skippedField,"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size},"warm_ge_median":$warmGeMedian$skippedField,"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
     // Greedy: keep dropping the cheapest query until the line fits ~1850
     // chars (2000-char driver window minus sbt's trailing [success] line).
     val byCost = results.sortBy(-_._2)
     val kept = Iterator.iterate(results.size)(_ - 1)
       .find(n => n == 0 || compactOf(byCost.take(n)).length <= 1850).get
     val compact = compactOf(byCost.take(kept))
+    val isolatedJson = isolated
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec"$skippedField,"queries":${qJson(results)(_.toString)},"sf":"$sfDir","runs":$runsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_ge_median":$warmGeMedian$skippedField,"queries":${qJson(results)(_.toString)},"sf":"$sfDir","isolated":$isolatedJson,"runs":$runsJson}"""
     println(compact)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")

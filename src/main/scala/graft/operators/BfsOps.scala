@@ -34,11 +34,18 @@ object BfsOps {
     * uniqueness guarantee (the PageRankOps contract — duplicates are
     * harmless for MIN-combine BFS, unlike rank mass, but the dedup
     * still halves the join volume when the input is dirty).
+    *
+    * `dimensionNodes` (the PageRankOps contract): the caller asserts
+    * the node universe is dimension-bounded, so the ≤|V|-row distance
+    * table rides a BROADCAST join each round and the fact-scaled edge
+    * list is never re-shuffled. Default false — the keyed-shuffle
+    * rounds are the only shape that survives web-scale node sets.
     */
   def multiSourceBfs(
       edges0: DataFrame, srcCol: String, dstCol: String, seeds: DataFrame,
       maxHops: Int, checkpointEvery: Int = 4,
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false,
+      dimensionNodes: Boolean = false): DataFrame = {
     require(maxHops > 0, "maxHops must be positive")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val projected = edges0
@@ -55,6 +62,7 @@ object BfsOps {
     // lineage on long walks (checkpointEvery), never short ones.
     val materialize = maxHops >= 2
     val edges = if (materialize) edgesRaw.localCheckpoint(true) else edgesRaw
+    def maybeB(df: DataFrame): DataFrame = if (dimensionNodes) broadcast(df) else df
     // nodes is read ONCE (the final left join) and derives from the
     // already-cut edges — materializing it would be a pure extra job
     // (unlike PageRank, whose per-round update re-reads it).
@@ -66,7 +74,7 @@ object BfsOps {
     var dist = seeds.select(col(seedCol).cast("long").as("node"))
       .withColumn("hops", lit(0L))
     for (i <- 1 to maxHops) {
-      val expanded = edges.join(dist, edges("src") === dist("node"))
+      val expanded = edges.join(maybeB(dist), edges("src") === dist("node"))
         .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
       dist = dist.union(expanded)
         .groupBy("node").agg(min(col("hops")).as("hops"))
@@ -76,7 +84,7 @@ object BfsOps {
       if (i % checkpointEvery == 0 && i < maxHops)
         dist = dist.localCheckpoint(true)
     }
-    nodes.join(dist, Seq("node"), "left")
+    nodes.join(maybeB(dist), Seq("node"), "left")
       .select(col("node"), coalesce(col("hops"), lit(-1L)).as("hops"))
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an edge list — the transitive-
@@ -255,15 +254,22 @@ object GraphOps {
     * convergence test, is the only deterministic contract.
     *
     * Scale shape per round: one keyed join (labels onto the symmetric
-    * edge list), one map-side-combined (node, label) count, one window
-    * partitioned BY NODE for the argmax (bounded by the node's distinct
-    * neighbor labels — never a global sort). The loop stays lazy: each
+    * edge list), one map-side-combined (node, label) count, one hash
+    * aggregate per node for the argmax (bounded by the node's distinct
+    * neighbor labels — never a global or per-group sort). The loop stays
+    * lazy: each
     * round reads the prior labels exactly once, the PageRank
     * single-read-round measurement (per-round checkpoints HURT there).
     * Returns (v, label). */
   def labelPropagation(
       edges0: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, dimensionNodes: Boolean = false): DataFrame = {
+    // dimensionNodes (the PageRankOps contract): caller asserts the
+    // node universe is dimension-bounded, so the |V|-row label table
+    // rides a BROADCAST join each round and the symmetric edge list is
+    // never re-shuffled. Default false — web-scale node sets need the
+    // keyed-shuffle rounds.
+    def maybeB(df: DataFrame): DataFrame = if (dimensionNodes) broadcast(df) else df
     val e = edges0
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
@@ -280,13 +286,17 @@ object GraphOps {
       .select(col("v"), col("v").as("label"))
     for (_ <- 1 to rounds) {
       val cnt = sym
-        .join(labels.select(col("v").as("src"), col("label")), Seq("src"))
+        .join(maybeB(labels.select(col("v").as("src"), col("label"))), Seq("src"))
         .groupBy(col("dst").as("v"), col("label"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("v").orderBy(col("c").desc, col("label").asc)
-      labels = cnt.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select("v", "label")
+      // Argmax as a HASH aggregate, not a sort window: max over
+      // struct(c, -label) is lexicographic — highest count first, then
+      // smallest label (labels are node ids, nonnegative) — the same
+      // deterministic majority rule, with map-side partial combine and
+      // no per-round sort of the (v, label) count table.
+      labels = cnt.groupBy("v")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("label"))
     }
     labels
   }

@@ -192,8 +192,10 @@ object AssocQueries {
     val seeds = li.select((col("l_suppkey") * 2 + 1).as("node"))
       .union(li.select((col("l_partkey") * 2).as("node")))
       .filter(col("node") % bfsSeedMod === 0).distinct()
+    // dimensionNodes: node universe = supplier ∪ part catalog (the g1
+    // argument) — the ≤|V|-row distance table rides broadcast rounds.
     BfsOps.multiSourceBfs(edges, "src", "dst", seeds,
-        maxHops = bfsHops, assumeDistinct = true)
+        maxHops = bfsHops, assumeDistinct = true, dimensionNodes = true)
       .orderBy("node")
   }
   private def g4Round(i: Int): String =
@@ -555,9 +557,12 @@ object AssocQueries {
     // UNSTABLE (4-11 s — driver-side hash-relation build + memory
     // pressure); merge-hinting the pair join is stable 3.5 s; cutting
     // the distinct once (three consumers) plus broadcasting only the
-    // part-vocab-sized weight table and merging the pair join lands
-    // 2.2-2.6 s. Broadcast is for DIM-sized sides; a same-sized
-    // self-join wants the keyed merge.
+    // part-vocab-sized weight table and merging the pair join won it.
+    // Broadcast is for DIM-sized sides; a same-sized self-join wants
+    // the keyed merge. Re-pinned r9: isolation median 3.1 s (the r7
+    // 2.2-2.6 s pin predates the VM's slower steal-heavy baseline;
+    // plan shape unchanged — re-verified via ExplainOne, merge join +
+    // one broadcast).
     val e = t(s, dir, "lineitem")
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
       .localCheckpoint(true)

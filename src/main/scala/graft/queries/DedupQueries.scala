@@ -1201,7 +1201,13 @@ object DedupQueries {
   }
 
   private val annRecall: Q = (s, dir) => {
-    val e = Tables.fanOut(t(s, dir, "embeddings"))
+    // Materialize the fanned scan once: five ANN methods plus the brute
+    // truth pass each read the full embeddings table (norms, hashes,
+    // codebook assignments) — left lazy, that is 6+ parquet scans and
+    // fan-out exchanges of the same input. A distributed cache of a
+    // multiply-consumed input, not driver state (isolation median
+    // 3.54 -> 2.89 s at sf0.1).
+    val e = Tables.fanOut(t(s, dir, "embeddings")).localCheckpoint(true)
     val q20 = e.filter(col("vec_id") < 20)
     // The truth set is ≤ |q|·k = 100 rows but its PLAN is the full
     // brute-force scoring pass; 5 methods × (semi-join + count) would

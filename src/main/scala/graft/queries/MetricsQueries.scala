@@ -50,7 +50,11 @@ object MetricsQueries {
     val fwd = li.select((col("l_suppkey") * 2 + 1).as("src"),
       (col("l_partkey") * 2).as("dst")).distinct()
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    PageRankOps.pageRank(edges, "src", "dst", iters = 3, assumeDistinct = true)
+    // dimensionNodes: the node universe is the supplier ∪ part CATALOG
+    // (dimension tables — bounded by vocabulary, not by lineitem
+    // volume), so the |V|-row rank table rides broadcast rounds.
+    PageRankOps.pageRank(edges, "src", "dst", iters = 3,
+        assumeDistinct = true, dimensionNodes = true)
       .orderBy("node")
   }
 
@@ -411,9 +415,17 @@ object MetricsQueries {
     * exactly; the ORIENTED plan is what survives power-law hubs at
     * scale (out-degree ≤ O(√m) per node). */
   /** Part co-purchase edges (parts sharing an order, p1 < p2): the
-    * shared fixture graph for g2/g3. Within-order pair fan-out is
-    * bounded by order size — the j8 class. */
+    * shared fixture graph for g2/g3/g6. Within-order pair fan-out is
+    * bounded by order size — the j8 class. A collect_set + array-
+    * combinations rewrite (one shuffle, no self-join) was measured and
+    * REJECTED: higher-order array functions run outside whole-stage
+    * codegen and the round-trip cost its three consumers ~1 s each at
+    * sf0.1; the codegen'd distinct+self-join wins on constants. */
   private def coEdges(s: SparkSession, dir: String): DataFrame = {
+    // The (o,p) pre-distinct stays: dropping it was measured SLOWER
+    // (g3 2.65 -> 3.23 s — the dedup shrinks the self-join's build and
+    // probe sides more than its exchange costs), and the collect_set
+    // array-combinations form slower still (above).
     val op = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val a = op.select(col("o"), col("p").as("p1"))
@@ -645,12 +657,20 @@ object MetricsQueries {
     // co-purchase self-join lineage re-executes per consumer
     // (triangleStats' treatment; measured 3.1 -> 2.7 s at sf0.1).
     val e = coEdges(s, dir).distinct().localCheckpoint(true)
+    // Materialize deg too: it feeds BOTH endpoint joins, and left lazy
+    // Spark plans the union+aggregate subtree twice (r8 VERDICT, verified
+    // via ExplainOne). It is bounded by |parts| — dimension-sized — so
+    // broadcast it into the mirrored-edge joins instead of paying two
+    // SortMergeJoin sorts of the 2|E| list. Measured: the downstream
+    // joins+fold drop to 0.35 s; the query total stays ~2.6 s because
+    // the coEdges fixture generation dominates (ProfileGraph r9).
     val deg = e.select(col("p1").as("v")).union(e.select(col("p2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     val sym = e.union(e.select(col("p2").as("p1"), col("p1").as("p2")))
     sym
-      .join(deg.select(col("v").as("p1"), col("d").as("x")), Seq("p1"))
-      .join(deg.select(col("v").as("p2"), col("d").as("y")), Seq("p2"))
+      .join(broadcast(deg.select(col("v").as("p1"), col("d").as("x"))), Seq("p1"))
+      .join(broadcast(deg.select(col("v").as("p2"), col("d").as("y"))), Seq("p2"))
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
         sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
@@ -689,7 +709,7 @@ object MetricsQueries {
     * summary, never the node list. */
   private val g6: Q = (s, dir) =>
     graft.operators.GraphOps.labelPropagation(coEdges(s, dir), "p1", "p2",
-        rounds = 2)
+        rounds = 2, dimensionNodes = true)
       .groupBy("label")
       .agg(count(lit(1)).as("n_nodes"), min(col("v")).as("min_node"),
         max(col("v")).as("max_node"))
