@@ -224,6 +224,34 @@ object MultimodalOps {
     }(Encoders.product[Mp3Info]).toDF()
   }
 
+  final case class Mp3Pcm(
+    path: String, sample_rate: Int, n_samples: Long, peak_milli: Long)
+
+  /** MP3 → PCM decode over binary files for the zero-payload (silent)
+    * frame class — the NATIVE half of the mp3 decode seam: real ISO
+    * framing + side-info parse, spec-exact silence out
+    * ([[AudioOps.decodeMp3Silent]]); streams with spectral payload
+    * throw toward the JavaSoundExternals SPI seam. Reports the decoded
+    * PCM's sample count, rate and integer peak (milli-units of full
+    * scale) so a correctness gate can pin both the duration arithmetic
+    * AND that the decoder actually produced samples. Same mapPartitions
+    * shape as [[mp3Probe]] — per-file kernel, no shuffle. */
+  def mp3DecodeSilent(df: DataFrame, pathCol: String, contentCol: String): DataFrame = {
+    val in = df.select(col(pathCol).cast("string"), col(contentCol))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val (pcm, sr) = AudioOps.decodeMp3Silent(r.getAs[Array[Byte]](1))
+        var peak = 0.0f
+        var i = 0
+        while (i < pcm.length) {
+          val a = math.abs(pcm(i)); if (a > peak) peak = a; i += 1
+        }
+        Mp3Pcm(r.getString(0), sr, pcm.length.toLong,
+          math.floor(peak * 1000.0).toLong)
+      }
+    }(Encoders.product[Mp3Pcm]).toDF()
+  }
+
   final case class ImageInfo(path: String, format: String, width: Int, height: Int)
 
   /** Image header probe — real byte parsing of PNG / BMP / GIF headers

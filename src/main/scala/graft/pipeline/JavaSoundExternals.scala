@@ -7,10 +7,14 @@ import javax.sound.sampled.{AudioFormat, AudioSystem}
 /** [[Externals]] with a REAL compressed-audio decode binding: the JDK's
   * `javax.sound.sampled` SPI chain (reference decodes mp3 via librosa,
   * pre_processing/process_all.py:382-392). Out of the box the JDK SPIs
-  * cover wav/au/aiff in any PCM width plus ULAW/ALAW; dropping an mp3/ogg
-  * SPI jar on the executor classpath extends coverage with no code change
-  * — the point of the trait boundary. Everything non-audio still
-  * delegates to [[StubExternals]]' deterministic fakes.
+  * cover wav/au/aiff in any PCM width plus ULAW/ALAW; MPEG audio routes
+  * to the native zero-payload Layer III decode
+  * ([[graft.operators.AudioOps.decodeMp3Silent]] — real framing/side
+  * info, spec-exact silence PCM) and spectral-payload streams raise a
+  * pointed error until an mp3/ogg SPI jar lands on the executor
+  * classpath, which extends coverage with no code change — the point of
+  * the trait boundary. Everything non-audio still delegates to
+  * [[StubExternals]]' deterministic fakes.
   *
   * Decode path: container parse -> convert to 16-bit signed little-endian
   * PCM at the source rate -> mono mixdown by channel average (librosa
@@ -31,6 +35,16 @@ object JavaSoundExternals extends Externals {
     StubExternals.resizeImage(bytes, w, h)
 
   override def decodeAudio(bytes: Array[Byte]): (Array[Float], Int) = {
+    // MPEG audio first: stock JDK SPIs reject it, and the zero-payload
+    // (silent) Layer III class decodes natively — real framing + side
+    // info, spec-exact silence PCM (AudioOps.decodeMp3Silent). Streams
+    // with spectral payload fall through that method with a pointed
+    // UnsupportedOperationException naming the SPI seam.
+    val mpegSync = bytes.length >= 4 &&
+      ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0 ||
+        bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
+    if (mpegSync) // disjoint from RIFF/FORM/.snd magics the SPIs handle
+      return graft.operators.AudioOps.decodeMp3Silent(bytes)
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val base = in.getFormat

@@ -370,6 +370,33 @@ object IoQueries {
        |  FROM read_blob('$fixRoot/mm_mp3/*.mp3'))
        |ORDER BY fname""".stripMargin
 
+  /** MP3 → PCM decode (zero-payload/silent frame class — the native
+    * half of the decode seam, MultimodalOps.mp3DecodeSilent): the
+    * oracle replays sample-count/rate arithmetic from filename ground
+    * truth and pins the decoded peak at exactly 0 — a decoder that
+    * walks frames wrong, sizes the side info wrong, or fabricates
+    * non-silent PCM diverges. */
+  private val mmMp3Dec: Q = (s, dir) => {
+    val d = fixDir("mm_mp3")
+    genMp3s(d)
+    val files = s.read.format("binaryFile").load(d + "/*.mp3")
+    MultimodalOps.mp3DecodeSilent(files, "path", "content")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+        col("sample_rate"), col("n_samples"), col("peak_milli"))
+      .orderBy("fname")
+  }
+  private val mmMp3DecSql =
+    s"""SELECT fname, sr AS sample_rate, nf * spf AS n_samples,
+       |  CAST(0 AS BIGINT) AS peak_milli
+       |FROM (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+       |    CAST(regexp_extract(filename, '_sr(\\d+)_', 1) AS INT) AS sr,
+       |    CAST(regexp_extract(filename, '_nf(\\d+)_', 1) AS BIGINT) AS nf,
+       |    CASE CAST(regexp_extract(filename, '_v(\\d+)_', 1) AS INT)
+       |      WHEN 1 THEN 1152 ELSE 576 END AS spf
+       |  FROM read_blob('$fixRoot/mm_mp3/*.mp3'))
+       |ORDER BY fname""".stripMargin
+
   /** Real RIFF header parsing over binary files; the oracle checks against
     * filename-encoded ground truth + byte-size arithmetic. */
   private val mmWav: Q = (s, dir) => {
@@ -904,6 +931,7 @@ object IoQueries {
     "mm_audio_vad" -> mmVad,
     "mm_image_ahash" -> mmAhash,
     "mm_mp3_probe" -> mmMp3,
+    "mm_mp3_decode" -> mmMp3Dec,
     "mm_bin_features" -> mmBin,
     "mm_image_probe" -> mmImage,
     "mm_image_resize" -> mmResize,
@@ -931,6 +959,7 @@ object IoQueries {
     "mm_audio_vad" -> mmVadSql,
     "mm_image_ahash" -> mmAhashSql,
     "mm_mp3_probe" -> mmMp3Sql,
+    "mm_mp3_decode" -> mmMp3DecSql,
     "mm_bin_features" -> mmBinSql,
     "mm_image_probe" -> mmImageSql,
     "mm_image_resize" -> mmResizeSql,

@@ -1046,9 +1046,45 @@ object MetricsQueries {
        |FROM pr JOIN pc c1 ON pr.p1 = c1.p JOIN pc c2 ON pr.p2 = c2.p, tx
        |ORDER BY support DESC, p1, p2""".stripMargin
 
+  // ------------------------------------------------------------- g9
+
+  /** G9: HITS hubs & authorities after 2 rounds on the directed
+    * supplier→part supply graph — the link-analysis complement of g1:
+    * PageRank conflates "points at good parts" and "is pointed at" into
+    * one score; HITS separates acquisition breadth (hub suppliers) from
+    * demand concentration (authority parts). Integer max-normalized
+    * fixed-point per half-round — see [[graft.operators.HitsOps]]; the
+    * oracle unrolls all four half-rounds with the identical integer
+    * arithmetic (the g1 discipline). dimensionNodes: supplier ∪ part
+    * catalog, the g1 argument. */
+  private val g9: Q = (s, dir) => {
+    val e = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+    graft.operators.HitsOps.hubsAndAuthorities(e, "s", "p", iters = 2,
+        assumeDistinct = true, dimensionNodes = true)
+      .orderBy("kind", "node")
+  }
+  private def g9Round(i: Int): String = {
+    val prevH = if (i == 1) "h0" else s"h${i - 1}"
+    s"""a${i}r AS (SELECT p, SUM(h) AS a FROM e JOIN $prevH USING (s) GROUP BY p),
+       |a$i AS (SELECT p, a * 1000000 // (SELECT MAX(a) FROM a${i}r) AS a FROM a${i}r),
+       |h${i}r AS (SELECT s, SUM(a) AS h FROM e JOIN a$i USING (p) GROUP BY s),
+       |h$i AS (SELECT s, h * 1000000 // (SELECT MAX(h) FROM h${i}r) AS h FROM h${i}r)""".stripMargin
+  }
+  private val g9Sql =
+    s"""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |h0 AS (SELECT s, CAST(1000000 AS BIGINT) AS h FROM (SELECT DISTINCT s FROM e)),
+       |${(1 to 2).map(g9Round).mkString(",\n")}
+       |SELECT kind, node, score_micro FROM (
+       |  SELECT 'auth' AS kind, p AS node, CAST(a AS BIGINT) AS score_micro FROM a2
+       |  UNION ALL
+       |  SELECT 'hub', s, CAST(h AS BIGINT) FROM h2)
+       |ORDER BY kind, node""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
+    "g9_hits" -> g9,
     "g1_pagerank" -> g1,
     "t_hll_distinct" -> tHll,
     "a16_auc" -> a16,
@@ -1074,6 +1110,7 @@ object MetricsQueries {
     "a19_frequent_pairs" -> a19)
 
   val oracle: Map[String, String] = Map(
+    "g9_hits" -> g9Sql,
     "g1_pagerank" -> g1Sql,
     "t_hll_distinct" -> tHllSql,
     "a16_auc" -> a16Sql,
