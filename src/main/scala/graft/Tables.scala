@@ -107,6 +107,12 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst stays at its default (true). The r9 probe set
+      // it false to chase per-task overhead on the many small queries:
+      // the small queries did NOT speed up and the CPU-dense g2
+      // triangle intersect collapsed to one 64MB-advisory task
+      // (5.2 -> 19.6 s). Byte-size advisories cannot see CPU density;
+      // keep scheduling width tied to cores.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // F19 dict-merge semantics: {**a, **b} keeps the LAST value for a

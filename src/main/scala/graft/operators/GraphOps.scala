@@ -197,6 +197,10 @@ object GraphOps {
     val small = eCount <= broadcastEdgeLimit
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
+    // (r9 probe: dropping the deg/oriented/adj checkpoints to shorten
+    // the serialized-job chain measured NEUTRAL at sf0.1 — the cuts
+    // stay, since each guarantees its multi-consumer subtree runs once
+    // at any scale.)
     val deg = e.select(col("a").as("v_")).union(e.select(col("b").as("v_")))
       .groupBy("v_").agg(count(lit(1)).as("d"))
       .localCheckpoint(true)

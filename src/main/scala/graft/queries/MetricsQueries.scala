@@ -1024,8 +1024,8 @@ object MetricsQueries {
     val pc = op.groupBy("p").agg(count(lit(1)).as("c"))
     val tx = op.agg(countDistinct(col("o")).as("tt"))
     pairs
-      .join(pc.select(col("p").as("p1"), col("c").as("c1")), Seq("p1"))
-      .join(pc.select(col("p").as("p2"), col("c").as("c2")), Seq("p2"))
+      .join(broadcast(pc.select(col("p").as("p1"), col("c").as("c1"))), Seq("p1"))
+      .join(broadcast(pc.select(col("p").as("p2"), col("c").as("c2"))), Seq("p2"))
       .crossJoin(broadcast(tx))
       .select(col("p1"), col("p2"), col("support"),
         expr("CAST((support * tt * 1000000) div (c1 * c2) AS BIGINT)")
