@@ -68,12 +68,23 @@ object PageRankOps {
     * false: with web-scale node sets the rank table is itself
     * fact-sized, and the keyed-shuffle rounds are the only shape that
     * survives — same opt-in contract as `assumeDistinct`.
+    *
+    * `restartSeeds`: when set, computes PERSONALIZED PageRank — the
+    * restart mass (1−d)·1e6 lands only on the seed nodes (one id
+    * column; duplicates collapsed) instead of uniformly, and ranks
+    * start from that seed mass. Scores then measure proximity to the
+    * seed set under random-walk-with-restart — the "trusted pages"
+    * relevance signal (TrustRank-style) next to g4's hop distance.
+    * Same integer arithmetic; non-seed nodes can reach rank 0, which
+    * is data (unreachable from the seeds within the walk), not
+    * absence.
     */
   def pageRank(
       edges0: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampNum: Long = 85L, dampDen: Long = 100L,
       checkpointEvery: Int = 4, assumeDistinct: Boolean = false,
-      dimensionNodes: Boolean = false): DataFrame = {
+      dimensionNodes: Boolean = false,
+      restartSeeds: Option[DataFrame] = None): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     require(iters > 0, "iters must be positive")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
@@ -116,7 +127,27 @@ object PageRankOps {
     // dimension bound, keyed-shuffle otherwise.
     def maybeB(df: DataFrame): DataFrame = if (dimensionNodes) broadcast(df) else df
 
-    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    // Per-node restart mass: uniform (1−d)·1e6 for classic PageRank;
+    // seeds-only under restartSeeds (the personalization vector). The
+    // flagged node table replaces `nodes` in every round so the seed
+    // flag is computed once, not re-joined per iteration.
+    val flagged = restartSeeds match {
+      case None => nodes.withColumn("__base", lit(base))
+      case Some(sd) =>
+        val seeds = sd
+          .select(col(sd.columns.head).cast("long").as("node"), lit(1).as("__s"))
+          .distinct()
+        nodes.join(maybeB(seeds), Seq("node"), "left")
+          .withColumn("__base",
+            when(col("__s") === 1, lit(base)).otherwise(lit(0L)))
+          .drop("__s")
+    }
+
+    // Classic start = every node at 1.0; personalized start = the seed
+    // mass itself (the walk's step-0 distribution).
+    var ranks = flagged.select(col("node"),
+      (if (restartSeeds.isEmpty) lit(1000000L) else col("__base"))
+        .as("rank_micro"))
     for (i <- 1 to iters) {
       // `div` is exact integer division (Spark's `/` would round-trip
       // through DOUBLE); all quantities are positive, so truncation ==
@@ -127,10 +158,10 @@ object PageRankOps {
           expr("rank_micro div out_deg").as("contrib"))
         .groupBy("dst")
         .agg(sum(col("contrib")).as("mass"))
-      ranks = nodes
-        .join(maybeB(contribs), nodes("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dampNum * coalesce(mass, 0L)) div $dampDen"))
+      ranks = flagged
+        .join(maybeB(contribs), flagged("node") === contribs("dst"), "left")
+        .select(flagged("node"),
+          (col("__base") + expr(s"($dampNum * coalesce(mass, 0L)) div $dampDen"))
             .cast("long").as("rank_micro"))
       if (i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(true) // truncate iterative lineage

@@ -1200,6 +1200,54 @@ object DedupQueries {
        |FROM ($recs) ORDER BY dim""".stripMargin
   }
 
+  // ------------------------------------------------------ emb_mutual_nn
+
+  /** EMB-MNN: mutual nearest-neighbor pairs within LSH buckets — the
+    * bitext/alignment mining primitive (Artetxe–Schwenk-style mining
+    * keeps a candidate pair only when EACH side is the other's best
+    * match; one-directional top-1 lists are asymmetric and noisy, and
+    * mutual agreement is the classic cheap filter). Scale path: the
+    * bucketed top-1 (never all-pairs — the bucketedTopK argument), then
+    * mutuality as a self-semi-join of the ≤|V|-row nn table against its
+    * own reversed key. Output is the exact integer pair list — no float
+    * ever reaches the hash compare. */
+  private val mutualNn: Q = (s, dir) => {
+    val e = Tables.fanOut(t(s, dir, "embeddings"))
+    val nn1 = SimilarityOps.bucketedTopK(e, e, "vec_id", "embedding", 1,
+        nPlanes = 8, dim = 64)
+      .select("q_id", "c_id")
+      .localCheckpoint(true) // ≤|V| rows; read as both direction tables
+    nn1.join(nn1.select(col("c_id").as("q_id"), col("q_id").as("c_id")),
+        Seq("q_id", "c_id"), "left_semi")
+      .filter(col("q_id") < col("c_id"))
+      .select(col("q_id").as("id_a"), col("c_id").as("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+  private val mutualNnSql =
+    s"""WITH planes AS (
+       |  SELECT i, list_transform(range(64), j ->
+       |    (ascii(substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1)) % 2) * 2 - 1) AS p
+       |  FROM range(8) t(i)),
+       |bkt AS (
+       |  SELECT vec_id, CAST(SUM(
+       |      CASE WHEN list_reduce(list_transform(range(1, 65),
+       |             j -> CAST(e.embedding[j] AS DOUBLE) * p[j]), (x, y) -> x + y) >= 0
+       |           THEN (1 << (7 - i)) ELSE 0 END) AS INT) AS bucket
+       |  FROM embeddings e, planes GROUP BY vec_id),
+       |v AS (SELECT e.vec_id, bucket, embedding AS vv, ${sqlNorm("embedding")} AS nrm
+       |      FROM embeddings e JOIN bkt ON e.vec_id = bkt.vec_id),
+       |nn AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${sqlDot("q.vv", "c.vv")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+       |    FROM v q JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+       |  WHERE rank = 1)
+       |SELECT a.q_id AS id_a, a.c_id AS id_b
+       |FROM nn a JOIN nn b ON a.q_id = b.c_id AND a.c_id = b.q_id
+       |WHERE a.q_id < a.c_id
+       |ORDER BY id_a, id_b""".stripMargin
+
   private val annRecall: Q = (s, dir) => {
     // Materialize the fanned scan once: five ANN methods plus the brute
     // truth pass each read the full embeddings table (norms, hashes,
@@ -1773,6 +1821,7 @@ object DedupQueries {
     "dedup_incremental" -> dedupIncremental,
     "dedup_near_incremental" -> nearIncr,
     "emb_near_dup" -> embNearDup,
+    "emb_mutual_nn" -> mutualNn,
     "ann_brute_topk" -> annBrute,
     "ann_bucketed_topk" -> annBucketed,
     "ann_multiprobe_topk" -> annMultiProbe,
@@ -1805,6 +1854,7 @@ object DedupQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_near_incremental" -> nearIncrSql,
     "emb_near_dup" -> embNearDupSql,
+    "emb_mutual_nn" -> mutualNnSql,
     "ann_brute_topk" -> annBruteSql,
     "ann_bucketed_topk" -> annBucketedSql,
     "ann_multiprobe_topk" -> annMultiProbeSql,

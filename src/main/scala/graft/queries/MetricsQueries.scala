@@ -1081,10 +1081,62 @@ object MetricsQueries {
        |  SELECT 'hub', s, CAST(h AS BIGINT) FROM h2)
        |ORDER BY kind, node""".stripMargin
 
+  // ------------------------------------------------------------ g10
+
+  /** G10: personalized PageRank (random walk with restart) from the g4
+    * seed set (node ≡ 0 mod 97) on the g1 bipartite supply graph — the
+    * TrustRank-style "proximity to trusted sources" relevance signal:
+    * g1 ranks global authority, g4 reports hop distance, this weights
+    * every node by discounted walk visitation from the seeds. Restart
+    * mass (1−d)·1e6 lands only on seeds ([[PageRankOps.pageRank]]'s
+    * restartSeeds mode, same integer fixed-point); unreached nodes
+    * report exact 0. The oracle unrolls the three seeded rounds. */
+  private val pprSeedMod = 97
+  private val g10: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_partkey"))
+    val fwd = li.select((col("l_suppkey") * 2 + 1).as("src"),
+      (col("l_partkey") * 2).as("dst")).distinct()
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = li.select((col("l_suppkey") * 2 + 1).as("node"))
+      .union(li.select((col("l_partkey") * 2).as("node")))
+      .filter(col("node") % pprSeedMod === 0).distinct()
+    PageRankOps.pageRank(edges, "src", "dst", iters = 3,
+        assumeDistinct = true, dimensionNodes = true,
+        restartSeeds = Some(seeds))
+      .orderBy("node")
+  }
+  private def g10Round(i: Int): String =
+    s"""c$i AS (
+       |  SELECT e.dst AS node, SUM(r${i - 1}.r // deg.d) AS m
+       |  FROM e JOIN deg ON e.src = deg.src
+       |         JOIN r${i - 1} ON r${i - 1}.node = e.src
+       |  GROUP BY e.dst),
+       |r$i AS (
+       |  SELECT n.node,
+       |    CAST(CASE WHEN n.node % $pprSeedMod = 0 THEN 150000 ELSE 0 END
+       |      + (85 * COALESCE(c$i.m, 0)) // 100 AS BIGINT) AS r
+       |  FROM n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
+  private val g10Sql =
+    s"""WITH e AS (
+       |  SELECT DISTINCT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+       |  FROM lineitem
+       |  UNION
+       |  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+       |n AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+       |r0 AS (SELECT node,
+       |  CAST(CASE WHEN node % $pprSeedMod = 0 THEN 150000 ELSE 0 END AS BIGINT) AS r
+       |  FROM n),
+       |${(1 to 3).map(g10Round).mkString(",\n")}
+       |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
     "g9_hits" -> g9,
+    "g10_ppr" -> g10,
     "g1_pagerank" -> g1,
     "t_hll_distinct" -> tHll,
     "a16_auc" -> a16,
@@ -1111,6 +1163,7 @@ object MetricsQueries {
 
   val oracle: Map[String, String] = Map(
     "g9_hits" -> g9Sql,
+    "g10_ppr" -> g10Sql,
     "g1_pagerank" -> g1Sql,
     "t_hll_distinct" -> tHllSql,
     "a16_auc" -> a16Sql,
