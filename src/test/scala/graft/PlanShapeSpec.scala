@@ -382,6 +382,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("windowspecdefinition"), "g1 should not window")
   }
 
+  test("personalized pagerank keeps the g1 shape: keyed/broadcast joins, map-side mass sums") {
+    val p = plan("g10_ppr")
+    assert(!p.contains("CartesianProduct"), "g10 plans a cartesian product")
+    assert(p.contains("partial_sum"), "g10 lost map-side combine on contribution sums")
+    assert(!p.contains("windowspecdefinition"), "g10 should not window")
+  }
+
+  test("HITS: only 1-row broadcast max crosses; rounds live behind checkpoints") {
+    // Each half-round materializes via localCheckpoint, so the FINAL
+    // plan shows only the last normalization tail: the checkpointed
+    // score scan (ExistingRDD), the 1-row max broadcast cross
+    // (IdentityBroadcastMode — the allowed nested-loop class), and the
+    // integer scale projection. Anything else — a cartesian, a re-read
+    // of the raw scan — means the round structure regressed.
+    val p = plan("g9_hits")
+    assert(!p.contains("CartesianProduct"), "g9 plans a cartesian product")
+    assert(p.contains("ExistingRDD"), "g9 lost its checkpointed round tables")
+    assert(p.contains("IdentityBroadcastMode"),
+      "g9 lost the 1-row broadcast max-normalization cross")
+  }
+
+  test("mutual-NN pairs meet only through the LSH bucket; no all-pairs") {
+    // The nn table is bucket-join scored (never a cross product), and
+    // mutuality is a semi-join of that bounded table with itself.
+    val p = plan("emb_mutual_nn")
+    assert(!p.contains("CartesianProduct"), "emb_mutual_nn plans a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "emb_mutual_nn nested-loops")
+    assert(p.contains("LeftSemi"), "emb_mutual_nn lost its mutuality semi-join")
+  }
+
   test("AUC: the only window runs over the bucket histogram, above an aggregate") {
     // Parents print before children: the Window node must appear BEFORE
     // (= above) the bucket HashAggregate in the plan text, i.e. its
