@@ -64,4 +64,82 @@ class PageRankOpsSpec extends AnyFunSuite {
     // after dedup this is the symmetric pair: both ranks exactly 1e6
     assert(got == Map(1L -> 1000000L, 2L -> 1000000L))
   }
+
+  test("dimensionNodes broadcast rounds are value-identical to shuffle rounds") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    import spark.implicits._
+    val df = edges.toDF("s", "d")
+    val shuffle = PageRankOps.pageRank(df, "s", "d", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bcast = PageRankOps.pageRank(df, "s", "d", 3, dimensionNodes = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffle == bcast)
+  }
+
+  /** Driver-side PPR reference: seed-only restart mass, start = seeds. */
+  private def referencePpr(edges0: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val edges = edges0.distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    def base(n: Long) = if (seeds(n)) 150000L else 0L
+    var r = nodes.map(n => n -> base(n)).toMap
+    for (_ <- 1 to iters) {
+      val mass = edges
+        .map { case (s, d) => d -> r(s) / deg(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      r = nodes.map(n => n -> (base(n) + 85L * mass.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("personalized PageRank: seed-only restart mass, unreached nodes exactly 0; matches reference") {
+    import spark.implicits._
+    // two components: {1,2,3} seeded via 1; {10,11} unseeded -> exact 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 10L))
+    val seeds = Set(1L)
+    val got = PageRankOps.pageRank(edges.toDF("s", "d"), "s", "d", iters = 3,
+        restartSeeds = Some(Seq(1L).toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == referencePpr(edges, seeds, 3))
+    assert(got(10L) == 0L && got(11L) == 0L, "unseeded component must be exact 0")
+    assert(got(1L) >= 150000L, "seed keeps its restart mass")
+    // and the broadcast-round variant is value-identical
+    val bcast = PageRankOps.pageRank(edges.toDF("s", "d"), "s", "d", iters = 3,
+        dimensionNodes = true, restartSeeds = Some(Seq(1L).toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bcast == got)
+  }
+
+  test("HITS on a star: center is the sole authority, leaves tie as hubs, max-norm pins 1e6") {
+    import spark.implicits._
+    // leaves 1..4 all point at center 9
+    val edges = (1L to 4L).map(l => (l, 9L))
+    val got = HitsOps.hubsAndAuthorities(edges.toDF("s", "d"), "s", "d", iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(("auth", 9L)) == 1000000L, "sole authority max-normalizes to 1e6")
+    for (l <- 1L to 4L)
+      assert(got(("hub", l)) == 1000000L, s"leaf $l: symmetric hubs all tie at the max")
+    assert(got.size == 5)
+  }
+
+  test("HITS separates hub breadth from authority demand; every round max is exactly 1e6") {
+    import spark.implicits._
+    // supplier 1 stocks parts 10,11,12; supplier 2 stocks only 10.
+    // part 10 is demanded by both -> top authority; supplier 1 -> top hub.
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L))
+    val got = HitsOps.hubsAndAuthorities(edges.toDF("s", "d"), "s", "d", iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(("hub", 1L)) == 1000000L && got(("auth", 10L)) == 1000000L)
+    assert(got(("hub", 2L)) < got(("hub", 1L)), "narrow supplier ranks below broad one")
+    for (p <- Seq(11L, 12L))
+      assert(got(("auth", p)) < got(("auth", 10L)), s"single-source part $p below shared part")
+    // dimensionNodes variant value-identical
+    val bcast = HitsOps.hubsAndAuthorities(edges.toDF("s", "d"), "s", "d",
+        iters = 2, dimensionNodes = true)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(bcast == got)
+  }
 }
