@@ -243,6 +243,8 @@ object AudioOps {
       o += len
     }
     require(nFrames > 0, "no MPEG frames found")
+    require(nSamples <= Int.MaxValue,
+      s"silent MPEG stream too long to materialize as one PCM array ($nSamples samples)")
     (new Array[Float](nSamples.toInt), sr0)
   }
 }

@@ -58,12 +58,14 @@ object HitsOps {
 
     // score · 1e6 div max(score): max-normalize via a 1-row broadcast
     // cross (the only nested loop — PlanShapeSpec's allowed class).
-    // The raw aggregate feeds BOTH the max and the scaled projection;
-    // under dimensionNodes it is node-sized, so cut it eagerly — left
-    // lazy, each half-round's subtree would appear twice and the
-    // replication compounds per round (the g3 duplicated-deg defect).
+    // The raw aggregate feeds BOTH the max and the scaled projection,
+    // so it is ALWAYS cut eagerly: left lazy, each half-round's
+    // subtree appears twice and the replication compounds per round
+    // (2^(2·iters) copies — the g3 duplicated-deg defect, squared).
+    // The table is node-sized, so the cut is one linear job per
+    // half-round in either join mode.
     def maxNorm(raw: DataFrame, key: String, v: String): DataFrame = {
-      val df = if (dimensionNodes) raw.localCheckpoint(true) else raw
+      val df = raw.localCheckpoint(true)
       df.crossJoin(broadcast(df.agg(max(col(v)).as("__mx"))))
         .select(col(key), expr(s"$v * 1000000L div __mx").as(v))
     }
