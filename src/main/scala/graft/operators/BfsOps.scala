@@ -45,7 +45,8 @@ object BfsOps {
       edges0: DataFrame, srcCol: String, dstCol: String, seeds: DataFrame,
       maxHops: Int, checkpointEvery: Int = 4,
       assumeDistinct: Boolean = false,
-      dimensionNodes: Boolean = false): DataFrame = {
+      dimensionNodes: Boolean = false,
+      sourcesSpanNodes: Boolean = false): DataFrame = {
     require(maxHops > 0, "maxHops must be positive")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     val projected = edges0
@@ -66,15 +67,27 @@ object BfsOps {
     // nodes is read ONCE (the final left join) and derives from the
     // already-cut edges — materializing it would be a pure extra job
     // (unlike PageRank, whose per-round update re-reads it).
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
+    // `sourcesSpanNodes` (the PageRankOps contract): every node also
+    // appears as a source (mirrored/symmetric edge lists), so the
+    // distinct runs over |E| source rows instead of 2|E| endpoints.
+    val nodes =
+      if (sourcesSpanNodes) edges.select(col("src").as("node")).distinct()
+      else edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct()
 
     val seedCol = seeds.columns.head
     var dist = seeds.select(col(seedCol).cast("long").as("node"))
       .withColumn("hops", lit(0L))
     for (i <- 1 to maxHops) {
-      val expanded = edges.join(maybeB(dist), edges("src") === dist("node"))
+      // Classic frontier restriction: only nodes SETTLED at hop i-1 can
+      // shorten a neighbor this round (any shortest path of length i
+      // ends a node at distance i-1), so nodes settled earlier are not
+      // re-expanded. Semantics-neutral under the MIN-combine; the
+      // expansion volume drops from |dist| out-edges per round to the
+      // new frontier's out-edges.
+      val frontier = dist.filter(col("hops") === (i - 1))
+      val expanded = edges.join(maybeB(frontier), edges("src") === frontier("node"))
         .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
       dist = dist.union(expanded)
         .groupBy("node").agg(min(col("hops")).as("hops"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed PageRank over an edge list (beyond-reference, SURVEY
@@ -77,14 +77,33 @@ object PageRankOps {
     * relevance signal (TrustRank-style) next to g4's hop distance.
     * Same integer arithmetic; non-seed nodes can reach rank 0, which
     * is data (unreachable from the seeds within the walk), not
-    * absence.
+    * absence. Seeded rounds are FRONTIER-RESTRICTED: the intermediate
+    * rank table holds only nodes with nonzero mass (round 1 touches
+    * |seeds| rows, not |V|), and the dense zero rows materialize once
+    * in the final output join.
+    *
+    * `restartWhere`: the seed set as a deterministic per-node predicate
+    * instead of a table — same personalized semantics, but the seed
+    * membership is a filter on the node table (no derivation scan, no
+    * membership join). Mutually exclusive with `restartSeeds`.
+    *
+    * `sourcesSpanNodes`: the caller asserts every node also appears as
+    * an edge SOURCE (true for mirrored/symmetric edge lists) — the node
+    * universe is then a free projection of the out-degree table instead
+    * of a distinct over 2|E| endpoint rows. Wrong claims drop pure-sink
+    * nodes from the output — a correctness contract like
+    * `assumeDistinct`.
     */
   def pageRank(
       edges0: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampNum: Long = 85L, dampDen: Long = 100L,
       checkpointEvery: Int = 4, assumeDistinct: Boolean = false,
       dimensionNodes: Boolean = false,
-      restartSeeds: Option[DataFrame] = None): DataFrame = {
+      restartSeeds: Option[DataFrame] = None,
+      restartWhere: Option[Column] = None,
+      sourcesSpanNodes: Boolean = false): DataFrame = {
+    require(restartSeeds.isEmpty || restartWhere.isEmpty,
+      "restartSeeds and restartWhere are alternative seed specs — pass one")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     require(iters > 0, "iters must be positive")
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
@@ -109,69 +128,134 @@ object PageRankOps {
     // checkpoint.
     val materializeBase = dimensionNodes || iters >= checkpointEvery
     val edges = if (materializeBase) edgesRaw.localCheckpoint(true) else edgesRaw
-    val degrees = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val degrees0 = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    // Broadcast mode folds the degree onto the rank side EVERY round,
+    // so the |V|-row degree table is cut once; shuffle mode reads it
+    // once (the outEdges build) and leaves it lazy.
+    val degrees =
+      if (dimensionNodes && materializeBase) degrees0.localCheckpoint(true)
+      else degrees0
 
     // All nodes (sources ∪ destinations): pure sinks still hold rank
-    // and must appear in the output.
-    val nodesRaw = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-    val nodes = if (materializeBase) nodesRaw.localCheckpoint(true) else nodesRaw
-
-    // Edge with the source's out-degree attached — the join that would
-    // otherwise repeat identically inside every round happens once.
-    val outEdgesRaw = edges.join(degrees, "src")
-    val outEdges = if (materializeBase) outEdgesRaw.localCheckpoint(true) else outEdgesRaw
+    // and must appear in the output. `sourcesSpanNodes` is the caller's
+    // assertion that every node also appears as a source (true for any
+    // mirrored/symmetric edge list) — then the node set is a free
+    // projection of the degree table instead of a second distinct over
+    // 2|E| endpoint rows.
+    val nodesRaw =
+      if (sourcesSpanNodes) degrees.select(col("src").as("node"))
+      else edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct()
+    val nodes =
+      if (materializeBase && !(sourcesSpanNodes && dimensionNodes))
+        nodesRaw.localCheckpoint(true)
+      else nodesRaw // projection of the already-cut degree table, or lazy
 
     // Rank-side tables are |V| rows: broadcast them under the caller's
     // dimension bound, keyed-shuffle otherwise.
     def maybeB(df: DataFrame): DataFrame = if (dimensionNodes) broadcast(df) else df
 
-    // Per-node restart mass: uniform (1−d)·1e6 for classic PageRank;
-    // seeds-only under restartSeeds (the personalization vector). The
-    // flagged node table replaces `nodes` in every round so the seed
-    // flag is computed once, not re-joined per iteration.
-    val flagged = restartSeeds match {
-      case None => nodes.withColumn("__base", lit(base))
-      case Some(sd) =>
-        val seeds = sd
-          .select(col(sd.columns.head).cast("long").as("node"), lit(1).as("__s"))
-          .distinct()
-        val f = nodes.join(maybeB(seeds), Seq("node"), "left")
-          .withColumn("__base",
-            when(col("__s") === 1, lit(base)).otherwise(lit(0L)))
-          .drop("__s")
-        // The seed join is re-read every round (contribution join +
-        // rank update); cut the |V|-row flagged table once so rounds
-        // scan memory instead of replaying the seed derivation
-        // (measured 3.9 -> 3.6 s on g10 at sf0.1 — the rest of g10's
-        // gap over g1 is the seed-set derivation scan itself).
-        if (materializeBase) f.localCheckpoint(true) else f
+    // Per-edge contribution rows for one round, given the round's rank
+    // table. Shuffle mode pre-joins the source out-degree onto the edge
+    // list ONCE (the join would otherwise repeat identically inside
+    // every round); broadcast mode instead folds the degree onto the
+    // |V|-bounded RANK side each round (a dimension-sized join) so the
+    // fact-scaled edge list is scanned plain — skipping the
+    // 3-column outEdges materialization entirely (measured ~0.7 s off
+    // g1/g10 setup at sf0.1).
+    val outEdges =
+      if (dimensionNodes) edges
+      else {
+        val oe = edges.join(degrees, "src")
+        if (materializeBase) oe.localCheckpoint(true) else oe
+      }
+    def roundContribs(ranks: DataFrame): DataFrame = {
+      val rankSide =
+        if (dimensionNodes) ranks.join(degrees, ranks("node") === degrees("src"))
+          .select(col("node"), col("rank_micro"), col("out_deg"))
+        else ranks
+      outEdges.join(maybeB(rankSide), outEdges("src") === rankSide("node"))
+        .select(col("dst"), expr("rank_micro div out_deg").as("contrib"))
     }
 
-    // Classic start = every node at 1.0; personalized start = the seed
-    // mass itself (the walk's step-0 distribution).
-    var ranks = flagged.select(col("node"),
-      (if (restartSeeds.isEmpty) lit(1000000L) else col("__base"))
-        .as("rank_micro"))
-    for (i <- 1 to iters) {
-      // `div` is exact integer division (Spark's `/` would round-trip
-      // through DOUBLE); all quantities are positive, so truncation ==
-      // floor == DuckDB's `//`.
-      val contribs = outEdges
-        .join(maybeB(ranks), outEdges("src") === ranks("node"))
-        .select(col("dst"),
-          expr("rank_micro div out_deg").as("contrib"))
-        .groupBy("dst")
-        .agg(sum(col("contrib")).as("mass"))
-      ranks = flagged
-        .join(maybeB(contribs), flagged("node") === contribs("dst"), "left")
-        .select(flagged("node"),
-          (col("__base") + expr(s"($dampNum * coalesce(mass, 0L)) div $dampDen"))
-            .cast("long").as("rank_micro"))
-      if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint(true) // truncate iterative lineage
+    if (restartSeeds.isEmpty && restartWhere.isEmpty) {
+        // Classic PageRank: uniform (1−d)·1e6 restart on every node, so
+        // the rank table is dense (|V| rows) from round 0 and stays
+        // dense — the per-round shape is contribution join + keyed sum,
+        // then a left join back onto the node table.
+        val flagged = nodes.withColumn("__base", lit(base))
+        var ranks = flagged.select(col("node"), lit(1000000L).as("rank_micro"))
+        for (i <- 1 to iters) {
+          // `div` is exact integer division (Spark's `/` would
+          // round-trip through DOUBLE); all quantities are positive,
+          // so truncation == floor == DuckDB's `//`.
+          val contribs = roundContribs(ranks)
+            .groupBy("dst")
+            .agg(sum(col("contrib")).as("mass"))
+          ranks = flagged
+            .join(maybeB(contribs), flagged("node") === contribs("dst"), "left")
+            .select(flagged("node"),
+              (col("__base") + expr(s"($dampNum * coalesce(mass, 0L)) div $dampDen"))
+                .cast("long").as("rank_micro"))
+          if (i % checkpointEvery == 0 && i < iters)
+            ranks = ranks.localCheckpoint(true) // truncate iterative lineage
+        }
+        ranks
+    } else {
+        // Personalized PageRank: restart mass lands only on seeds, so
+        // early rounds have rank mass on a sparse frontier — round 1's
+        // contribution join touches |seeds| rows, not |V|. The rank
+        // update `base + (d·mass) div den` is ADDITIVE in its two
+        // parts, so instead of left-joining a dense node table each
+        // round, each round is one union + keyed aggregate over
+        //   (frontier-edge contributions) ∪ (seed restart rows)
+        // — nodes with neither stay implicitly 0 and are materialized
+        // only once, in the final left join. One shuffle per round,
+        // volume proportional to the frontier's out-edges (measured
+        // 4.3 -> ~2 s on g10 at sf0.1; semantics unchanged — a
+        // zero-rank source contributes rank div deg = 0).
+        // Seeds outside the graph get no mass (the join/filter runs on
+        // `nodes`). `restartWhere` names the seed set as a
+        // deterministic per-node predicate instead of a table — no
+        // seed-derivation scan, no membership join (g10: 0.3 s of its
+        // seed subtree gone).
+        val seedBase0 = restartSeeds match {
+          case Some(sd) =>
+            val seeds = sd
+              .select(col(sd.columns.head).cast("long").as("node"))
+              .distinct()
+            nodes.join(maybeB(seeds), Seq("node"))
+              .select(col("node"), lit(base).as("__b"))
+          case None =>
+            nodes.filter(restartWhere.get).select(col("node"), lit(base).as("__b"))
+        }
+        val seedBase =
+          if (materializeBase) seedBase0.localCheckpoint(true) else seedBase0
+
+        // Step-0 distribution = the seed mass itself.
+        var ranks = seedBase.select(col("node"), col("__b").as("rank_micro"))
+        for (i <- 1 to iters) {
+          val contribs = roundContribs(ranks.filter(col("rank_micro") > 0))
+            .select(col("dst").as("node"), col("contrib"), lit(0L).as("__b"))
+          // Each seed appears exactly once in seedBase, so sum(__b)
+          // recovers its restart mass; scaling applies to the SUMMED
+          // contribution mass ((d·Σc) div den ≠ Σ(d·c div den)).
+          ranks = contribs
+            .union(seedBase.select(col("node"), lit(0L).as("contrib"), col("__b")))
+            .groupBy("node")
+            .agg((sum(col("__b")) +
+              expr(s"($dampNum * sum(contrib)) div $dampDen"))
+              .cast("long").as("rank_micro"))
+          if (i % checkpointEvery == 0 && i < iters)
+            ranks = ranks.localCheckpoint(true) // truncate iterative lineage
+        }
+        // Materialize the zeros exactly once: every graph node absent
+        // from the sparse table is unreached-within-the-walk — data,
+        // reported as exact 0.
+        nodes.join(maybeB(ranks), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("rank_micro"), lit(0L)).as("rank_micro"))
     }
-    ranks
   }
 }

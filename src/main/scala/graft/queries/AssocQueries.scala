@@ -195,7 +195,8 @@ object AssocQueries {
     // dimensionNodes: node universe = supplier ∪ part catalog (the g1
     // argument) — the ≤|V|-row distance table rides broadcast rounds.
     BfsOps.multiSourceBfs(edges, "src", "dst", seeds,
-        maxHops = bfsHops, assumeDistinct = true, dimensionNodes = true)
+        maxHops = bfsHops, assumeDistinct = true, dimensionNodes = true,
+        sourcesSpanNodes = true)
       .orderBy("node")
   }
   private def g4Round(i: Int): String =

@@ -54,6 +54,30 @@ class AssocSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> -1L))
   }
 
+  test("multiSourceBfs frontier rounds settle long chains and diamond re-reaches") {
+    import spark.implicits._
+    // chain 1->2->3->4 plus a diamond shortcut 1->3: node 3 is reached
+    // at hop 1 via the shortcut AND would be re-offered hop 2 via the
+    // chain — the frontier filter must keep MIN semantics; node 4
+    // settles at hop 2 through the shortcut.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+    val got = BfsOps.multiSourceBfs(
+        edges.toDF("s", "d"), "s", "d", Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    assert(got == bruteBfs(edges, Set(1L), 3))
+    // sourcesSpanNodes on a mirrored version is value-identical
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val def_ = BfsOps.multiSourceBfs(
+        sym.toDF("s", "d"), "s", "d", Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val span = BfsOps.multiSourceBfs(
+        sym.toDF("s", "d"), "s", "d", Seq(1L).toDF("node"), maxHops = 3,
+        sourcesSpanNodes = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(span == def_)
+  }
+
   // ----------------------------------------------------- fixture helper
 
   /** Scratch dir holding ONLY documents.parquet with (doc_id, text,

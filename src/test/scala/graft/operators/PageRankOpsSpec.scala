@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 
 import graft.TestSpark
 
@@ -111,6 +112,25 @@ class PageRankOpsSpec extends AnyFunSuite {
         dimensionNodes = true, restartSeeds = Some(Seq(1L).toDF("node")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bcast == got)
+    // the predicate form of the same seed set is value-identical too
+    val byPred = PageRankOps.pageRank(edges.toDF("s", "d"), "s", "d", iters = 3,
+        restartWhere = Some(col("node") === 1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byPred == got)
+  }
+
+  test("sourcesSpanNodes on a mirrored graph is value-identical (both modes)") {
+    import spark.implicits._
+    val fwd = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L))
+    val sym = fwd ++ fwd.map { case (a, b) => (b, a) }
+    def run(dim: Boolean, span: Boolean) =
+      PageRankOps.pageRank(sym.toDF("s", "d"), "s", "d", iters = 3,
+          dimensionNodes = dim, sourcesSpanNodes = span)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = run(dim = false, span = false)
+    assert(run(dim = false, span = true) == base)
+    assert(run(dim = true, span = true) == base)
+    assert(base.keySet == Set(1L, 2L, 3L, 10L, 11L))
   }
 
   test("HITS on a star: center is the sole authority, leaves tie as hubs, max-norm pins 1e6") {
