@@ -582,9 +582,16 @@ object DedupQueries {
 
   // ------------------------------------------------ embedding near-dup
 
-  private def embCorpus(s: SparkSession, dir: String): DataFrame = {
-    // Vector kernels dominate: fan the narrow fixture scan out.
-    val e = Tables.fanOut(t(s, dir, "embeddings"))
+  private def embCorpus(s: SparkSession, dir: String): DataFrame =
+    embCorpus(s, dir, fan = true)
+
+  /** fan=true for consumers whose vector kernels dominate (pair joins,
+    * top-k scans — fan the narrow fixture scan out); fan=false for
+    * model-state passes (k-means fit) whose per-partition work is
+    * trivial and task overhead dominates. */
+  private def embCorpus(s: SparkSession, dir: String, fan: Boolean): DataFrame = {
+    val e0 = t(s, dir, "embeddings")
+    val e = if (fan) Tables.fanOut(e0) else e0
     val planted = e.filter(col("vec_id") % 25 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label"))
     e.select("vec_id", "embedding", "label").unionByName(planted)
@@ -917,11 +924,18 @@ object DedupQueries {
     * the iterations as unrolled CTEs; bit-exact parity rests on the
     * determinism spec in KMeansOps (left-fold distances, fixed-point
     * decimal centroid means, tie -> lower cell id). */
-  private val annKmeans: Q = (s, dir) =>
-    graft.operators.KMeansOps.fitAssign(
-        Tables.fanOut(t(s, dir, "embeddings")), "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+  private val annKmeans: Q = (s, dir) => {
+    // Fit on the UNfanned scan: the Lloyd jobs move only k×dim model
+    // state per partition, so fanning 2k rows to 32 partitions just
+    // multiplies task overhead; the map-side assign pass is where the
+    // fan-out pays.
+    val emb = t(s, dir, "embeddings")
+    val cents = graft.operators.KMeansOps.fit(
+      emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+    graft.operators.KMeansOps.assign(Tables.fanOut(emb), cents, "embedding", 64)
       .select(col("vec_id"), col("cell"))
       .orderBy("vec_id")
+  }
   /** sqdist against an already-double centroid list. */
   private def sqlSqDistD(e: String, c: String) =
     s"list_reduce(list_transform(range(1, 65), j -> " +
@@ -1077,12 +1091,19 @@ object DedupQueries {
     // anti-join base; localCheckpoint materializes the (bounded-width)
     // assignment once instead of re-running the scan + nearest-centroid
     // pass per consumer — the persist a real pipeline would do.
-    val cells = graft.operators.KMeansOps.fitAssign(
-      embCorpus(s, dir), "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+    // Quantizer trained on the unfanned corpus (model-state jobs; the
+    // annKmeans reasoning), assignment + pair kernels on the fanned one.
+    val cents = graft.operators.KMeansOps.fit(
+      embCorpus(s, dir, fan = false), "vec_id", "embedding", k = 8, iters = 2, dim = 64)
+    val cells = graft.operators.KMeansOps.assign(
+      embCorpus(s, dir), cents, "embedding", 64)
       .localCheckpoint(true)
     val pairs = SimilarityOps.cosineNearDupPairs(
       cells, "vec_id", "embedding", "cell", 0.999)
-    val deleted = pairs.select(col("id_b").as("vec_id")).distinct()
+    // No distinct on the deleted ids: anti-join semantics are EXISTS,
+    // so duplicate id_b rows are harmless and the dedup exchange is a
+    // pure extra stage (the pair set is bounded by the planted dups).
+    val deleted = pairs.select(col("id_b").as("vec_id"))
     cells.join(deleted, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
       .orderBy("vec_id")
