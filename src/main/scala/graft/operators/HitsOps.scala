@@ -66,8 +66,14 @@ object HitsOps {
     // half-round in either join mode.
     def maxNorm(raw: DataFrame, key: String, v: String): DataFrame = {
       val df = raw.localCheckpoint(true)
+      // The multiply lifts to DECIMAL(38,0) (HUGEINT oracle-side, the
+      // g3 treatment): raw sums reach in-degree · 1e6, so a node with
+      // ~9.2e6 summed in-micro-units would overflow BIGINT·1e6 —
+      // silently wrapped by Spark, raised by DuckDB, either way broken.
+      // The normalized quotient is ≤ 1e6 and casts back exactly.
       df.crossJoin(broadcast(df.agg(max(col(v)).as("__mx"))))
-        .select(col(key), expr(s"$v * 1000000L div __mx").as(v))
+        .select(col(key), expr(
+          s"CAST((CAST($v AS DECIMAL(38,0)) * 1000000) div __mx AS BIGINT)").as(v))
     }
 
     var hubs = edges.select(col("s")).distinct()

@@ -671,10 +671,17 @@ object MetricsQueries {
     val deg = e.select(col("p1").as("v")).union(e.select(col("p2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
+    // Row-count guard (triangleStats' broadcastEdgeLimit treatment, r9
+    // advice): |deg| is bounded by |parts| here, but the bound is a
+    // property of THIS graph, not of the operator shape — a fact-scaled
+    // vertex set must fall back to keyed joins, not OOM the driver.
+    // deg.count() is free (just checkpointed).
+    val degB: DataFrame => DataFrame =
+      if (deg.count() <= 5_000_000L) broadcast else identity
     val sym = e.union(e.select(col("p2").as("p1"), col("p1").as("p2")))
     sym
-      .join(broadcast(deg.select(col("v").as("p1"), col("d").as("x"))), Seq("p1"))
-      .join(broadcast(deg.select(col("v").as("p2"), col("d").as("y"))), Seq("p2"))
+      .join(degB(deg.select(col("v").as("p1"), col("d").as("x"))), Seq("p1"))
+      .join(degB(deg.select(col("v").as("p2"), col("d").as("y"))), Seq("p2"))
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
         sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
@@ -1019,7 +1026,24 @@ object MetricsQueries {
     val op = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       .localCheckpoint(true) // pair explode + part counts + T read it
-    val pairs = op.select(col("o"), col("p").as("p1"))
+    // shuffle_hash: without the hint Spark BROADCASTS one side of the
+    // 600k-row self-join (it fits the 10 MB threshold at sf0.1) — a
+    // driver collect + hash build of a FACT-scaled table, wrong at any
+    // real SF and measured 1.23 vs 0.75 s here; the hinted plan keys
+    // both sides on `o` and reuses one exchange.
+    //
+    // A-priori prefilter audit (r9 directive): pair support is bounded
+    // by min(c(p1), c(p2)), so items with c(p) below the top-k support
+    // bar could be dropped before the pair join. MEASURED at sf0.1:
+    // the 20th-best support is 2 while min c(p) = 11 — a correct
+    // threshold prunes ZERO items on this uniform basket fixture, so
+    // the filter is not wired in (it would add a broadcast join to the
+    // hot path for nothing). The 100 TB guard is structural instead:
+    // pair volume is Σ_o n_o(n_o−1)/2 with TPC-H basket size n_o ≤ 7 —
+    // LINEAR in orders, the df-capped-postings argument; skewed real
+    // baskets would take a basket-size cap + the c(p) prefilter, both
+    // expressible on this shape.
+    val pairs = op.select(col("o"), col("p").as("p1")).hint("shuffle_hash")
       .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
       .filter(col("p1") < col("p2"))
       .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
@@ -1071,9 +1095,9 @@ object MetricsQueries {
   private def g9Round(i: Int): String = {
     val prevH = if (i == 1) "h0" else s"h${i - 1}"
     s"""a${i}r AS (SELECT p, SUM(h) AS a FROM e JOIN $prevH USING (s) GROUP BY p),
-       |a$i AS (SELECT p, a * 1000000 // (SELECT MAX(a) FROM a${i}r) AS a FROM a${i}r),
+       |a$i AS (SELECT p, CAST(a AS HUGEINT) * 1000000 // (SELECT MAX(a) FROM a${i}r) AS a FROM a${i}r),
        |h${i}r AS (SELECT s, SUM(a) AS h FROM e JOIN a$i USING (p) GROUP BY s),
-       |h$i AS (SELECT s, h * 1000000 // (SELECT MAX(h) FROM h${i}r) AS h FROM h${i}r)""".stripMargin
+       |h$i AS (SELECT s, CAST(h AS HUGEINT) * 1000000 // (SELECT MAX(h) FROM h${i}r) AS h FROM h${i}r)""".stripMargin
   }
   private val g9Sql =
     s"""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
