@@ -168,45 +168,67 @@ object AudioOps {
     segs.toSeq
   }
 
-  /** MPEG-audio Layer III decode for the ZERO-PAYLOAD frame class —
-    * real ISO/IEC 11172-3 / 13818-3 framing and side-info layout, PCM
-    * out. A frame whose side info is all-zero has main_data_begin = 0
-    * and part2_3_length = 0 for every granule/channel: by the spec
-    * there are NO spectral bits, the requantized spectrum is zero, and
-    * IMDCT + overlap-add + polyphase synthesis of zeros is EXACT
-    * digital silence — so for this class the full decode pipeline
-    * collapses to sample-accurate zeros at the header-derived rate and
-    * count, with bytes after the side info being ancillary data the
-    * spec says to ignore. Frames that DO carry spectral bits raise
-    * UnsupportedOperationException: their Huffman stage needs the ISO
-    * code tables, which live behind the JavaSoundExternals SPI seam
-    * (drop an mp3 SPI jar — no code change). This is the honest native
-    * boundary: framing, side info, reservoir bookkeeping and duration
-    * arithmetic are real and tested; the entropy-coded payload is
-    * delegated. (Reference decodes via librosa,
+  /** MPEG-audio Layer III decode, PCM out — real ISO/IEC 11172-3
+    * framing, side info, bit-reservoir bookkeeping, and the full native
+    * spectral pipeline for the class [[Mp3Layer3]] can decode without
+    * fabricating the spec's printed data tables (see its object doc):
+    * Huffman count1 lines, requantization, M/S stereo, alias
+    * reduction, IMDCT + overlap-add, polyphase synthesis. Zero-payload
+    * frames (all-zero side info) decode to spec-exact silence at ANY
+    * header combination including MPEG-2/2.5 (LSF). Frames outside the
+    * native class raise a pointed UnsupportedOperationException toward
+    * the JavaSoundExternals SPI seam (drop an mp3 SPI jar — no code
+    * change). Layer I/II streams are routed to the same seam, and
+    * trailing ID3v1 ("TAG", 128 B) / APE ("APETAGEX") tags end the
+    * frame walk cleanly instead of tripping the sync check.
+    * (Reference decodes via librosa,
     * pre_processing/process_all.py:382-392.)
     *
-    * Returns (mono samples — all zeros, sample rate). Throws on
-    * malformed framing or non-silent payload; callers that only gate
-    * on duration should use MultimodalOps.mp3Probe instead.
+    * Returns (mono samples — channel average, librosa mono=True
+    * semantics — and the sample rate). Throws IllegalArgumentException
+    * on malformed framing; callers that only gate on duration should
+    * use MultimodalOps.mp3Probe instead.
     */
-  def decodeMp3Silent(bytes: Array[Byte]): (Array[Float], Int) = {
+  def decodeMp3(bytes: Array[Byte]): (Array[Float], Int) = {
     require(bytes != null && bytes.length >= 4, "not an MPEG audio stream")
     var o = 0
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
       val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
         ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
-      o = 10 + size
+      // footer flag (header byte 5 bit 4): an ID3v2.4 footer adds 10
+      // bytes the syncsafe size does not cover
+      o = 10 + size + (if ((bytes(5) & 0x10) != 0) 10 else 0)
     }
     val kbpsL3 = Array( // Layer III rows of the ISO bitrate table
       Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320), // MPEG1
       Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))     // MPEG2/2.5
     val rates = Map(3 -> Array(44100, 48000, 32000),
       2 -> Array(22050, 24000, 16000), 0 -> Array(11025, 12000, 8000))
+
+    import Mp3Layer3._
+    val pcmChunks = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     var nSamples = 0L
     var sr0 = 0
     var nFrames = 0L
-    while (o + 4 <= bytes.length) {
+    // Bit reservoir: concatenated main_data across frames; each frame's
+    // granule data starts main_data_begin bytes BEFORE its own
+    // main_data (ISO 2.4.3.5). Capped re-buffering: only the trailing
+    // 511 bytes (the 9-bit field's maximum) plus the current frame can
+    // ever be addressed.
+    var reservoir = new Array[Byte](0)
+    // Per-channel decode state (lazily sized on the first audible frame)
+    var overlaps: Array[Array[Array[Float]]] = null
+    var synth: Array[SynthState] = null
+    var prevSf: Array[Array[Int]] = null
+
+    def endsWithTag(off: Int): Boolean =
+      (bytes.length - off == 128 && bytes(off) == 'T' && bytes(off + 1) == 'A' &&
+        bytes(off + 2) == 'G') ||
+        (bytes.length - off >= 8 && bytes(off) == 'A' && bytes(off + 1) == 'P' &&
+          bytes(off + 2) == 'E' && bytes(off + 3) == 'T' && bytes(off + 4) == 'A' &&
+          bytes(off + 5) == 'G' && bytes(off + 6) == 'E' && bytes(off + 7) == 'X')
+
+    while (o + 4 <= bytes.length && !endsWithTag(o)) {
       require((bytes(o) & 0xff) == 0xff && (bytes(o + 1) & 0xe0) == 0xe0,
         s"lost MPEG frame sync at offset $o")
       val ver = (bytes(o + 1) >> 3) & 3
@@ -215,27 +237,103 @@ object AudioOps {
       val brIdx = (bytes(o + 2) >> 4) & 0xf
       val srIdx = (bytes(o + 2) >> 2) & 3
       val pad = (bytes(o + 2) >> 1) & 1
-      val mono = ((bytes(o + 3) >> 6) & 3) == 3
-      require(ver != 1 && layer == 3 && brIdx >= 1 && brIdx <= 14 && srIdx != 3,
-        s"unsupported/invalid MPEG header at offset $o (layer $layer)")
+      val mode = (bytes(o + 3) >> 6) & 3
+      val modeExt = (bytes(o + 3) >> 4) & 3
+      val mono = mode == 3
+      require(ver != 1 && brIdx >= 1 && brIdx <= 14 && srIdx != 3,
+        s"unsupported/invalid MPEG header at offset $o")
+      if (layer != 3) throw new UnsupportedOperationException(
+        s"MPEG Layer $layer (I/II) decode is not native; drop an mp3 SPI " +
+          "jar on the executor classpath (JavaSoundExternals seam)")
       val mpeg1 = ver == 3
       val br = kbpsL3(if (mpeg1) 0 else 1)(brIdx - 1) * 1000
       val sr = rates(ver)(srIdx)
       val spf = if (mpeg1) 1152 else 576
       val len = spf / 8 * br / sr + pad
       require(o + len <= bytes.length, s"truncated MPEG frame at offset $o")
-      // Side info region: MPEG1 32 B stereo / 17 B mono; LSF 17 / 9.
       val side =
         if (mpeg1) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
       val so = o + 4 + (if (crc) 2 else 0)
       require(so + side <= o + len, s"frame too short for side info at $o")
-      var i = so
-      while (i < so + side) {
-        if (bytes(i) != 0) throw new UnsupportedOperationException(
-          "MPEG frame carries spectral payload (non-zero side info); full " +
-            "Huffman decode needs an mp3 SPI jar on the executor classpath " +
-            "(JavaSoundExternals seam)")
-        i += 1
+      val silentFrame = (so until so + side).forall(bytes(_) == 0)
+
+      // Fast silent path ONLY while no filter state is live: with
+      // all-zero side info the spectrum is zero and a zero-state
+      // pipeline outputs exact digital silence. A silent frame AFTER
+      // audible ones instead flows through the normal pipeline below
+      // (zero spectrum in, the overlap/FIFO ringing tail out — the
+      // spec-exact transition). The frame's ancillary bytes still join
+      // the reservoir: a later frame's main_data_begin may address them.
+      if (silentFrame && (overlaps == null || !mpeg1)) {
+        pcmChunks += new Array[Float](spf)
+        val mainData = java.util.Arrays.copyOfRange(bytes, so + side, o + len)
+        val merged = new Array[Byte](reservoir.length + mainData.length)
+        System.arraycopy(reservoir, 0, merged, 0, reservoir.length)
+        System.arraycopy(mainData, 0, merged, reservoir.length, mainData.length)
+        val keep = math.min(merged.length, 511)
+        reservoir = java.util.Arrays.copyOfRange(merged, merged.length - keep, merged.length)
+      } else if (!mpeg1) {
+        throw new UnsupportedOperationException(
+          "MPEG-2/2.5 (LSF) spectral decode is not native (LSF " +
+            "scalefactor coding); drop an mp3 SPI jar on the executor " +
+            "classpath (JavaSoundExternals seam)")
+      } else {
+        val ch = if (mono) 1 else 2
+        if (modeExt == 1 || modeExt == 3) throw new UnsupportedOperationException(
+          "intensity-stereo decode needs the scalefactor-band position " +
+            "tables; drop an mp3 SPI jar (JavaSoundExternals seam)")
+        val si = parseSideInfoMpeg1(bytes, so, ch)
+        val mainData = java.util.Arrays.copyOfRange(bytes, so + side, o + len)
+        require(si.mainDataBegin <= reservoir.length,
+          s"main_data_begin ${si.mainDataBegin} references bytes before the stream start at offset $o")
+        val buf = new Array[Byte](si.mainDataBegin + mainData.length)
+        System.arraycopy(reservoir, reservoir.length - si.mainDataBegin, buf, 0, si.mainDataBegin)
+        System.arraycopy(mainData, 0, buf, si.mainDataBegin, mainData.length)
+        if (overlaps == null) {
+          overlaps = Array.fill(ch)(Array.fill(32)(new Array[Float](18)))
+          synth = Array.fill(ch)(new SynthState)
+          prevSf = Array.fill(ch)(new Array[Int](21))
+        }
+        require(overlaps.length == ch, s"channel-count change mid-stream at offset $o")
+        val frame = new Array[Float](spf)
+        val r = new BitReader(buf, 0)
+        var gr = 0
+        while (gr < 2) {
+          val xrs = Array.tabulate(ch)(c =>
+            decodeSpectrum(r, si.granules(gr)(c), si.scfsi(c), gr, prevSf(c)))
+          if (ch == 2 && modeExt == 2) { // M/S stereo: closed-form matrix
+            val s2 = math.sqrt(2.0).toFloat
+            var i = 0
+            while (i < 576) {
+              val m = xrs(0)(i); val s = xrs(1)(i)
+              xrs(0)(i) = (m + s) / s2
+              xrs(1)(i) = (m - s) / s2
+              i += 1
+            }
+          }
+          var c = 0
+          while (c < ch) {
+            val g = si.granules(gr)(c)
+            if (!(g.windowSwitching && g.blockType == 2)) antialias(xrs(c))
+            val slots = imdctGranule(xrs(c),
+              if (g.windowSwitching) g.blockType else 0, overlaps(c))
+            val chanPcm = new Array[Float](576)
+            var t = 0
+            while (t < 18) {
+              synthSlot(slots(t), synth(c), chanPcm, t * 32)
+              t += 1
+            }
+            // mono mixdown by channel average (librosa mono=True)
+            var i = 0
+            while (i < 576) { frame(gr * 576 + i) += chanPcm(i) / ch; i += 1 }
+            c += 1
+          }
+          gr += 1
+        }
+        pcmChunks += frame
+        // roll the reservoir: keep the addressable tail (<= 511 bytes)
+        val keep = math.min(buf.length, 511)
+        reservoir = java.util.Arrays.copyOfRange(buf, buf.length - keep, buf.length)
       }
       if (nFrames == 0) sr0 = sr
       nFrames += 1
@@ -244,7 +342,14 @@ object AudioOps {
     }
     require(nFrames > 0, "no MPEG frames found")
     require(nSamples <= Int.MaxValue,
-      s"silent MPEG stream too long to materialize as one PCM array ($nSamples samples)")
-    (new Array[Float](nSamples.toInt), sr0)
+      s"MPEG stream too long to materialize as one PCM array ($nSamples samples)")
+    val out = new Array[Float](nSamples.toInt)
+    var off = 0
+    pcmChunks.foreach { c => System.arraycopy(c, 0, out, off, c.length); off += c.length }
+    (out, sr0)
   }
+
+  /** Historical name for [[decodeMp3]] (rounds 1-9 decoded only the
+    * zero-payload silent class); retained as an alias. */
+  def decodeMp3Silent(bytes: Array[Byte]): (Array[Float], Int) = decodeMp3(bytes)
 }

@@ -227,20 +227,21 @@ object MultimodalOps {
   final case class Mp3Pcm(
     path: String, sample_rate: Int, n_samples: Long, peak_milli: Long)
 
-  /** MP3 → PCM decode over binary files for the zero-payload (silent)
-    * frame class — the NATIVE half of the mp3 decode seam: real ISO
-    * framing + side-info parse, spec-exact silence out
-    * ([[AudioOps.decodeMp3Silent]]); streams with spectral payload
+  /** MP3 → PCM decode over binary files — the NATIVE half of the mp3
+    * decode seam: real ISO framing, side info, bit reservoir, and the
+    * full spectral pipeline for [[Mp3Layer3]]'s native class (count1
+    * Huffman lines, requantize, IMDCT, polyphase synthesis); silence
+    * frames decode to spec-exact zeros, and streams outside the class
     * throw toward the JavaSoundExternals SPI seam. Reports the decoded
     * PCM's sample count, rate and integer peak (milli-units of full
     * scale) so a correctness gate can pin both the duration arithmetic
-    * AND that the decoder actually produced samples. Same mapPartitions
-    * shape as [[mp3Probe]] — per-file kernel, no shuffle. */
-  def mp3DecodeSilent(df: DataFrame, pathCol: String, contentCol: String): DataFrame = {
+    * AND the decoded amplitudes. Same mapPartitions shape as
+    * [[mp3Probe]] — per-file kernel, no shuffle. */
+  def mp3Decode(df: DataFrame, pathCol: String, contentCol: String): DataFrame = {
     val in = df.select(col(pathCol).cast("string"), col(contentCol))
     in.mapPartitions { rows =>
       rows.map { r =>
-        val (pcm, sr) = AudioOps.decodeMp3Silent(r.getAs[Array[Byte]](1))
+        val (pcm, sr) = AudioOps.decodeMp3(r.getAs[Array[Byte]](1))
         var peak = 0.0f
         var i = 0
         while (i < pcm.length) {

@@ -35,16 +35,15 @@ object JavaSoundExternals extends Externals {
     StubExternals.resizeImage(bytes, w, h)
 
   override def decodeAudio(bytes: Array[Byte]): (Array[Float], Int) = {
-    // MPEG audio first: stock JDK SPIs reject it, and the zero-payload
-    // (silent) Layer III class decodes natively — real framing + side
-    // info, spec-exact silence PCM (AudioOps.decodeMp3Silent). Streams
-    // with spectral payload fall through that method with a pointed
-    // UnsupportedOperationException naming the SPI seam.
+    // MPEG audio first: stock JDK SPIs reject it, and Layer III decodes
+    // natively for Mp3Layer3's class (spectral count1 lines, silence,
+    // ID3/APE tags). Streams needing ISO print tables fall through with
+    // a pointed UnsupportedOperationException naming the SPI seam.
     val mpegSync = bytes.length >= 4 &&
       ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0 ||
         bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3')
     if (mpegSync) // disjoint from RIFF/FORM/.snd magics the SPIs handle
-      return graft.operators.AudioOps.decodeMp3Silent(bytes)
+      return graft.operators.AudioOps.decodeMp3(bytes)
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     try {
       val base = in.getFormat

@@ -307,7 +307,55 @@ object IoQueries {
     * rides in the filename. vg=1 -> MPEG1 Layer III (1152 samples/frame),
     * vg=2 -> MPEG2 Layer III (576). Half the files carry an ID3v2 tag the
     * probe must skip. */
+  /** Steady-state decoded peak of the audible mp3 fixture class (a
+    * single +1 count1 line per frame, global_gain 206, frames repeated)
+    * — FROZEN from Mp3SpectralSpec's direct-form reference pipeline
+    * ("impulse-response peak constant" test re-measures it to 1e-4).
+    * genMp3s bakes floor(peak·1000) into the audible filenames, so the
+    * mm_mp3_decode DuckDB oracle pins the whole native spectral decode
+    * (Huffman → requantize → IMDCT → synthesis) against a constant that
+    * did NOT come from the decoder under test. Gains at other
+    * global_gain values scale by exact powers of two (the pipeline is
+    * linear). */
+  val Mp3AudiblePeakGg206: Double = 0.4505385
+
   private def genMp3s(base: String): Unit = {
+    // ---- audible files: MPEG1 L3 mono 44.1k/128k, gr0 = one +1 count1
+    // line (table B), gr1 silent; nothing below fabricates ISO print
+    // tables — see Mp3Layer3's object doc for the native class.
+    val audible = Seq((206, 40), (194, 25)) // (global_gain, nFrames)
+    audible.foreach { case (gg, nf) =>
+      val fr = new Array[Byte](417)
+      fr(0) = 0xff.toByte; fr(1) = 0xfb.toByte
+      fr(2) = 0x90.toByte // 128 kbps, 44.1 kHz
+      fr(3) = 0xc0.toByte // mono
+      // side info (17 B): all zero except gr0's part2_3_length = 5
+      // (bits 18-29), global_gain (bits 39-46), count1table_select = B
+      // (bit 76); gr1 all zero.
+      def setBits(startBit: Int, v: Int, n: Int): Unit = {
+        var i = 0
+        while (i < n) {
+          if (((v >> (n - 1 - i)) & 1) == 1) {
+            val abs = 32 + startBit + i // side info starts at byte 4
+            fr(abs / 8) = (fr(abs / 8) | (1 << (7 - (abs % 8)))).toByte
+          }
+          i += 1
+        }
+      }
+      setBits(18, 5, 12)  // gr0 part2_3_length
+      setBits(39, gg, 8)  // gr0 global_gain
+      setBits(76, 1, 1)   // gr0 count1table_select = table B
+      fr(21) = 0x70.toByte // main data: quad ~1000=0111 then sign 0
+      val out = new Array[Byte](nf * 417)
+      (0 until nf).foreach(i => System.arraycopy(fr, 0, out, i * 417, 417))
+      val peak = Mp3AudiblePeakGg206 * math.pow(2.0, (gg - 206) / 4.0)
+      val milli = peak * 1000.0
+      // mid-bucket guard: the float decode must floor to the same int
+      require(milli - math.floor(milli) > 0.05 && milli - math.floor(milli) < 0.95,
+        s"fixture gain gg=$gg lands on a milli boundary ($milli) - pick another")
+      Files.write(Paths.get(base,
+        f"mp3_v1_sr44100_br128_nf${nf}_pk${math.floor(milli).toLong}_raw.mp3"), out)
+    }
     val cases = Seq(
       // (vg, sr, brKbps, brIdx, nFrames, id3)
       (1, 44100, 128, 9, 200, false),
@@ -356,7 +404,8 @@ object IoQueries {
   }
   private val mmMp3Sql =
     s"""SELECT fname, CASE vg WHEN 1 THEN 'MPEG1' ELSE 'MPEG2' END AS version,
-       |  sr AS sample_rate, br AS bitrate_kbps, 2 AS channels,
+       |  sr AS sample_rate, br AS bitrate_kbps,
+       |  CASE WHEN pk = '' THEN 2 ELSE 1 END AS channels,
        |  nf AS n_frames, nf * spf AS n_samples,
        |  CAST(nf * spf AS DOUBLE) / sr AS duration_s
        |FROM (
@@ -365,33 +414,41 @@ object IoQueries {
        |    CAST(regexp_extract(filename, '_sr(\\d+)_', 1) AS INT) AS sr,
        |    CAST(regexp_extract(filename, '_br(\\d+)_', 1) AS INT) AS br,
        |    CAST(regexp_extract(filename, '_nf(\\d+)_', 1) AS BIGINT) AS nf,
+       |    regexp_extract(filename, '_pk(\\d+)_', 1) AS pk,
        |    CASE CAST(regexp_extract(filename, '_v(\\d+)_', 1) AS INT)
        |      WHEN 1 THEN 1152 ELSE 576 END AS spf
        |  FROM read_blob('$fixRoot/mm_mp3/*.mp3'))
        |ORDER BY fname""".stripMargin
 
-  /** MP3 → PCM decode (zero-payload/silent frame class — the native
-    * half of the decode seam, MultimodalOps.mp3DecodeSilent): the
-    * oracle replays sample-count/rate arithmetic from filename ground
-    * truth and pins the decoded peak at exactly 0 — a decoder that
-    * walks frames wrong, sizes the side info wrong, or fabricates
-    * non-silent PCM diverges. */
+  /** MP3 → PCM decode (MultimodalOps.mp3Decode): silent fixtures must
+    * decode to exact digital zero; AUDIBLE fixtures (count1-line
+    * spectral frames, Mp3Layer3's native class) must decode to the
+    * filename-frozen peak that came from the INDEPENDENT direct-form
+    * reference pipeline (Mp3AudiblePeakGg206) — a decoder that walks
+    * frames wrong, mis-sizes side info, drops the Huffman stage,
+    * mis-gains the requantizer, or perturbs the filterbank diverges
+    * from the oracle. */
   private val mmMp3Dec: Q = (s, dir) => {
     val d = fixDir("mm_mp3")
     genMp3s(d)
     val files = s.read.format("binaryFile").load(d + "/*.mp3")
-    MultimodalOps.mp3DecodeSilent(files, "path", "content")
+    MultimodalOps.mp3Decode(files, "path", "content")
       .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
         col("sample_rate"), col("n_samples"), col("peak_milli"))
       .orderBy("fname")
   }
+  // Audible fixtures carry their expected decoded peak (frozen from the
+  // independent direct-form reference, see Mp3AudiblePeakGg206) in the
+  // filename; silent fixtures have no _pk_ segment and must decode to
+  // exact digital zero.
   private val mmMp3DecSql =
     s"""SELECT fname, sr AS sample_rate, nf * spf AS n_samples,
-       |  CAST(0 AS BIGINT) AS peak_milli
+       |  CAST(CASE WHEN pk = '' THEN '0' ELSE pk END AS BIGINT) AS peak_milli
        |FROM (
        |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
        |    CAST(regexp_extract(filename, '_sr(\\d+)_', 1) AS INT) AS sr,
        |    CAST(regexp_extract(filename, '_nf(\\d+)_', 1) AS BIGINT) AS nf,
+       |    regexp_extract(filename, '_pk(\\d+)_', 1) AS pk,
        |    CASE CAST(regexp_extract(filename, '_v(\\d+)_', 1) AS INT)
        |      WHEN 1 THEN 1152 ELSE 576 END AS spf
        |  FROM read_blob('$fixRoot/mm_mp3/*.mp3'))
