@@ -432,7 +432,12 @@ object MetricsQueries {
     // array-combinations form slower still (above).
     val op = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val a = op.select(col("o"), col("p").as("p1"))
+    // shuffle_hash (the a19 finding, reconfirmed here): without the hint
+    // Spark auto-BROADCASTS one 600k-row side of the self-join (under
+    // the 10 MB threshold at sf0.1 — wrong at any real SF, and measured
+    // 2.2-2.5 vs 1.4-1.8 s for the distinct+checkpoint fixture); the
+    // hinted plan keys both sides on `o` and reuses one exchange.
+    val a = op.select(col("o"), col("p").as("p1")).hint("shuffle_hash")
     val b = op.select(col("o"), col("p").as("p2"))
     a.join(b, Seq("o")).filter(col("p1") < col("p2")).select("p1", "p2")
   }
