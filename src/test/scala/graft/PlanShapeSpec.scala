@@ -541,7 +541,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrdered"),
       s"a19 must TakeOrdered its top-k:\n${p.take(700)}")
     assert(!p.contains("CartesianProduct"), "a19 went cartesian")
+    // the basket self-join must stay a keyed shuffle join: Spark
+    // auto-broadcasts the 600k-row fact side under the 10 MB threshold
+    // at sf0.1 (r10 finding) — a driver collect that breaks at real SF
+    assert(p.contains("ShuffledHashJoin"),
+      "a19's pair self-join lost its shuffle_hash hint (fact-side broadcast)")
   }
+
+  // (The coEdges fixture carries the same shuffle_hash hint, but
+  // triangleStats checkpoints its input eagerly, so the fixture join
+  // never appears in g2's final plan string — the a19 pin above covers
+  // the shape; the fixture's hint is asserted by its measured comment
+  // and the AuditBroadcasts zero-hit run.)
 
   test("triangle census: keyed equi-joins only — no cartesian, no nested loop") {
     val p = plan("g2_triangles")
