@@ -200,6 +200,71 @@ class Mp3SpectralSpec extends AnyFunSuite {
     assert(maxDiff < 1e-6, "channel-average of identical channels must equal mono")
   }
 
+  test("M/S joint stereo: silent side channel halves the mono energy by exactly sqrt(2)") {
+    // mode 1 (joint stereo) + modeExt 2 (MS on, intensity off), ch0 =
+    // the quad data (mid), ch1 silent (side = 0): L = R = M/sqrt(2), so
+    // the channel-average mixdown equals the mono decode scaled by
+    // 1/sqrt(2) — a closed-form pin on the M/S matrix.
+    val quads = Seq(Seq(1, 0, -1, 0))
+    def msFrame(): Array[Byte] = {
+      val main = new BitWriter
+      quads.foreach(writeQuad(main, _))
+      val p23 = main.size
+      val side = new BitWriter
+      side.write(0, 9).write(0, 3).write(0, 8) // mdb, private, scfsi x2
+      def gbits(p23Len: Int): Unit = {
+        side.write(p23Len, 12).write(0, 9).write(205, 8).write(0, 4).write(0, 1)
+        side.write(0, 5).write(0, 5).write(0, 5).write(0, 4).write(0, 3)
+        side.write(0, 1).write(0, 1).write(1, 1)
+      }
+      gbits(p23); gbits(0) // gr0: ch0 audible, ch1 silent
+      gbits(0); gbits(0)   // gr1 silent
+      val out = new Array[Byte](417)
+      out(0) = 0xff.toByte; out(1) = 0xfb.toByte
+      out(2) = 0x90.toByte
+      out(3) = 0x60.toByte // mode 01 (joint) + modeExt 10 (MS only)
+      System.arraycopy(side.toBytes(32), 0, out, 4, 32)
+      System.arraycopy(main.toBytes((p23 + 7) / 8), 0, out, 36, (p23 + 7) / 8)
+      out
+    }
+    val ms = AudioOps.decodeMp3(Array.concat(msFrame(), msFrame()))._1
+    val mono = AudioOps.decodeMp3(
+      Array.concat(frame(205, quads), frame(205, quads)))._1
+    assert(ms.length == mono.length)
+    val s2 = math.sqrt(2.0)
+    var maxDiff = 0.0
+    for (i <- ms.indices)
+      maxDiff = math.max(maxDiff, math.abs(ms(i) * s2 - mono(i)))
+    assert(maxDiff < 2e-5, s"M/S matrix diverged from the closed form: $maxDiff")
+  }
+
+  test("bit reservoir: granule data addressed via main_data_begin decodes identically") {
+    // Frame 1 carries the quads in ITS main data (mdb=0) and pads the
+    // rest with ancillary zeros... except the LAST byte, where frame 2's
+    // granule bits are parked. Frame 2 sets main_data_begin = 1 so its
+    // gr0 reads from that reservoir byte; frame 2's own main region is
+    // ancillary. The decoded PCM must equal the plain two-frame stream.
+    val quads = Seq(Seq(1, 0, 0, 0)) // 5 bits -> one byte 0x70
+    val f1 = frame(210, quads)
+    f1(416) = 0x70.toByte // reservoir byte: frame 2's gr0 bits
+    val f2 = frame(210, quads)
+    java.util.Arrays.fill(f2, 21, 417, 0.toByte) // clear f2's own main data
+    // set f2's main_data_begin = 1 (first 9 bits of side info)
+    f2(4) = 0x00.toByte; f2(5) = (f2(5) | 0x80).toByte // 9-bit field: 000000001
+    val viaReservoir = AudioOps.decodeMp3(Array.concat(f1, f2))._1
+    val plain = AudioOps.decodeMp3(
+      Array.concat(frame(210, quads), frame(210, quads)))._1
+    assert(viaReservoir.length == plain.length)
+    var maxDiff = 0.0
+    for (i <- viaReservoir.indices)
+      maxDiff = math.max(maxDiff, math.abs(viaReservoir(i) - plain(i)))
+    assert(maxDiff == 0.0, s"reservoir-addressed granule diverged: $maxDiff")
+    // and an unreachable main_data_begin is a loud framing error
+    val bad = frame(210, quads)
+    bad(4) = 0x00.toByte; bad(5) = (bad(5) | 0x80).toByte // mdb=1, no history
+    intercept[IllegalArgumentException](AudioOps.decodeMp3(bad))
+  }
+
   test("audible-to-silent transition carries the filterbank ringing tail") {
     val bytes = Array.concat(frame(210, Seq(Seq(1, 1, 1, 1))),
       { val f = new Array[Byte](417)
