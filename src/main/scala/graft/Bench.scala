@@ -154,6 +154,11 @@ object Bench {
     // contention; the count rides the artifact so a dirty run is
     // visible without stderr.
     val warmGeMedian = results.count { case (_, m, rs) => rs.head >= m }
+    // Tolerant twin: the strict counter flags millisecond jitter on
+    // sub-second queries (warm 0.15 vs median 0.17 is scheduler noise,
+    // not the 2-18x contention the invariant exists to catch); 50 ms of
+    // grace separates the two without touching the strict record.
+    val warmGeMedian50 = results.count { case (_, m, rs) => rs.head >= m - 0.05 }
     // Isolation spot-check (r8 VERDICT item 1): re-time the most
     // expensive queries once each after a full cooldown, so the
     // artifact itself records whether the in-suite medians are
@@ -212,7 +217,7 @@ object Bench {
       (if (degradedTop.size > 12) Seq("\"+" + (degradedTop.size - 12) + "\"") else Nil))
       .mkString("[", ",", "]")
     def compactOf(rs: Seq[(String, Double, Seq[Double])]) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size},"warm_ge_median":$warmGeMedian,"degraded":$degradedJson,"isolated":$isolatedJsonCompact$skippedField,"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size},"warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"degraded":$degradedJson,"isolated":$isolatedJsonCompact$skippedField,"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
     // Greedy: keep dropping the cheapest query until the line fits ~1850
     // chars (2000-char driver window minus sbt's trailing [success] line).
     val byCost = results.sortBy(-_._2)
@@ -223,7 +228,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","warm_ge_median":$warmGeMedian,"degraded":$degradedJson$skippedField,"queries":${qJson(results)(_.toString)},"sf":"$sfDir","isolated":$isolatedJson,"runs":$runsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"degraded":$degradedJson$skippedField,"queries":${qJson(results)(_.toString)},"sf":"$sfDir","isolated":$isolatedJson,"runs":$runsJson}"""
     println(compact)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")
