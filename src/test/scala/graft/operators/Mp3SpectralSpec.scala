@@ -44,12 +44,18 @@ class Mp3SpectralSpec extends AnyFunSuite {
   }
 
   /** Craft one MPEG1 L3 mono 44.1 kHz / 128 kbps frame (417 B): gr0
-    * carries the given count1 quads at global_gain gg; gr1 is silent. */
+    * carries the given count1 quads at global_gain gg; gr1 carries
+    * `quadsGr1` (default silent) at the same gain — two audible
+    * granules exercise CONTIGUOUS granule reads from one main-data
+    * buffer (gr1's bits start exactly at gr0's part2_3 boundary). */
   private def frame(gg: Int, quads: Seq[Seq[Int]],
-      stereoDup: Boolean = false): Array[Byte] = {
+      stereoDup: Boolean = false,
+      quadsGr1: Seq[Seq[Int]] = Seq.empty): Array[Byte] = {
     val main = new BitWriter
     quads.foreach(writeQuad(main, _))
     val p23 = main.size
+    quadsGr1.foreach(writeQuad(main, _))
+    val p23g1 = main.size - p23
     def granuleBits(w: BitWriter, p23Len: Int): Unit = {
       w.write(p23Len, 12).write(0, 9).write(gg, 8).write(0, 4).write(0, 1)
       w.write(0, 5).write(0, 5).write(0, 5) // table_select: 0,0,0
@@ -59,14 +65,14 @@ class Mp3SpectralSpec extends AnyFunSuite {
     if (!stereoDup) {
       val side = new BitWriter
       side.write(0, 9).write(0, 5).write(0, 4) // mdb, private, scfsi
-      granuleBits(side, p23); granuleBits(side, 0)
+      granuleBits(side, p23); granuleBits(side, p23g1)
       val out = new Array[Byte](417)
       out(0) = 0xff.toByte; out(1) = 0xfb.toByte
       out(2) = 0x90.toByte // 128 kbps, 44.1 kHz, no padding
       out(3) = 0xc0.toByte // mono
       System.arraycopy(side.toBytes(17), 0, out, 4, 17)
       val mainBits = main
-      val mainBytes = mainBits.toBytes((p23 + 7) / 8)
+      val mainBytes = mainBits.toBytes((main.size + 7) / 8)
       System.arraycopy(mainBytes, 0, out, 21, mainBytes.length)
       out
     } else {
@@ -198,6 +204,27 @@ class Mp3SpectralSpec extends AnyFunSuite {
     var maxDiff = 0.0
     for (i <- m.indices) maxDiff = math.max(maxDiff, math.abs(m(i) - s(i)))
     assert(maxDiff < 1e-6, "channel-average of identical channels must equal mono")
+  }
+
+  test("two audible granules read contiguously from one main-data buffer") {
+    // gr1's bits begin exactly where gr0's part2_3_length ends — a
+    // bit-offset bookkeeping error between granules diverges loudly.
+    val g0 = Seq(Seq(1, 0, 0, 0), Seq(0, 0, -1, 1))
+    val g1 = Seq(Seq(-1, 1, 0, 0), Seq(0, 1, 0, 0), Seq(1, 1, 1, 1))
+    val bytes = Array.concat(
+      frame(208, g0, quadsGr1 = g1), frame(208, g0, quadsGr1 = g1))
+    val (pcm, _) = AudioOps.decodeMp3(bytes)
+    val gain = math.pow(2.0, (208 - 210) / 4.0)
+    val ref = new RefPipeline
+    val w = (ref.granule(quadLines(g0, gain)) ++ ref.granule(quadLines(g1, gain)) ++
+      ref.granule(quadLines(g0, gain)) ++ ref.granule(quadLines(g1, gain))).toArray
+    assert(pcm.length == w.length)
+    var maxDiff = 0.0
+    for (i <- pcm.indices) maxDiff = math.max(maxDiff, math.abs(pcm(i) - w(i)))
+    assert(maxDiff < 2e-5, s"contiguous-granule decode diverged: $maxDiff")
+    // and both granules are genuinely audible
+    assert(pcm.take(576).exists(math.abs(_) > 0.01) &&
+      pcm.slice(576, 1152).exists(math.abs(_) > 0.01))
   }
 
   test("M/S joint stereo: silent side channel halves the mono energy by exactly sqrt(2)") {

@@ -119,6 +119,43 @@ class PageRankOpsSpec extends AnyFunSuite {
     assert(byPred == got)
   }
 
+  test("PPR frontier rounds match the dense reference on randomized graphs (property)") {
+    import spark.implicits._
+    // The frontier-restricted seeded rounds (sparse union+agg update,
+    // zeros materialized once) must replay the dense driver-side
+    // reference bit-for-bit on arbitrary graphs: random edges, random
+    // seed sets (incl. seeds not in the graph, which must be ignored),
+    // several iteration counts, both join modes and both seed specs.
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 4) {
+      val n = 6 + rnd.nextInt(8)
+      val edges = Seq.fill(12 + rnd.nextInt(20))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val seeds = (0 until 1 + rnd.nextInt(3)).map(_ => rnd.nextInt(n + 3).toLong)
+      val iters = 1 + rnd.nextInt(4)
+      val inGraph = (edges.map(_._1) ++ edges.map(_._2)).toSet
+      val want = referencePpr(edges, seeds.toSet.filter(inGraph), iters)
+      if (edges.nonEmpty) {
+        val byDf = PageRankOps.pageRank(edges.toDF("s", "d"), "s", "d",
+            iters = iters, restartSeeds = Some(seeds.toDF("node")))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(byDf == want, s"trial $trial (df seeds): edges=$edges seeds=$seeds iters=$iters")
+        val byDfB = PageRankOps.pageRank(edges.toDF("s", "d"), "s", "d",
+            iters = iters, dimensionNodes = true,
+            restartSeeds = Some(seeds.toDF("node")))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(byDfB == want, s"trial $trial (broadcast): edges=$edges seeds=$seeds iters=$iters")
+        val seedSet = seeds.toSet
+        val byPred = PageRankOps.pageRank(edges.toDF("s", "d"), "s", "d",
+            iters = iters,
+            restartWhere = Some(col("node").isin(seedSet.toSeq: _*)))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(byPred == want, s"trial $trial (predicate): edges=$edges seeds=$seeds iters=$iters")
+      }
+    }
+  }
+
   test("sourcesSpanNodes on a mirrored graph is value-identical (both modes)") {
     import spark.implicits._
     val fwd = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L))
