@@ -122,11 +122,23 @@ object GraphOps {
     // AQE's partition coalescing. The tier is chosen once, from the
     // initial count: |E| never grows across star rounds, so the choice
     // only ever becomes more conservative.
-    val e0 = edges.count()
+    // One aggregate job yields BOTH the tier count and the initial
+    // star-forest test (they were two separate driver jobs; at the
+    // CC-family's fixture sizes each job is ~0.2 s of pure overhead):
+    // per node, child-occurrences nc and total occurrences tot — the
+    // forest property is max-violation = 0, and Σtot = 2|E|.
+    val probe = edges.select(col("v").as("n"), lit(1).as("c"))
+      .union(edges.select(col("u").as("n"), lit(0).as("c")))
+      .groupBy("n").agg(sum(col("c")).as("nc"), count(lit(1)).as("tot"))
+      .agg(coalesce(sum(col("tot")), lit(0L)).as("rows2"),
+        coalesce(max(when(col("nc") > 1 ||
+          (col("nc") === 1 && col("tot") > 1), 1).otherwise(0)), lit(0)).as("viol"))
+      .collect()(0)
+    val e0 = probe.getLong(0) / 2
     val coalesceTo =
       if (e0 <= 100_000L) 1 else if (e0 <= 2_000_000L) 4 else 0
 
-    var converged = isStarForest(edges)
+    var converged = probe.getInt(1) == 0
     var it = 0
     while (!converged && it < maxIter) {
       val base = if (coalesceTo > 0) edges.coalesce(coalesceTo) else edges
