@@ -563,7 +563,14 @@ object AssocQueries {
     // the keyed merge. Re-pinned r9: isolation median 3.1 s (the r7
     // 2.2-2.6 s pin predates the VM's slower steal-heavy baseline;
     // plan shape unchanged — re-verified via ExplainOne, merge join +
-    // one broadcast).
+    // one broadcast). r10 re-bake-off (ProfileG7, min of 4 GC'd reps):
+    // this merge form 3.88 s; shuffle_hash pair join 4.14 s (a wash —
+    // no sort, but the hash build over 590k rows costs the same);
+    // collect_set-per-part + in-row combination explode 6.1-13.9 s
+    // LOSES both ways tried (higher-order transform/flatten lambdas
+    // are interpreted; the codegen'd posexplode+slice variant drags
+    // the 30-long array through 9M slice allocations). The cost here
+    // is the genuine ~9M-pair volume, not the join strategy.
     val e = t(s, dir, "lineitem")
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
       .localCheckpoint(true)
