@@ -158,19 +158,20 @@ object CurationQueries {
   private val rrf: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     // --- ranker A: BM25 for the fixed query (RetrievalQueries'
-    // bm25ScoreSql — the audited scorer, one definition) ---------------
-    val dl = docs.select(col("doc_id"),
-      size(expr("ascii_alpha_tokens(text, 3)")).cast("long").as("dl"))
-    val stats = docs.agg(
+    // bm25ScoreSql — the audited scorer, one definition; postings, doc
+    // lengths, and corpus scalars all ride the one-tokenizer-pass
+    // qtermPostings checkpoint, which also retires the separate
+    // dl-table join this ranker used to pay) ---------------------------
+    val pd = RetrievalQueries.qtermPostings(Tables.fanOut(docs), rrfTerms)
+    val stats = pd.agg(
       count(lit(1)).as("n_docs"),
-      coalesce(sum(size(expr("ascii_alpha_tokens(text, 3)")).cast("long")), lit(0L))
-        .as("tot_dl"))
-    val posted = RetrievalQueries.tokenTf(docs, "doc_id")
-      .filter(col("term").isin(rrfTerms: _*))
+      coalesce(sum(col("dl")), lit(0L)).as("tot_dl"))
+    val posted = pd.select(col("doc_id"), col("dl"),
+        explode(col("tfq")).as(Seq("term", "tf")))
+      .withColumn("tf", col("tf").cast("long"))
     val dft = posted.groupBy("term").agg(count(lit(1)).as("df"))
     val bmScored = posted
       .join(broadcast(dft), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", expr("CAST(tot_dl AS DOUBLE) / n_docs"))
       .select(col("doc_id"), expr(RetrievalQueries.bm25ScoreSql).as("s_fp"))

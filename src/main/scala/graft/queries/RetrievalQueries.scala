@@ -66,31 +66,49 @@ object RetrievalQueries {
       "* (tf * CAST(2.2 AS DOUBLE) " +
       "/ (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) " +
       "+ CAST(0.75 AS DOUBLE) * dl / avgdl)))) AS BIGINT)"
+  /** One tokenizer pass for the fixed-query retrieval family
+    * (t_bm25_topk / t_ndcg_eval / t_rrf_fusion's ranker A): tf_map over
+    * the fanned corpus, dl folded from the map (= token count), and the
+    * map pruned ROW-LOCALLY to the literal query vocabulary (a handful
+    * of terms — map_filter, no broadcast, no shuffle), then eagerly
+    * materialized. nllScores measured that checkpointing the FULL tf
+    * table loses to recompute (300k exploded rows cost more than a
+    * tokenize pass) — but the pruned table is ≤|qterms| map entries per
+    * doc, so materializing it is ~free while the tokenize kernel was
+    * re-running 3x in bm25 (stats, dft, scored) and 5x in ndcg (those
+    * plus rel feeding both DCG branches). Measured r10 (TimeSome, min
+    * of 3 on the same slow-VM session): bm25 2.69→2.16 s, ndcg
+    * 3.33→2.96 s, rrf 2.06→2.17 s (a wash at fixture size — but it
+    * retires ranker A's doc_id-keyed dl join, the right trade at
+    * corpus scale); the residue is the family's sequential small-job
+    * floor, not the tokenizer. Rows with an empty pruned map are
+    * KEPT — the corpus scalars (n_docs, tot_dl) count every
+    * document. */
+  private[queries] def qtermPostings(docs: DataFrame, terms: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+        expr("tf_map(ascii_alpha_tokens(text, 3))").as("tfm"))
+      .select(col("doc_id"),
+        expr("aggregate(map_values(tfm), 0L, (a, x) -> a + CAST(x AS LONG))")
+          .as("dl"),
+        map_filter(col("tfm"), (k, _) => k.isin(terms: _*)).as("tfq"))
+      .localCheckpoint(true)
+
   private val bm25: Q = (s, dir) => {
     // Tokenizer kernels dominate the map stage: fan the narrow fixture
-    // scan out (Tables.fanOut scaladoc) or it runs on one core.
+    // scan out (Tables.fanOut scaladoc) or it runs on one core; the
+    // qtermPostings checkpoint runs the kernel ONCE for the whole query.
     val docs = Tables.fanOut(t(s, dir, "documents"))
-    // ONE tokenizer+tf_map pass per doc: dl is the sum of the map's tf
-    // values (= token count), so size(tokens) need not be recomputed —
-    // the round-7 review measured the tokenize kernel as the dominant
-    // per-row cost in this family.
-    val perDoc = docs.select(col("doc_id"),
-        expr("tf_map(ascii_alpha_tokens(text, 3))").as("tfm"))
-      .withColumn("dl",
-        expr("aggregate(map_values(tfm), 0L, (a, x) -> a + CAST(x AS LONG))"))
-    // one row per (doc, distinct term) with its tf, plus the doc length
-    val dt = perDoc.select(col("doc_id"), col("dl"),
-        explode(col("tfm")).as(Seq("term", "tf")))
-      .withColumn("tf", col("tf").cast("long"))
-    // corpus scalars tokenize WITHOUT the map build (cheaper kernel)
-    val stats = docs.agg(
-      count(lit(1)).as("n_docs"),
-      coalesce(sum(size(expr("ascii_alpha_tokens(text, 3)")).cast("long")), lit(0L))
-        .as("tot_dl"))
     import s.implicits._
     val qdf = bm25Queries.toDF("q_id", "term")
-    val qterms = qdf.select("term").distinct()
-    val posted = dt.join(broadcast(qterms), Seq("term"))
+    val pd = qtermPostings(docs, bm25Queries.map(_._2).distinct)
+    // one row per (doc, matched query term) with its tf + the doc length
+    val posted = pd.select(col("doc_id"), col("dl"),
+        explode(col("tfq")).as(Seq("term", "tf")))
+      .withColumn("tf", col("tf").cast("long"))
+    // corpus scalars ride the checkpoint: dl is the full token count
+    val stats = pd.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("tot_dl"))
     // document frequency over the pruned postings (tf_map emits each
     // term once per doc, so count(*) IS the doc frequency)
     val dft = posted.groupBy("term").agg(count(lit(1)).as("df"))
@@ -167,24 +185,21 @@ object RetrievalQueries {
     val docs = Tables.fanOut(t(s, dir, "documents"))
     import s.implicits._
     val qdf = bm25Queries.toDF("q_id", "term")
-    val qterms = qdf.select("term").distinct()
     // ONE tokenizer pass feeds BOTH the BM25 ranking and the relevance
     // labels (the round-7 tf-sharing finding: the tokenize kernel is
     // the dominant per-row cost in this family — rebuilding postings
-    // for rel would double it). tf_map emits each term once per doc,
-    // so the pruned posting rows per (q, doc) COUNT the distinct
-    // matched terms = rel.
-    val perDoc = docs.select(col("doc_id"),
-        expr("tf_map(ascii_alpha_tokens(text, 3))").as("tfm"))
-      .withColumn("dl",
-        expr("aggregate(map_values(tfm), 0L, (a, x) -> a + CAST(x AS LONG))"))
-    val dt = perDoc.select(col("doc_id"), col("dl"),
-        explode(col("tfm")).as(Seq("term", "tf")))
+    // for rel would double it), and the qtermPostings checkpoint stops
+    // the pass re-running per consumer — this query had FIVE (stats,
+    // dft, scored, and rel feeding both DCG branches). tf_map emits
+    // each term once per doc, so the pruned posting rows per (q, doc)
+    // COUNT the distinct matched terms = rel.
+    val pd = qtermPostings(docs, bm25Queries.map(_._2).distinct)
+    val dt = pd.select(col("doc_id"), col("dl"),
+        explode(col("tfq")).as(Seq("term", "tf")))
       .withColumn("tf", col("tf").cast("long"))
-    val stats = docs.agg(
+    val stats = pd.agg(
       count(lit(1)).as("n_docs"),
-      coalesce(sum(size(expr("ascii_alpha_tokens(text, 3)")).cast("long")), lit(0L))
-        .as("tot_dl"))
+      coalesce(sum(col("dl")), lit(0L)).as("tot_dl"))
     val posted = dt.join(broadcast(qdf), Seq("term"))
     val rel = posted.groupBy("q_id", "doc_id").agg(count(lit(1)).as("rel"))
     val dft = posted.select("term", "doc_id").distinct()
@@ -413,7 +428,13 @@ object RetrievalQueries {
     val bg = docs.select(col("doc_id"),
         explode(expr("kgrams(ascii_alpha_tokens(text, 3), 2)")).as("bg"))
       .filter(col("bg").contains(" "))
+    // The per-doc bigram tf is a SHUFFLED aggregate consumed three ways
+    // (c2 for the scoring join, c2 again under c1, the scoring join
+    // itself) — unlike nllScores' row-local tf, each recompute here
+    // replays tokenize + kgrams + the exchange, so materializing once
+    // wins where the unigram family measured recompute-cheaper.
     val tf = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val c2 = tf.groupBy("bg").agg(sum(col("tf")).as("c2"))
     val c1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
       .groupBy("w1").agg(sum(col("c2")).as("c1"))
