@@ -640,6 +640,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_min"), "novelty lost the map-side MIN combine")
   }
 
+  test("retrieval family: the tokenize kernel runs behind the checkpoint, " +
+      "never in the consuming plan (the r10 one-tokenizer-pass rewrite)") {
+    // qtermPostings materializes the pruned postings, so the final plans
+    // of bm25/ndcg/curation-pass read checkpointed RDDs and contain NO
+    // tokenizer kernel; bigram keeps exactly one (the vocabulary-size
+    // pass, which cannot ride the bigram checkpoint). A regression that
+    // re-inlines the kernel re-runs it once per consumer (3-5x).
+    val kernel = "(?i)tokens".r
+    for (q <- Seq("t_bm25_topk", "t_ndcg_eval", "pipe_curation_pass")) {
+      val n = kernel.findAllIn(plan(q)).length
+      assert(n == 0, s"$q re-inlined the tokenize kernel ($n occurrences)")
+    }
+    val nBg = kernel.findAllIn(plan("t_bigram_nll")).length
+    assert(nBg == 1, s"t_bigram_nll should tokenize exactly once (got $nBg)")
+  }
+
   test("link prediction: inverted-index equi-join on the part key; bounded top-k") {
     val p = plan("g7_link_predict")
     assert(!p.contains("CartesianProduct"), s"g7 went cartesian:\n${p.take(600)}")
