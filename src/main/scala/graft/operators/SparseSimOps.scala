@@ -33,18 +33,18 @@ object SparseSimOps {
     * filtered vocabulary. Output: (id_a, id_b, cosine), id_a < id_b.
     * Tokens are the `[a-z0-9]+` runs of the lowercased text.
     *
-    * Measured-first note (sf0.1, re-measured late round 8):
-    * localCheckpointing the norm-joined split input to stop subplan
-    * recomputation saves ~0.3 s of a ~2.3 s median (2.4 vs 2.15 s over
-    * 3 alternating runs) — the materialization itself pays most of what
-    * recompute costs, because the runtime is dominated by ~6 SEQUENTIAL
-    * stage/broadcast-build jobs (df head → anti → norms → split-side
-    * builds → pair agg), each mostly fixed overhead at fixture size (the
-    * synthetic vocabulary keeps df≤dfCap pairs to ~150k rows — trivial
-    * compute). That dependency chain is inherent to the algorithm, its
-    * per-stage overhead amortizes at real scale, and no caching removes
-    * it, so the operator stays recompute-simple; the plan is one shuffle
-    * per aggregation with the fan-out bounded by dfCap². */
+    * Measured-first note (r10 bake-off, sf0.1, TimeSome min of 3 —
+    * supersedes the r8 "recompute-simple" note, which had only tried
+    * checkpointing the norm-JOINED split input): the tokenize kernel
+    * sat under FOUR consumers (df head, norms, and both split sides),
+    * and the winning cut is the checkpoint at `kept` — tokenize runs
+    * twice (head pass + kept build), then norms/a/b read the
+    * materialized ~150k-row filtered postings: 4.03 → 2.54 s.
+    * Checkpointing `tf` instead (tokenize once, but the anti-join
+    * replays per consumer) measured 3.16 s; BOTH checkpoints 2.84 s —
+    * the second materialization job costs more than the pass it
+    * saves. The plan stays one shuffle per aggregation with pair
+    * fan-out bounded by dfCap². */
   def tfCosinePairs(
       docs: DataFrame, idCol: String, textCol: String,
       minCosine: Double, dfCap: Long): DataFrame = {
@@ -70,6 +70,7 @@ object SparseSimOps {
     val head = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > dfCap).select("__term")
     val kept = tf.join(broadcast(head), Seq("__term"), "left_anti")
+      .localCheckpoint(true)
     // Norm over the filtered vocabulary rides each POSTING row (joined
     // on __id BEFORE the a/b split), so the pair table — the largest
     // relation in the plan, dfCap² fan-out per term — is never
