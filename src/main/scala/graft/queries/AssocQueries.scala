@@ -56,11 +56,19 @@ object AssocQueries {
     val bg = docs
       .select(explode(expr("kgrams(ascii_alpha_tokens(text, 3), 2)")).as("bg"))
       .filter(col("bg").contains(" "))
+    // Both count tables are vocab-bounded MODEL STATE consumed multiple
+    // times (c12 by its total and the candidate set; uni by its total
+    // and BOTH unigram joins) — without the checkpoints each consumer
+    // replays a full tokenize+shuffle pass (~5 passes total; the
+    // AuditRecompute defect class). r10 measured 1.66 -> 1.25 s
+    // (TimeSome, min of 3).
     val c12 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
     val n12 = c12.agg(sum(col("c12")).as("n12"))
     val uni = docs
       .select(explode(expr("ascii_alpha_tokens(text, 3)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val n1 = uni.agg(sum(col("cnt")).as("n1"))
     c12.filter(col("c12") >= pmiMinSupport)
       .withColumn("w1", split(col("bg"), " ").getItem(0))

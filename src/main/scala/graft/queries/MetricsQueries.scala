@@ -199,8 +199,15 @@ object MetricsQueries {
     * negative slope divides identically. */
   private val tZipf: Q = (s, dir) => {
     import graft.queries.{RetrievalQueries => RQ}
+    // RankOps.globalRowNumber reads its input TWICE by construction
+    // (the P-row offsets pass, then the rank join) — checkpoint the
+    // vocab-bounded count table so the tokenize+shuffle pass under it
+    // runs once. Measured a WASH at fixture size (1.12 -> 1.10 s min —
+    // the session job floor dominates 5k docs); the cut is for the
+    // corpus-scaled tokenize, which would otherwise run 2x.
     val cnt = RQ.tokenTf(Tables.fanOut(t(s, dir, "documents")), "doc_id")
       .groupBy("term").agg(sum(col("tf")).as("cnt"))
+      .localCheckpoint(true)
     RankOps.globalRowNumber(cnt, Seq(col("cnt").desc, col("term").asc), "rank")
       .select(
         expr("CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(rank AS DOUBLE))) AS BIGINT)").as("x"),
@@ -965,10 +972,19 @@ object MetricsQueries {
     import graft.queries.{RetrievalQueries => RQ}
     val docs = t(s, dir, "documents")
     val mm = docs.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    // The exploded token table feeds two DIFFERENT-keyed aggregates
+    // (per-bucket totals, term -> first bucket) — fold it once to the
+    // (bucket, term) grain, which is ≤ 64x vocab-bounded, checkpoint
+    // that, and run both aggregates off the materialized table instead
+    // of re-tokenizing per consumer. Measured a WASH at fixture size
+    // (1.26 -> 1.22 s min — job floor, not kernels, at 5k docs); the
+    // cut targets the corpus-scaled tokenize that would run 2x.
     val tok = RQ.tokenTf(Tables.fanOut(docs), "doc_id")
       .crossJoin(broadcast(mm))
       .select(expr(s"CAST((doc_id - mn) div ((mx - mn) div $heapsB + 1) AS INT)")
         .as("b"), col("term"), col("tf"))
+      .groupBy("b", "term").agg(sum(col("tf")).as("tf"))
+      .localCheckpoint(true)
     val toks = tok.groupBy("b").agg(sum(col("tf")).as("tk"))
     val nv = tok.groupBy("term").agg(min(col("b")).as("fb"))
       .groupBy(col("fb").as("b")).agg(count(lit(1)).as("nv"))
