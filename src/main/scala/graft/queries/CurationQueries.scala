@@ -292,9 +292,15 @@ object CurationQueries {
     val docs = t(s, dir, "documents")
     val tf = RetrievalQueries.tokenTf(docs, "doc_id", "lang", "source")
     // general LM: counts over the WHOLE corpus; target LM: src0 only
+    // the LM count table is vocab-bounded model state consumed by its
+    // totals AND the scoring join — checkpoint so the tokenize+shuffle
+    // under it runs once per pass, not per consumer (the pmi/zipf r10
+    // treatment; fixture-size gain is floor-bound, the cut is the
+    // corpus-scaled replay)
     val cnt = tf.groupBy("term").agg(
       sum("tf").as("cg"),
       sum(when(col("source") === dsirTarget, col("tf")).otherwise(0L)).as("ct"))
+      .localCheckpoint(true)
     val scal = cnt.agg(
       sum("cg").as("tot_g"),
       (sum("ct") + count(lit(1))).as("tot_ts"), // totT + V (add-1 mass)
