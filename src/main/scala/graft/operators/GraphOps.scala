@@ -298,9 +298,24 @@ object GraphOps {
       .localCheckpoint(true)
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
-    var labels = sym.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("label"))
-    for (_ <- 1 to rounds) {
+    // Round 1 is DEGENERATE and fuses to one aggregate (r10): the seed
+    // labels are the identity map over the node universe, so the round-1
+    // join matches every mirrored edge exactly once and — the edge list
+    // being distinct by construction above — every (dst, label=src)
+    // count is exactly 1. The argmax (highest count, then smallest
+    // label) therefore reduces to min(src) per dst, which also spans
+    // the full node universe (every node appears as a dst of the
+    // mirrored list). One keyed aggregate replaces the seed-distinct
+    // shuffle AND round 1's join + two aggregates; value-identity is
+    // pinned against the generic round in GraphOpsSpec. rounds = 0
+    // keeps the explicit identity-seed path.
+    var labels =
+      if (rounds == 0)
+        sym.select(col("src").as("v")).distinct()
+          .select(col("v"), col("v").as("label"))
+      else
+        sym.groupBy(col("dst").as("v")).agg(min(col("src")).as("label"))
+    for (_ <- 2 to rounds) {
       val cnt = sym
         .join(maybeB(labels.select(col("v").as("src"), col("label"))), Seq("src"))
         .groupBy(col("dst").as("v"), col("label"))

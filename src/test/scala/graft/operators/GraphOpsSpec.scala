@@ -104,6 +104,34 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(run() == got, "LPA must be deterministic across runs")
   }
 
+  test("label propagation: the fused round 1 (min neighbor) equals the " +
+      "generic join+argmax round on a randomized graph") {
+    // r10: with identity seeds every (dst, label=src) count is 1 over a
+    // distinct edge list, so round 1's argmax IS min(src) per dst — the
+    // operator fuses it to one aggregate. Replay the generic rule here
+    // and compare, so a future edit to the fusion can't drift.
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("a", "b")
+    val fused = GraphOps.labelPropagation(df, "a", "b", 1)
+      .as[(Long, Long)].collect().toMap
+    // generic replay: canonical distinct edges, mirrored, identity seed
+    val e = df.selectExpr("least(a, b) AS a", "greatest(a, b) AS b").distinct()
+    val sym = e.union(e.selectExpr("b", "a")).toDF("src", "dst")
+    val seed = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    val generic = sym
+      .join(seed.select(col("v").as("src"), col("label")), Seq("src"))
+      .groupBy(col("dst").as("v"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("v")
+      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("v"), (-col("m.nl")).as("label"))
+      .as[(Long, Long)].collect().toMap
+    assert(fused == generic, s"fused $fused\ngeneric $generic")
+  }
+
   test("label propagation: the star oscillation is the defined 2-round report") {
     // Synchronized LPA on a star trades labels hub↔leaves each round —
     // the classic bipartite oscillation. The operator's contract is a
