@@ -76,10 +76,22 @@ object HitsOps {
           s"CAST((CAST($v AS DECIMAL(38,0)) * 1000000) div __mx AS BIGINT)").as(v))
     }
 
-    var hubs = edges.select(col("s")).distinct()
-      .withColumn("h", lit(1000000L))
-    var auths: DataFrame = null
-    for (_ <- 1 to iters) {
+    // The first half-round is DEGENERATE and fuses to one aggregate
+    // (the labelPropagation r10 treatment): seed hubs are 1e6 for every
+    // source, so auth_raw(p) = Σ_s∈in(p) 1e6 = 1e6 · indegree(p) over
+    // the distinct edge list — no seed-distinct shuffle, no round-1
+    // hub join. The hub universe is unchanged (every source reappears
+    // in the first real hub half-round's groupBy); value-identity is
+    // pinned in HitsSpec against the generic replay.
+    var auths = maxNorm(
+      edges.groupBy("p")
+        .agg((count(lit(1)) * lit(1000000L)).as("a")),
+      "p", "a")
+    var hubs = maxNorm(
+      edges.join(maybeB(auths), Seq("p"))
+        .groupBy("s").agg(sum(col("a")).as("h")),
+      "s", "h")
+    for (_ <- 2 to iters) {
       auths = maxNorm(
         edges.join(maybeB(hubs), Seq("s"))
           .groupBy("p").agg(sum(col("h")).as("a")),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit, max, sum}
 
 import graft.TestSpark
 
@@ -198,5 +198,34 @@ class PageRankOpsSpec extends AnyFunSuite {
         iters = 2, dimensionNodes = true)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(bcast == got)
+  }
+
+  test("HITS: the fused first half-round (1e6 x indegree) equals the " +
+      "generic seed-join replay on a randomized graph") {
+    import spark.implicits._
+    // r10 fusion pin (the labelPropagation treatment): seed hubs are a
+    // constant 1e6, so the first authority aggregate is 1e6 x indegree
+    // over the distinct edge list. Replay the generic rule end-to-end
+    // for iters=1 and compare, so an edit to the fusion can't drift.
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val df = edges.toDF("s", "d")
+    val fused = HitsOps.hubsAndAuthorities(df, "s", "d", iters = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val e = df.distinct()
+    def norm(raw: org.apache.spark.sql.DataFrame, k: String, v: String) =
+      raw.crossJoin(broadcast(raw.agg(max(col(v)).as("__mx"))))
+        .select(col(k), expr(
+          s"CAST((CAST($v AS DECIMAL(38,0)) * 1000000) div __mx AS BIGINT)").as(v))
+    val seed = e.select(col("s")).distinct().withColumn("h", lit(1000000L))
+    val auths = norm(e.join(seed, Seq("s")).groupBy("d")
+      .agg(sum(col("h")).as("a")), "d", "a")
+    val hubs = norm(e.join(auths, Seq("d")).groupBy("s")
+      .agg(sum(col("a")).as("h")), "s", "h")
+    val generic =
+      auths.select(lit("auth").as("k"), col("d").as("n"), col("a").as("v"))
+        .unionByName(hubs.select(lit("hub").as("k"), col("s").as("n"), col("h").as("v")))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fused == generic, s"fused $fused\ngeneric $generic")
   }
 }
