@@ -236,6 +236,13 @@ object DedupOps {
     val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select("g")
+    // Measured r10 (TimeSome min of 3, sf0.1): checkpointing the
+    // df-capped postings here LOSES (3.14 -> 3.53 s) even though they
+    // feed three consumers — the opposite of the tfCosinePairs result,
+    // because this kernel (distinct word-3-grams over a ~30-word
+    // fixture vocabulary) replays cheaply while the posting table is
+    // shingle-wide and expensive to materialize. Recompute-simple
+    // stays; revisit only if the gram kernel gains real weight.
     val kept = grams.join(rare, "g")
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
     val a = kept.toDF("g", "id_a")
