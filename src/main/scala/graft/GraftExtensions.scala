@@ -11,7 +11,7 @@ import graft.functions.{AsciiTokensExpr, BpeCountExpr, BpeTokensExpr,
   DurationToHoursExpr, GraphemeLenExpr, KGramsExpr,
   NfcNormalizeExpr, NormalizeNameExpr, RepStatsExpr,
   LangHitsExpr, MinHashLanesExpr, RpProjectExpr, SimHashExpr,
-  SortableBitsExpr, TfMapExpr,
+  SortableBitsExpr, SortedIntersectCountExpr, TfMapExpr,
   VecDotExpr, VecSqDistExpr, VecSqNormExpr, WsWordCountExpr}
 
 /** SparkSessionExtensions hook (enable with
@@ -121,6 +121,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(a, b, Literal(d: Int, IntegerType)) => VecSqDistExpr(a, b, d)
         case _ => throw new IllegalArgumentException("vec_sqdist(a, b, dim literal)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[SortedIntersectCountExpr].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => SortedIntersectCountExpr(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sorted_intersect_count(a, b)")
       }))
     ext.injectFunction((
       FunctionIdentifier("sortable_bits"),
