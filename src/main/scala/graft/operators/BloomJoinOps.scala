@@ -46,8 +46,14 @@ object BloomJoinOps {
     val mightContain = udf { (k: java.lang.Long) =>
       k != null && bcast.value.mightContainLong(k)
     }
+    // shuffle_hash on the exact join: the operator's contract is "dim
+    // too large to broadcast" — letting Spark auto-broadcast the dim at
+    // test SF (it did, per the r10 AuditBroadcasts re-run) would make
+    // the prefilter pointless AND model the wrong plan. The hinted join
+    // carries only bloom-surviving fact rows into its exchange, which
+    // is the entire point of the operator.
     fact.filter(mightContain(col(factKey)))
-      .join(dim, col(factKey) === col(dimKey))
+      .join(dim.hint("shuffle_hash"), col(factKey) === col(dimKey))
   }
 
   /** The prefilter alone (for composing with other join shapes). */

@@ -52,7 +52,14 @@ object RangeJoinOps {
     val pt = points
       .filter(col(ptCol).isNotNull)
       .withColumn("__bin", bin(col(ptCol)))
-    pt.join(iv, pt("__bin") === iv("__bin") &&
+    // shuffle_hash, not Spark's choice: BOTH sides are fact-scaled in
+    // general (points always; intervals whenever they derive from a
+    // fact table), and Spark's size estimate under-counts post-explode
+    // output, so at test SF it silently BROADCASTS one side — the a19
+    // defect class, found live on j12 by the r10 AQE-descending
+    // AuditBroadcasts re-run. The hinted plan keys both sides on the
+    // bin id; the per-bin build side is bounded by bin occupancy.
+    pt.join(iv.hint("shuffle_hash"), pt("__bin") === iv("__bin") &&
         col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop(pt("__bin")).drop(iv("__bin"))
   }
@@ -93,8 +100,13 @@ object RangeJoinOps {
     val bb = binned(b, bStart, bEnd)
       .withColumnRenamed(keyCol, "__bkey")
       .withColumnRenamed("__bin", "__bbin")
+    // shuffle_hash: both interval sides are fact-scaled by contract and
+    // the post-explode size estimate is an under-count — without the
+    // hint Spark auto-broadcast j13's exploded lineitem side at sf0.1
+    // (the a19 class; wrong at any real SF, and measured ~2x slower
+    // even here: 4.19 -> 2.06 s isolated, TimeSome min-of-3).
     binned(a, aStart, aEnd)
-      .join(bb, col(keyCol) === col("__bkey") &&
+      .join(bb.hint("shuffle_hash"), col(keyCol) === col("__bkey") &&
         col("__bin") === col("__bbin") &&
         col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
         col("__bin") === bin(greatest(col(aStart), col(bStart))))

@@ -225,8 +225,13 @@ object ScaleQueries {
     val aSk = aKeys.agg(sk(SketchOps.portableHash(col("key"))).as("a"),
       count(lit(1)).as("n_a_rows"))
     val bSk = bKeys.agg(sk(SketchOps.portableHash(col("key"))).as("b"))
+    // shuffle_hash: both distinct hash-sets are fact-scaled; the exact
+    // intersection is the test-scale calibration truth but its plan
+    // still must be the keyed one (Spark auto-broadcast one side at
+    // sf0.1 — the a19 class, r10 AuditBroadcasts re-run).
     val exact = aKeys.select(SketchOps.portableHash(col("key")).as("h")).distinct()
-      .join(bKeys.select(SketchOps.portableHash(col("key")).as("h")).distinct(), "h")
+      .join(bKeys.select(SketchOps.portableHash(col("key")).as("h")).distinct()
+        .hint("shuffle_hash"), "h")
       .agg(count(lit(1)).as("exact_inter"))
     val kM = (kmvJK - 1).toLong * SketchOps.hashM
     aSk.crossJoin(bSk).crossJoin(exact)

@@ -1142,8 +1142,9 @@ object SignalQueries {
     *   not_null           — conditional count, map-side combined;
     *   unique_key         — duplicate mass = Σ(c−1) over the key
     *                        histogram (never a self-join);
-    *   foreign_key        — orphan count via LEFT ANTI to the parent
-    *                        keys (dims broadcast under AQE);
+    *   foreign_key        — orphan count via a keyed LEFT ANTI to the
+    *                        parent keys (fact-scaled parent: never
+    *                        broadcast);
     *   value_range        — conditional count on the scan;
     *   enum_domain        — membership count against the literal set.
     * The five 1-row aggregates union — at 100 TB the two lineitem
@@ -1161,10 +1162,13 @@ object SignalQueries {
     val unique = row("orders_orderkey_unique",
       o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
         .agg(sum(col("c") - 1L).as("n_violations")))
+    // shuffle_hash: the FK parent (orders) is itself fact-scaled, so
+    // its keyset must never ride a broadcast (the a19 class — Spark
+    // auto-broadcast it at sf0.1 per the r10 AuditBroadcasts re-run).
     val fk = row("lineitem_orderkey_fk",
       li.select(col("l_orderkey"))
-        .join(o.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"),
-          "left_anti")
+        .join(o.select(col("o_orderkey").as("l_orderkey")).hint("shuffle_hash"),
+          Seq("l_orderkey"), "left_anti")
         .agg(count(lit(1)).as("n_violations")))
     val range = row("lineitem_quantity_range",
       li.agg(sum(when(col("l_quantity") < 0 || col("l_quantity") > 100,

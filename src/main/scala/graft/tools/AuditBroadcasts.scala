@@ -2,6 +2,7 @@ package graft.tools
 
 import graft.{Sessions, SparkEntry, Tables}
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 
 /** Dev audit: for each registered query (or the names passed as args
@@ -12,8 +13,14 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
   * a localCheckpoint reads as "Scan ExistingRDD" (no table name), but
   * every checkpoint+broadcast site in this repo is an explicit,
   * guarded choice — the implicit defect only arises on lazy fact
-  * lineage, which this audit sees. r10 run: zero hits across all 246
-  * registered plans after the a19/coEdges fixes. */
+  * lineage, which this audit sees.
+  *
+  * r10 fix: the walk must DESCEND into AdaptiveSparkPlanExec —
+  * Sessions enables AQE, whose root node is a LEAF (children = Nil),
+  * so the original children-only walk visited nothing and the early
+  * "zero hits across 246 plans" record was vacuous. The re-run with
+  * the descent found j13_interval_overlap broadcasting an exploded
+  * lineitem side (fixed via shuffle_hash in RangeJoinOps). */
 object AuditBroadcasts {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -42,6 +49,7 @@ object AuditBroadcasts {
               if (factScan)
                 println(s"[audit] $name: fact-reaching broadcast (agg=$aggregated):\n" +
                   sub.linesIterator.take(3).map("    " + _.trim.take(110)).mkString("\n"))
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
             case _ =>
           }
           p.children.foreach(walk)

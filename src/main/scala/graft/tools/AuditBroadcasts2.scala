@@ -2,11 +2,14 @@ package graft.tools
 
 import graft.{Sessions, SparkEntry, Tables}
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 
 /** Companion probe for AuditBroadcasts' blind spot: list BroadcastExchange
   * subtrees built on CHECKPOINTED lineage (Scan ExistingRDD) so the
-  * deliberate sites can be eyeballed against their row-count guards. */
+  * deliberate sites can be eyeballed against their row-count guards.
+  * Descends into AdaptiveSparkPlanExec (a leaf node under AQE) — same
+  * r10 fix as AuditBroadcasts. */
 object AuditBroadcasts2 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -30,6 +33,7 @@ object AuditBroadcasts2 {
               if (ckpt && !aggregated)
                 println(s"[audit2] $name: checkpoint-lineage broadcast (no agg):\n" +
                   sub.linesIterator.take(3).map("    " + _.trim.take(110)).mkString("\n"))
+            case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
             case _ =>
           }
           p.children.foreach(walk)
