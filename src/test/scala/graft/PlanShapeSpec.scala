@@ -51,6 +51,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joinIdx >= 0, "j11 lost its join")
     assert(p.indexOf("UDF", joinIdx) >= 0,
       s"j11 bloom prefilter not below the join:\n${p.take(800)}")
+    // The operator's contract is 'dim too large to broadcast' — the
+    // exact join must be the keyed one or the prefilter is pointless.
+    assert(p.contains("ShuffledHashJoin"),
+      s"j11's exact join regressed to a broadcast:\n${p.take(800)}")
   }
 
   test("decontamination is row-local over the broadcast benchmark set") {
@@ -210,7 +214,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("j12_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"j12 regressed to a range product:\n${p.take(600)}")
-    assert(p.contains("Join"), "j12 lost its join entirely")
+    // Both bin-join sides are fact-scaled; Spark's post-explode size
+    // under-count auto-broadcast one at sf0.1 (the a19 class, caught by
+    // the AQE-descending AuditBroadcasts re-run) — the hinted plan must
+    // stay a shuffled hash join.
+    assert(p.contains("ShuffledHashJoin"),
+      s"j12 lost its shuffle_hash bin join:\n${p.take(600)}")
   }
 
   test("KMV sketch aggregates with map-side partial merge (one shuffle on the group key)") {
@@ -366,6 +375,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joinIdx >= 0, "j13 lost its join")
     assert(!p.substring(0, joinIdx).contains("HashAggregate"),
       s"j13 regained a post-join distinct:\n${p.take(900)}")
+    // Exploded lineitem sides are fact-scaled: never broadcast (the
+    // 4.19 -> 2.06 s r10 fix; same contract as j12's pin).
+    assert(p.contains("ShuffledHashJoin"),
+      s"j13 lost its shuffle_hash bin join:\n${p.take(900)}")
   }
 
   test("HLL sketch: two keyed aggregations, both map-side combined, no cartesian") {
@@ -560,7 +573,7 @@ class PlanShapeSpec extends AnyFunSuite {
   // triangleStats checkpoints its input eagerly, so the fixture join
   // never appears in g2's final plan string — the a19 pin above covers
   // the shape; the fixture's hint is asserted by its measured comment
-  // and the AuditBroadcasts zero-hit run.)
+  // and the (AQE-descending, r10-fixed) AuditBroadcasts run.)
 
   test("triangle census: keyed equi-joins only — no cartesian, no nested loop") {
     val p = plan("g2_triangles")
