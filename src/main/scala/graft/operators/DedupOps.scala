@@ -77,6 +77,24 @@ object DedupOps {
       .select(col(idCol) +: lanes: _*)
   }
 
+  /** One-band MinHash block id as a row-local COLUMN on `df` (md5 over
+    * the comma-joined first `numHashes` lanes) — the join-free form of
+    * pairing [[minHashSignatures]] back onto its own input. The block
+    * is a pure function of `textCol`, so blocking the SAME frame the
+    * signature came from needs no join at all; the join-back form made
+    * the fact-scaled signature table a join side that Spark
+    * auto-broadcast at sf0.1 (the a19 class, r10 corpus-aware
+    * AuditBroadcasts find). Rows with null lanes (null text) get a NULL
+    * block — an equi-join key that never matches, the same drop the
+    * signature form's inner join-back applied (concat_ws would instead
+    * silently bucket them together as md5("")). */
+  def minHashBlockCol(
+      textCol: String, shingleK: Int, numHashes: Int): Column = {
+    val mh = expr(s"minhash_lanes(ascii_tokens($textCol), $shingleK, $numHashes)")
+    when(mh.isNotNull, md5(concat_ws(",",
+      (0 until numHashes).map(i => element_at(mh, i + 1)): _*)))
+  }
+
   /** Row-local MinHash signature string "mh0,...,mhN-1" — the SAME
     * kernel the batch path uses (TokenKernels.minhashLanes), joined with
     * commas for a single state-store key. Batch and streaming signatures

@@ -307,8 +307,12 @@ object PqOps {
       .withColumn("q_norm", SimilarityOps.normFlat(col("q_vec"), dim))
       .select(col("q_id"), col("q_vec"), col("q_norm"),
         explode(col("__cells")).as("cell"))
+    // The probed query batch is the broadcast side (the bounded-batch
+    // contract shared with SimilarityOps): the encoded corpus streams
+    // map-side and can never be auto-picked as a broadcast build (it
+    // was at sf0.1 — the a19 class, r10 corpus-aware AuditBroadcasts).
     TopKOps.topKByScore(
-        q.join(c, Seq("cell"))
+        broadcast(q).join(c, Seq("cell"))
           .filter(col("q_id") =!= col("c_id"))
           .withColumn("score",
             (dotCent(col("q_vec"), col("cell")) + adc(col("q_vec"), col("codes"))) /

@@ -110,9 +110,16 @@ object SimilarityOps {
   }
 
   /** LSH-bucketed top-k: rank candidates only within the query's bucket.
-    * The scale path — shuffle on bucket, never a cross product. Recall is
-    * bounded by bucket collision probability (raise nPlanes bands/probes
-    * for better recall; this single-probe variant is the primitive). */
+    * The scale path: the QUERY BATCH is the bounded side by contract
+    * (the bruteTopK serving shape) and rides an explicit broadcast, so
+    * the corpus streams map-side — zero candidate shuffle, and Spark
+    * can never pick the fact-scaled candidate side as the build (it
+    * did at sf0.1 — the a19 auto-broadcast class, caught by the r10
+    * corpus-aware AuditBroadcasts). Recall is bounded by bucket
+    * collision probability (raise nPlanes bands/probes for better
+    * recall; this single-probe variant is the primitive). For
+    * corpus×corpus self-search use cosineNearDupPairs/mutualNnPairs,
+    * whose keyed-shuffle shapes assume neither side is bounded. */
   def bucketedTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -126,7 +133,7 @@ object SimilarityOps {
       .withColumn("bucket", lshBucket("c_vec", nPlanes, dim))
       .withColumn("c_norm", normFlat(col("c_vec"), dim))
     rankTopK(
-      q.join(c, Seq("bucket"))
+      broadcast(q).join(c, Seq("bucket"))
         .filter(col("q_id") =!= col("c_id"))
         .withColumn("cosine", VectorFns.cosineWithNorms(
           VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm"))),
@@ -138,8 +145,8 @@ object SimilarityOps {
     * flipped), the standard recall repair for single-probe hyperplane LSH
     * — a near-dup separated by exactly one plane is still found. Cost is
     * bounded and explicit: (nPlanes+1)× the query-side rows, candidate
-    * side untouched, still one shuffle on the int bucket, never a cross
-    * product. */
+    * side untouched — the probed query batch stays the broadcast side
+    * (bucketedTopK's contract), so the corpus still never shuffles. */
   def multiProbeTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -156,7 +163,7 @@ object SimilarityOps {
       .withColumn("bucket", lshBucket("c_vec", nPlanes, dim))
       .withColumn("c_norm", normFlat(col("c_vec"), dim))
     rankTopK(
-      q.join(c, Seq("bucket"))
+      broadcast(q).join(c, Seq("bucket"))
         .filter(col("q_id") =!= col("c_id"))
         .withColumn("cosine", VectorFns.cosineWithNorms(
           VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm"))),
@@ -207,10 +214,11 @@ object SimilarityOps {
     * repair arbitrarily-unlucky plane draws.
     *
     * Scale shape: both sides explode to nTables (table, bucket) rows —
-    * an explicit, bounded nTables× shuffle-volume cost — then ONE shuffle
-    * on the (table, bucket) key, never a cross product. Pairs colliding
-    * in several tables are deduped BEFORE scoring so each survivor's
-    * cosine is computed once and ranks stay distinct. */
+    * an explicit, bounded nTables× cost — the exploded QUERY batch rides
+    * the broadcast (bucketedTopK's bounded-batch contract; the corpus
+    * never shuffles into the collision join), never a cross product.
+    * Pairs colliding in several tables are deduped BEFORE scoring so
+    * each survivor's cosine is computed once and ranks stay distinct. */
   def multiTableTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -223,7 +231,7 @@ object SimilarityOps {
     val q = explodeTables(queries, "q")
     val c = explodeTables(candidates, "c")
     rankTopK(
-      q.join(c, Seq("tbl", "bucket"))
+      broadcast(q).join(c, Seq("tbl", "bucket"))
         .filter(col("q_id") =!= col("c_id"))
         .select("q_id", "c_id", "q_vec", "c_vec")
         .dropDuplicates("q_id", "c_id")
@@ -240,9 +248,10 @@ object SimilarityOps {
     * The quantizer here is deterministic (first nCells vectors by id) so
     * the oracle can replay it — a production build would k-means the
     * sample instead; the dataflow (broadcast centroids -> scan-side cell
-    * assignment -> one shuffle on cell id -> in-cell ranking) is the
-    * 100 TB shape either way: candidate work scales with nProbe/nCells
-    * of the corpus, never all-pairs. */
+    * assignment -> broadcast the probed query batch -> in-cell ranking)
+    * is the 100 TB shape either way: candidate work scales with
+    * nProbe/nCells of the corpus, never all-pairs, and the corpus never
+    * shuffles. */
   def ivfTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -273,8 +282,11 @@ object SimilarityOps {
       queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
       "q_id", "q_vec", nProbe)
       .withColumn("q_norm", normFlat(col("q_vec"), dim))
+    // The probed query batch is the broadcast side (bounded-batch
+    // contract, see bucketedTopK): candidates stream map-side and can
+    // never be auto-picked as a broadcast build.
     rankTopK(
-      q.join(c, Seq("cell"))
+      broadcast(q).join(c, Seq("cell"))
         .filter(col("q_id") =!= col("c_id"))
         .withColumn("cosine", VectorFns.cosineWithNorms(
           VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm"))),

@@ -163,7 +163,10 @@ object DedupQueries {
     val pairs = DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
       shingleK = 3, numHashes = 8, bands = 2)
     val cc = graft.operators.GraphOps.connectedComponents(pairs, "id_a", "id_b")
-    val members = cc.join(corpus(s, dir), cc("node") === col("doc_id"))
+    // shuffle_hash: the corpus side is fact-scaled (Spark auto-broadcast
+    // it at sf0.1 — the a19 class, r10 corpus-aware AuditBroadcasts).
+    val members = cc.join(corpus(s, dir).hint("shuffle_hash"),
+      cc("node") === col("doc_id"))
       .select(col("component").as("cluster_id"), col("doc_id"),
         length(col("t")).cast("long").as("n_chars_t"))
     graft.operators.TopKOps.topKByValue(
@@ -269,12 +272,13 @@ object DedupQueries {
     * band is the standard candidate filter; Jaccard inside the block is
     * the exact verify step. */
   private val dedupJaccard: Q = (s, dir) => {
+    // Block id as a row-local column (DedupOps.minHashBlockCol): the
+    // old signature-table join-back was a fact×fact join Spark
+    // auto-broadcast at sf0.1 (the a19 class) — and unnecessary, since
+    // the band is a pure function of the text already on the row.
     val c = corpus(s, dir)
-    val blocks = DedupOps.minHashSignatures(c, "doc_id", "t",
-        shingleK = 3, numHashes = 2)
-      .select(col("doc_id"), md5(concat_ws(",", col("mh0"), col("mh1"))).as("mh_block"))
-    DedupOps.ngramJaccardPairs(c.join(blocks, Seq("doc_id")),
-        "doc_id", "t", "mh_block", 0.6)
+      .withColumn("mh_block", DedupOps.minHashBlockCol("t", 3, 2))
+    DedupOps.ngramJaccardPairs(c, "doc_id", "t", "mh_block", 0.6)
       .orderBy("id_a", "id_b")
   }
   private val dedupJaccardSql =
@@ -323,12 +327,10 @@ object DedupQueries {
     * 5-group aggregate — bounded by pair count, never corpus-wide). */
   private val curveTaus = Seq(50, 60, 70, 80, 90)
   private val dedupCurve: Q = (s, dir) => {
-    val c = corpus(s, dir)
-    val blocks = DedupOps.minHashSignatures(c, "doc_id", "t",
-        shingleK = 3, numHashes = 2)
-      .select(col("doc_id"), md5(concat_ws(",", col("mh0"), col("mh1"))).as("block"))
-    val prepped = c.join(blocks, Seq("doc_id"))
-      .select(col("doc_id"), col("block"),
+    // Row-local block column, not a signature-table join-back (the a19
+    // auto-broadcast class — see dedupJaccard).
+    val prepped = corpus(s, dir)
+      .select(col("doc_id"), DedupOps.minHashBlockCol("t", 3, 2).as("block"),
         array_distinct(expr("ascii_alpha_tokens(t)")).as("toks"))
       .repartition(col("block"))
     val a = prepped.toDF("id_a", "block", "toks_a")
@@ -510,12 +512,17 @@ object DedupQueries {
     def toksOf(df: DataFrame, idName: String): DataFrame =
       df.select(col("doc_id").as(idName),
         array_distinct(expr("ascii_alpha_tokens(t)")).as(s"toks_$idName"))
+    // shuffle_hash on every corpus-scaled side: the base index, the
+    // incoming batch, and both token tables are fact-sized, and Spark
+    // auto-broadcast them at sf0.1 (the a19 class, r10 corpus-aware
+    // AuditBroadcasts) — at real scale the base index is the WHOLE
+    // existing corpus.
     val cand = bandsOf(inc, "inc_id")
-      .join(bandsOf(base, "base_id"), Seq("band", "sig"))
+      .join(bandsOf(base, "base_id").hint("shuffle_hash"), Seq("band", "sig"))
       .select("inc_id", "base_id").distinct()
     val verified = cand
-      .join(toksOf(inc, "inc_id"), Seq("inc_id"))
-      .join(toksOf(base, "base_id"), Seq("base_id"))
+      .join(toksOf(inc, "inc_id").hint("shuffle_hash"), Seq("inc_id"))
+      .join(toksOf(base, "base_id").hint("shuffle_hash"), Seq("base_id"))
       .withColumn("inter",
         size(array_intersect(col("toks_inc_id"), col("toks_base_id"))).cast("long"))
       .withColumn("uni",
@@ -524,7 +531,8 @@ object DedupQueries {
       .filter(col("inter") * 2 >= col("uni"))
       .groupBy("inc_id").agg(min(col("base_id")).as("dup_of"))
     inc.select(col("doc_id"))
-      .join(verified.withColumnRenamed("inc_id", "doc_id"), Seq("doc_id"), "left")
+      .join(verified.withColumnRenamed("inc_id", "doc_id").hint("shuffle_hash"),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_of").isNotNull, lit("near_dup_of_base"))
           .otherwise(lit("new")).as("status"),

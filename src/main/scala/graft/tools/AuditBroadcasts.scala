@@ -39,7 +39,12 @@ object AuditBroadcasts {
           p match {
             case b: BroadcastExchangeExec =>
               val sub = b.child.toString
-              val factScan = Seq("lineitem", "orders.parquet", "events")
+              // documents/embeddings ARE the 100 TB corpus tables — a
+              // broadcast reaching them is as suspect as one reaching
+              // lineitem (r10 list extension; the original three-table
+              // list was a blind spot over the dedup/ANN family).
+              val factScan = Seq("lineitem", "orders.parquet", "events",
+                  "documents", "embeddings")
                 .exists(sub.contains)
               // Aggregation does NOT imply dimension-bounded (a distinct
               // over (o,p) is still fact-sized) — flag every
