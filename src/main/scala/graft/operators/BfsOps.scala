@@ -63,7 +63,12 @@ object BfsOps {
     // lineage on long walks (checkpointEvery), never short ones.
     val materialize = maxHops >= 2
     val edges = if (materialize) edgesRaw.localCheckpoint(true) else edgesRaw
-    def maybeB(df: DataFrame): DataFrame = if (dimensionNodes) broadcast(df) else df
+    // else-branch hints shuffle_hash: without it the caller's "nodes
+    // are fact-scaled" declaration is advisory only — Spark's
+    // under-10MB estimate would auto-broadcast the rank/frontier table
+    // at test SF anyway (the a19 class, r10 audit finding).
+    def maybeB(df: DataFrame): DataFrame =
+      if (dimensionNodes) broadcast(df) else df.hint("shuffle_hash")
     // nodes is read ONCE (the final left join) and derives from the
     // already-cut edges — materializing it would be a pure extra job
     // (unlike PageRank, whose per-round update re-reads it).

@@ -216,7 +216,11 @@ object GraphOps {
 
     val eCount = e.count() // free: e is checkpointed
     val small = eCount <= broadcastEdgeLimit
-    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // Over the limit the hint makes the guard binding — without it
+    // Spark's own size estimate could still auto-broadcast a
+    // fact-scaled degree/adjacency table (the a19 class).
+    def maybeB(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
 
     // (r9 probe: dropping the deg/oriented/adj checkpoints to shorten
     // the serialized-job chain measured NEUTRAL at sf0.1 — the cuts
@@ -299,8 +303,10 @@ object GraphOps {
     // node universe is dimension-bounded, so the |V|-row label table
     // rides a BROADCAST join each round and the symmetric edge list is
     // never re-shuffled. Default false — web-scale node sets need the
-    // keyed-shuffle rounds.
-    def maybeB(df: DataFrame): DataFrame = if (dimensionNodes) broadcast(df) else df
+    // keyed-shuffle rounds (hinted, so the declaration binds — see
+    // PageRankOps.maybeB).
+    def maybeB(df: DataFrame): DataFrame =
+      if (dimensionNodes) broadcast(df) else df.hint("shuffle_hash")
     val e = edges0
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))

@@ -54,7 +54,12 @@ object HitsOps {
     // (the PageRankOps measurement).
     val edges =
       if (dimensionNodes || iters >= 2) edgesRaw.localCheckpoint(true) else edgesRaw
-    def maybeB(df: DataFrame): DataFrame = if (dimensionNodes) broadcast(df) else df
+    // else-branch hints shuffle_hash: without it the caller's "nodes
+    // are fact-scaled" declaration is advisory only — Spark's
+    // under-10MB estimate would auto-broadcast the rank/frontier table
+    // at test SF anyway (the a19 class, r10 audit finding).
+    def maybeB(df: DataFrame): DataFrame =
+      if (dimensionNodes) broadcast(df) else df.hint("shuffle_hash")
 
     // score · 1e6 div max(score): max-normalize via a 1-row broadcast
     // cross (the only nested loop — PlanShapeSpec's allowed class).

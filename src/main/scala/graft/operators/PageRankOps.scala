@@ -154,7 +154,12 @@ object PageRankOps {
 
     // Rank-side tables are |V| rows: broadcast them under the caller's
     // dimension bound, keyed-shuffle otherwise.
-    def maybeB(df: DataFrame): DataFrame = if (dimensionNodes) broadcast(df) else df
+    // else-branch hints shuffle_hash: without it the caller's "nodes
+    // are fact-scaled" declaration is advisory only — Spark's
+    // under-10MB estimate would auto-broadcast the rank/frontier table
+    // at test SF anyway (the a19 class, r10 audit finding).
+    def maybeB(df: DataFrame): DataFrame =
+      if (dimensionNodes) broadcast(df) else df.hint("shuffle_hash")
 
     // Per-edge contribution rows for one round, given the round's rank
     // table. Shuffle mode pre-joins the source out-degree onto the edge
