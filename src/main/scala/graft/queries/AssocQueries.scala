@@ -259,9 +259,15 @@ object AssocQueries {
     for (_ <- 1 to kcoreRounds) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= kcoreK).select(col("src").as("node"))
+      // shuffle_hash: `keep` is a per-node survivor table (fact-scaled),
+      // and the eager per-round checkpoints hide these joins from any
+      // final-plan audit — the hint is the only broadcast guard (the
+      // a19 class; the connectedComponents star-round treatment).
       edges = edges
-        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .join(keep.select(col("node").as("src")).hint("shuffle_hash"),
+          Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")).hint("shuffle_hash"),
+          Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint(true)
     }
