@@ -16,6 +16,47 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
   }
 
+  /** Every BroadcastExchange subtree of the named query's physical plan,
+    * as strings — descending into AdaptiveSparkPlanExec (a LEAF node
+    * under AQE; a children-only walk sees nothing, the r10
+    * AuditBroadcasts bug). For pins of the form "X must never be the
+    * broadcast build side". */
+  private def broadcastSubtrees(name: String): Seq[String] = {
+    graft.functions.TextFns.registerAll(spark)
+    val root = SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan
+    val out = scala.collection.mutable.Buffer[String]()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          out += b.child.toString
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(root)
+    out.toSeq
+  }
+
+  test("ANN broadcasts carry the bounded query batch, never the candidate corpus") {
+    // The r10 corpus-aware audit found Spark auto-broadcasting the
+    // EXPLODED CANDIDATE side of the bucket joins at test SF (the a19
+    // class — wrong at any real corpus size). The operators now
+    // broadcast the query batch explicitly; pin that no broadcast
+    // subtree ever contains candidate-side columns (c_id/c_vec).
+    for (q <- Seq("ann_bucketed_topk", "ann_multiprobe_topk",
+        "ann_multitable_topk", "ann_ivf_topk", "ann_ivfpq_topk")) {
+      val subs = broadcastSubtrees(q)
+      assert(subs.nonEmpty, s"$q lost its query-batch broadcast")
+      for (s <- subs)
+        assert(!s.contains("c_vec") && !s.contains("codes#"),
+          s"$q broadcasts the candidate corpus:\n${s.linesIterator.take(4).mkString("\n")}")
+    }
+  }
+
   test("no cartesian product in any candidate-generation or join query") {
     for (q <- Seq("j1_inner_equi", "j9_salted_skew_join", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_ngram_jaccard", "emb_near_dup",
