@@ -86,7 +86,9 @@ object SparseSimOps {
     // the id) is determinism-safe.
     val norms = kept.groupBy("__id")
       .agg(sum(col("__tf") * col("__tf")).as("__n2"))
-    val kept2 = kept.join(norms, "__id")
+    // shuffle_hash: per-doc norms are fact-scaled — never a broadcast
+    // build (the a19 class).
+    val kept2 = kept.join(norms.hint("shuffle_hash"), "__id")
     val a = kept2.select(col("__id").as("id_a"), col("__term"),
       col("__tf").as("__tfa"), col("__n2").as("__n2a"))
     val b = kept2.select(col("__id").as("id_b"), col("__term"),
