@@ -92,14 +92,20 @@ object GraphOps {
         .filter(col("nc") > 1 || (col("nc") === 1 && col("tot") > 1))
         .isEmpty
 
-    // shuffle_hash on every star-round min join (and the final star
-    // lookup below): `mins` is a PER-NODE table — fact-scaled on any
-    // web/corpus graph — and Spark's under-10MB estimate auto-broadcast
-    // it at sf0.1 (the a19 class). These joins run EAGERLY inside the
-    // loop (localCheckpoint per round), so no plan audit of the final
-    // query can see them — the hint is the only guard. The edge side
-    // arrives grouped on the same key, so the hinted join reuses that
-    // exchange rather than adding one.
+    // The star-round min joins carry NO join hint, deliberately (r10
+    // bake-off): `mins` is per-node, but its lineage is a GROUP-BY over
+    // checkpointed edges, whose size estimate is SOUND — Spark's
+    // adaptive broadcast is then the correct mechanism at every scale
+    // (small rounds broadcast, big rounds flip to keyed joins as the
+    // honest estimate crosses the threshold — and star rounds SHRINK,
+    // so late rounds re-enter the broadcast regime even on a graph that
+    // started at web scale). Hard-hinting shuffle_hash here was
+    // measured +0.8-1.4 s on every cc consumer at sf0.1 (it forces
+    // 2x32-task exchanges inside rounds the coalesceTo tier runs on 1
+    // task) and buys nothing at 100 TB that the estimate does not
+    // already provide. Contrast RangeJoinOps/j13, where the estimate is
+    // structurally WRONG (data-dependent explode) and the hint is
+    // load-bearing.
     // large-star: per node u over the SYMMETRIZED adjacency, m =
     // min(N(u) ∪ {u}); rewire every strictly-larger neighbor to m.
     def largeStar(e: DataFrame): DataFrame = {
@@ -107,7 +113,7 @@ object GraphOps {
       val mins = sym.groupBy("u")
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      orient(sym.join(mins.hint("shuffle_hash"), "u").filter(col("v") > col("u"))
+      orient(sym.join(mins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")))
     }
 
@@ -118,7 +124,7 @@ object GraphOps {
       val dirE = e.select(col("v").as("u"), col("u").as("v"))
       val mins = dirE.groupBy("u").agg(min(col("v")).as("m"))
       canon(
-        dirE.join(mins.hint("shuffle_hash"), "u").filter(col("v") =!= col("m"))
+        dirE.join(mins, "u").filter(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v"))
           .union(mins.select(col("u"), col("m").as("v"))))
     }
@@ -161,8 +167,7 @@ object GraphOps {
     // component min): v's component is u, centers and isolated nodes
     // map to themselves.
     inputNodes
-      .join(edges.select(col("v").as("n"), col("u").as("c")).hint("shuffle_hash"),
-        Seq("n"), "left")
+      .join(edges.select(col("v").as("n"), col("u").as("c")), Seq("n"), "left")
       .select(col("n").as("node"), coalesce(col("c"), col("n")).as("component"))
   }
 

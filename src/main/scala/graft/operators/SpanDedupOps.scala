@@ -90,13 +90,15 @@ object SpanDedupOps {
     val dup = w.groupBy("h")
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= 2).select("h")
-    // shuffle_hash on both fact-scaled sides: the duplicate-hash set
-    // and the per-doc position table grow with the corpus, so neither
-    // may ride Spark's under-10MB auto-broadcast (the a19 class).
-    val dupPos = w.join(dup.hint("shuffle_hash"), Seq("h"))
+    // No join hints: the duplicate-hash set and the per-doc position
+    // table are fact-scaled, but both are post-AGGREGATE with sound
+    // size estimates — AQE broadcasts them while genuinely small and
+    // flips keyed as the corpus grows (the r10 estimate-soundness
+    // doctrine; hinting measured flat-to-slower at sf0.1).
+    val dupPos = w.join(dup, Seq("h"))
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("pos"))).as("pos"))
-    docs.join(dupPos.hint("shuffle_hash"), Seq(idCol), "left")
+    docs.join(dupPos, Seq(idCol), "left")
       .select(col(idCol),
         size(coalesce(col("pos"), typedLit(Seq.empty[Int]))).as("n_dup_windows"),
         TextFns.scrubSpansWithLenUdf(text,

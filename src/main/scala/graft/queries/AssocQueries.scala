@@ -259,15 +259,18 @@ object AssocQueries {
     for (_ <- 1 to kcoreRounds) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= kcoreK).select(col("src").as("node"))
-      // shuffle_hash: `keep` is a per-node survivor table (fact-scaled),
-      // and the eager per-round checkpoints hide these joins from any
-      // final-plan audit — the hint is the only broadcast guard (the
-      // a19 class; the connectedComponents star-round treatment).
+      // No join hint on the survivor semi-joins, deliberately (r10
+      // bake-off, the connectedComponents rationale): `keep` is
+      // per-node but post-AGGREGATE over checkpointed edges, so its
+      // size estimate is sound and Spark's adaptive broadcast flips to
+      // keyed joins exactly when real sizes demand it — while peel
+      // rounds SHRINK, re-entering the broadcast regime late even at
+      // web scale. Hinting shuffle_hash here measured 3.1 -> 4.9 s
+      // (two forced 32-task exchanges per round on data the round
+      // holds in one partition).
       edges = edges
-        .join(keep.select(col("node").as("src")).hint("shuffle_hash"),
-          Seq("src"), "left_semi")
-        .join(keep.select(col("node").as("dst")).hint("shuffle_hash"),
-          Seq("dst"), "left_semi")
+        .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
         .localCheckpoint(true)
     }

@@ -163,10 +163,11 @@ object DedupQueries {
     val pairs = DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
       shingleK = 3, numHashes = 8, bands = 2)
     val cc = graft.operators.GraphOps.connectedComponents(pairs, "id_a", "id_b")
-    // shuffle_hash: the corpus side is fact-scaled (Spark auto-broadcast
-    // it at sf0.1 — the a19 class, r10 corpus-aware AuditBroadcasts).
-    val members = cc.join(corpus(s, dir).hint("shuffle_hash"),
-      cc("node") === col("doc_id"))
+    // No hint: the corpus scan's size estimate is sound, so AQE's
+    // broadcast choice flips to a keyed join exactly when real corpus
+    // sizes demand it (the r10 estimate-soundness doctrine; hinting
+    // measured +1.4 s here).
+    val members = cc.join(corpus(s, dir), cc("node") === col("doc_id"))
       .select(col("component").as("cluster_id"), col("doc_id"),
         length(col("t")).cast("long").as("n_chars_t"))
     graft.operators.TopKOps.topKByValue(
@@ -512,17 +513,19 @@ object DedupQueries {
     def toksOf(df: DataFrame, idName: String): DataFrame =
       df.select(col("doc_id").as(idName),
         array_distinct(expr("ascii_alpha_tokens(t)")).as(s"toks_$idName"))
-    // shuffle_hash on every corpus-scaled side: the base index, the
-    // incoming batch, and both token tables are fact-sized, and Spark
-    // auto-broadcast them at sf0.1 (the a19 class, r10 corpus-aware
-    // AuditBroadcasts) — at real scale the base index is the WHOLE
-    // existing corpus.
+    // No join hints, deliberately (r10 bake-off): the band explode is a
+    // CONSTANT 4x (array of 4 band columns), so Spark's size estimate
+    // is sound up to that constant and its adaptive broadcast flips to
+    // keyed joins as real corpus sizes grow — unlike j13's
+    // data-dependent sequence-explode, where the estimate is
+    // structurally wrong and the hint is load-bearing. Hinting all four
+    // joins here measured 1.0 -> 2.0 s at sf0.1 for no scale benefit.
     val cand = bandsOf(inc, "inc_id")
-      .join(bandsOf(base, "base_id").hint("shuffle_hash"), Seq("band", "sig"))
+      .join(bandsOf(base, "base_id"), Seq("band", "sig"))
       .select("inc_id", "base_id").distinct()
     val verified = cand
-      .join(toksOf(inc, "inc_id").hint("shuffle_hash"), Seq("inc_id"))
-      .join(toksOf(base, "base_id").hint("shuffle_hash"), Seq("base_id"))
+      .join(toksOf(inc, "inc_id"), Seq("inc_id"))
+      .join(toksOf(base, "base_id"), Seq("base_id"))
       .withColumn("inter",
         size(array_intersect(col("toks_inc_id"), col("toks_base_id"))).cast("long"))
       .withColumn("uni",
@@ -531,8 +534,7 @@ object DedupQueries {
       .filter(col("inter") * 2 >= col("uni"))
       .groupBy("inc_id").agg(min(col("base_id")).as("dup_of"))
     inc.select(col("doc_id"))
-      .join(verified.withColumnRenamed("inc_id", "doc_id").hint("shuffle_hash"),
-        Seq("doc_id"), "left")
+      .join(verified.withColumnRenamed("inc_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_of").isNotNull, lit("near_dup_of_base"))
           .otherwise(lit("new")).as("status"),

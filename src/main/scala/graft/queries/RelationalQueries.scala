@@ -339,16 +339,18 @@ object RelationalQueries {
 
   /** J5 ★ (semi): keep customers having at least one order
     * (whisper_qc.py:47-75). */
-  // shuffle_hash on the orders side (here and in j5a/j6): the probe
-  // keyset derives from a FACT table, so Spark's under-10MB
-  // auto-broadcast of it at test SF is the a19 defect class (found by
-  // the r10 AQE-descending AuditBroadcasts re-run) — at real SF the
-  // distinct custkey/partkey sets are billions of rows. The hinted
-  // semi/anti join keys both sides; per-partition builds are bounded
-  // by shuffle-partition sizing, the knob that already must hold.
+  // No join hint on the orders side (here and in j5a/j6), deliberately:
+  // the probe keyset is fact-derived, but its lineage is a plain SCAN
+  // whose size estimate is sound — Spark's adaptive broadcast therefore
+  // flips to a keyed semi-join exactly when real sizes cross the
+  // threshold, which is the scale mechanism, not a defect (the r10
+  // estimate-soundness doctrine; contrast RangeJoinOps, where a
+  // data-dependent explode makes the estimate structurally wrong and
+  // the hint is load-bearing). Hinting these measured +0.15-0.2 s each
+  // at sf0.1 for no scale benefit.
   private val j5s: Q = (s, dir) =>
     t(s, dir, "customer")
-      .join(t(s, dir, "orders").hint("shuffle_hash"),
+      .join(t(s, dir, "orders"),
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
@@ -361,7 +363,7 @@ object RelationalQueries {
     * (push_to_hf.py:115-122). */
   private val j5a: Q = (s, dir) =>
     t(s, dir, "customer")
-      .join(t(s, dir, "orders").hint("shuffle_hash"),
+      .join(t(s, dir, "orders"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
@@ -376,7 +378,7 @@ object RelationalQueries {
     val outliers = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
       .select(col("l_partkey")).distinct()
     t(s, dir, "lineitem")
-      .join(outliers.hint("shuffle_hash"), Seq("l_partkey"), "left_anti")
+      .join(outliers, Seq("l_partkey"), "left_anti")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
       .orderBy("l_orderkey", "l_linenumber")
   }

@@ -1142,9 +1142,9 @@ object SignalQueries {
     *   not_null           — conditional count, map-side combined;
     *   unique_key         — duplicate mass = Σ(c−1) over the key
     *                        histogram (never a self-join);
-    *   foreign_key        — orphan count via a keyed LEFT ANTI to the
-    *                        parent keys (fact-scaled parent: never
-    *                        broadcast);
+    *   foreign_key        — orphan count via LEFT ANTI to the parent
+    *                        keys (AQE broadcasts small parents, flips
+    *                        keyed as they grow);
     *   value_range        — conditional count on the scan;
     *   enum_domain        — membership count against the literal set.
     * The five 1-row aggregates union — at 100 TB the two lineitem
@@ -1162,12 +1162,13 @@ object SignalQueries {
     val unique = row("orders_orderkey_unique",
       o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
         .agg(sum(col("c") - 1L).as("n_violations")))
-    // shuffle_hash: the FK parent (orders) is itself fact-scaled, so
-    // its keyset must never ride a broadcast (the a19 class — Spark
-    // auto-broadcast it at sf0.1 per the r10 AuditBroadcasts re-run).
+    // No hint on the FK parent keyset: a plain-scan side with a sound
+    // size estimate — AQE's broadcast choice flips to a keyed anti-join
+    // exactly when real parent sizes demand it (the r10
+    // estimate-soundness doctrine).
     val fk = row("lineitem_orderkey_fk",
       li.select(col("l_orderkey"))
-        .join(o.select(col("o_orderkey").as("l_orderkey")).hint("shuffle_hash"),
+        .join(o.select(col("o_orderkey").as("l_orderkey")),
           Seq("l_orderkey"), "left_anti")
         .agg(count(lit(1)).as("n_violations")))
     val range = row("lineitem_quantity_range",
