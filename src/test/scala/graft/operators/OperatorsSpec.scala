@@ -107,6 +107,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("DedupOps.minHashBlockCol: equals the signature-form block; null text drops") {
+    // The row-local column form replaced dedup_ngram_jaccard/curve's
+    // signature-table join-back (r10) — pin value identity against the
+    // form the DuckDB oracles replay, and the null-lane contract (a
+    // null block never equi-joins, matching the old inner join's drop).
+    val df = Seq((1L, "alpha beta gamma delta words"),
+      (2L, "alpha beta gamma delta words"), (3L, "other content entirely"),
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val colForm = df.select(col("id"),
+        DedupOps.minHashBlockCol("t", 3, 2).as("b"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val sigForm = DedupOps.minHashSignatures(df, "id", "t", 3, 2)
+      .select(col("id"), md5(concat_ws(",", col("mh0"), col("mh1"))).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, b) <- sigForm) assert(colForm(id).contains(b), s"id $id")
+    assert(colForm(1L) == colForm(2L)) // identical text, identical block
+    assert(colForm(1L) != colForm(3L))
+    assert(colForm(4L).isEmpty, "null text must yield a null block")
+    assert(!sigForm.contains(4L)) // the signature form drops the row
+  }
+
   test("DedupOps.simHashes: identical docs share hash; zero-token doc gets all bits set") {
     val df = Seq((1L, "same words here"), (2L, "same words here"), (3L, "12345 !!!"))
       .toDF("id", "t")
