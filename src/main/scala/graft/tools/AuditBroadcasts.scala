@@ -20,7 +20,16 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
   * so the original children-only walk visited nothing and the early
   * "zero hits across 246 plans" record was vacuous. The re-run with
   * the descent found j13_interval_overlap broadcasting an exploded
-  * lineitem side (fixed via shuffle_hash in RangeJoinOps). */
+  * lineitem side (fixed via shuffle_hash in RangeJoinOps).
+  *
+  * r10 review state for the EXPLODE-under-broadcast detector: every
+  * hit is justified — the ann_* sides are the contract-bounded QUERY
+  * batches (explicit broadcast(q), constant probe/table fan-out over a
+  * filter-bounded batch) and dedup_near_incremental's band table is a
+  * constant-4 posexplode, so the estimate is sound up to that constant
+  * and AQE still flips to keyed joins at scale. The defect the
+  * detector exists for is DATA-DEPENDENT fan-out (j13's sequence
+  * bins), where the estimate cannot be trusted at any scale. */
 object AuditBroadcasts {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -53,6 +62,14 @@ object AuditBroadcasts {
               val aggregated = sub.contains("Aggregate") || sub.contains("Limit")
               if (factScan)
                 println(s"[audit] $name: fact-reaching broadcast (agg=$aggregated):\n" +
+                  sub.linesIterator.take(3).map("    " + _.trim.take(110)).mkString("\n"))
+              // The estimate-soundness doctrine's red flag: a Generate
+              // (explode) below a broadcast means the size estimate that
+              // justified the broadcast is structurally untrustworthy —
+              // post-explode row counts are data-dependent (the j13
+              // class). Review each hit for a bounded fan-out argument.
+              if (sub.contains("Generate ") && !aggregated)
+                println(s"[audit] $name: EXPLODE under broadcast (estimate unsound):\n" +
                   sub.linesIterator.take(3).map("    " + _.trim.take(110)).mkString("\n"))
             case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
             case _ =>
