@@ -79,6 +79,40 @@ class PageRankOpsSpec extends AnyFunSuite {
     assert(shuffle == bcast)
   }
 
+  test("dimensionNodes=false BINDS: the rank table never rides a broadcast") {
+    // The caller's "nodes are fact-scaled" declaration must force keyed
+    // joins for the RANK-side round tables even when tiny at test scale
+    // — otherwise Spark's under-10MB estimate auto-broadcasts them and
+    // the declared web-scale plan is never exercised anywhere (r10
+    // maybeB fix). The one-time degree build join may still broadcast:
+    // post-aggregate lineage has a sound estimate, so AQE flips it
+    // keyed exactly when real sizes demand (estimate-soundness
+    // doctrine).
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+    import spark.implicits._
+    val root = PageRankOps.pageRank(edges.toDF("s", "d"), "s", "d", 2)
+      .queryExecution.executedPlan
+    val bSubs = scala.collection.mutable.Buffer[String]()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          bSubs += b.child.toString
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case _ =>
+      }
+      p.children.foreach(walk); p.subqueries.foreach(walk)
+    }
+    walk(root)
+    for (s <- bSubs)
+      assert(!s.contains("rank_micro") && !s.contains("contrib"),
+        s"shuffle-mode pageRank broadcasts a rank-side table:\n${s.take(400)}")
+    assert(root.toString.contains("ShuffledHashJoin"),
+      "shuffle-mode pageRank lost its keyed joins")
+  }
+
   /** Driver-side PPR reference: seed-only restart mass, start = seeds. */
   private def referencePpr(edges0: Seq[(Long, Long)], seeds: Set[Long],
       iters: Int): Map[Long, Long] = {
