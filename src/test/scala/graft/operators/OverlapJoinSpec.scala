@@ -43,6 +43,26 @@ class OverlapJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("negative coordinates bin to the LEFT (floor, not truncate-toward-zero)") {
+    // The operator doc's claim: bin(-1) must be -1 for width 16, not 0 —
+    // truncating division would map [-16, 0) onto bin 0 and pairs
+    // straddling the origin would silently meet in the wrong owner bin
+    // (or twice). Randomized straddle set vs brute force.
+    val rnd = new scala.util.Random(33)
+    def gen(n: Int, base: Long) = (1 to n).map { i =>
+      val s = rnd.nextInt(200).toLong - 100 // spans the origin
+      (s"k${rnd.nextInt(3)}", base + i, s, s + 1 + rnd.nextInt(40))
+    }
+    val as = gen(80, 1000)
+    val bs = gen(80, 2000)
+    val want = reference(as, bs).sorted
+    for (w <- Seq(1L, 16L, 64L)) {
+      val got = join(as, bs, w)
+      assert(got.size == got.distinct.size, s"w=$w emitted duplicate pairs")
+      assert(got.sorted == want, s"w=$w diverged from brute force on negatives")
+    }
+  }
+
   test("touching half-open intervals do not match; nested ones do") {
     val as = Seq(("k", 1L, 0L, 10L))
     val bs = Seq(("k", 2L, 10L, 20L), // touches: [0,10) vs [10,20)
