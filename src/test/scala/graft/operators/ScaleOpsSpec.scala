@@ -93,6 +93,27 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("binnedRangeJoin: negative coordinates bin left (floor semantics)") {
+    // Pre-epoch timestamps: truncate-toward-zero would merge [-w, 0)
+    // into bin 0 and pairs straddling the origin could be missed or
+    // doubled. Randomized straddle set vs the naive inequality join.
+    val rnd = new scala.util.Random(44)
+    val pts = (0L until 200L).map(i => (i, rnd.nextInt(400).toLong - 200))
+      .toDF("pid", "pt")
+    val ivs = (0L until 50L).map { i =>
+      val s = rnd.nextInt(360).toLong - 180
+      (i, s, s + 1 + rnd.nextInt(50).toLong)
+    }.toDF("ivid", "lo", "hi")
+    val naive = pts.join(ivs, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      .select("pid", "ivid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(1L, 16L, 128L)) {
+      val got = RangeJoinOps.binnedRangeJoin(pts, ivs, "pt", "lo", "hi", w)
+        .select("pid", "ivid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"binWidth=$w emitted duplicates")
+      assert(got.toSet == naive, s"binWidth=$w diverged on negatives")
+    }
+  }
+
   test("binnedRangeJoin: null and inverted intervals never match") {
     val pts = Seq(Tuple1(5L), Tuple1(50L)).toDF("pt")
     val ivs = Seq((1L, Some(0L), Some(10L)), (2L, Some(60L), Some(40L)),
