@@ -95,6 +95,29 @@ object DedupOps {
       (0 until numHashes).map(i => element_at(mh, i + 1)): _*)))
   }
 
+  /** [[minHashBlockCol]] as a DataFrame step that computes the lanes
+    * kernel exactly ONCE per row: the Column form references the kernel
+    * three times (the null guard + each element_at) and
+    * conditional-branch subexpression elimination is not guaranteed;
+    * this two-step projection cannot collapse (the lane alias is used
+    * thrice and non-cheap, so CollapseProject leaves it materialized),
+    * making once-per-row structural. Prefer this in hot paths.
+    *
+    * Known residue (measured neutral at sf0.1): joining on the block
+    * makes the optimizer INFER isnotnull(block) and push it to the
+    * scan, where constraint substitution re-expands the kernel inside
+    * the filter — one extra guard evaluation per row that skips
+    * null-text rows before the projection. Harmless for this kernel;
+    * a checkpoint would remove it where a profile ever says otherwise. */
+  def withMinHashBlock(df: DataFrame, outCol: String,
+      textCol: String, shingleK: Int, numHashes: Int): DataFrame =
+    df.withColumn("__mhb_lanes",
+        expr(s"minhash_lanes(ascii_tokens($textCol), $shingleK, $numHashes)"))
+      .withColumn(outCol, when(col("__mhb_lanes").isNotNull,
+        md5(concat_ws(",",
+          (0 until numHashes).map(i => element_at(col("__mhb_lanes"), i + 1)): _*))))
+      .drop("__mhb_lanes")
+
   /** Row-local MinHash signature string "mh0,...,mhN-1" — the SAME
     * kernel the batch path uses (TokenKernels.minhashLanes), joined with
     * commas for a single state-store key. Batch and streaming signatures

@@ -273,12 +273,12 @@ object DedupQueries {
     * band is the standard candidate filter; Jaccard inside the block is
     * the exact verify step. */
   private val dedupJaccard: Q = (s, dir) => {
-    // Block id as a row-local column (DedupOps.minHashBlockCol): the
+    // Block id as a row-local column (DedupOps.withMinHashBlock): the
     // old signature-table join-back was a fact×fact join Spark
     // auto-broadcast at sf0.1 (the a19 class) — and unnecessary, since
-    // the band is a pure function of the text already on the row.
-    val c = corpus(s, dir)
-      .withColumn("mh_block", DedupOps.minHashBlockCol("t", 3, 2))
+    // the band is a pure function of the text already on the row. The
+    // two-step form keeps the lanes kernel at one evaluation per row.
+    val c = DedupOps.withMinHashBlock(corpus(s, dir), "mh_block", "t", 3, 2)
     DedupOps.ngramJaccardPairs(c, "doc_id", "t", "mh_block", 0.6)
       .orderBy("id_a", "id_b")
   }
@@ -329,9 +329,10 @@ object DedupQueries {
   private val curveTaus = Seq(50, 60, 70, 80, 90)
   private val dedupCurve: Q = (s, dir) => {
     // Row-local block column, not a signature-table join-back (the a19
-    // auto-broadcast class — see dedupJaccard).
-    val prepped = corpus(s, dir)
-      .select(col("doc_id"), DedupOps.minHashBlockCol("t", 3, 2).as("block"),
+    // auto-broadcast class — see dedupJaccard; two-step form = one
+    // lanes-kernel evaluation per row).
+    val prepped = DedupOps.withMinHashBlock(corpus(s, dir), "block", "t", 3, 2)
+      .select(col("doc_id"), col("block"),
         array_distinct(expr("ascii_alpha_tokens(t)")).as("toks"))
       .repartition(col("block"))
     val a = prepped.toDF("id_a", "block", "toks_a")
