@@ -29,7 +29,20 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
   * constant-4 posexplode, so the estimate is sound up to that constant
   * and AQE still flips to keyed joins at scale. The defect the
   * detector exists for is DATA-DEPENDENT fan-out (j13's sequence
-  * bins), where the estimate cannot be trusted at any scale. */
+  * bins), where the estimate cannot be trusted at any scale.
+  *
+  * r10 end-state disposition of the agg=false fact-reaching hits —
+  * this is a REVIEW tool, not a zero-tolerance gate, and these are the
+  * reviewed leave-as-is classes (the estimate-soundness doctrine, see
+  * the connectedComponents rationale in GraphOps):
+  *  - ann_* / ann_trunc_recall: the explicitly-broadcast bounded QUERY
+  *    batches (embeddings lineage triggers the fact match).
+  *  - a36/j5_semi/j5_anti/dedup_cc_best/dedup_near_incremental:
+  *    plain-scan or constant-explode sides with SOUND size estimates —
+  *    AQE flips them to keyed joins exactly when real sizes demand;
+  *    hard hints measured 0.1-2 s slower per query with no scale
+  *    benefit. A NEW unreviewed agg=false hit is what warrants a look,
+  *    especially one with data-dependent fan-out below the exchange. */
 object AuditBroadcasts {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
