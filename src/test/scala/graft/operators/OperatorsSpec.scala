@@ -181,6 +181,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(buckets(0) == expected)
   }
 
+  test("SimilarityOps.bucketedTopK equals the within-bucket brute reference") {
+    // The operator's exact contract: per query, rank ONLY same-bucket
+    // candidates by (cosine desc, c_id). Driver-side replay with the
+    // same plane signs and the same left-assoc double arithmetic must
+    // reproduce the (q_id, c_id, rank) set exactly — this also pins
+    // that the r10 broadcast(q) join change altered no semantics.
+    val rnd = new scala.util.Random(23)
+    val data = (0L until 150L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val vecs = data.toDF("vec_id", "embedding")
+    val got = SimilarityOps.bucketedTopK(vecs.filter($"vec_id" < 8), vecs,
+        "vec_id", "embedding", 5, nPlanes = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def bucket(a: Array[Float]): Int = (0 until 8).map { i =>
+      var acc = 0.0
+      for (j <- 0 until 64) acc += a(j).toDouble * SimilarityOps.planeSign(i, j)
+      if (acc >= 0) 1 << (7 - i) else 0
+    }.sum
+    def norm(a: Array[Float]): Double = {
+      var acc = 0.0
+      for (j <- 0 until 64) { val d = a(j).toDouble; acc += d * d }
+      math.sqrt(acc)
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      for (j <- 0 until 64) acc += a(j).toDouble * b(j).toDouble
+      acc
+    }
+    val bk = data.map { case (i, a) => i -> bucket(a) }.toMap
+    val want = (for {
+      (qi, qa) <- data if qi < 8
+      ranked = data
+        .filter { case (ci, _) => ci != qi && bk(ci) == bk(qi) }
+        .map { case (ci, ca) => (ci, dot(qa, ca) / (norm(qa) * norm(ca))) }
+        .sortBy { case (ci, cos) => (-cos, ci) }
+        .take(5)
+      ((ci, _), r) <- ranked.zipWithIndex
+    } yield (qi, ci, r + 1)).toSet
+    assert(got == want)
+  }
+
   test("SimilarityOps.multiProbeTopK: finds at least what single-probe finds") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 200L).map(i =>
