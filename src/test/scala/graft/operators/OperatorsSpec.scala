@@ -221,6 +221,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("SimilarityOps.multiTableTopK equals the any-table-collision brute reference") {
+    // Contract: a candidate is eligible iff it shares ANY of the 8
+    // table buckets with the query; eligible candidates are scored
+    // ONCE (dedup before scoring) and ranked (cosine desc, c_id).
+    val rnd = new scala.util.Random(29)
+    val data = (0L until 120L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val vecs = data.toDF("vec_id", "embedding")
+    val got = SimilarityOps.multiTableTopK(vecs.filter($"vec_id" < 6), vecs,
+        "vec_id", "embedding", 4, nTables = 8, nPlanes = 6, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // same seeded signs as lshTableBuckets ("t_i_j" MD5 parity)
+    val signs = Array.tabulate(8, 6, 64) { (t, i, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${t}_${i}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ((hex.charAt(0).toInt % 2) * 2 - 1).toDouble
+    }
+    def buckets(a: Array[Float]): Seq[Int] = (0 until 8).map { t =>
+      (0 until 6).foldLeft(0) { (b, i) =>
+        var acc = 0.0
+        for (j <- 0 until 64) acc += a(j).toDouble * signs(t)(i)(j)
+        (b << 1) | (if (acc >= 0) 1 else 0)
+      }
+    }
+    def norm(a: Array[Float]): Double = {
+      var acc = 0.0
+      for (j <- 0 until 64) { val d = a(j).toDouble; acc += d * d }
+      math.sqrt(acc)
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      for (j <- 0 until 64) acc += a(j).toDouble * b(j).toDouble
+      acc
+    }
+    val bks = data.map { case (i, a) => i -> buckets(a) }.toMap
+    val want = (for {
+      (qi, qa) <- data if qi < 6
+      ranked = data
+        .filter { case (ci, _) =>
+          ci != qi && bks(ci).zip(bks(qi)).exists { case (x, y) => x == y } }
+        .map { case (ci, ca) => (ci, dot(qa, ca) / (norm(qa) * norm(ca))) }
+        .sortBy { case (ci, cos) => (-cos, ci) }
+        .take(4)
+      ((ci, _), r) <- ranked.zipWithIndex
+    } yield (qi, ci, r + 1)).toSet
+    assert(got == want)
+  }
+
   test("SimilarityOps.multiProbeTopK: finds at least what single-probe finds") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 200L).map(i =>
