@@ -9,7 +9,16 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
   * subtrees built on CHECKPOINTED lineage (Scan ExistingRDD) so the
   * deliberate sites can be eyeballed against their row-count guards.
   * Descends into AdaptiveSparkPlanExec (a leaf node under AQE) — same
-  * r10 fix as AuditBroadcasts. */
+  * r10 fix as AuditBroadcasts.
+  *
+  * r10 end-state: 27 hits across 12 queries, all reviewed —
+  * g1/g10 (dimensionNodes opt-in rank broadcasts), g2/g3 (degree
+  * tables behind triangleStats' broadcastEdgeLimit row-count guard),
+  * ann_recall (bounded brute-truth table), j3_upsert (bounded-by-
+  * |updates| contract), o13/t_pmi (vocab-bounded LM count tables),
+  * dedup_cc_*/pipe_dedup (cc star-table lookups on sound checkpointed
+  * estimates — the estimate-soundness doctrine). A NEW query on this
+  * list without a boundedness argument at its site is the defect. */
 object AuditBroadcasts2 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
