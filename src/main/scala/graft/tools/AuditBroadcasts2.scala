@@ -16,9 +16,10 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
   * tables behind triangleStats' broadcastEdgeLimit row-count guard),
   * ann_recall (bounded brute-truth table), j3_upsert (bounded-by-
   * |updates| contract), o13/t_pmi (vocab-bounded LM count tables),
-  * dedup_cc_*/pipe_dedup (cc star-table lookups on sound checkpointed
-  * estimates — the estimate-soundness doctrine). A NEW query on this
-  * list without a boundedness argument at its site is the defect. */
+  * the dedup_cc family and pipe_dedup (cc star-table lookups on sound
+  * checkpointed estimates — the estimate-soundness doctrine). A NEW
+  * query on this list without a boundedness argument at its site is
+  * the defect. */
 object AuditBroadcasts2 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
