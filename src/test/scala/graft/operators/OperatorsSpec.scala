@@ -269,6 +269,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("SimilarityOps.multiProbeTopK equals the Hamming-1-probe brute reference") {
+    // Contract: a candidate is eligible iff its bucket is the query's
+    // home bucket or differs from it in exactly one plane bit; eligible
+    // candidates rank by (cosine desc, c_id).
+    val rnd = new scala.util.Random(37)
+    val data = (0L until 140L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val vecs = data.toDF("vec_id", "embedding")
+    val got = SimilarityOps.multiProbeTopK(vecs.filter($"vec_id" < 6), vecs,
+        "vec_id", "embedding", 4, nPlanes = 8, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def bucket(a: Array[Float]): Int = (0 until 8).map { i =>
+      var acc = 0.0
+      for (j <- 0 until 64) acc += a(j).toDouble * SimilarityOps.planeSign(i, j)
+      if (acc >= 0) 1 << (7 - i) else 0
+    }.sum
+    def norm(a: Array[Float]): Double = {
+      var acc = 0.0
+      for (j <- 0 until 64) { val d = a(j).toDouble; acc += d * d }
+      math.sqrt(acc)
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      for (j <- 0 until 64) acc += a(j).toDouble * b(j).toDouble
+      acc
+    }
+    val bk = data.map { case (i, a) => i -> bucket(a) }.toMap
+    val want = (for {
+      (qi, qa) <- data if qi < 6
+      ranked = data
+        .filter { case (ci, _) =>
+          ci != qi && Integer.bitCount(bk(ci) ^ bk(qi)) <= 1 }
+        .map { case (ci, ca) => (ci, dot(qa, ca) / (norm(qa) * norm(ca))) }
+        .sortBy { case (ci, cos) => (-cos, ci) }
+        .take(4)
+      ((ci, _), r) <- ranked.zipWithIndex
+    } yield (qi, ci, r + 1)).toSet
+    assert(got == want)
+  }
+
   test("SimilarityOps.multiProbeTopK: finds at least what single-probe finds") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 200L).map(i =>
@@ -282,6 +321,44 @@ class OperatorsSpec extends AnyFunSuite {
     // multiprobe also probes — with equal k, multiprobe's per-query result
     // can only draw from an equal-or-larger candidate pool
     assert(multi.size >= single.size)
+  }
+
+  test("SimilarityOps.ivfTopK equals the probed-cells brute reference") {
+    // Contract: centroids = first nCells vectors by id; candidates sit
+    // in their single nearest cell (ties to the lower centroid id),
+    // queries probe their nProbe nearest; ranking is (cosine desc,
+    // c_id) over candidates in probed cells only.
+    val rnd = new scala.util.Random(31)
+    val data = (0L until 130L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val vecs = data.toDF("vec_id", "embedding")
+    val got = SimilarityOps.ivfTopK(vecs.filter($"vec_id" < 6), vecs,
+        "vec_id", "embedding", 4, nCells = 8, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val v = data.map { case (i, a) => i -> a.map(_.toDouble) }.toMap
+    val cents = (0L until 8L).map(i => i -> v(i))
+    def sqd(a: Array[Double], c: Array[Double]): Double = {
+      var acc = 0.0
+      for (j <- 0 until 64) { val d = a(j) - c(j); acc += d * d }
+      acc
+    }
+    def cells(a: Array[Double], keep: Int): Seq[Long] =
+      cents.sortBy { case (ci, cv) => (sqd(a, cv), ci) }.take(keep).map(_._1)
+    def norm(a: Array[Double]): Double = math.sqrt(a.map(x => x * x).sum)
+    val cCell = data.map { case (i, _) => i -> cells(v(i), 1).head }.toMap
+    val want = (for {
+      (qi, _) <- data if qi < 6
+      probed = cells(v(qi), 2).toSet
+      ranked = data
+        .filter { case (ci, _) => ci != qi && probed(cCell(ci)) }
+        .map { case (ci, _) =>
+          var acc = 0.0
+          for (j <- 0 until 64) acc += v(qi)(j) * v(ci)(j)
+          (ci, acc / (norm(v(qi)) * norm(v(ci)))) }
+        .sortBy { case (ci, cos) => (-cos, ci) }
+        .take(4)
+      ((ci, _), r) <- ranked.zipWithIndex
+    } yield (qi, ci, r + 1)).toSet
+    assert(got == want)
   }
 
   test("PqOps: ADC ranking of the true vector is exact when every codeword is a data vector") {
