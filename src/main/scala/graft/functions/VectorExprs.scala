@@ -271,13 +271,30 @@ object SortedIntersectKernel {
     }
     c
   }
+
+  /** Null-checking variant for inputs typed containsNull=true:
+    * ArrayData.getLong on a null slot silently reads 0, so a null
+    * element would otherwise produce a plausible-but-wrong count. A
+    * null element anywhere (walked or not) → SQL NULL, matching
+    * array_intersect's don't-know semantics rather than guessing. Only
+    * compiled into the plan when the input TYPE admits nulls — the hot
+    * triangle path (array_sort∘collect_list, containsNull=false) keeps
+    * the branch-free [[count]]. */
+  def countChecked(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    while (i < na) { if (a.isNullAt(i)) return null; i += 1 }
+    i = 0
+    while (i < nb) { if (b.isNullAt(i)) return null; i += 1 }
+    count(a, b)
+  }
 }
 
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   private def ok(dt: DataType): Boolean = dt match {
-    case ArrayType(LongType, false) => true
-    case ArrayType(LongType, true)  => true // null elements out of contract
+    case ArrayType(LongType, _) => true
     case _ => false
   }
   override def checkInputDataTypes(): TypeCheckResult =
@@ -289,14 +306,35 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "sorted_intersect_count"
 
+  /** True when either input's TYPE admits null elements — then the
+    * null-scanning kernel runs (a null slot read by getLong is silently
+    * 0, i.e. a wrong count). Decided from the schema once, so the hot
+    * triangle path (containsNull=false on both sides) compiles to the
+    * branch-free kernel. */
+  private def needNullScan: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    SortedIntersectKernel.count(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (needNullScan)
+      SortedIntersectKernel.countChecked(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SortedIntersectKernel.count(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      ${ev.value} = graft.functions.SortedIntersectKernel.count($a, $b);
-    """)
+    if (needNullScan)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Long r = graft.functions.SortedIntersectKernel.countChecked($a, $b);
+        if (r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = r.longValue(); }
+      """)
+    else
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = graft.functions.SortedIntersectKernel.count($a, $b);
+      """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =

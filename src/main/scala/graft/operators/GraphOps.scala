@@ -336,7 +336,7 @@ object GraphOps {
     // pinned against the generic round in GraphOpsSpec. rounds = 0
     // keeps the explicit identity-seed path.
     var labels =
-      if (rounds == 0)
+      if (rounds <= 0)
         sym.select(col("src").as("v")).distinct()
           .select(col("v"), col("v").as("label"))
       else

@@ -87,7 +87,7 @@ object HitsOps {
     // the distinct edge list — no seed-distinct shuffle, no round-1
     // hub join. The hub universe is unchanged (every source reappears
     // in the first real hub half-round's groupBy); value-identity is
-    // pinned in HitsSpec against the generic replay.
+    // pinned in PageRankOpsSpec against the generic replay.
     var auths = maxNorm(
       edges.groupBy("p")
         .agg((count(lit(1)) * lit(1000000L)).as("a")),

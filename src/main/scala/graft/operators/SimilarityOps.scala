@@ -110,20 +110,32 @@ object SimilarityOps {
   }
 
   /** LSH-bucketed top-k: rank candidates only within the query's bucket.
-    * The scale path: the QUERY BATCH is the bounded side by contract
-    * (the bruteTopK serving shape) and rides an explicit broadcast, so
-    * the corpus streams map-side — zero candidate shuffle, and Spark
-    * can never pick the fact-scaled candidate side as the build (it
-    * did at sf0.1 — the a19 auto-broadcast class, caught by the r10
-    * corpus-aware AuditBroadcasts). Recall is bounded by bucket
-    * collision probability (raise nPlanes bands/probes for better
-    * recall; this single-probe variant is the primitive). For
-    * corpus×corpus self-search use cosineNearDupPairs/mutualNnPairs,
-    * whose keyed-shuffle shapes assume neither side is bounded. */
+    * Two scale shapes, selected by `boundedQueries`:
+    *
+    *   - `boundedQueries = true` (the default, the bruteTopK serving
+    *     shape): the QUERY BATCH is bounded BY THE CALLER'S CONTRACT and
+    *     rides an explicit broadcast, so the corpus streams map-side —
+    *     zero candidate shuffle, and Spark can never pick the
+    *     fact-scaled candidate side as the build (it did at sf0.1 — the
+    *     a19 auto-broadcast class, caught by the r10 corpus-aware
+    *     AuditBroadcasts).
+    *   - `boundedQueries = false` (corpus×corpus self-search, e.g.
+    *     mutual-NN mining where queries == candidates == the full fact
+    *     table): NEITHER side may broadcast — a hard broadcast(q) here
+    *     is a corpus-sized broadcast AQE can never undo, an OOM at real
+    *     SF. The join is a plain keyed shuffle on the bucket; both
+    *     sides' size estimates come straight from the scan (sound), so
+    *     AQE keeps its freedom to pick the keyed strategy as sizes grow
+    *     (estimate-soundness doctrine, ARCHITECTURE.md).
+    *
+    * Recall is bounded by bucket collision probability (raise nPlanes
+    * bands/probes for better recall; this single-probe variant is the
+    * primitive). */
   def bucketedTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 8, dim: Int = 64,
+      boundedQueries: Boolean = true): DataFrame = {
     val q = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("bucket", lshBucket("q_vec", nPlanes, dim))
@@ -132,8 +144,9 @@ object SimilarityOps {
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("bucket", lshBucket("c_vec", nPlanes, dim))
       .withColumn("c_norm", normFlat(col("c_vec"), dim))
+    val qSide = if (boundedQueries) broadcast(q) else q
     rankTopK(
-      broadcast(q).join(c, Seq("bucket"))
+      qSide.join(c, Seq("bucket"))
         .filter(col("q_id") =!= col("c_id"))
         .withColumn("cosine", VectorFns.cosineWithNorms(
           VectorFns.dotFlat(col("q_vec"), col("c_vec"), dim), col("q_norm"), col("c_norm"))),

@@ -1245,8 +1245,11 @@ object DedupQueries {
     * ever reaches the hash compare. */
   private val mutualNn: Q = (s, dir) => {
     val e = Tables.fanOut(t(s, dir, "embeddings"))
+    // queries == candidates == the fact-scaled corpus: boundedQueries =
+    // false keeps this a keyed shuffle on the bucket — a broadcast here
+    // would ship the whole corpus to every task (the a19 defect class).
     val nn1 = SimilarityOps.bucketedTopK(e, e, "vec_id", "embedding", 1,
-        nPlanes = 8, dim = 64)
+        nPlanes = 8, dim = 64, boundedQueries = false)
       .select("q_id", "c_id")
       .localCheckpoint(true) // ≤|V| rows; read as both direction tables
     nn1.join(nn1.select(col("c_id").as("q_id"), col("q_id").as("c_id")),

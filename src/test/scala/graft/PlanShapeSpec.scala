@@ -57,6 +57,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("emb_mutual_nn never broadcasts a vector-bearing side") {
+    // Corpus×corpus self-search: queries == candidates == the full
+    // fact-scaled embeddings table, so UNLIKE the bounded-batch ANN
+    // queries above, NO side may ride a broadcast that carries vectors —
+    // a hard broadcast(q) here is a corpus-sized broadcast AQE can never
+    // undo (the a19 defect class; caught by the r10 advice review). The
+    // bucket join must stay a keyed shuffle: bucketedTopK is called with
+    // boundedQueries = false. AQE may still broadcast the ≤|V|-row
+    // integer nn1 pair table in the mutuality semi-join — that carries
+    // no vector column and is fine.
+    for (s <- broadcastSubtrees("emb_mutual_nn"))
+      assert(!s.contains("q_vec") && !s.contains("c_vec")
+          && !s.contains("embedding#"),
+        s"emb_mutual_nn broadcasts a vector-bearing side:\n" +
+          s.linesIterator.take(4).mkString("\n"))
+  }
+
   test("no cartesian product in any candidate-generation or join query") {
     for (q <- Seq("j1_inner_equi", "j9_salted_skew_join", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_ngram_jaccard", "emb_near_dup",

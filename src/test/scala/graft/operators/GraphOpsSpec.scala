@@ -132,6 +132,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(fused == generic, s"fused $fused\ngeneric $generic")
   }
 
+  test("label propagation: rounds <= 0 is the identity-label seed, " +
+      "never a fused round") {
+    // r11 (advice): the fused round-1 guard was `rounds == 0`, so a
+    // negative rounds silently executed one fused round instead of the
+    // historical identity no-op (`1 to rounds` is empty for rounds < 1).
+    val df = Seq((0L, 1L), (1L, 2L)).toDF("a", "b")
+    for (r <- Seq(0, -1, -5)) {
+      val got = GraphOps.labelPropagation(df, "a", "b", r)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L),
+        s"rounds=$r must keep identity labels, got $got")
+    }
+  }
+
   test("label propagation: the star oscillation is the defined 2-round report") {
     // Synchronized LPA on a star trades labels hub↔leaves each round —
     // the classic bipartite oscillation. The operator's contract is a
