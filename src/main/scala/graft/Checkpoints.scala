@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Lineage-truncation with a FAULT-TOLERANCE MODE SWITCH for the
+  * iterative family (PageRank/CC/BFS/HITS/label-prop/k-core, the
+  * LSH/winnow/k-means dedup pipelines, and every multi-consumer
+  * materialization in the query layer).
+  *
+  * Why a switch exists (r10 VERDICT, What's wrong #2): `localCheckpoint`
+  * truncates lineage by storing the blocks ONLY on executors. On
+  * local[32] that is free and invisible; on the 1000-executor/100 TB
+  * deployment this library targets, one lost executor mid-iteration
+  * destroys blocks that no lineage can rebuild — the job dies
+  * unrecoverably, hours in. `df.checkpoint()` against a durable
+  * checkpoint directory (HDFS/S3) survives executor loss at the cost of
+  * a write + re-read per checkpoint. Neither default is right for both
+  * worlds, so the mode is a session conf:
+  *
+  *   - `spark.graft.checkpoint.mode = local` (default): today's
+  *     behavior — eager `localCheckpoint`. Right for single-JVM runs,
+  *     benchmarks, and short jobs where a retry is cheaper than N
+  *     durable writes.
+  *   - `spark.graft.checkpoint.mode = reliable`: eager `checkpoint()`
+  *     to the SparkContext checkpoint dir. The deployer must point
+  *     `spark.graft.checkpoint.dir` (or `setCheckpointDir`) at storage
+  *     that survives executor loss — a local path on one node does NOT.
+  *     Mandatory for long iterative jobs on real clusters.
+  *
+  * All operator/query call sites route through [[Checkpoints.cp]] (via
+  * the `.checkpointed()` syntax), so one conf flips the whole library.
+  */
+object Checkpoints {
+  val ModeKey = "spark.graft.checkpoint.mode"
+  val DirKey = "spark.graft.checkpoint.dir"
+
+  def mode(ds: Dataset[_]): String =
+    ds.sparkSession.conf.get(ModeKey, "local")
+
+  /** Eagerly materialize `ds` and truncate its lineage, per the session's
+    * checkpoint mode. See the object scaladoc for the tradeoff. */
+  def cp[T](ds: Dataset[T]): Dataset[T] = mode(ds) match {
+    case "local" => ds.localCheckpoint(true)
+    case "reliable" =>
+      val sc = ds.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        val dir = ds.sparkSession.conf.get(DirKey, "")
+        require(dir.nonEmpty,
+          s"$ModeKey=reliable needs a durable checkpoint location: set " +
+            s"$DirKey (or SparkContext.setCheckpointDir) to an HDFS/S3 " +
+            "path that survives executor loss")
+        sc.setCheckpointDir(dir)
+      }
+      ds.checkpoint(true)
+    case other =>
+      throw new IllegalArgumentException(
+        s"$ModeKey must be 'local' or 'reliable', got '$other'")
+  }
+
+  /** `.checkpointed()` postfix syntax so call sites keep their chained
+    * shape (`df.filter(...).checkpointed()`). */
+  implicit class CheckpointSyntax[T](private val ds: Dataset[T]) extends AnyVal {
+    def checkpointed(): Dataset[T] = cp(ds)
+  }
+}

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -19,7 +21,9 @@ import org.apache.spark.sql.functions._
   * hops) stays ONE lazy DAG — the PageRankOps measurement (eager
   * per-round checkpoints 11.9 s vs 4.9 s lazy at sf0.1) applies verbatim
   * since the loop shape is identical; `checkpointEvery` truncates
-  * lineage on longer walks.
+  * lineage on longer walks, through [[graft.Checkpoints]] — set
+  * `spark.graft.checkpoint.mode=reliable` on long cluster runs (the
+  * default `local` mode loses blocks with a lost executor).
   */
 object BfsOps {
 
@@ -62,7 +66,7 @@ object BfsOps {
     // serializes rounds for no saved recompute — so dist only truncates
     // lineage on long walks (checkpointEvery), never short ones.
     val materialize = maxHops >= 2
-    val edges = if (materialize) edgesRaw.localCheckpoint(true) else edgesRaw
+    val edges = if (materialize) edgesRaw.checkpointed() else edgesRaw
     // else-branch hints shuffle_hash: without it the caller's "nodes
     // are fact-scaled" declaration is advisory only — Spark's
     // under-10MB estimate would auto-broadcast the rank/frontier table
@@ -100,7 +104,7 @@ object BfsOps {
       // with the base cut; truncate every `checkpointEvery` rounds
       // (|dist| <= |V|, so each cut is node-table-sized).
       if (i % checkpointEvery == 0 && i < maxHops)
-        dist = dist.localCheckpoint(true)
+        dist = dist.checkpointed()
     }
     nodes.join(maybeB(dist), Seq("node"), "left")
       .select(col("node"), coalesce(col("hops"), lit(-1L)).as("hops"))

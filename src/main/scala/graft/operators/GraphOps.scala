@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -23,9 +25,14 @@ import org.apache.spark.sql.functions._
   * neighborhood: a converged star's center has degree = cluster size,
   * and materializing that list in one task is exactly the hub-OOM this
   * formulation exists to avoid. Driver-side state is one (count,
-  * hash-sum) signature pair per round for the convergence test;
-  * `localCheckpoint` truncates the iterative lineage each round
-  * (SURVEY §4.2 iterative-plan note, same treatment as KMeansOps).
+  * hash-sum) signature pair per round for the convergence test; each
+  * round's lineage is truncated through [[graft.Checkpoints]] (SURVEY
+  * §4.2 iterative-plan note, same treatment as KMeansOps).
+  *
+  * Fault tolerance: default `local` checkpoint mode keeps blocks on
+  * executors only — one lost executor mid-run is unrecoverable; set
+  * `spark.graft.checkpoint.mode=reliable` (plus a durable
+  * `spark.graft.checkpoint.dir`) for long cluster runs.
   */
 object GraphOps {
 
@@ -60,7 +67,7 @@ object GraphOps {
     // twice).
     val raw = edges0
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .localCheckpoint(true)
+      .checkpointed()
 
     // Nodes of the input graph (captured before star rounds rewrite the
     // edge set): isolated self-loop nodes still get a component row.
@@ -69,7 +76,7 @@ object GraphOps {
       .filter(col("n").isNotNull)
       .distinct()
 
-    var edges = canon(raw).localCheckpoint(true)
+    var edges = canon(raw).checkpointed()
 
     // Fixpoint test: the round result is a NODE-DISJOINT STAR FOREST —
     // every child (v) has exactly one parent and never appears as a
@@ -156,7 +163,7 @@ object GraphOps {
     var it = 0
     while (!converged && it < maxIter) {
       val base = if (coalesceTo > 0) edges.coalesce(coalesceTo) else edges
-      val next = smallStar(largeStar(base)).localCheckpoint(true)
+      val next = smallStar(largeStar(base)).checkpointed()
       converged = isStarForest(next)
       edges = next
       it += 1
@@ -217,7 +224,7 @@ object GraphOps {
       // Both the degree pass and the orientation join read the
       // canonical edge set; checkpoint so an expensive upstream
       // candidate generator runs once (connectedComponents' treatment).
-      .localCheckpoint(true)
+      .checkpointed()
 
     val eCount = e.count() // free: e is checkpointed
     val small = eCount <= broadcastEdgeLimit
@@ -233,7 +240,7 @@ object GraphOps {
     // at any scale.)
     val deg = e.select(col("a").as("v_")).union(e.select(col("b").as("v_")))
       .groupBy("v_").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .checkpointed()
 
     // Orient by (degree, id): strict total order, so exactly one
     // direction survives per edge.
@@ -246,7 +253,7 @@ object GraphOps {
         struct(col("a").as("src"), col("b").as("dst")))
         .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint(true)
+      .checkpointed()
 
     // Out-adjacency (sorted for a deterministic plan; size ≤ O(√m) by
     // orientation) and the per-edge closing intersect. Edges whose dst
@@ -254,7 +261,7 @@ object GraphOps {
     // triangles by definition.
     val adj = oriented.groupBy(col("src"))
       .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
-      .localCheckpoint(true)
+      .checkpointed()
     val triangles = oriented
       .join(maybeB(adj.select(col("src"), col("nbrs").as("ns"))), Seq("src"))
       .join(maybeB(adj.select(col("src").as("dst"), col("nbrs").as("nd"))),
@@ -321,7 +328,7 @@ object GraphOps {
       // the symmetric list is read once per round plus the node seed:
       // checkpoint the canonical edges so an expensive upstream candidate
       // generator runs once (connectedComponents' treatment)
-      .localCheckpoint(true)
+      .checkpointed()
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
     // Round 1 is DEGENERATE and fuses to one aggregate (r10): the seed

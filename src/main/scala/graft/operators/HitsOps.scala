@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -29,7 +31,10 @@ import org.apache.spark.sql.functions._
   * normalization. `dimensionNodes` (the PageRankOps contract) rides
   * the score table on broadcast joins so the fact-scaled edge list —
   * materialized once — is never re-shuffled; default keyed-shuffle
-  * rounds for web-scale node sets.
+  * rounds for web-scale node sets. Lineage cuts route through
+  * [[graft.Checkpoints]]: set `spark.graft.checkpoint.mode=reliable`
+  * for long cluster runs (default `local` mode dies with a lost
+  * executor).
   */
 object HitsOps {
 
@@ -53,7 +58,7 @@ object HitsOps {
     // the one-time cut always pays there; lazy otherwise for short loops
     // (the PageRankOps measurement).
     val edges =
-      if (dimensionNodes || iters >= 2) edgesRaw.localCheckpoint(true) else edgesRaw
+      if (dimensionNodes || iters >= 2) edgesRaw.checkpointed() else edgesRaw
     // else-branch hints shuffle_hash: without it the caller's "nodes
     // are fact-scaled" declaration is advisory only — Spark's
     // under-10MB estimate would auto-broadcast the rank/frontier table
@@ -70,7 +75,7 @@ object HitsOps {
     // The table is node-sized, so the cut is one linear job per
     // half-round in either join mode.
     def maxNorm(raw: DataFrame, key: String, v: String): DataFrame = {
-      val df = raw.localCheckpoint(true)
+      val df = raw.checkpointed()
       // The multiply lifts to DECIMAL(38,0) (HUGEINT oracle-side, the
       // g3 treatment): raw sums reach in-degree · 1e6, so a node with
       // ~9.2e6 summed in-micro-units would overflow BIGINT·1e6 —

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -35,6 +37,13 @@ import org.apache.spark.sql.functions._
   * A fixed small iteration count is the norm for quality-signal ranks
   * (convergence to 1e-3 relative takes ~O(log n / (1-d)) rounds; corpus
   * weighting uses the coarse ordering, which stabilizes in 3-5).
+  *
+  * Fault tolerance: every lineage cut routes through [[graft.Checkpoints]]
+  * — default `local` mode stores checkpoint blocks on executors only
+  * (fast; one lost executor kills a long run), `reliable` mode writes
+  * them to the durable checkpoint dir and survives executor loss. Long
+  * cluster runs of this iterative loop should set
+  * `spark.graft.checkpoint.mode=reliable`.
   */
 object PageRankOps {
 
@@ -127,13 +136,13 @@ object PageRankOps {
     // pays; lazy rounds only materialize when the loop crosses a
     // checkpoint.
     val materializeBase = dimensionNodes || iters >= checkpointEvery
-    val edges = if (materializeBase) edgesRaw.localCheckpoint(true) else edgesRaw
+    val edges = if (materializeBase) edgesRaw.checkpointed() else edgesRaw
     val degrees0 = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
     // Broadcast mode folds the degree onto the rank side EVERY round,
     // so the |V|-row degree table is cut once; shuffle mode reads it
     // once (the outEdges build) and leaves it lazy.
     val degrees =
-      if (dimensionNodes && materializeBase) degrees0.localCheckpoint(true)
+      if (dimensionNodes && materializeBase) degrees0.checkpointed()
       else degrees0
 
     // All nodes (sources ∪ destinations): pure sinks still hold rank
@@ -149,7 +158,7 @@ object PageRankOps {
         .distinct()
     val nodes =
       if (materializeBase && !(sourcesSpanNodes && dimensionNodes))
-        nodesRaw.localCheckpoint(true)
+        nodesRaw.checkpointed()
       else nodesRaw // projection of the already-cut degree table, or lazy
 
     // Rank-side tables are |V| rows: broadcast them under the caller's
@@ -173,7 +182,7 @@ object PageRankOps {
       if (dimensionNodes) edges
       else {
         val oe = edges.join(degrees, "src")
-        if (materializeBase) oe.localCheckpoint(true) else oe
+        if (materializeBase) oe.checkpointed() else oe
       }
     def roundContribs(ranks: DataFrame): DataFrame = {
       val rankSide =
@@ -204,7 +213,7 @@ object PageRankOps {
               (col("__base") + expr(s"($dampNum * coalesce(mass, 0L)) div $dampDen"))
                 .cast("long").as("rank_micro"))
           if (i % checkpointEvery == 0 && i < iters)
-            ranks = ranks.localCheckpoint(true) // truncate iterative lineage
+            ranks = ranks.checkpointed() // truncate iterative lineage
         }
         ranks
     } else {
@@ -236,7 +245,7 @@ object PageRankOps {
             nodes.filter(restartWhere.get).select(col("node"), lit(base).as("__b"))
         }
         val seedBase =
-          if (materializeBase) seedBase0.localCheckpoint(true) else seedBase0
+          if (materializeBase) seedBase0.checkpointed() else seedBase0
 
         // Step-0 distribution = the seed mass itself.
         var ranks = seedBase.select(col("node"), col("__b").as("rank_micro"))
@@ -253,7 +262,7 @@ object PageRankOps {
               expr(s"($dampNum * sum(contrib)) div $dampDen"))
               .cast("long").as("rank_micro"))
           if (i % checkpointEvery == 0 && i < iters)
-            ranks = ranks.localCheckpoint(true) // truncate iterative lineage
+            ranks = ranks.checkpointed() // truncate iterative lineage
         }
         // Materialize the zeros exactly once: every graph node absent
         // from the sparse table is unreached-within-the-walk — data,

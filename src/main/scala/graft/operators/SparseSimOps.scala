@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,6 +28,10 @@ import org.apache.spark.sql.functions._
   * cosine is bit-identical in Spark and the SQL oracle — same
   * portable-math discipline as SketchOps (there via integer hashes,
   * here via integer accumulation).
+  *
+  * The pruned-posting materialization routes through
+  * [[graft.Checkpoints]] — `spark.graft.checkpoint.mode=reliable` for
+  * cluster runs that must survive executor loss.
   */
 object SparseSimOps {
 
@@ -70,7 +76,7 @@ object SparseSimOps {
     val head = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > dfCap).select("__term")
     val kept = tf.join(broadcast(head), Seq("__term"), "left_anti")
-      .localCheckpoint(true)
+      .checkpointed()
     // Norm over the filtered vocabulary rides each POSTING row (joined
     // on __id BEFORE the a/b split), so the pair table — the largest
     // relation in the plan, dfCap² fan-out per term — is never

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -63,12 +65,12 @@ object AssocQueries {
     // AuditRecompute defect class). r10 measured 1.66 -> 1.25 s
     // (TimeSome, min of 3).
     val c12 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
-      .localCheckpoint(true)
+      .checkpointed()
     val n12 = c12.agg(sum(col("c12")).as("n12"))
     val uni = docs
       .select(explode(expr("ascii_alpha_tokens(text, 3)")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .checkpointed()
     val n1 = uni.agg(sum(col("cnt")).as("n1"))
     c12.filter(col("c12") >= pmiMinSupport)
       .withColumn("w1", split(col("bg"), " ").getItem(0))
@@ -255,7 +257,7 @@ object AssocQueries {
     // sf0.1: 9.5 s lazy -> 3.0 s checkpointed. The edge list shrinks
     // monotonically, so each materialization is smaller than the last.
     var edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .checkpointed()
     for (_ <- 1 to kcoreRounds) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= kcoreK).select(col("src").as("node"))
@@ -272,7 +274,7 @@ object AssocQueries {
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .localCheckpoint(true)
+        .checkpointed()
     }
     edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
@@ -590,7 +592,7 @@ object AssocQueries {
     // is the genuine ~9M-pair volume, not the join strategy.
     val e = t(s, dir, "lineitem")
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint(true)
+      .checkpointed()
     val w = e.groupBy("p").agg(count(lit(1)).as("d"))
       .filter(col("d") >= 2 && col("d") <= aaDegCap)
       .select(col("p"),

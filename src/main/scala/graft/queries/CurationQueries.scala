@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -300,7 +302,7 @@ object CurationQueries {
     val cnt = tf.groupBy("term").agg(
       sum("tf").as("cg"),
       sum(when(col("source") === dsirTarget, col("tf")).otherwise(0L)).as("ct"))
-      .localCheckpoint(true)
+      .checkpointed()
     val scal = cnt.agg(
       sum("cg").as("tot_g"),
       (sum("ct") + count(lit(1))).as("tot_ts"), // totT + V (add-1 mass)
@@ -450,7 +452,7 @@ object CurationQueries {
     // where the upstream is a measured-expensive kernel chain.
     val kept = graft.operators.CorpusOps.gopherKeep(
       Tables.fanOut(t(s, dir, "documents")), "text")
-      .localCheckpoint(true)
+      .checkpointed()
     val mixed = graft.operators.QuotaOps.sqrtTemperatureSample(
       kept, "lang", pipeCurN,
       graft.operators.SketchOps.portableHash(col("doc_id")), Seq(col("doc_id")))

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1108,7 +1110,7 @@ object DedupQueries {
       embCorpus(s, dir, fan = false), "vec_id", "embedding", k = 8, iters = 2, dim = 64)
     val cells = graft.operators.KMeansOps.assign(
       embCorpus(s, dir), cents, "embedding", 64)
-      .localCheckpoint(true)
+      .checkpointed()
     val pairs = SimilarityOps.cosineNearDupPairs(
       cells, "vec_id", "embedding", "cell", 0.999)
     // No distinct on the deleted ids: anti-join semantics are EXISTS,
@@ -1188,7 +1190,7 @@ object DedupQueries {
     val e = Tables.fanOut(t(s, dir, "embeddings"))
     val q20 = e.filter(col("vec_id") < 20)
     val brute = SimilarityOps.bruteTopK(q20, e, "vec_id", "embedding", 5)
-      .select("q_id", "c_id").localCheckpoint(true)
+      .select("q_id", "c_id").checkpointed()
     def rec(d: Int): DataFrame = {
       def tr(df: DataFrame) =
         df.withColumn("embedding", expr(s"slice(embedding, 1, $d)"))
@@ -1251,7 +1253,7 @@ object DedupQueries {
     val nn1 = SimilarityOps.bucketedTopK(e, e, "vec_id", "embedding", 1,
         nPlanes = 8, dim = 64, boundedQueries = false)
       .select("q_id", "c_id")
-      .localCheckpoint(true) // ≤|V| rows; read as both direction tables
+      .checkpointed() // ≤|V| rows; read as both direction tables
     nn1.join(nn1.select(col("c_id").as("q_id"), col("q_id").as("c_id")),
         Seq("q_id", "c_id"), "left_semi")
       .filter(col("q_id") < col("c_id"))
@@ -1290,14 +1292,14 @@ object DedupQueries {
     // fan-out exchanges of the same input. A distributed cache of a
     // multiply-consumed input, not driver state (isolation median
     // 3.54 -> 2.89 s at sf0.1).
-    val e = Tables.fanOut(t(s, dir, "embeddings")).localCheckpoint(true)
+    val e = Tables.fanOut(t(s, dir, "embeddings")).checkpointed()
     val q20 = e.filter(col("vec_id") < 20)
     // The truth set is ≤ |q|·k = 100 rows but its PLAN is the full
     // brute-force scoring pass; 5 methods × (semi-join + count) would
     // re-execute that pass 10×. Materialize the tiny result once —
     // bounded, so this is model-state caching, not row-data caching.
     val brute = SimilarityOps.bruteTopK(q20, e, "vec_id", "embedding", 5)
-      .select("q_id", "c_id").localCheckpoint(true)
+      .select("q_id", "c_id").checkpointed()
     def rec(name: String, m: DataFrame): DataFrame = {
       val hits = brute.join(m.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
       brute.agg(count(lit(1)).as("n_brute"))
@@ -1482,7 +1484,7 @@ object DedupQueries {
       .filter(expr(
         "CAST(inter AS DOUBLE) / CAST(size(ta) + size(tb) - inter AS DOUBLE) >= 0.6"))
       .select("id_a", "id_b")
-      .localCheckpoint(true) // read by both method joins; probe-bounded
+      .checkpointed() // read by both method joins; probe-bounded
     val mh = DedupOps.minHashLshPairs(c, "doc_id", "t",
         shingleK = 3, numHashes = 8, bands = 2)
       .filter(col("id_a") < recallProbe).select("id_a", "id_b")
@@ -1549,7 +1551,7 @@ object DedupQueries {
     val exact = DedupOps.exactDedup(raw, "text", "doc_id")
       .select(col("doc_id"), substring(col("text"), 1, 200).as("t"),
         col("n_chars"))
-      .localCheckpoint(true)
+      .checkpointed()
     val pairs = DedupOps.minHashLshPairs(exact, "doc_id", "t",
       shingleK = 3, numHashes = 8, bands = 2)
     val deletes = graft.operators.GraphOps
@@ -1640,7 +1642,7 @@ object DedupQueries {
       .select(col("doc_id"),
         explode(graft.functions.TextFns.winnowFingerprintArrUdf(
           substring(col("text"), 1, 300))).as("fp"))
-      .localCheckpoint(true)
+      .checkpointed()
     val hot = fps.groupBy("fp").count()
       .filter(col("count") > winnowDfCap).select("fp")
     val kept = fps.join(broadcast(hot), Seq("fp"), "left_anti")

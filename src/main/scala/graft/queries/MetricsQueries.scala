@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -207,7 +209,7 @@ object MetricsQueries {
     // corpus-scaled tokenize, which would otherwise run 2x.
     val cnt = RQ.tokenTf(Tables.fanOut(t(s, dir, "documents")), "doc_id")
       .groupBy("term").agg(sum(col("tf")).as("cnt"))
-      .localCheckpoint(true)
+      .checkpointed()
     RankOps.globalRowNumber(cnt, Seq(col("cnt").desc, col("term").asc), "rank")
       .select(
         expr("CAST(floor(CAST(1000000 AS DOUBLE) * ln(CAST(rank AS DOUBLE))) AS BIGINT)").as("x"),
@@ -672,7 +674,7 @@ object MetricsQueries {
     // mirror, and both degree joins all read it — without the cut the
     // co-purchase self-join lineage re-executes per consumer
     // (triangleStats' treatment; measured 3.1 -> 2.7 s at sf0.1).
-    val e = coEdges(s, dir).distinct().localCheckpoint(true)
+    val e = coEdges(s, dir).distinct().checkpointed()
     // Materialize deg too: it feeds BOTH endpoint joins, and left lazy
     // Spark plans the union+aggregate subtree twice (r8 VERDICT, verified
     // via ExplainOne). It is bounded by |parts| — dimension-sized — so
@@ -682,7 +684,7 @@ object MetricsQueries {
     // the coEdges fixture generation dominates (ProfileGraph r9).
     val deg = e.select(col("p1").as("v")).union(e.select(col("p2").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .checkpointed()
     // Row-count guard (triangleStats' broadcastEdgeLimit treatment, r9
     // advice): |deg| is bounded by |parts| here, but the bound is a
     // property of THIS graph, not of the operator shape — a fact-scaled
@@ -782,9 +784,9 @@ object MetricsQueries {
     // coEdges emits one row PER SHARED ORDER; modularity is over the
     // simple graph, so collapse to distinct pairs (already p1 < p2) —
     // triangleStats/labelPropagation do the same internally.
-    val e = coEdges(s, dir).distinct().localCheckpoint(true)
+    val e = coEdges(s, dir).distinct().checkpointed()
     val labels = graft.operators.GraphOps
-      .labelPropagation(e, "p1", "p2", rounds = 2).localCheckpoint(true)
+      .labelPropagation(e, "p1", "p2", rounds = 2).checkpointed()
     val m = e.count()
     val dec = s"CAST($m AS DECIMAL(38,0))"
     val intra = e
@@ -984,7 +986,7 @@ object MetricsQueries {
       .select(expr(s"CAST((doc_id - mn) div ((mx - mn) div $heapsB + 1) AS INT)")
         .as("b"), col("term"), col("tf"))
       .groupBy("b", "term").agg(sum(col("tf")).as("tf"))
-      .localCheckpoint(true)
+      .checkpointed()
     val toks = tok.groupBy("b").agg(sum(col("tf")).as("tk"))
     val nv = tok.groupBy("term").agg(min(col("b")).as("fb"))
       .groupBy(col("fb").as("b")).agg(count(lit(1)).as("nv"))
@@ -1046,7 +1048,7 @@ object MetricsQueries {
   private val a19: Q = (s, dir) => {
     val op = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .localCheckpoint(true) // pair explode + part counts + T read it
+      .checkpointed() // pair explode + part counts + T read it
     // shuffle_hash: without the hint Spark BROADCASTS one side of the
     // 600k-row self-join (it fits the 10 MB threshold at sf0.1) — a
     // driver collect + hash build of a FACT-scaled table, wrong at any

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1109,7 +1111,7 @@ object RelationalQueries {
     "j3_upsert" -> ((s, dir) =>
       MergeOps.upsert(
         t(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
-        j3Updates(s, dir).localCheckpoint(true),
+        j3Updates(s, dir).checkpointed(),
         Seq("c_custkey"), Seq("c_acctbal"), broadcastUpdates = true)),
     "o4_group_sample" -> ((s, dir) =>
       graft.operators.SampleOps.groupFractionalSample(

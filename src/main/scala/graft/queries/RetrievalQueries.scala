@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -91,7 +93,7 @@ object RetrievalQueries {
         expr("aggregate(map_values(tfm), 0L, (a, x) -> a + CAST(x AS LONG))")
           .as("dl"),
         map_filter(col("tfm"), (k, _) => k.isin(terms: _*)).as("tfq"))
-      .localCheckpoint(true)
+      .checkpointed()
 
   private val bm25: Q = (s, dir) => {
     // Tokenizer kernels dominate the map stage: fan the narrow fixture
@@ -434,7 +436,7 @@ object RetrievalQueries {
     // replays tokenize + kgrams + the exchange, so materializing once
     // wins where the unigram family measured recompute-cheaper.
     val tf = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .checkpointed()
     val c2 = tf.groupBy("bg").agg(sum(col("tf")).as("c2"))
     val c1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
       .groupBy("w1").agg(sum(col("c2")).as("c1"))

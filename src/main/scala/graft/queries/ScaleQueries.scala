@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -402,7 +404,7 @@ object ScaleQueries {
     // OperatorsSpec split-build test) and hashes each distinct term
     // once instead of once per occurrence.
     val exact = docTerm.groupBy("term").agg(sum("tf").as("exact_cnt"))
-      .localCheckpoint(true)
+      .checkpointed()
     val cms = graft.operators.CmsOps.cmsBuild(exact, "term", "exact_cnt", cmsD, cmsW)
     val top = exact.orderBy(col("exact_cnt").desc, col("term")).limit(15)
     graft.operators.CmsOps.cmsEstimate(cms, top, "term", cmsD, cmsW)
@@ -511,7 +513,7 @@ object ScaleQueries {
       .withColumn("__toks", expr("ascii_tokens(text)"))
       .select(col("doc_id"), col("split"),
         explode(expr("distinct_kgrams(__toks, 3)")).as("ng"))
-      .localCheckpoint(true)
+      .checkpointed()
     val trainSet = grams.filter(col("split") === "train").select("ng").distinct()
     grams.filter(col("split") === "test")
       .join(trainSet.withColumn("__hit", lit(1)), Seq("ng"), "left")

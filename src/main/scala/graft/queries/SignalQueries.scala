@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -186,7 +188,7 @@ object SignalQueries {
     val perTerm = tok.groupBy("term").agg(
         sum(when(col("lang") === lit("en"), col("tf")).otherwise(lit(0L))).as("ca"),
         sum(when(col("lang") =!= lit("en"), col("tf")).otherwise(lit(0L))).as("cb"))
-      .localCheckpoint(true)
+      .checkpointed()
     val tot = perTerm.agg(count(lit(1)).as("nt"),
       sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     perTerm.crossJoin(broadcast(tot))

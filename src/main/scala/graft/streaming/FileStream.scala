@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.Checkpoints.CheckpointSyntax
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -198,7 +200,7 @@ object FileStream {
         val keyed = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
           .withColumn(BucketCol, bucketExpr(keys, nBuckets))
-          .localCheckpoint() // the batch is re-used 3× (touched set, merge,
+          .checkpointed() // the batch is re-used 3× (touched set, merge,
                              // anti-insert); pin it instead of re-planning
         // Bounded collect: at most nBuckets ints — bucket IDS, never rows.
         val touched = keyed.select(BucketCol).distinct()
