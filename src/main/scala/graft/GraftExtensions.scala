@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{AsciiTokensExpr, BpeCountExpr, BpeTokensExpr,
   DurationToHoursExpr, GraphemeLenExpr, KGramsExpr,
-  NfcNormalizeExpr, NormalizeNameExpr, RepStatsExpr,
+  NfcNormalizeExpr, NormalizeNameExpr, PackedPairsExpr, RepStatsExpr,
   LangHitsExpr, MinHashLanesExpr, RpProjectExpr, SimHashExpr,
   SortableBitsExpr, SortedIntersectCountExpr, TfMapExpr,
   VecDotExpr, VecSqDistExpr, VecSqNormExpr, WsWordCountExpr}
@@ -130,6 +130,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => SortedIntersectCountExpr(a, b)
         case _ => throw new IllegalArgumentException(
           "sorted_intersect_count(a, b)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("packed_pairs"),
+      new ExpressionInfo(classOf[PackedPairsExpr].getName, "packed_pairs"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, Literal(s: Int, IntegerType)) => PackedPairsExpr(a, s)
+        case _ => throw new IllegalArgumentException(
+          "packed_pairs(ids, shift literal)")
       }))
     ext.injectFunction((
       FunctionIdentifier("sortable_bits"),

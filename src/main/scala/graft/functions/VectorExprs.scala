@@ -291,6 +291,87 @@ object SortedIntersectKernel {
   }
 }
 
+/** `packed_pairs(ids, shift)` — all C(n,2) unordered pairs of a bounded
+  * DISTINCT id list, each packed into one BIGINT as `(lo << shift) | hi`
+  * after an in-kernel sort (so lo < hi always, matching the
+  * `a.id < b.id` self-join convention). The bounded-list pair
+  * generator for co-occurrence/association queries: ONE primitive
+  * long-array allocation per GROUP followed by the codegen'd `explode`
+  * and a single-long-key hash aggregate — no per-pair objects, no
+  * interpreted higher-order lambdas (both measured to lose in the r10
+  * g7 bake-off). Bake-off honesty (r11): on the REGISTERED a19/g7
+  * fixtures this form wins the isolated pair stage (0.77 vs 1.17 s,
+  * ProfileA19b) but loses end-to-end, because those queries already
+  * hold a distinct/checkpointed (key, item) table for their count
+  * sidecars and the extra basket-collect aggregate costs more than the
+  * self-join it removes — so they keep their joins (comments there).
+  * The kernel EARNS its keep where no such table exists and the input
+  * arrives as arrays (session/basket logs), or where per-group fan-out
+  * must stay row-local; it is registered SQL surface for exactly those
+  * pipelines.
+  *
+  * Contract (loud, not silent): every id must lie in [0, 2^shift) —
+  * out-of-range throws with the offending value, because a truncated
+  * pack would MERGE distinct pairs into one count (the silent-wrong
+  * class ADVICE r10 flagged on getLong-over-null). shift ≤ 31 keeps
+  * lo's bits inside the positive BIGINT range for any in-range hi.
+  * Elements are assumed DISTINCT (collect_list over a distinct-keyed
+  * input); duplicates are out of contract — they'd double-count pairs
+  * exactly as the equivalent self-join would. Input arrays must be
+  * typed containsNull=false (collect_list's type); enforced at
+  * analysis, not silently read as zero. Null array → null. */
+object PackedPairsKernel {
+  def pairs(a: ArrayData, shift: Int): ArrayData = {
+    val n = a.numElements()
+    val lim = 1L << shift
+    val v = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i)
+      if (x < 0L || x >= lim) throw new IllegalArgumentException(
+        s"packed_pairs: id $x outside [0, 2^$shift) — raise shift or re-key")
+      v(i) = x
+      i += 1
+    }
+    java.util.Arrays.sort(v)
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      val lo = v(i) << shift
+      var j = i + 1
+      while (j < n) { out(k) = lo | v(j); k += 1; j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class PackedPairsExpr(child: Expression, shift: Int)
+    extends UnaryExpression {
+  require(shift >= 1 && shift <= 31, "packed_pairs needs shift in [1, 31]")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      "packed_pairs expects ARRAY<BIGINT> with containsNull=false " +
+        s"(collect_list's type), got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "packed_pairs"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PackedPairsKernel.pairs(a.asInstanceOf[ArrayData], shift)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.PackedPairsKernel.pairs($a, $shift);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PackedPairsExpr =
+    copy(child = newChild)
+}
+
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   private def ok(dt: DataType): Boolean = dt match {

@@ -590,6 +590,22 @@ object AssocQueries {
     // are interpreted; the codegen'd posexplode+slice variant drags
     // the 30-long array through 9M slice allocations). The cost here
     // is the genuine ~9M-pair volume, not the join strategy.
+    //
+    // CONSTANT-FACTOR FLOOR (r11, closing the bake-off): two more
+    // forms measured (ProfileG7, 4 GC'd reps each) — the native
+    // packed_pairs kernel over per-part supplier lists (the form that
+    // wins a19: no interpreted lambdas, one primitive array per part,
+    // codegen'd explode, single-long agg key) lands 2.4-3.6 s, and the
+    // hash self-join with a PACKED aggregate key lands 2.6-3.4 s; the
+    // standing merge/hash joins read 2.1-3.3 s in the same session.
+    // Five strategies inside one noise band ⇒ the time is the ~9M-pair
+    // aggregate volume itself, which every correct Adamic-Adar on this
+    // graph must touch; DuckDB's 0.23 s is the same volume through an
+    // in-L2 single-process hash table. Declared a floor: further work
+    // goes to queries with an actual plan defect. (a19's basket-form
+    // audit reached the same verdict — packed_pairs wins its isolated
+    // pair stage but the basket collect's object-heavy aggregate costs
+    // more than the join it removes; see the a19 comment.)
     val e = t(s, dir, "lineitem")
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
       .checkpointed()

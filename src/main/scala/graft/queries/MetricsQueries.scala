@@ -1066,6 +1066,25 @@ object MetricsQueries {
     // LINEAR in orders, the df-capped-postings argument; skewed real
     // baskets would take a basket-size cap + the c(p) prefilter, both
     // expressible on this shape.
+    //
+    // Basket-form audit (r11 directive, measured and correctly NOT
+    // wired): generating pairs with the native packed_pairs kernel
+    // (collect per-order baskets, one codegen'd C(n,2) packed-long
+    // array per basket, built-in explode, single-long-key count) wins
+    // the ISOLATED pair stage (0.77 s vs 1.17 s hinted self-join,
+    // ProfileA19b) — but LOSES the full query every way tried, same
+    // JVM, alternating reps: collect_set-direct base 2.3-2.8 s and
+    // distinct-base + lazy collect_list hybrid 3.3-5.1 s vs 1.8-2.8 s
+    // for this plan. The basket materialization is the cost: a
+    // collect_list/collect_set aggregate builds and serializes 150k
+    // per-key array buffers (+0.6-0.7 s over distinct's hash dedup at
+    // sf0.1), and in full-query context that object-heavy aggregate
+    // contends with the concurrent pc/tx broadcast-subtree jobs. The
+    // pair volume here is basket-bounded (n_o ≤ 7) EITHER way, so the
+    // join never dominates — unlike g2/j8, where in-row generation
+    // replaces an unkeyed blowup. Constant-factor floor declared: the
+    // remaining cost is the distinct+checkpoint base plus one keyed
+    // pair pass, which every correct support count must pay.
     val pairs = op.select(col("o"), col("p").as("p1")).hint("shuffle_hash")
       .join(op.select(col("o"), col("p").as("p2")), Seq("o"))
       .filter(col("p1") < col("p2"))

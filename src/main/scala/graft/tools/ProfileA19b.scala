@@ -37,12 +37,28 @@ object ProfileA19b {
       .groupBy("pk").agg(count(lit(1)).as("support"))
       .select(expr("pk div 1048576").as("p1"), (col("pk") % 1048576).as("p2"), col("support"))
       .orderBy(col("support").desc, col("p1"), col("p2")).limit(20)
+    // basket collect + native packed-pair kernel: no self-join at all —
+    // one groupBy(o) collect, codegen'd packed_pairs + explode, then a
+    // single-long-key count.
+    def pairsBasket = op
+      .select(col("o"), col("p").cast("long").as("p"))
+      .groupBy("o").agg(collect_list(col("p")).as("ps"))
+      .select(explode(expr("packed_pairs(ps, 20)")).as("pk"))
+      .groupBy("pk").agg(count(lit(1)).as("support"))
+      .select(expr("pk div 1048576").as("p1"), (col("pk") % 1048576).as("p2"),
+        col("support"))
+      .orderBy(col("support").desc, col("p1"), col("p2")).limit(20)
     noop(pairsSmj) // warm
-    for (r <- 1 to 2) {
+    noop(pairsBasket)
+    for (r <- 1 to 3) {
       time(s"[$r] pairs current")(noop(pairsSmj))
       time(s"[$r] pairs shuffle_hash")(noop(pairsShj))
       time(s"[$r] pairs packed")(noop(pairsPacked))
+      time(s"[$r] pairs basket")(noop(pairsBasket))
     }
+    val pa = pairsShj.collect().map(_.toString)
+    val pb = pairsBasket.collect().map(_.toString)
+    println(s"basket parity: ${pa.sameElements(pb)} (${pa.length})")
     println("=== current plan ===")
     pairsSmj.explain("formatted")
     spark.stop()

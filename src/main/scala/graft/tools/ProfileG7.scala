@@ -85,7 +85,44 @@ object ProfileG7 {
         .orderBy(col("aa_fp").desc, col("s1"), col("s2")).limit(20)
     }
 
+    // packed_pairs: native codegen'd pair kernel — one primitive long
+    // array per part, codegen'd explode, single-long-key hash agg.
+    def packedPairs: DataFrame = {
+      val idx = li.select(col("l_partkey").as("p"),
+          col("l_suppkey").cast("long").as("s"))
+        .groupBy("p").agg(sort_array(collect_set(col("s"))).as("ss"))
+        .filter(size(col("ss")).between(2, cap))
+        .select(expr(s"1000000000000L div ${lnFp("size(ss)")}").as("w_fp"),
+          explode(expr("packed_pairs(ss, 20)")).as("pk"))
+      idx.groupBy("pk")
+        .agg(count(lit(1)).as("n_common"), sum(col("w_fp")).as("aa_fp"))
+        .select(expr("pk div 1048576").as("s1"), (col("pk") % 1048576).as("s2"),
+          col("n_common"), col("aa_fp"))
+        .orderBy(col("aa_fp").desc, col("s1"), col("s2")).limit(20)
+    }
+
+    // Hash self-join, but the 9M-row aggregate keys on ONE packed long
+    // instead of two columns (the a19 packed-key finding).
+    def selfJoinHashPacked: DataFrame = {
+      val e = li.select(col("l_suppkey").cast("long").as("s"), col("l_partkey").as("p"))
+        .distinct().localCheckpoint(true)
+      val w = e.groupBy("p").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 2 && col("d") <= cap)
+        .select(col("p"), expr(s"1000000000000L div ${lnFp("d")}").as("w_fp"))
+      e.join(broadcast(w), Seq("p"))
+        .join(e.select(col("p"), col("s").as("s2")).hint("shuffle_hash"), Seq("p"))
+        .filter(col("s") < col("s2"))
+        .select((col("s") * 1048576 + col("s2")).as("pk"), col("w_fp"))
+        .groupBy("pk")
+        .agg(count(lit(1)).as("n_common"), sum(col("w_fp")).as("aa_fp"))
+        .select(expr("pk div 1048576").as("s1"), (col("pk") % 1048576).as("s2"),
+          col("n_common"), col("aa_fp"))
+        .orderBy(col("aa_fp").desc, col("s1"), col("s2")).limit(20)
+    }
+
     time("selfJoin warmup")(noop(selfJoin))
+    time("packedPairs warmup")(noop(packedPairs))
+    time("selfJoinHashPacked warmup")(noop(selfJoinHashPacked))
     time("posExplode2 warmup")(noop(posExplode2))
     time("selfJoinHash warmup")(noop(selfJoinHash))
     for (r <- 1 to 4) {
@@ -95,6 +132,10 @@ object ProfileG7 {
       time(s"selfJoinHash r$r")(noop(selfJoinHash))
       System.gc(); Thread.sleep(500)
       time(s"posExplode2 r$r")(noop(posExplode2))
+      System.gc(); Thread.sleep(500)
+      time(s"packedPairs r$r")(noop(packedPairs))
+      System.gc(); Thread.sleep(500)
+      time(s"selfJoinHashPacked r$r")(noop(selfJoinHashPacked))
     }
 
     println("--- parity check (top-20 rows) ---")
@@ -102,8 +143,9 @@ object ProfileG7 {
     val b = arrayExplode.collect().map(_.toString)
     val c = posExplode2.collect().map(_.toString)
     val d = selfJoinHash.collect().map(_.toString)
+    val e = packedPairs.collect().map(_.toString)
     println(s"rows equal b: ${a.sameElements(b)} c: ${a.sameElements(c)} " +
-      s"d: ${a.sameElements(d)} (${a.length})")
+      s"d: ${a.sameElements(d)} e: ${a.sameElements(e)} (${a.length})")
     val _ = arrayExplode
     spark.stop()
   }

@@ -622,7 +622,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "a19 went cartesian")
     // the basket self-join must stay a keyed shuffle join: Spark
     // auto-broadcasts the 600k-row fact side under the 10 MB threshold
-    // at sf0.1 (r10 finding) — a driver collect that breaks at real SF
+    // at sf0.1 (r10 finding) — a driver collect that breaks at real SF.
+    // (r11 audit: the packed_pairs basket form was measured and lost
+    // end-to-end — see the query comment — so the self-join stands.)
     assert(p.contains("ShuffledHashJoin"),
       "a19's pair self-join lost its shuffle_hash hint (fact-side broadcast)")
   }
