@@ -185,9 +185,17 @@ object PageRankOps {
         if (materializeBase) oe.checkpointed() else oe
       }
     def roundContribs(ranks: DataFrame): DataFrame = {
+      // A rank table that already carries out_deg (the classic-branch
+      // degree fold) skips the per-round degree join; only nodes WITH
+      // out-edges contribute (the inner-join semantics the fold's left
+      // join relaxed). The PPR branch's sparse tables still fold the
+      // degree on per round.
       val rankSide =
-        if (dimensionNodes) ranks.join(degrees, ranks("node") === degrees("src"))
-          .select(col("node"), col("rank_micro"), col("out_deg"))
+        if (ranks.columns.contains("out_deg"))
+          ranks.filter(col("out_deg").isNotNull)
+        else if (dimensionNodes)
+          ranks.join(degrees, ranks("node") === degrees("src"))
+            .select(col("node"), col("rank_micro"), col("out_deg"))
         else ranks
       outEdges.join(maybeB(rankSide), outEdges("src") === rankSide("node"))
         .select(col("dst"), expr("rank_micro div out_deg").as("contrib"))
@@ -198,8 +206,40 @@ object PageRankOps {
         // the rank table is dense (|V| rows) from round 0 and stays
         // dense — the per-round shape is contribution join + keyed sum,
         // then a left join back onto the node table.
-        val flagged = nodes.withColumn("__base", lit(base))
-        var ranks = flagged.select(col("node"), lit(1000000L).as("rank_micro"))
+        //
+        // Degree fold (r11): under dimensionNodes the dense node table
+        // carries out_deg from round 0 — each round's rank table then
+        // ALREADY holds the divisor and roundContribs skips its
+        // per-round ranks⋈degrees join (3 dimension-sized joins gone on
+        // a 3-round run; the rank update re-selects from `flagged`, so
+        // the column rides along for free). Pure sinks carry a null
+        // out_deg: they hold rank but contribute nothing, which is the
+        // inner-join semantics the per-round deg join had — the
+        // non-null filter in roundContribs keeps it explicit. Shuffle
+        // mode folds onto the EDGE side instead (outEdges) — |V| extra
+        // longs per round beat re-shuffling the fact-scaled edges.
+        // Measured NEUTRAL at sf0.1 (g1 min 3.04 -> 2.95 s, same
+        // session, inside noise): the removed joins are |V|-row
+        // broadcasts whose cost is invisible under local[32]'s
+        // per-stage floor. Kept because the win is structural — three
+        // fewer join stages and broadcast builds per run is strictly
+        // less driver scheduling and executor sync on a real cluster,
+        // at zero cost to any mode.
+        val flagged0 = nodes.withColumn("__base", lit(base))
+        val flagged =
+          if (dimensionNodes) {
+            // Fresh projection of the degree table: under
+            // sourcesSpanNodes `nodes` IS a projection of `degrees`, so
+            // joining the original frame back would hit Spark's
+            // ambiguous-self-join attribute resolution.
+            val deg = degrees.select(col("src").as("__dnode"), col("out_deg"))
+            flagged0.join(deg, flagged0("node") === deg("__dnode"), "left")
+              .select(col("node"), col("__base"), col("out_deg"))
+          } else flagged0
+        var ranks =
+          if (dimensionNodes)
+            flagged.select(col("node"), lit(1000000L).as("rank_micro"), col("out_deg"))
+          else flagged.select(col("node"), lit(1000000L).as("rank_micro"))
         for (i <- 1 to iters) {
           // `div` is exact integer division (Spark's `/` would
           // round-trip through DOUBLE); all quantities are positive,
@@ -207,15 +247,19 @@ object PageRankOps {
           val contribs = roundContribs(ranks)
             .groupBy("dst")
             .agg(sum(col("contrib")).as("mass"))
+          val rankExpr =
+            (col("__base") + expr(s"($dampNum * coalesce(mass, 0L)) div $dampDen"))
+              .cast("long").as("rank_micro")
           ranks = flagged
             .join(maybeB(contribs), flagged("node") === contribs("dst"), "left")
-            .select(flagged("node"),
-              (col("__base") + expr(s"($dampNum * coalesce(mass, 0L)) div $dampDen"))
-                .cast("long").as("rank_micro"))
+            .select(
+              (if (dimensionNodes)
+                 Seq(flagged("node"), rankExpr, flagged("out_deg"))
+               else Seq(flagged("node"), rankExpr)): _*)
           if (i % checkpointEvery == 0 && i < iters)
             ranks = ranks.checkpointed() // truncate iterative lineage
         }
-        ranks
+        ranks.select(col("node"), col("rank_micro"))
     } else {
         // Personalized PageRank: restart mass lands only on seeds, so
         // early rounds have rank mass on a sparse frontier — round 1's
