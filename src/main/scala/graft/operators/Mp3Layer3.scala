@@ -41,6 +41,16 @@ package graft.operators
   * power-of-two ladder) — plus the zero-payload silent class at ANY
   * header combination (MPEG-1 and LSF), where the pipeline collapses
   * to spec-exact zeros.
+  *
+  * Seam-extension audit (r11): the suggested route — vendor a
+  * public-domain MP3 SPI jar (mp3spi/jlayer/tritonus class) into the
+  * TEST classpath and pin big-value frames through JavaSoundExternals
+  * against this pipeline's count1 class — was checked and is
+  * unavailable: a full filesystem sweep of this offline container
+  * finds no such jar, and the build has zero egress to fetch one.
+  * The boundary therefore stands exactly as documented above; it
+  * moves only when a vetted jar or the printed ISO tables arrive
+  * through a reviewable channel, never from memory.
   */
 object Mp3Layer3 {
 

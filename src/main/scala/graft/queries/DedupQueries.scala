@@ -1100,6 +1100,19 @@ object DedupQueries {
       |FROM k ORDER BY p_partkey""".stripMargin
 
   private val dedupSemantic: Q = (s, dir) => {
+    // Remaining-cost audit (r11): warm stage split at sf0.1 is fit
+    // 0.35 s (init collect + one sequential Lloyd collect per
+    // iteration — model-state round trips that cannot fuse), assign+
+    // checkpoint 0.27 s, pairs+anti 1.1 s (~270k within-cell candidate
+    // pairs ≈ 17M flops — the kernels make the math invisible; what's
+    // left is the exchange/stage floor). Dropping this checkpoint and
+    // leaning on AQE exchange reuse measured a WASH (2.1-2.5 s both
+    // forms, same JVM, alternating) — the job count is the floor, not
+    // the materialization. Structure is the one you'd want at 100 TB
+    // (bounded model state, blocked quadratic, keyed shuffles);
+    // further local-mode gains would mean fusing Lloyd iterations,
+    // which no engine with driver-side centroids can do.
+    //
     // The assigned table feeds BOTH the pair generation and the final
     // anti-join base; localCheckpoint materializes the (bounded-width)
     // assignment once instead of re-running the scan + nearest-centroid
