@@ -79,6 +79,25 @@ class PageRankOpsSpec extends AnyFunSuite {
     assert(shuffle == bcast)
   }
 
+  test("dimensionNodes with a pure sink: the folded null degree means " +
+      "holds-rank-contributes-nothing, exactly as the shuffle rounds") {
+    // r11 degree-fold pin: under dimensionNodes the dense node table
+    // carries out_deg via a LEFT join, so a pure sink (node 2) rides
+    // the loop with a null degree — the contribution side must filter
+    // it, not divide by null or drop the node from the output.
+    import spark.implicits._
+    val df = Seq((1L, 2L), (3L, 2L)).toDF("s", "d")
+    val bcast = PageRankOps.pageRank(df, "s", "d", iters = 2, dimensionNodes = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-rolled: r1(2) = 150000 + 85*(1e6+1e6) div 100 = 1,850,000;
+    // r2(2) = 150000 + 85*(150000+150000) div 100 = 405,000; sources
+    // bottom out at the 150000 base.
+    assert(bcast == Map(1L -> 150000L, 2L -> 405000L, 3L -> 150000L))
+    val shuffle = PageRankOps.pageRank(df, "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffle == bcast)
+  }
+
   test("dimensionNodes=false BINDS: the rank table never rides a broadcast") {
     // The caller's "nodes are fact-scaled" declaration must force keyed
     // joins for the RANK-side round tables even when tiny at test scale
