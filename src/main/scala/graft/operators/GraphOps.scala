@@ -358,6 +358,16 @@ object GraphOps {
       // smallest label (labels are node ids, nonnegative) — the same
       // deterministic majority rule, with map-side partial combine and
       // no per-round sort of the (v, label) count table.
+      //
+      // One-exchange variant measured and correctly NOT wired (r11):
+      // repartition(v) before the count satisfies BOTH aggregates'
+      // distributions (hash on a grouping-key subset), collapsing the
+      // round to one exchange — 1.13 -> 0.88 s at sf0.1, parity exact.
+      // But it ships the RAW join output (|E| rows per round) where
+      // this form ships map-side-COMBINED (v,label) partials, bounded
+      // by P x |V| x labels under the dimensionNodes contract — at
+      // fact-scale |E| the raw exchange is the bottleneck the combine
+      // exists to avoid. Local constants lose to the 100 TB shape.
       labels = cnt.groupBy("v")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("v"), (-col("m.nl")).as("label"))
