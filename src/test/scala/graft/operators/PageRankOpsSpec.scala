@@ -55,6 +55,27 @@ class PageRankOpsSpec extends AnyFunSuite {
       assert(run(edges, iters) == reference(edges, iters), s"iters=$iters")
   }
 
+  test("long dimensionNodes loop: mid-loop checkpoints carry the folded " +
+      "degree and still match the reference") {
+    // r11 coverage gap: every other classic-branch test runs fewer
+    // iterations than checkpointEvery, so the checkpoint of the
+    // 3-column folded rank table (node, rank_micro, out_deg) — and the
+    // loop resuming FROM it — never executed. iters=5/every=2 forces
+    // two mid-loop cuts in both join modes; a graph with a pure sink
+    // checks the null out_deg survives the round-trip.
+    val rnd = new scala.util.Random(99)
+    val edges = (Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter { case (a, b) => a != b } :+ (3L, 77L)) // 77: pure sink
+    import spark.implicits._
+    val want = reference(edges, 5)
+    for (dim <- Seq(true, false)) {
+      val got = PageRankOps.pageRank(edges.toDF("s", "d"), "s", "d",
+          iters = 5, checkpointEvery = 2, dimensionNodes = dim)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"dimensionNodes=$dim")
+    }
+  }
+
   test("duplicate edges collapse; null endpoints dropped") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, java.lang.Long)](
