@@ -290,31 +290,28 @@ object Bench {
     val isolatedJsonCompact = isolated
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    // Bounded so a pathological run cannot blow the 2000-char window:
-    // the worst offenders (by how far the median exceeded the warm run)
-    // first, +N for the tail.
+    // Name lists are BOUNDED so a pathological run cannot blow the
+    // 2000-char window: first `cap` names, then a "+N" overflow marker.
+    def boundedListJson(names: Seq[String], cap: Int): String =
+      (names.take(cap).map("\"" + _ + "\"") ++
+        (if (names.size > cap) Seq("\"+" + (names.size - cap) + "\"") else Nil))
+        .mkString("[", ",", "]")
+    // Worst offenders (by how far the median exceeded the warm run) first.
     val degradedTop = results.collect {
       case (n, m, rs) if rs.head < m => (n, m - rs.head)
     }.sortBy(-_._2).map(_._1)
-    val degradedJson = (degradedTop.take(12).map("\"" + _ + "\"") ++
-      (if (degradedTop.size > 12) Seq("\"+" + (degradedTop.size - 12) + "\"") else Nil))
-      .mkString("[", ",", "]")
+    val degradedJson = boundedListJson(degradedTop, 12)
     // Contention retries are part of the measurement record: "retried"
     // names every query whose first attempt hit the warm<median
     // signature (host contention), whether or not the retry was
     // cleaner. An empty list means every number came from its first
     // attempt.
-    val retriedJson = (retriedNames.take(12).map("\"" + _ + "\"") ++
-      (if (retriedNames.size > 12) Seq("\"+" + (retriedNames.size - 12) + "\"") else Nil))
-      .mkString("[", ",", "]")
+    val retriedJson = boundedListJson(retriedNames.toSeq, 12)
     // Queries whose split-visit re-timing beat the first-visit median
     // (largest corrections first): these are the numbers the revisit
     // pass CHANGED — a nonempty list means the first pass had uniform
     // block inflation the warm<median retry could not see.
-    val revisedTop = revisedNames.sortBy(-_._2).map(_._1).toSeq
-    val revisedJson = (revisedTop.take(8).map("\"" + _ + "\"") ++
-      (if (revisedTop.size > 8) Seq("\"+" + (revisedTop.size - 8) + "\"") else Nil))
-      .mkString("[", ",", "]")
+    val revisedJson = boundedListJson(revisedNames.sortBy(-_._2).map(_._1).toSeq, 8)
     def compactOf(rs: Seq[(String, Double, Seq[Double])]) =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size},"warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"degraded":$degradedJson,"retried":$retriedJson,"revised":$revisedJson,"isolated":$isolatedJsonCompact$skippedField,"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
     // Greedy: keep dropping the cheapest query until the line fits ~1850
@@ -327,7 +324,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"degraded":$degradedJson,"retried":$retriedJson$skippedField,"queries":${qJson(results)(_.toString)},"sf":"$sfDir","isolated":$isolatedJson,"runs":$runsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"degraded":$degradedJson,"retried":$retriedJson,"revised":$revisedJson$skippedField,"queries":${qJson(results)(_.toString)},"sf":"$sfDir","isolated":$isolatedJson,"runs":$runsJson}"""
     println(compact)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")

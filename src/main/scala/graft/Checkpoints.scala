@@ -33,24 +33,62 @@ import org.apache.spark.sql.Dataset
 object Checkpoints {
   val ModeKey = "spark.graft.checkpoint.mode"
   val DirKey = "spark.graft.checkpoint.dir"
+  /** Bookkeeping (session conf): the DirKey value last applied, and the
+    * UUID-suffixed SparkContext dir it resolved to — see cp(). */
+  val AppliedKey = "spark.graft.checkpoint.dir.applied"
+  val ResolvedKey = "spark.graft.checkpoint.dir.resolved"
 
   def mode(ds: Dataset[_]): String =
     ds.sparkSession.conf.get(ModeKey, "local")
 
   /** Eagerly materialize `ds` and truncate its lineage, per the session's
-    * checkpoint mode. See the object scaladoc for the tradeoff. */
+    * checkpoint mode. See the object scaladoc for the tradeoff.
+    *
+    * Directory precedence: an explicit `spark.graft.checkpoint.dir`
+    * ALWAYS wins — it re-points the SparkContext dir even when some
+    * earlier code already set one (r11 review: the old
+    * only-if-unset check silently dropped the user's durable path in
+    * favor of whatever stale — possibly non-durable — dir a notebook
+    * or another library had left behind, defeating the fail-loud
+    * contract). Without DirKey, an existing SparkContext dir is
+    * accepted as the deployer's choice.
+    *
+    * Superseded-checkpoint growth: reliable checkpoints are files the
+    * cluster must eventually delete. [[Sessions.builder]] sets
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so the
+    * ContextCleaner removes a checkpoint's files once its RDD is
+    * unreachable on the driver — the iterative loops here drop every
+    * superseded rank/frontier reference as the loop advances, which
+    * bounds the durable dir to the live working set (the GraphX
+    * PeriodicCheckpointer behavior without the bookkeeping). Deployers
+    * wiring this library into a session of their own must set that
+    * cleaner flag (or prune the dir externally) for multi-day runs. */
   def cp[T](ds: Dataset[T]): Dataset[T] = mode(ds) match {
     case "local" => ds.localCheckpoint(true)
     case "reliable" =>
       val sc = ds.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) {
-        val dir = ds.sparkSession.conf.get(DirKey, "")
-        require(dir.nonEmpty,
-          s"$ModeKey=reliable needs a durable checkpoint location: set " +
-            s"$DirKey (or SparkContext.setCheckpointDir) to an HDFS/S3 " +
-            "path that survives executor loss")
-        sc.setCheckpointDir(dir)
-      }
+      val configured = ds.sparkSession.conf.get(DirKey, "")
+      if (configured.nonEmpty) {
+        // Idempotency bookkeeping: setCheckpointDir appends a fresh
+        // UUID subdir and returns it scheme-QUALIFIED, so neither
+        // equality nor raw prefix against the configured root is
+        // reliable. Instead remember (what we applied → what it
+        // resolved to) in the session conf; re-point only when the
+        // configured value changed or something else moved the
+        // SparkContext dir out from under us.
+        val conf = ds.sparkSession.conf
+        val current = sc.getCheckpointDir.getOrElse("")
+        val fresh = conf.get(AppliedKey, "") != configured ||
+          conf.get(ResolvedKey, "") != current || current.isEmpty
+        if (fresh) {
+          sc.setCheckpointDir(configured)
+          conf.set(AppliedKey, configured)
+          conf.set(ResolvedKey, sc.getCheckpointDir.get)
+        }
+      } else require(sc.getCheckpointDir.nonEmpty,
+        s"$ModeKey=reliable needs a durable checkpoint location: set " +
+          s"$DirKey (or SparkContext.setCheckpointDir) to an HDFS/S3 " +
+          "path that survives executor loss")
       ds.checkpoint(true)
     case other =>
       throw new IllegalArgumentException(

@@ -120,6 +120,15 @@ object Sessions {
       // map_concat policy is EXCEPTION.
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Reliable-mode checkpoints are durable FILES: without this the
+      // ContextCleaner never deletes superseded ones, so a long
+      // iterative loop (one checkpoint per round) or a streaming job
+      // (one per batch) grows the checkpoint volume without bound.
+      // With it, a checkpoint's files go when its RDD becomes
+      // unreachable on the driver — bounding the dir to the live
+      // working set (see Checkpoints' scaladoc; deployers embedding
+      // the library in their own session must set this themselves).
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
   }
 }

@@ -323,6 +323,13 @@ object SortedIntersectKernel {
 object PackedPairsKernel {
   def pairs(a: ArrayData, shift: Int): ArrayData = {
     val n = a.numElements()
+    // n(n-1)/2 must stay in Int: past this, the pair array itself is
+    // the problem (a 46k-wide group = 1B pairs) — fail loud with the
+    // group size so the caller caps the hot key, instead of a wrapped
+    // allocation size blowing up as NegativeArraySizeException.
+    if (n > 46340) throw new IllegalArgumentException(
+      s"packed_pairs: group of $n ids would emit ${n.toLong * (n - 1) / 2} " +
+        "pairs — cap the group (df/deg/basket cap) before pair generation")
     val lim = 1L << shift
     val v = new Array[Long](n)
     var i = 0
@@ -389,10 +396,11 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 
   /** True when either input's TYPE admits null elements — then the
     * null-scanning kernel runs (a null slot read by getLong is silently
-    * 0, i.e. a wrong count). Decided from the schema once, so the hot
-    * triangle path (containsNull=false on both sides) compiles to the
-    * branch-free kernel. */
-  private def needNullScan: Boolean = Seq(left, right).exists(_.dataType match {
+    * 0, i.e. a wrong count). Decided from the schema once (lazy val —
+    * nullSafeEval consults it per ROW on interpreted fallback), so the
+    * hot triangle path (containsNull=false on both sides) compiles to
+    * the branch-free kernel. */
+  private lazy val needNullScan: Boolean = Seq(left, right).exists(_.dataType match {
     case ArrayType(_, cn) => cn
     case _ => false
   })
@@ -406,13 +414,19 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
         a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    if (needNullScan)
+    if (needNullScan) {
+      // freshName, NOT a fixed local: with non-nullable children
+      // nullSafeCodeGen emits this snippet unwrapped at method scope,
+      // so two sorted_intersect_count calls in one generated method
+      // would redeclare the same local and janino would reject the
+      // whole stage (silent fallback to interpreted eval).
+      val r = ctx.freshName("sicRes")
       nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        java.lang.Long r = graft.functions.SortedIntersectKernel.countChecked($a, $b);
-        if (r == null) { ${ev.isNull} = true; }
-        else { ${ev.value} = r.longValue(); }
+        java.lang.Long $r = graft.functions.SortedIntersectKernel.countChecked($a, $b);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $r.longValue(); }
       """)
-    else
+    } else
       nullSafeCodeGen(ctx, ev, (a, b) => s"""
         ${ev.value} = graft.functions.SortedIntersectKernel.count($a, $b);
       """)

@@ -208,23 +208,23 @@ object PageRankOps {
         // then a left join back onto the node table.
         //
         // Degree fold (r11): under dimensionNodes the dense node table
-        // carries out_deg from round 0 — each round's rank table then
-        // ALREADY holds the divisor and roundContribs skips its
-        // per-round ranks⋈degrees join (3 dimension-sized joins gone on
-        // a 3-round run; the rank update re-selects from `flagged`, so
-        // the column rides along for free). Pure sinks carry a null
-        // out_deg: they hold rank but contribute nothing, which is the
-        // inner-join semantics the per-round deg join had — the
-        // non-null filter in roundContribs keeps it explicit. Shuffle
-        // mode folds onto the EDGE side instead (outEdges) — |V| extra
-        // longs per round beat re-shuffling the fact-scaled edges.
-        // Measured NEUTRAL at sf0.1 (g1 min 3.04 -> 2.95 s, same
-        // session, inside noise): the removed joins are |V|-row
-        // broadcasts whose cost is invisible under local[32]'s
-        // per-stage floor. Kept because the win is structural — three
-        // fewer join stages and broadcast builds per run is strictly
-        // less driver scheduling and executor sync on a real cluster,
-        // at zero cost to any mode.
+        // carries out_deg from round 0, so each round's rank table
+        // ALREADY holds the divisor and roundContribs drops its
+        // ranks⋈degrees join from the contribution side. Honest
+        // accounting (r11 review): the plan is LAZY, so the
+        // nodes⋈degrees fold itself still unrolls inside every round's
+        // update join — the fold RELOCATES the per-round degree join
+        // from the contribution path to the update path rather than
+        // eliminating it, and the measurement agrees (g1 min
+        // 3.04 -> 2.95 s same-session, i.e. neutral). Kept for
+        // semantics, not speed: pure sinks carry an explicit null
+        // out_deg (hold rank, contribute nothing — the non-null filter
+        // in roundContribs makes the old inner-join behavior visible),
+        // and both rank-table shapes are pinned by tests including the
+        // mid-loop checkpoint of the 3-column table. Shuffle mode is
+        // untouched: it folds the degree onto the EDGE side (outEdges)
+        // — |V| extra longs per edge row beat re-shuffling the
+        // fact-scaled edges.
         val flagged0 = nodes.withColumn("__base", lit(base))
         val flagged =
           if (dimensionNodes) {

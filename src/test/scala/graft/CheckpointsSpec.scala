@@ -67,6 +67,37 @@ class CheckpointsSpec extends AnyFunSuite {
     }
   }
 
+  test("an explicit DirKey wins over a stale pre-set SparkContext dir") {
+    // r11 review: the old only-if-unset check silently dropped the
+    // user's spark.graft.checkpoint.dir whenever anything earlier had
+    // set a SparkContext checkpoint dir — reliable checkpoints then
+    // landed on a possibly non-durable stale path. DirKey must
+    // re-point; and repeated cp() calls must NOT mint a new UUID
+    // subdir each time (the resolved-dir bookkeeping).
+    val stale = java.nio.file.Files.createTempDirectory("graft-ckpt-stale").toString
+    val fresh = java.nio.file.Files.createTempDirectory("graft-ckpt-fresh").toString
+    spark.sparkContext.setCheckpointDir(stale)
+    spark.conf.set(Checkpoints.ModeKey, "reliable")
+    spark.conf.set(Checkpoints.DirKey, fresh)
+    try {
+      df.checkpointed().count()
+      val resolved1 = spark.sparkContext.getCheckpointDir.get
+      assert(resolved1.contains(new java.io.File(fresh).getName),
+        s"checkpoint dir $resolved1 not under configured $fresh")
+      df.checkpointed().count()
+      assert(spark.sparkContext.getCheckpointDir.get == resolved1,
+        "second cp() minted a new UUID subdir")
+      def anyFile(p: java.io.File): Boolean = {
+        val kids = Option(p.listFiles()).getOrElse(Array.empty)
+        kids.exists(_.isFile) || kids.exists(anyFile)
+      }
+      assert(anyFile(new java.io.File(fresh)), s"nothing written under $fresh")
+    } finally {
+      spark.conf.unset(Checkpoints.ModeKey)
+      spark.conf.unset(Checkpoints.DirKey)
+    }
+  }
+
   test("unknown mode fails loudly") {
     spark.conf.set(Checkpoints.ModeKey, "bogus")
     try {
