@@ -33,10 +33,19 @@ import org.apache.spark.sql.Dataset
 object Checkpoints {
   val ModeKey = "spark.graft.checkpoint.mode"
   val DirKey = "spark.graft.checkpoint.dir"
-  /** Bookkeeping (session conf): the DirKey value last applied, and the
-    * UUID-suffixed SparkContext dir it resolved to — see cp(). */
-  val AppliedKey = "spark.graft.checkpoint.dir.applied"
-  val ResolvedKey = "spark.graft.checkpoint.dir.resolved"
+
+  /** Bookkeeping: (DirKey value last applied → the UUID-suffixed dir it
+    * resolved to), keyed by SparkContext.applicationId. CONTEXT-scoped,
+    * not session-scoped, because the checkpoint dir itself is a
+    * SparkContext property: with session-conf bookkeeping (r11 form),
+    * sibling sessions (`spark.newSession`) sharing one context each saw
+    * empty bookkeeping on their first cp() and re-pointed, minting a
+    * fresh UUID subdir per session even for an identical DirKey — and
+    * two sessions with DIFFERENT DirKey values would thrash the context
+    * dir back and forth (ADVICE r11). Keyed by applicationId (unique
+    * per context, no strong ref pinning a stopped context). */
+  private val applied =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   def mode(ds: Dataset[_]): String =
     ds.sparkSession.conf.get(ModeKey, "local")
@@ -73,17 +82,20 @@ object Checkpoints {
         // UUID subdir and returns it scheme-QUALIFIED, so neither
         // equality nor raw prefix against the configured root is
         // reliable. Instead remember (what we applied → what it
-        // resolved to) in the session conf; re-point only when the
-        // configured value changed or something else moved the
-        // SparkContext dir out from under us.
-        val conf = ds.sparkSession.conf
-        val current = sc.getCheckpointDir.getOrElse("")
-        val fresh = conf.get(AppliedKey, "") != configured ||
-          conf.get(ResolvedKey, "") != current || current.isEmpty
-        if (fresh) {
-          sc.setCheckpointDir(configured)
-          conf.set(AppliedKey, configured)
-          conf.set(ResolvedKey, sc.getCheckpointDir.get)
+        // resolved to) per CONTEXT (see `applied`); re-point only when
+        // the configured value changed or something else moved the
+        // SparkContext dir out from under us. Synchronized so two
+        // sessions' first cp() can't both observe-stale-and-re-point.
+        applied.synchronized {
+          val current = sc.getCheckpointDir.getOrElse("")
+          val (lastConf, lastResolved) =
+            applied.getOrDefault(sc.applicationId, ("", ""))
+          if (lastConf != configured || lastResolved != current ||
+              current.isEmpty) {
+            sc.setCheckpointDir(configured)
+            applied.put(sc.applicationId,
+              (configured, sc.getCheckpointDir.get))
+          }
         }
       } else require(sc.getCheckpointDir.nonEmpty,
         s"$ModeKey=reliable needs a durable checkpoint location: set " +

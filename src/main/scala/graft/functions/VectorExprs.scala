@@ -315,9 +315,12 @@ object SortedIntersectKernel {
   * pack would MERGE distinct pairs into one count (the silent-wrong
   * class ADVICE r10 flagged on getLong-over-null). shift ≤ 31 keeps
   * lo's bits inside the positive BIGINT range for any in-range hi.
-  * Elements are assumed DISTINCT (collect_list over a distinct-keyed
-  * input); duplicates are out of contract — they'd double-count pairs
-  * exactly as the equivalent self-join would. Input arrays must be
+  * Elements must be DISTINCT (collect_list over a distinct-keyed
+  * input); a duplicate x would emit the self-pair key (x<<shift)|x
+  * with lo==hi — a key the a<b self-join can never produce, i.e. a
+  * SILENTLY wrong count, not a doubled one. So duplicates throw: the
+  * input is already sorted in-kernel, making the adjacent-equal check
+  * O(n) and free (ADVICE r11). Input arrays must be
   * typed containsNull=false (collect_list's type); enforced at
   * analysis, not silently read as zero. Null array → null. */
 object PackedPairsKernel {
@@ -341,6 +344,16 @@ object PackedPairsKernel {
       i += 1
     }
     java.util.Arrays.sort(v)
+    // Post-sort adjacent-equal scan: a duplicate would pack the
+    // self-pair key (x<<shift)|x, un-producible by the a<b self-join
+    // this kernel replaces — silent-wrong, so loud, like out-of-range.
+    i = 1
+    while (i < n) {
+      if (v(i) == v(i - 1)) throw new IllegalArgumentException(
+        s"packed_pairs: duplicate id ${v(i)} — input must be distinct " +
+          "(collect_list over a distinct-keyed table, or collect_set)")
+      i += 1
+    }
     val out = new Array[Long](n * (n - 1) / 2)
     var k = 0
     i = 0

@@ -232,7 +232,14 @@ object PageRankOps {
             // sourcesSpanNodes `nodes` IS a projection of `degrees`, so
             // joining the original frame back would hit Spark's
             // ambiguous-self-join attribute resolution.
-            val deg = degrees.select(col("src").as("__dnode"), col("out_deg"))
+            // broadcast: this branch only runs under dimensionNodes, so
+            // deg is dimension-bounded — and because the fold subtree
+            // is LAZY it unrolls inside EVERY round's update join;
+            // binding the strategy by hint (like maybeB does for the
+            // rank-side joins) stops a size-estimate miss from planning
+            // a per-round |V|⋈|V| shuffle at real scale (ADVICE r11).
+            val deg = broadcast(
+              degrees.select(col("src").as("__dnode"), col("out_deg")))
             flagged0.join(deg, flagged0("node") === deg("__dnode"), "left")
               .select(col("node"), col("__base"), col("out_deg"))
           } else flagged0

@@ -98,6 +98,32 @@ class CheckpointsSpec extends AnyFunSuite {
     }
   }
 
+  test("a sibling session with the same DirKey reuses the resolved dir") {
+    // ADVICE r11: the bookkeeping was session-conf while the checkpoint
+    // dir is CONTEXT-global, so spark.newSession() saw empty
+    // bookkeeping on its first cp() and minted a fresh UUID subdir even
+    // with an identical DirKey. Context-scoped bookkeeping means the
+    // sibling's first cp() must leave the resolved dir untouched.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-sib").toString
+    spark.conf.set(Checkpoints.ModeKey, "reliable")
+    spark.conf.set(Checkpoints.DirKey, dir)
+    try {
+      df.checkpointed().count()
+      val resolved1 = spark.sparkContext.getCheckpointDir.get
+      val sibling = spark.newSession()
+      sibling.conf.set(Checkpoints.ModeKey, "reliable")
+      sibling.conf.set(Checkpoints.DirKey, dir)
+      import sibling.implicits._
+      (1L to 10L).toDF("x").checkpointed().count()
+      assert(sibling.sparkContext.getCheckpointDir.get == resolved1,
+        "sibling session's first cp() minted a new UUID subdir for the " +
+          "same DirKey")
+    } finally {
+      spark.conf.unset(Checkpoints.ModeKey)
+      spark.conf.unset(Checkpoints.DirKey)
+    }
+  }
+
   test("unknown mode fails loudly") {
     spark.conf.set(Checkpoints.ModeKey, "bogus")
     try {

@@ -60,6 +60,23 @@ class PackedPairsSpec extends AnyFunSuite {
       neg.getCause.getMessage.contains("packed_pairs"))
   }
 
+  test("duplicate ids throw (a dup would pack a lo==hi self-pair key)") {
+    import spark.implicits._
+    val dup = intercept[Exception] {
+      Seq(Seq(5L, 1L, 5L)).toDF("ps")
+        .select(expr("packed_pairs(ps, 8)")).collect()
+    }
+    val msg = Option(dup.getCause).fold(dup.getMessage)(_.getMessage)
+    assert(msg.contains("duplicate"), msg)
+    // kernel-direct (interpreted) path throws the same way
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(3L, 3L))
+    val k = intercept[IllegalArgumentException] {
+      PackedPairsKernel.pairs(arr, 8)
+    }
+    assert(k.getMessage.contains("duplicate"))
+  }
+
   test("null array propagates null; interpreted eval matches codegen") {
     import spark.implicits._
     val df = Seq((1, Some(Seq(2L, 7L))), (2, None))
