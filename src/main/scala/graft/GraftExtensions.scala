@@ -10,7 +10,8 @@ import org.apache.spark.sql.types.IntegerType
 import graft.functions.{AsciiTokensExpr, BpeCountExpr, BpeTokensExpr,
   DurationToHoursExpr, GraphemeLenExpr, KGramsExpr,
   NfcNormalizeExpr, NormalizeNameExpr, PackedPairsExpr, RepStatsExpr,
-  LangHitsExpr, MinHashLanesExpr, RpProjectExpr, SimHashExpr,
+  LangHitsExpr, LshBucketExpr, LshTableBucketsExpr, MinHashLanesExpr,
+  RpProjectExpr, SimHashExpr,
   SortableBitsExpr, SortedIntersectCountExpr, TfMapExpr,
   VecDotExpr, VecSqDistExpr, VecSqNormExpr, WsWordCountExpr}
 
@@ -159,6 +160,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           RpProjectExpr(a, n, d)
         case _ => throw new IllegalArgumentException(
           "rp_project(v, nOut literal, dim literal)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketExpr].getName, "lsh_bucket"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, Literal(p: Int, IntegerType), Literal(d: Int, IntegerType)) =>
+          LshBucketExpr(a, p, d)
+        case _ => throw new IllegalArgumentException(
+          "lsh_bucket(v, nPlanes literal, dim literal)")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_table_buckets"),
+      new ExpressionInfo(classOf[LshTableBucketsExpr].getName, "lsh_table_buckets"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, Literal(t: Int, IntegerType), Literal(p: Int, IntegerType),
+            Literal(d: Int, IntegerType)) =>
+          LshTableBucketsExpr(a, t, p, d)
+        case _ => throw new IllegalArgumentException(
+          "lsh_table_buckets(v, nTables literal, nPlanes literal, dim literal)")
       }))
   }
 }

@@ -110,6 +110,73 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Single LSH bucket: bit i of the result = (v · signs(i) >= 0), MSB
+    * first — the exact arithmetic of the SimilarityOps UDF it replaces
+    * (acc folds from 0.0; 0.0 + x == x so the no-init oracle fold
+    * agrees, and -0.0 >= 0 is true either way). Null/short vector or a
+    * null element in the first `dim` slots → null. Returns
+    * java.lang.Integer (nullable). */
+  def planeBucket(a: ArrayData, signs: Array[Array[Double]],
+      nPlanes: Int, dim: Int, aFloat: Boolean): java.lang.Integer = {
+    if (a.numElements() < dim) return null
+    var j = 0
+    while (j < dim) {
+      if (a.isNullAt(j)) return null
+      j += 1
+    }
+    val v = new Array[Double](dim)
+    j = 0
+    while (j < dim) { v(j) = get(a, j, aFloat); j += 1 }
+    var bucket = 0
+    var i = 0
+    while (i < nPlanes) {
+      val row = signs(i)
+      var acc = 0.0
+      j = 0
+      while (j < dim) { acc += v(j) * row(j); j += 1 }
+      bucket = (bucket << 1) | (if (acc >= 0) 1 else 0)
+      i += 1
+    }
+    bucket
+  }
+
+  /** All nTables bucket ids in one pass over the vector — the
+    * multi-table E2LSH UDF's arithmetic ([[planeBucket]] per table),
+    * one kernel call per row instead of a boxed Seq[java.lang.Double]
+    * round-trip (measured 4.9 s task-time over 2,000 rows at 8×6×64 —
+    * ~2.5 ms/row of boxing for ~3k multiply-adds). Null semantics as
+    * [[planeBucket]]. */
+  def tableBuckets(a: ArrayData, signs: Array[Array[Array[Double]]],
+      nTables: Int, nPlanes: Int, dim: Int, aFloat: Boolean): Any = {
+    if (a.numElements() < dim) return null
+    var j = 0
+    while (j < dim) {
+      if (a.isNullAt(j)) return null
+      j += 1
+    }
+    val v = new Array[Double](dim)
+    j = 0
+    while (j < dim) { v(j) = get(a, j, aFloat); j += 1 }
+    val out = new Array[Int](nTables)
+    var t = 0
+    while (t < nTables) {
+      val tab = signs(t)
+      var bucket = 0
+      var i = 0
+      while (i < nPlanes) {
+        val row = tab(i)
+        var acc = 0.0
+        j = 0
+        while (j < dim) { acc += v(j) * row(j); j += 1 }
+        bucket = (bucket << 1) | (if (acc >= 0) 1 else 0)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   private[functions] def elemFloat(e: Expression, name: String): Boolean =
     e.dataType match {
       case ArrayType(FloatType, _)  => true
@@ -242,6 +309,91 @@ case class RpProjectExpr(child: Expression, nOut: Int, dim: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RpProjectExpr =
+    copy(child = newChild)
+}
+
+/** `lsh_bucket(v, nPlanes, dim)` — the single-table hyperplane LSH
+  * bucket over the md5-parity "i_j" sign family (the same matrix as
+  * [[RpProjectExpr]]: sign(rp_project(v)[i]) IS bit i here). Replaces
+  * the SimilarityOps Scala UDF (r12): a fused COLUMN expression at
+  * 8×64 terms blows Janino's 64 KB method limit and silently degrades
+  * the stage to interpreted eval (why the UDF existed), but a compiled
+  * kernel behind one codegen call has no such cliff and skips the UDF's
+  * per-row boxed Seq[java.lang.Double] round-trip entirely. Null/short
+  * vector → null bucket, as the UDF. */
+case class LshBucketExpr(child: Expression, nPlanes: Int, dim: Int)
+    extends UnaryExpression {
+  require(nPlanes >= 1 && nPlanes <= 31 && dim >= 1,
+    "lsh_bucket needs 1 <= nPlanes <= 31 (int bucket), dim >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorKernels.checkVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket expects ARRAY<FLOAT|DOUBLE>, got ${child.dataType.sql}")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lsh_bucket"
+  private lazy val aF = VectorKernels.elemFloat(child, "lsh_bucket")
+  @transient private lazy val signs: Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((i, j) => VectorKernels.planeSign(i, j).toDouble)
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.planeBucket(a.asInstanceOf[ArrayData], signs, nPlanes, dim, aF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("lshSigns", signs, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      java.lang.Integer r = graft.functions.VectorKernels.planeBucket($a, $mat, $nPlanes, $dim, $aF);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.intValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}
+
+/** `lsh_table_buckets(v, nTables, nPlanes, dim)` — all nTables E2LSH
+  * bucket ids in one compiled pass; table t's planes are the md5-parity
+  * family seeded "t_i_j" (independent draws, disjoint from the
+  * single-table "i_j" family). Replaces the multi-table Scala UDF
+  * (r12): the boxed round-trip measured 4.9 s of task time over 2,000
+  * rows at 8 tables × 6 planes × 64 dims — the dominant stage of
+  * ann_multitable_topk. Null/short vector → null array. */
+case class LshTableBucketsExpr(
+    child: Expression, nTables: Int, nPlanes: Int, dim: Int)
+    extends UnaryExpression {
+  require(nTables >= 1 && nPlanes >= 1 && nPlanes <= 31 && dim >= 1,
+    "lsh_table_buckets needs nTables >= 1, 1 <= nPlanes <= 31, dim >= 1")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorKernels.checkVec(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lsh_table_buckets expects ARRAY<FLOAT|DOUBLE>, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "lsh_table_buckets"
+  private lazy val aF = VectorKernels.elemFloat(child, "lsh_table_buckets")
+  @transient private lazy val signs: Array[Array[Array[Double]]] =
+    Array.tabulate(nTables, nPlanes, dim) { (t, i, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${t}_${i}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ((hex.charAt(0).toInt % 2) * 2 - 1).toDouble
+    }
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.tableBuckets(
+      a.asInstanceOf[ArrayData], signs, nTables, nPlanes, dim, aF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("lshTabSigns", signs, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      Object r = graft.functions.VectorKernels.tableBuckets($a, $mat, $nTables, $nPlanes, $dim, $aF);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshTableBucketsExpr =
     copy(child = newChild)
 }
 

@@ -56,41 +56,21 @@ object SimilarityOps {
     * 4 bytes where a bit-string key is nPlanes chars — the difference is
     * real at billions of vectors.
     *
-    * Implemented as a Scala UDF over the precomputed ±1 sign matrix — a
-    * deliberate exception to the functions-over-UDFs rule: the column
-    * form is a single (nPlanes × dim)-term arithmetic expression, and one
-    * fused expression cannot be method-split by codegen, so at 8×64 terms
-    * sharing a stage with the flat norms it blows Janino's 64 KB method
-    * limit and the whole stage silently falls back to interpretation. A
-    * tight compiled double loop has no such cliff and is faster than
-    * either. Left-assoc accumulation from 0.0 matches the oracle's
-    * no-init list_reduce bit-for-bit (0.0 + x == x in IEEE). */
+    * Implemented as the codegen'd `lsh_bucket` native expression
+    * (functions/VectorExprs.scala). History: a fused COLUMN expression
+    * at 8×64 terms blows Janino's 64 KB method limit and the stage
+    * silently falls back to interpretation, so this was first a Scala
+    * UDF over the precomputed sign matrix — but the UDF pays a boxed
+    * Seq[java.lang.Double] round-trip per row (the multi-table variant
+    * measured ~2.5 ms/row of boxing at 8×6×64, JobCensus r12). The
+    * native expression is one compiled-kernel call inside codegen:
+    * no Janino cliff, no boxing. Arithmetic is the UDF's exactly
+    * (acc from 0.0, left-assoc — 0.0 + x == x so the oracle's no-init
+    * list_reduce agrees bit-for-bit); null/short vector → null
+    * bucket. */
   def lshBucket(vecCol: String, nPlanes: Int = 8, dim: Int = 64): Column = {
     require(nPlanes <= 31, "int bucket holds at most 31 plane bits")
-    val signs = Array.tabulate(nPlanes, dim)((i, j) => planeSign(i, j).toDouble)
-    // Declared over Seq[Double] so the analyzer casts array<float> AND
-    // array<double> inputs (a Seq[Float] binding rejects double vectors
-    // at runtime); null-propagating like the expression form it replaced
-    // — a null or short vector yields a null bucket, never an NPE.
-    val bucketOf = udf { (v: Seq[java.lang.Double]) =>
-      if (v == null || v.length < dim || v.contains(null)) None
-      else {
-        // densePrefix: the incoming Seq is a linked List; v(j) in the
-        // inner loop would be O(dim²) node hops per row (see VectorFns)
-        val a = VectorFns.densePrefix(v, dim)
-        var bucket = 0
-        var i = 0
-        while (i < nPlanes) {
-          var acc = 0.0
-          var j = 0
-          while (j < dim) { acc += a(j) * signs(i)(j); j += 1 }
-          bucket = (bucket << 1) | (if (acc >= 0) 1 else 0)
-          i += 1
-        }
-        Some(bucket)
-      }
-    }
-    bucketOf(col(vecCol))
+    call_function("lsh_bucket", col(vecCol), lit(nPlanes), lit(dim))
   }
 
   /** Brute-force cosine top-k: every (query, candidate) pair, ranked.
@@ -185,37 +165,17 @@ object SimilarityOps {
 
   /** All nTables bucket ids of a vector in one compiled pass — table t's
     * planes are seeded "t_i_j" (independent of the single-table "i_j"
-    * family), so tables are genuinely independent hash functions. One UDF
-    * call does nTables×nPlanes×dim multiply-adds; a per-table column would
-    * re-read the vector nTables times. */
+    * family), so tables are genuinely independent hash functions. One
+    * kernel call does nTables×nPlanes×dim multiply-adds; a per-table
+    * column would re-read the vector nTables times. Native codegen'd
+    * expression since r12: the former Scala UDF's boxed round-trip was
+    * THE dominant stage of ann_multitable_topk — 4.9 s task-time over
+    * 2,000 rows (JobCensus), ~2.5 ms/row for ~3k multiply-adds. */
   private[operators] def lshTableBuckets(
       vecCol: String, nTables: Int, nPlanes: Int, dim: Int): Column = {
     require(nPlanes <= 31, "int bucket holds at most 31 plane bits")
-    val signs = Array.tabulate(nTables, nPlanes, dim) { (t, i, j) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"${t}_${i}_$j".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      ((hex.charAt(0).toInt % 2) * 2 - 1).toDouble
-    }
-    val bucketsOf = udf { (v: Seq[java.lang.Double]) =>
-      if (v == null || v.length < dim || v.contains(null)) None
-      else {
-        val a = VectorFns.densePrefix(v, dim)
-        Some((0 until nTables).map { t =>
-          var bucket = 0
-          var i = 0
-          while (i < nPlanes) {
-            var acc = 0.0
-            var j = 0
-            while (j < dim) { acc += a(j) * signs(t)(i)(j); j += 1 }
-            bucket = (bucket << 1) | (if (acc >= 0) 1 else 0)
-            i += 1
-          }
-          bucket
-        })
-      }
-    }
-    bucketsOf(col(vecCol))
+    call_function("lsh_table_buckets",
+      col(vecCol), lit(nTables), lit(nPlanes), lit(dim))
   }
 
   /** Multi-table LSH top-k: L independent hyperplane tables (the classic

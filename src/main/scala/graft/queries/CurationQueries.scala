@@ -151,6 +151,20 @@ object CurationQueries {
     * the two rankers', each already audited (t_bm25_topk,
     * t_unigram_nll); the BM25 side prunes exploded postings to the
     * query's terms at the scan via a literal IN filter.
+    *
+    * Bake-off, CLOSED (r12, ProfileRrf): this query runs the tokenizer
+    * kernel three times (ranker A's pruned checkpoint + twice inside
+    * nllScores), so a fused form was measured — ONE tokenize pass
+    * checkpointed as the full (doc_id, dl, tfm) map table, both rankers
+    * exploding from it. Same-JVM alternating reps at sf0.1: standing
+    * min 1.79 / med 2.84 s vs fused min 2.26 / med 3.08 s — fused
+    * LOSES ~25%: materializing every doc's full term map costs more
+    * than two extra tokenize passes, the three-consumer confirmation of
+    * nllScores' two-consumer recompute-beats-materialize measurement.
+    * The standing time is the two rankers' sequential floor; at real
+    * corpus scale the rankers' jobs overlap under scheduler pools and
+    * the tokenize kernel is embarrassingly parallel, so the fixture
+    * penalty does not compound.
     */
   private val rrfTerms = Seq("customer", "query", "batch")
   private val rrfListK = 20

