@@ -55,22 +55,29 @@ object AssocQueries {
   private val pmiK = 20
   private val pmi: Q = (s, dir) => {
     val docs = Tables.fanOut(t(s, dir, "documents"))
-    val bg = docs
-      .select(explode(expr("kgrams(ascii_alpha_tokens(text, 3), 2)")).as("bg"))
-      .filter(col("bg").contains(" "))
-    // Both count tables are vocab-bounded MODEL STATE consumed multiple
-    // times (c12 by its total and the candidate set; uni by its total
-    // and BOTH unigram joins) — without the checkpoints each consumer
-    // replays a full tokenize+shuffle pass (~5 passes total; the
-    // AuditRecompute defect class). r10 measured 1.66 -> 1.25 s
-    // (TimeSome, min of 3).
-    val c12 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+    // ONE tokenize pass for BOTH count tables (r12, JobCensus): the
+    // former two-pass form ran the tokenizer twice — 13.98 s task-time
+    // for the bigram pass + 9.84 s for the unigram pass over the same
+    // 5,000 docs. Unigrams and bigrams ride one exploded column (a
+    // bigram always contains the separator space, a [a-z]{3,} token
+    // never can — the kind discriminator is free) and ONE shuffled
+    // count + checkpoint replaces two. Both tables stay vocab-bounded
+    // MODEL STATE consumed multiple times (c12 by its total and the
+    // candidate set; uni by its total and BOTH unigram joins) — the
+    // checkpoint stops each consumer replaying tokenize+shuffle (~5
+    // passes, the AuditRecompute defect class; r10 measured
+    // 1.66 -> 1.25 s for checkpointing alone).
+    val g = docs
+      .select(expr("ascii_alpha_tokens(text, 3)").as("__toks"))
+      .select(explode(concat(col("__toks"),
+        expr("filter(kgrams(__toks, 2), b -> contains(b, ' '))"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .checkpointed()
+    val c12 = g.filter(col("gram").contains(" "))
+      .select(col("gram").as("bg"), col("cnt").as("c12"))
     val n12 = c12.agg(sum(col("c12")).as("n12"))
-    val uni = docs
-      .select(explode(expr("ascii_alpha_tokens(text, 3)")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .checkpointed()
+    val uni = g.filter(!col("gram").contains(" "))
+      .select(col("gram").as("w"), col("cnt"))
     val n1 = uni.agg(sum(col("cnt")).as("n1"))
     c12.filter(col("c12") >= pmiMinSupport)
       .withColumn("w1", split(col("bg"), " ").getItem(0))

@@ -670,6 +670,16 @@ object MetricsQueries {
     * Sums lift to DECIMAL(38,0) (HUGEINT oracle-side); one degree
     * aggregate, two keyed joins, one fold. */
   private val g3: Q = (s, dir) => {
+    // FLOOR, closed with its own profile (r12, JobCensus at sf0.1): of
+    // ~18 s total task-time, 15.6 s is coEdges generation + distinct +
+    // checkpoint + degree (6.76 s self-join over 2.39M pair rows,
+    // 3.22 s distinct, 2.55 s checkpoint of 1.2M edges, 3.07 s degree
+    // fold) — the fixture-graph cost every consumer of this graph pays,
+    // bake-off'd in ProfileCoE/ProfileGraph (r9/r10: shuffle_hash and
+    // dedup variants measured and rejected). The assortativity fold
+    // itself (two broadcast degree joins + one global aggregate) is
+    // ~0.35 s. Nothing assortativity-specific is left to cut.
+    //
     // Checkpoint the canonical edge set once: the degree pass, the
     // mirror, and both degree joins all read it — without the cut the
     // co-purchase self-join lineage re-executes per consumer

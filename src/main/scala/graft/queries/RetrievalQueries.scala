@@ -443,21 +443,35 @@ object RetrievalQueries {
     * argument) and re-aggregates per doc map-side. */
   private val bigramNll: Q = (s, dir) => {
     val docs = Tables.fanOut(t(s, dir, "documents"))
-    val bg = docs.select(col("doc_id"),
-        explode(expr("kgrams(ascii_alpha_tokens(text, 3), 2)")).as("bg"))
-      .filter(col("bg").contains(" "))
-    // The per-doc bigram tf is a SHUFFLED aggregate consumed three ways
-    // (c2 for the scoring join, c2 again under c1, the scoring join
-    // itself) — unlike nllScores' row-local tf, each recompute here
+    // ONE tokenize pass (r12, JobCensus): the former form ran the
+    // tokenizer twice — 10.25 s task-time for the bigram pass and a
+    // SECOND 7.94 s pass just to count the distinct unigram vocabulary
+    // for the +V smoothing term. Unigram rows now ride the bigram
+    // explode with a NULL doc_id, so the one (doc_id, gram) groupBy
+    // collapses them to GLOBAL vocab rows (the checkpoint grows by
+    // |vocab| only, not |tokens|) and V is a plain count of the
+    // null-keyed rows — no second tokenize, no countDistinct shuffle.
+    // The per-doc gram table stays a SHUFFLED aggregate consumed three
+    // ways (c2 for the scoring join, c2 again under c1, the scoring
+    // join itself) — unlike nllScores' row-local tf, each recompute
     // replays tokenize + kgrams + the exchange, so materializing once
     // wins where the unigram family measured recompute-cheaper.
-    val tf = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val g = docs
+      .select(col("doc_id"), expr("ascii_alpha_tokens(text, 3)").as("__toks"))
+      .select(explode(concat(
+        transform(col("__toks"), t =>
+          struct(lit(null).cast("long").as("d"), t.as("g"))),
+        transform(expr("filter(kgrams(__toks, 2), b -> contains(b, ' '))"),
+          b => struct(col("doc_id").as("d"), b.as("g"))))).as("s"))
+      .select(col("s.d").as("doc_id"), col("s.g").as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
       .checkpointed()
+    val tf = g.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("gram").as("bg"), col("tf"))
     val c2 = tf.groupBy("bg").agg(sum(col("tf")).as("c2"))
     val c1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
       .groupBy("w1").agg(sum(col("c2")).as("c1"))
-    val v = docs.select(explode(expr("ascii_alpha_tokens(text, 3)")).as("t"))
-      .agg(countDistinct(col("t")).as("v"))
+    val v = g.filter(col("doc_id").isNull).agg(count(lit(1)).as("v"))
     tf.join(c2, "bg")
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(c1, "w1")

@@ -507,16 +507,26 @@ object ScaleQueries {
     * join, so it is checkpointed once (scan + tokenize run once, not
     * per branch). */
   private val tSplitContam: Q = (s, dir) => {
-    val grams = QuotaOps.hashSplit(Tables.fanOut(t(s, dir, "documents")),
-      SketchOps.portableHash(col("doc_id")), o8Slices)
+    // One-shuffle fold (r12, JobCensus): the former shape checkpointed
+    // the gram table (4.35 s materialize task-time) and then read it
+    // TWICE (12.56 + 6.33 s stages) to build a distinct train set and
+    // left-join the test side against it — two exchanges on `ng` plus
+    // the hashed-relation build. A window MAX over the ng partition
+    // computes the same train-hit flag in ONE exchange (duplicates in
+    // train collapse under max exactly as distinct+join matched them),
+    // the test filter prunes after, and nothing is materialized because
+    // the lineage is consumed once. Same shape at 100 TB: the window
+    // partitions by gram — the identical key and skew profile the join
+    // shuffled on.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ng")
+    QuotaOps.hashSplit(Tables.fanOut(t(s, dir, "documents")),
+        SketchOps.portableHash(col("doc_id")), o8Slices)
       .filter(col("split") =!= "val")
       .withColumn("__toks", expr("ascii_tokens(text)"))
       .select(col("doc_id"), col("split"),
         explode(expr("distinct_kgrams(__toks, 3)")).as("ng"))
-      .checkpointed()
-    val trainSet = grams.filter(col("split") === "train").select("ng").distinct()
-    grams.filter(col("split") === "test")
-      .join(trainSet.withColumn("__hit", lit(1)), Seq("ng"), "left")
+      .withColumn("__hit", max(when(col("split") === "train", 1)).over(w))
+      .filter(col("split") === "test")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
       .withColumn("contamination", col("n_hit").cast("double") / col("n_grams"))
