@@ -27,6 +27,17 @@ import org.apache.spark.sql.Dataset
   *     that survives executor loss — a local path on one node does NOT.
   *     Mandatory for long iterative jobs on real clusters.
   *
+  * Measured cost of `reliable` (r12, ProfileReliable): a 12-iteration
+  * PageRank with checkpointEvery=4 (two mid-loop lineage cuts + the
+  * edge materialization) on the 1.2M-edge sf0.1 graph, alternating
+  * GC-separated local/reliable reps in one JVM against a local-disk
+  * checkpoint dir: local min 7.00 / med 7.30 s vs reliable min 7.46 /
+  * med 7.92 s — a **1.07-1.08× overhead** for the write+re-read per
+  * cut. Against S3/HDFS the write latency is higher but amortizes the
+  * same way (cost scales with cuts × checkpointed bytes, not with
+  * iteration count), so ~10% is the planning number for pricing
+  * durability on long iterative jobs.
+  *
   * All operator/query call sites route through [[Checkpoints.cp]] (via
   * the `.checkpointed()` syntax), so one conf flips the whole library.
   */
