@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** lsh_bucket / lsh_table_buckets (VectorExprs.scala) replaced the
+  * boxed-UDF bucket computations (r12) on the claim of bit-identical
+  * arithmetic — these tests pin the kernels against an independent
+  * boxed reference implementation on random vectors, the null contract
+  * (null/short vector → null, never an NPE or a zero-read), both
+  * element types (float and double arrays), and the rp_project sign
+  * identity that ties the single-table family to one geometry. */
+class LshExprsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Independent reference: the former UDF's arithmetic, boxed. */
+  private def refBucket(v: Seq[Double], signs: Array[Array[Double]],
+      nPlanes: Int, dim: Int): Int = {
+    var bucket = 0
+    for (i <- 0 until nPlanes) {
+      var acc = 0.0
+      for (j <- 0 until dim) acc += v(j) * signs(i)(j)
+      bucket = (bucket << 1) | (if (acc >= 0) 1 else 0)
+    }
+    bucket
+  }
+  private def planeSigns(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim)((i, j) => VectorKernels.planeSign(i, j).toDouble)
+  private def tableSigns(t: Int, nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (i, j) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${t}_${i}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      ((hex.charAt(0).toInt % 2) * 2 - 1).toDouble
+    }
+
+  test("lsh_bucket equals the boxed reference on random double vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(30)(Seq.fill(16)(rnd.nextGaussian()))
+    val got = vecs.toDF("v")
+      .select(expr("lsh_bucket(v, 6, 16)")).as[Int].collect()
+    val signs = planeSigns(6, 16)
+    vecs.zip(got).foreach { case (v, b) =>
+      assert(b == refBucket(v, signs, 6, 16), s"vector $v")
+    }
+  }
+
+  test("lsh_table_buckets equals per-table references, tables independent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(12)
+    val vecs = Seq.fill(20)(Seq.fill(8)(rnd.nextGaussian()))
+    val got = vecs.toDF("v")
+      .select(expr("lsh_table_buckets(v, 4, 5, 8)")).as[Seq[Int]].collect()
+    for ((v, bs) <- vecs.zip(got)) {
+      assert(bs.length == 4)
+      for (t <- 0 until 4)
+        assert(bs(t) == refBucket(v, tableSigns(t, 5, 8), 5, 8),
+          s"table $t of $v")
+    }
+    // the 4 tables are genuinely independent draws: across the batch
+    // at least one vector must land in differing buckets between tables
+    assert(got.exists(bs => bs.distinct.length > 1),
+      "all tables agreed on every vector — seeds not independent?")
+  }
+
+  test("float input matches double input bit-for-bit after widening") {
+    import spark.implicits._
+    val vecs = Seq.fill(10)(Seq.fill(8)(
+      (new scala.util.Random(13).nextGaussian()).toFloat))
+    val asF = vecs.toDF("v") // array<float>
+    val asD = vecs.map(_.map(_.toDouble)).toDF("v")
+    val bf = asF.select(expr("lsh_bucket(v, 4, 8)")).as[Int].collect().toSeq
+    val bd = asD.select(expr("lsh_bucket(v, 4, 8)")).as[Int].collect().toSeq
+    assert(bf == bd)
+    val tf = asF.select(expr("lsh_table_buckets(v, 3, 4, 8)")).as[Seq[Int]]
+      .collect().toSeq
+    val td = asD.select(expr("lsh_table_buckets(v, 3, 4, 8)")).as[Seq[Int]]
+      .collect().toSeq
+    assert(tf == td)
+  }
+
+  test("null and short vectors yield null, never a zero-read") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(Seq(1.0, 2.0, 3.0, 4.0))),
+      (2, None),
+      (3, Some(Seq(1.0, 2.0)))) // shorter than dim
+      .toDF("id", "v")
+    val rows = df.select(col("id"), expr("lsh_bucket(v, 3, 4)").as("b"),
+        expr("lsh_table_buckets(v, 2, 3, 4)").as("tb"))
+      .orderBy("id").collect()
+    assert(!rows(0).isNullAt(1) && !rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
+  test("non-vector input is rejected at analysis") {
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq(Seq(1L, 2L)).toDF("v")
+        .select(expr("lsh_bucket(v, 3, 2)")).collect()
+    }
+    assert(err.getMessage.contains("ARRAY<FLOAT|DOUBLE>") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("sign(rp_project[i]) reproduces bit i of lsh_bucket (shared geometry)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(14)
+    val vecs = Seq.fill(10)(Seq.fill(8)(rnd.nextGaussian()))
+    val rows = vecs.toDF("v")
+      .select(expr("lsh_bucket(v, 5, 8)").as("b"),
+        expr("rp_project(v, 5, 8)").as("p"))
+      .collect()
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      val p = r.getSeq[Double](1)
+      for (i <- 0 until 5) {
+        val bit = (b >> (4 - i)) & 1
+        assert(bit == (if (p(i) >= 0) 1 else 0), s"plane $i: bucket $b proj $p")
+      }
+    }
+  }
+}
