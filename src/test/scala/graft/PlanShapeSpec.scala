@@ -738,6 +738,33 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("trunc recall: the scored pass runs ONCE behind the topk " +
+      "checkpoint — no consumer re-plans a brute pass (r12 fold)") {
+    val p = plan("ann_trunc_recall")
+    // all dims' cosines form in one eager crossJoin whose ≤|dims|·|q|·5
+    // result is checkpointed; the CONSUMING plan must therefore contain
+    // neither the scoring kernel nor any nested-loop join — their
+    // presence means a truth/hits consumer re-inlined a brute pass
+    // (the pre-r12 shape: four sequential passes, 26 jobs)
+    assert(!p.contains("vec_dot"),
+      s"a consumer re-inlined the scoring kernel:\n${p.take(600)}")
+    // the one permitted nested loop is the 1-row scalar attach
+    // (dims × broadcast(n_brute aggregate)) — always a Cross build; a
+    // brute-pass regression plans an inner/outer loop join over vectors
+    val loops = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toList
+    assert(loops.forall(_.contains("Cross")),
+      s"non-scalar nested loop reappeared:\n${loops.mkString("\n")}")
+  }
+
+  test("split contamination: hit flag via ONE window over ng — no join, " +
+      "no second exchange of the gram table (r12 fold)") {
+    val p = plan("t_split_contamination")
+    assert(!p.contains("Join"), s"contamination regressed to a join:\n${p.take(600)}")
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.nonEmpty && winLines.forall(_.contains("ng")),
+      s"hit flag must window over ng:\n${winLines.mkString("\n")}")
+  }
+
   test("link prediction: inverted-index equi-join on the part key; bounded top-k") {
     val p = plan("g7_link_predict")
     assert(!p.contains("CartesianProduct"), s"g7 went cartesian:\n${p.take(600)}")
