@@ -51,10 +51,14 @@ object Checkpoints {
     * SparkContext property: with session-conf bookkeeping (r11 form),
     * sibling sessions (`spark.newSession`) sharing one context each saw
     * empty bookkeeping on their first cp() and re-pointed, minting a
-    * fresh UUID subdir per session even for an identical DirKey — and
-    * two sessions with DIFFERENT DirKey values would thrash the context
-    * dir back and forth (ADVICE r11). Keyed by applicationId (unique
-    * per context, no strong ref pinning a stopped context). */
+    * fresh UUID subdir per session even for an identical DirKey
+    * (ADVICE r11). Keyed by applicationId (unique per context, no
+    * strong ref pinning a stopped context). Scope note (r12 review):
+    * this closes the SAME-DirKey half only — two sessions with
+    * CONFLICTING DirKey values on one context still re-point on every
+    * alternation (each explicit config must win when it runs; the dir
+    * is context-global, so the conflict has no silent resolution). A
+    * deployer who needs two durable dirs needs two SparkContexts. */
   private val applied =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 

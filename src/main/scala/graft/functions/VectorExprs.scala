@@ -301,10 +301,16 @@ case class RpProjectExpr(child: Expression, nOut: Int, dim: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mat = ctx.addReferenceObj("rpSigns", signs, "double[][]")
+    // freshName, NOT a fixed local: with a non-nullable child
+    // nullSafeCodeGen emits this snippet unwrapped at method scope, so
+    // two calls in one generated method would redeclare the local and
+    // janino would reject the stage (silent interpreted fallback — the
+    // sorted_intersect_count r11 defect class).
+    val r = ctx.freshName("rpRes")
     nullSafeCodeGen(ctx, ev, a => s"""
-      Object r = graft.functions.VectorKernels.matVec($a, $mat, $nOut, $dim, $aF);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+      Object $r = graft.functions.VectorKernels.matVec($a, $mat, $nOut, $dim, $aF);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
     """)
   }
 
@@ -341,10 +347,12 @@ case class LshBucketExpr(child: Expression, nPlanes: Int, dim: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mat = ctx.addReferenceObj("lshSigns", signs, "double[][]")
+    // freshName, NOT a fixed local — see RpProjectExpr.doGenCode
+    val r = ctx.freshName("lshRes")
     nullSafeCodeGen(ctx, ev, a => s"""
-      java.lang.Integer r = graft.functions.VectorKernels.planeBucket($a, $mat, $nPlanes, $dim, $aF);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.intValue(); }
+      java.lang.Integer $r = graft.functions.VectorKernels.planeBucket($a, $mat, $nPlanes, $dim, $aF);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.intValue(); }
     """)
   }
 
@@ -386,10 +394,12 @@ case class LshTableBucketsExpr(
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mat = ctx.addReferenceObj("lshTabSigns", signs, "double[][][]")
+    // freshName, NOT a fixed local — see RpProjectExpr.doGenCode
+    val r = ctx.freshName("lshTabRes")
     nullSafeCodeGen(ctx, ev, a => s"""
-      Object r = graft.functions.VectorKernels.tableBuckets($a, $mat, $nTables, $nPlanes, $dim, $aF);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+      Object $r = graft.functions.VectorKernels.tableBuckets($a, $mat, $nTables, $nPlanes, $dim, $aF);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
     """)
   }
 

@@ -66,8 +66,12 @@ object SimilarityOps {
     * native expression is one compiled-kernel call inside codegen:
     * no Janino cliff, no boxing. Arithmetic is the UDF's exactly
     * (acc from 0.0, left-assoc — 0.0 + x == x so the oracle's no-init
-    * list_reduce agrees bit-for-bit); null/short vector → null
-    * bucket. */
+    * list_reduce agrees bit-for-bit). Null contract: null/short vector
+    * or a null element in the FIRST dim slots → null bucket — the
+    * oracle's semantics exactly (its fold reads elements 1..dim only).
+    * The retired UDF's v.contains(null) additionally nulled rows whose
+    * only null sat PAST dim — an oracle DEVIATION on longer-than-dim
+    * vectors that the kernel deliberately drops (r12 review). */
   def lshBucket(vecCol: String, nPlanes: Int = 8, dim: Int = 64): Column = {
     require(nPlanes <= 31, "int bucket holds at most 31 plane bits")
     call_function("lsh_bucket", col(vecCol), lit(nPlanes), lit(dim))

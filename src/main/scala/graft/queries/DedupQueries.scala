@@ -1214,17 +1214,24 @@ object DedupQueries {
   private val annTrunc: Q = (s, dir) => {
     val e = Tables.fanOut(t(s, dir, "embeddings"))
     val allDims = annTruncDims :+ 64
-    val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    // Per-vector prefix norms are computed ONCE per row BEFORE the
+    // crossJoin (the cosineWithNorms contract: at scale a norm is per
+    // vector, not per pair — r12 review caught the in-pair form paying
+    // 2×(8+16+32+64) extra multiplies + 8 sqrts per PAIR).
+    def withNorms(df: DataFrame, p: String): DataFrame =
+      allDims.foldLeft(df)((d, dim) => d.withColumn(s"${p}_n$dim",
+        sqrt(VectorFns.sqNormFlat(col(s"${p}_vec"), dim))))
+    val q = withNorms(e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")), "q")
+    val c = withNorms(
+      e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")), "c")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), posexplode(array(allDims.map { d =>
         struct(lit(d).as("dim"),
           VectorFns.cosineWithNorms(
             VectorFns.dotFlat(col("q_vec"), col("c_vec"), d),
-            sqrt(VectorFns.sqNormFlat(col("q_vec"), d)),
-            sqrt(VectorFns.sqNormFlat(col("c_vec"), d))).as("cosine"))
+            col(s"q_n$d"), col(s"c_n$d")).as("cosine"))
       }: _*)).as(Seq("__p", "s")))
       .select(col("q_id"), col("c_id"),
         col("s.dim").as("dim"), col("s.cosine").as("cosine"))

@@ -68,8 +68,10 @@ class LshExprsSpec extends AnyFunSuite {
 
   test("float input matches double input bit-for-bit after widening") {
     import spark.implicits._
-    val vecs = Seq.fill(10)(Seq.fill(8)(
-      (new scala.util.Random(13).nextGaussian()).toFloat))
+    val rnd = new scala.util.Random(13) // hoisted: a Random inside the
+    // fill body reseeds per element and degenerates every vector to one
+    // repeated constant (caught in r12 review)
+    val vecs = Seq.fill(10)(Seq.fill(8)(rnd.nextGaussian().toFloat))
     val asF = vecs.toDF("v") // array<float>
     val asD = vecs.map(_.map(_.toDouble)).toDF("v")
     val bf = asF.select(expr("lsh_bucket(v, 4, 8)")).as[Int].collect().toSeq
@@ -105,6 +107,33 @@ class LshExprsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("ARRAY<FLOAT|DOUBLE>") ||
       err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("two calls in one stage codegen cleanly (no fixed-local collision)") {
+    // Non-nullable children (array() literals) make nullSafeCodeGen
+    // emit the kernel snippet UNBRACED at method scope, so a fixed
+    // local name in doGenCode would redeclare on the second call and
+    // janino would reject the stage as a silent interpreted fallback —
+    // the sorted_intersect_count r11 defect class. Disabling the
+    // fallback turns the regression into a hard failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.sql(
+        """SELECT
+          |  lsh_bucket(array(1.0D, -2.0D), 3, 2) AS a,
+          |  lsh_bucket(array(-1.0D, 2.0D), 3, 2) AS b,
+          |  lsh_table_buckets(array(1.0D, -2.0D), 2, 3, 2) AS c,
+          |  lsh_table_buckets(array(-1.0D, 2.0D), 2, 3, 2) AS d,
+          |  rp_project(array(1.0D, -2.0D), 3, 2) AS e,
+          |  rp_project(array(-1.0D, 2.0D), 3, 2) AS f
+          |""".stripMargin).collect().head
+      assert(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
+        !r.isNullAt(3) && !r.isNullAt(4) && !r.isNullAt(5))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None    => spark.conf.unset("spark.sql.codegen.fallback")
+    }
   }
 
   test("sign(rp_project[i]) reproduces bit i of lsh_bucket (shared geometry)") {
