@@ -209,11 +209,14 @@ case class VecDotExpr(left: Expression, right: Expression, dim: Int)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], dim, aF, bF)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName, NOT a fixed local — see RpProjectExpr.doGenCode
+    val r = ctx.freshName("dotRes")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = graft.functions.VectorKernels.dot($a, $b, $dim, $aF, $bF);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+      java.lang.Double $r = graft.functions.VectorKernels.dot($a, $b, $dim, $aF, $bF);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
     """)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDotExpr =
@@ -234,11 +237,14 @@ case class VecSqNormExpr(child: Expression, dim: Int) extends UnaryExpression {
   override protected def nullSafeEval(a: Any): Any =
     VectorKernels.sqNorm(a.asInstanceOf[ArrayData], dim, aF)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName, NOT a fixed local — see RpProjectExpr.doGenCode
+    val r = ctx.freshName("sqnRes")
     nullSafeCodeGen(ctx, ev, a => s"""
-      java.lang.Double r = graft.functions.VectorKernels.sqNorm($a, $dim, $aF);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+      java.lang.Double $r = graft.functions.VectorKernels.sqNorm($a, $dim, $aF);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
     """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): VecSqNormExpr =
     copy(child = newChild)
@@ -262,11 +268,14 @@ case class VecSqDistExpr(left: Expression, right: Expression, dim: Int)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], dim, aF, bF)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // freshName, NOT a fixed local — see RpProjectExpr.doGenCode
+    val r = ctx.freshName("sqdRes")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = graft.functions.VectorKernels.sqDist($a, $b, $dim, $aF, $bF);
-      if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+      java.lang.Double $r = graft.functions.VectorKernels.sqDist($a, $b, $dim, $aF, $bF);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
     """)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecSqDistExpr =

@@ -116,20 +116,32 @@ class LshExprsSpec extends AnyFunSuite {
     // janino would reject the stage as a silent interpreted fallback —
     // the sorted_intersect_count r11 defect class. Disabling the
     // fallback turns the regression into a hard failure.
+    // All-literal arguments would be CONSTANT-FOLDED (evaluated
+    // interpreted at optimization time, never reaching codegen — a
+    // vacuous test). The vectors must be non-foldable AND non-nullable:
+    // transform over sequence() of the range id gives containsNull=false
+    // arrays whose eval lands inline in the range stage's ONE generated
+    // method, where a fixed local redeclares.
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      val r = spark.sql(
-        """SELECT
-          |  lsh_bucket(array(1.0D, -2.0D), 3, 2) AS a,
-          |  lsh_bucket(array(-1.0D, 2.0D), 3, 2) AS b,
-          |  lsh_table_buckets(array(1.0D, -2.0D), 2, 3, 2) AS c,
-          |  lsh_table_buckets(array(-1.0D, 2.0D), 2, 3, 2) AS d,
-          |  rp_project(array(1.0D, -2.0D), 3, 2) AS e,
-          |  rp_project(array(-1.0D, 2.0D), 3, 2) AS f
-          |""".stripMargin).collect().head
-      assert(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
-        !r.isNullAt(3) && !r.isNullAt(4) && !r.isNullAt(5))
+      val r = spark.range(1, 3).selectExpr(
+          "transform(sequence(0L, 1L), x -> CAST(id + x AS DOUBLE)) AS v1",
+          "transform(sequence(0L, 1L), x -> CAST(id * 2 + x AS DOUBLE)) AS v2")
+        .selectExpr(
+          "lsh_bucket(v1, 3, 2) AS a", "lsh_bucket(v2, 3, 2) AS b",
+          "lsh_table_buckets(v1, 2, 3, 2) AS c",
+          "lsh_table_buckets(v2, 2, 3, 2) AS d",
+          "rp_project(v1, 3, 2) AS e", "rp_project(v2, 3, 2) AS f",
+          "vec_dot(v1, v2, 2) AS g", "vec_dot(v2, v1, 2) AS h",
+          "vec_sqnorm(v1, 2) AS i", "vec_sqnorm(v2, 2) AS j",
+          "vec_sqdist(v1, v2, 2) AS k", "vec_sqdist(v2, v1, 2) AS l")
+        .orderBy("g").collect()
+      assert(r.length == 2)
+      (0 until 12).foreach(i => assert(!r(0).isNullAt(i), s"col $i null"))
+      // id=1: v1=[1,2], v2=[2,3] → dot 8, sqnorm(v1) 5, sqdist 2
+      assert(r(0).getDouble(6) == 8.0, r(0).toString)
+      assert(r(0).getDouble(8) == 5.0 && r(0).getDouble(10) == 2.0)
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
       case None    => spark.conf.unset("spark.sql.codegen.fallback")
