@@ -167,6 +167,24 @@ object Bench {
       spark.sparkContext.setJobDescription("bench:suite-warmup")
       once(q); once(q)
     }
+    // Host calibration (r12): the r12 drift postmortem (DRIFT_r12.md)
+    // found cross-round totals moving 40%+ purely from the host's
+    // per-SQL-execution floor (driver-side planning speed) — 110 ms/exec
+    // vs a healthy ~20-30 ms — which no within-suite check can see
+    // because it is uniform. Record the floor IN the artifact: the
+    // median of 20 warm trivial SQL executions. Rounds can then be
+    // compared as (total / calibrated floor) instead of raw seconds.
+    val sqlFloorMs: Double = {
+      spark.sparkContext.setJobDescription("bench:calibration")
+      for (_ <- 1 to 5) spark.range(1000).count()
+      val ts = Seq.fill(20) {
+        val t0 = System.nanoTime()
+        spark.range(1000).count()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      ts(ts.size / 2)
+    }
+    System.err.println(f"[bench] sql_floor_ms=$sqlFloorMs%.1f (healthy ~20-30)")
     // Degradation retries (r10 VERDICT item 1, root-caused in r11 by
     // ProfileLeak): a full replay of the 109-query suite prefix could
     // NOT reproduce dedup_lsh_recall's in-suite 3.14→6.71→8.58→9.09 s
@@ -335,7 +353,7 @@ object Bench {
     // block inflation the warm<median retry could not see.
     val revisedJson = boundedListJson(revisedNames.sortBy(-_._2).map(_._1).toSeq, 8)
     def compactOf(rs: Seq[(String, Double, Seq[Double])]) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size},"warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"degraded":$degradedJson,"retried":$retriedJson,"revised":$revisedJson,"isolated":$isolatedJsonCompact$skippedField,"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size},"warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"sql_floor_ms":$sqlFloorMs%.1f,"degraded":$degradedJson,"retried":$retriedJson,"revised":$revisedJson,"isolated":$isolatedJsonCompact$skippedField,"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
     // Greedy: keep dropping the cheapest query until the line fits ~1850
     // chars (2000-char driver window minus sbt's trailing [success] line).
     val byCost = results.sortBy(-_._2)
@@ -346,7 +364,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"degraded":$degradedJson,"retried":$retriedJson,"revised":$revisedJson$skippedField,"queries":${qJson(results)(_.toString)},"sf":"$sfDir","isolated":$isolatedJson,"runs":$runsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"sql_floor_ms":$sqlFloorMs,"degraded":$degradedJson,"retried":$retriedJson,"revised":$revisedJson$skippedField,"queries":${qJson(results)(_.toString)},"sf":"$sfDir","isolated":$isolatedJson,"runs":$runsJson}"""
     println(compact)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")
