@@ -56,6 +56,18 @@ import java.nio.file.{Files, Paths}
   * (warm 0.15 vs median 0.17 is noise, not the 2-18× contention the
   * invariant exists to catch), so a strict count below n with the
   * 50 ms-tolerant count at n needs NO further chasing.
+  *
+  * Cross-round comparator (round-13, the standing rule): RAW totals are
+  * NOT comparable across sessions on this host — the driver's
+  * per-SQL-execution planning floor drifts 3-5× between days and taxes
+  * every multi-job query uniformly (DRIFT_r12.md pinned r12's 1.2→1.7×
+  * aggregate move entirely to a 102 ms floor vs a healthy ~20-30 ms).
+  * The artifact records `sql_floor_ms` (min of a pre-suite and a
+  * post-suite sample of 20 warm trivial executions; both raw samples
+  * ride too), and cross-round performance is judged on the NORMALIZED
+  * total — total / sql_floor_ms — which tools/duck_ratio.py prints
+  * next to the raw aggregate ratio. Same-JVM A/Bs remain the only
+  * valid evidence for individual query rewrites.
   */
 object Bench {
   /** Headline set: every query whose plan decides 100 TB viability — one
@@ -172,10 +184,18 @@ object Bench {
     // per-SQL-execution floor (driver-side planning speed) — 110 ms/exec
     // vs a healthy ~20-30 ms — which no within-suite check can see
     // because it is uniform. Record the floor IN the artifact: the
-    // median of 20 warm trivial SQL executions. Rounds can then be
-    // compared as (total / calibrated floor) instead of raw seconds.
-    val sqlFloorMs: Double = {
-      spark.sparkContext.setJobDescription("bench:calibration")
+    // median of 20 warm trivial SQL executions, sampled BEFORE the
+    // suite and AGAIN after it (ADVICE r12: the floor itself drifts
+    // across the ~27-minute run, so a single pre-suite sample gives
+    // normalization no error bar). `sql_floor_ms` is the MIN of the two
+    // samples (the contention-robust estimator, as everywhere in this
+    // file); both raw samples ride the artifact. CROSS-ROUND
+    // COMPARISONS USE THE NORMALIZED NUMBER — total / sql_floor_ms,
+    // emitted by tools/duck_ratio.py next to the raw ratio — not raw
+    // seconds: the two same-day r12 runs differed 8% raw but 4%
+    // normalized (DRIFT_r12.md).
+    def probeSqlFloor(tag: String): Double = {
+      spark.sparkContext.setJobDescription(s"bench:calibration-$tag")
       for (_ <- 1 to 5) spark.range(1000).count()
       val ts = Seq.fill(20) {
         val t0 = System.nanoTime()
@@ -184,7 +204,8 @@ object Bench {
       }.sorted
       ts(ts.size / 2)
     }
-    System.err.println(f"[bench] sql_floor_ms=$sqlFloorMs%.1f (healthy ~20-30)")
+    val sqlFloorPre = probeSqlFloor("pre")
+    System.err.println(f"[bench] sql_floor_pre_ms=$sqlFloorPre%.1f (healthy ~20-30)")
     // Degradation retries (r10 VERDICT item 1, root-caused in r11 by
     // ProfileLeak): a full replay of the 109-query suite prefix could
     // NOT reproduce dedup_lsh_recall's in-suite 3.14→6.71→8.58→9.09 s
@@ -301,6 +322,12 @@ object Bench {
     isolated.foreach { case (n, t) =>
       System.err.println(f"[bench] isolated $n%-22s $t%7.2f")
     }
+    // Post-suite floor sample (ADVICE r12) — see the calibration note
+    // above. MIN of pre/post is the recorded normalizer.
+    val sqlFloorPost = probeSqlFloor("post")
+    val sqlFloorMs = math.min(sqlFloorPre, sqlFloorPost)
+    System.err.println(
+      f"[bench] sql_floor_ms=$sqlFloorMs%.1f (pre $sqlFloorPre%.1f / post $sqlFloorPost%.1f)")
     // The driver records only the LAST ~2000 chars of stdout; round 5's
     // line (57 queries x full-precision medians + per-run arrays, ~4.6 KB)
     // was clipped mid-JSON and the recorded artifact held no parseable
@@ -353,7 +380,7 @@ object Bench {
     // block inflation the warm<median retry could not see.
     val revisedJson = boundedListJson(revisedNames.sortBy(-_._2).map(_._1).toSeq, 8)
     def compactOf(rs: Seq[(String, Double, Seq[Double])]) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size},"warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"sql_floor_ms":$sqlFloorMs%.1f,"degraded":$degradedJson,"retried":$retriedJson,"revised":$revisedJson,"isolated":$isolatedJsonCompact$skippedField,"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"omitted":${results.size - rs.size},"warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"sql_floor_ms":$sqlFloorMs%.1f,"sql_floor_pre_ms":$sqlFloorPre%.1f,"sql_floor_post_ms":$sqlFloorPost%.1f,"degraded":$degradedJson,"retried":$retriedJson,"revised":$revisedJson,"isolated":$isolatedJsonCompact$skippedField,"queries":${qJson(rs)(v => f"$v%.3f")},"sf":"$sfDir"}"""
     // Greedy: keep dropping the cheapest query until the line fits ~1850
     // chars (2000-char driver window minus sbt's trailing [success] line).
     val byCost = results.sortBy(-_._2)
@@ -364,7 +391,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"sql_floor_ms":$sqlFloorMs,"degraded":$degradedJson,"retried":$retriedJson,"revised":$revisedJson$skippedField,"queries":${qJson(results)(_.toString)},"sf":"$sfDir","isolated":$isolatedJson,"runs":$runsJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_ge_median":$warmGeMedian,"warm_ge_median_50ms":$warmGeMedian50,"sql_floor_ms":$sqlFloorMs,"sql_floor_pre_ms":$sqlFloorPre,"sql_floor_post_ms":$sqlFloorPost,"degraded":$degradedJson,"retried":$retriedJson,"revised":$revisedJson$skippedField,"queries":${qJson(results)(_.toString)},"sf":"$sfDir","isolated":$isolatedJson,"runs":$runsJson}"""
     println(compact)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), full + "\n")

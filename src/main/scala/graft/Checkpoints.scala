@@ -62,6 +62,23 @@ object Checkpoints {
   private val applied =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
+  /** Contexts that already emitted the re-point warning: the conflict
+    * warn below is once per context, not once per alternation — the
+    * first occurrence names the defect; repeating it every round of a
+    * thrashing pair would bury the job log. */
+  private val warnedRepoint =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test hooks: total re-point warnings emitted by this JVM (the
+    * 2-session thrash test asserts exactly one fires), and a reset for
+    * the once-per-context latch so that test is order-independent
+    * (earlier legitimate DirKey changes would otherwise consume it). */
+  private[graft] val repointWarns = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def resetRepointWarnLatch(): Unit = warnedRepoint.clear()
+
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(Checkpoints.getClass)
+
   def mode(ds: Dataset[_]): String =
     ds.sparkSession.conf.get(ModeKey, "local")
 
@@ -107,7 +124,34 @@ object Checkpoints {
             applied.getOrDefault(sc.applicationId, ("", ""))
           if (lastConf != configured || lastResolved != current ||
               current.isEmpty) {
+            // LOUD on a RE-point (r12 scope note, made visible): when
+            // this context's bookkeeping had already applied a dir and
+            // we are about to move it — a sibling session configured a
+            // CONFLICTING DirKey, or outside code re-pointed the
+            // SparkContext dir — alternating cp() calls will thrash
+            // (each alternation mints a fresh UUID subdir in the durable
+            // store). The dir is context-global so there is no silent
+            // resolution; warn once per context so the deployer sees the
+            // conflict in the job log instead of as churn in the dir.
+            if (lastConf.nonEmpty && warnedRepoint.add(sc.applicationId)) {
+              repointWarns.incrementAndGet()
+              log.warn(
+                s"re-pointing the SparkContext checkpoint dir: $DirKey=" +
+                  s"'$configured' conflicts with the previously applied " +
+                  s"'$lastConf' (resolved '$lastResolved', current " +
+                  s"'$current'). Sessions sharing one SparkContext share " +
+                  "ONE checkpoint dir; alternating conflicting values " +
+                  "thrashes the durable store — use one DirKey per " +
+                  "context, or separate SparkContexts.")
+            }
             sc.setCheckpointDir(configured)
+            // Eviction (ADVICE r12): at most one SparkContext is live
+            // per JVM in practice — entries under other applicationIds
+            // belong to stopped contexts, and a long-lived JVM cycling
+            // contexts (test suites, notebooks) would otherwise grow the
+            // map without bound.
+            applied.keySet.removeIf(k => k != sc.applicationId)
+            warnedRepoint.removeIf(k => k != sc.applicationId)
             applied.put(sc.applicationId,
               (configured, sc.getCheckpointDir.get))
           }

@@ -75,9 +75,19 @@ object VectorKernels {
     * LSH bucketing (SimilarityOps) and the signed random projection
     * below share one matrix, so a projection's coordinate signs ARE the
     * corresponding hyperplane bits. */
-  def planeSign(i: Int, j: Int): Int = {
+  def planeSign(i: Int, j: Int): Int = mdParitySign(s"${i}_$j")
+
+  /** Table-seeded sibling of [[planeSign]]: table t's plane family is
+    * the md5 parity of "t_i_j" — independent draws, disjoint from the
+    * single-table "i_j" family. Canonical here so the multi-table
+    * expression ([[LshTableBucketsExpr]]), its spec reference, and any
+    * oracle recipe share ONE derivation (ADVICE r12: the verbatim
+    * duplication in expression + spec could silently drift). */
+  def tablePlaneSign(t: Int, i: Int, j: Int): Int = mdParitySign(s"${t}_${i}_$j")
+
+  private def mdParitySign(key: String): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+    val hex = md.digest(key.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     (hex.charAt(0).toInt % 2) * 2 - 1
   }
@@ -390,12 +400,8 @@ case class LshTableBucketsExpr(
   override def prettyName: String = "lsh_table_buckets"
   private lazy val aF = VectorKernels.elemFloat(child, "lsh_table_buckets")
   @transient private lazy val signs: Array[Array[Array[Double]]] =
-    Array.tabulate(nTables, nPlanes, dim) { (t, i, j) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"${t}_${i}_$j".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      ((hex.charAt(0).toInt % 2) * 2 - 1).toDouble
-    }
+    Array.tabulate(nTables, nPlanes, dim)(
+      (t, i, j) => VectorKernels.tablePlaneSign(t, i, j).toDouble)
 
   override protected def nullSafeEval(a: Any): Any =
     VectorKernels.tableBuckets(

@@ -124,6 +124,39 @@ class CheckpointsSpec extends AnyFunSuite {
     }
   }
 
+  test("conflicting DirKeys on one context warn loudly, once") {
+    // r12 scope note made visible (r12 VERDICT item 5): two sessions
+    // sharing one SparkContext with DIFFERENT DirKey values alternate
+    // re-pointing the context-global checkpoint dir — each alternation
+    // mints a fresh UUID subdir in the durable store. The thrash has no
+    // silent resolution, so the first re-point must WARN (once per
+    // context, not once per alternation — a thrashing pair would
+    // otherwise bury the job log).
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ckpt-wa").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ckpt-wb").toString
+    spark.conf.set(Checkpoints.ModeKey, "reliable")
+    spark.conf.set(Checkpoints.DirKey, dirA)
+    try {
+      df.checkpointed().count() // establish bookkeeping for dirA
+      Checkpoints.resetRepointWarnLatch()
+      val before = Checkpoints.repointWarns.get()
+      val sibling = spark.newSession()
+      sibling.conf.set(Checkpoints.ModeKey, "reliable")
+      sibling.conf.set(Checkpoints.DirKey, dirB)
+      import sibling.implicits._
+      (1L to 10L).toDF("x").checkpointed().count() // conflicting re-point
+      assert(Checkpoints.repointWarns.get() == before + 1,
+        "conflicting-DirKey re-point did not warn")
+      df.checkpointed().count() // thrash back to dirA ...
+      (11L to 20L).toDF("x").checkpointed().count() // ... and to dirB again
+      assert(Checkpoints.repointWarns.get() == before + 1,
+        "re-point warn repeated per alternation; contract is once per context")
+    } finally {
+      spark.conf.unset(Checkpoints.ModeKey)
+      spark.conf.unset(Checkpoints.DirKey)
+    }
+  }
+
   test("unknown mode fails loudly") {
     spark.conf.set(Checkpoints.ModeKey, "bogus")
     try {

@@ -29,12 +29,8 @@ class LshExprsSpec extends AnyFunSuite {
   private def planeSigns(nPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(nPlanes, dim)((i, j) => VectorKernels.planeSign(i, j).toDouble)
   private def tableSigns(t: Int, nPlanes: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(nPlanes, dim) { (i, j) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"${t}_${i}_$j".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      ((hex.charAt(0).toInt % 2) * 2 - 1).toDouble
-    }
+    Array.tabulate(nPlanes, dim)(
+      (i, j) => VectorKernels.tablePlaneSign(t, i, j).toDouble)
 
   test("lsh_bucket equals the boxed reference on random double vectors") {
     import spark.implicits._

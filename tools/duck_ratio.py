@@ -45,6 +45,20 @@ def main():
     print("skipped (fixture-bound):", " ".join(skipped))
     st, dt = sum(r[2] for r in rows), sum(r[3] for r in rows)
     print(f"totals: spark {st:.1f}s duck {dt:.1f}s aggregate ratio {st/dt:.1f}x")
+    # Floor-normalized comparator (r12 VERDICT item 2): raw Spark totals
+    # are not comparable across rounds on this host — the driver-side
+    # planning floor drifts (DRIFT_r12.md) and taxes every multi-job
+    # query uniformly. The standing cross-round metric is
+    # total / sql_floor_ms (dimensionless); healthy floor is ~20-30 ms.
+    floor = bench.get("sql_floor_ms")
+    if floor:
+        pre = bench.get("sql_floor_pre_ms")
+        post = bench.get("sql_floor_post_ms")
+        prepost = (f" (pre {pre:.1f} / post {post:.1f})"
+                   if pre is not None and post is not None else "")
+        print(f"floor: sql_floor_ms {floor:.1f}{prepost}; "
+              f"normalized spark_total/floor = {st / floor:.2f} "
+              f"(cross-round comparator; healthy floor ~20-30 ms)")
 
 
 if __name__ == "__main__":
