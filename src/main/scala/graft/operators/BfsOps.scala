@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * holds ≤ |V| rows per round. A short loop (quality signals use 2-5
   * hops) stays ONE lazy DAG — the PageRankOps measurement (eager
   * per-round checkpoints 11.9 s vs 4.9 s lazy at sf0.1) applies verbatim
-  * since the loop shape is identical; `checkpointEvery` truncates
+  * since the loop shape is identical, and so does its r13 JobCensus
+  * floor verdict: g4's 15 driver jobs are the base cut plus AQE
+  * stage / broadcast-build materializations of an already-single-DAG
+  * loop — no round barrier exists to batch; `checkpointEvery` truncates
   * lineage on longer walks, through [[graft.Checkpoints]] — set
   * `spark.graft.checkpoint.mode=reliable` on long cluster runs (the
   * default `local` mode loses blocks with a lost executor).

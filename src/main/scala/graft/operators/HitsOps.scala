@@ -74,6 +74,17 @@ object HitsOps {
     // (2^(2·iters) copies — the g3 duplicated-deg defect, squared).
     // The table is node-sized, so the cut is one linear job per
     // half-round in either join mode.
+    //
+    // Round-batching bake-off, CLOSED (r13, ProfileRoundBatch same-JVM
+    // A/B at sf0.1, parity checksummed): leaving the AUTH half-rounds
+    // lazy (cut hubs only) ran 5.1/5.2/5.3 s vs 3.4/3.7/4.5 s for this
+    // form — and with MORE driver jobs (29 vs 25), because each lazy
+    // half-round's subtree re-executes per consumer INCLUDING its
+    // broadcast max-aggregate build; no cuts at all was worse still
+    // (5.1-5.5 s). Fewer barriers does not mean fewer jobs when the
+    // barrier is what makes a twice-read subtree run once — the
+    // per-half-round cut is the measured optimum at both this scale
+    // and (by the same duplication argument) at cluster scale.
     def maxNorm(raw: DataFrame, key: String, v: String): DataFrame = {
       val df = raw.checkpointed()
       // The multiply lifts to DECIMAL(38,0) (HUGEINT oracle-side, the

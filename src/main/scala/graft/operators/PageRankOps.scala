@@ -38,6 +38,19 @@ import org.apache.spark.sql.functions._
   * (convergence to 1e-3 relative takes ~O(log n / (1-d)) rounds; corpus
   * weighting uses the coarse ordering, which stabilizes in 3-5).
   *
+  * Job-count floor verdict (r13, JobCensus on g1 at sf0.1): the short
+  * loop is ALREADY one lazy DAG — there is no per-round barrier left
+  * to batch. Its 19 driver jobs are the base checkpoints (~3) plus
+  * AQE stage materializations and the two broadcast builds each round
+  * (rank side into the contribution join, contribution sums into the
+  * update join) — structural to adaptive execution within one action,
+  * not to this loop. Σ in-job wall was 2.8 s of a 4.0 s query at a
+  * degraded ~104 ms/execution driver planning floor; at a healthy
+  * ~25 ms floor the same 19 jobs cost ~0.5 s of overhead. The
+  * remaining lever would be disabling AQE for the final action, which
+  * trades away runtime coalescing and the adaptive broadcast the
+  * keyed-shuffle mode depends on at real scale — not taken.
+  *
   * Fault tolerance: every lineage cut routes through [[graft.Checkpoints]]
   * — default `local` mode stores checkpoint blocks on executors only
   * (fast; one lost executor kills a long run), `reliable` mode writes

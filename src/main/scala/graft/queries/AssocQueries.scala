@@ -257,15 +257,23 @@ object AssocQueries {
     val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_partkey"))
     val fwd = li.select((col("l_suppkey") * 2 + 1).as("src"),
       (col("l_partkey") * 2).as("dst")).distinct()
-    // Eager per-round checkpoints, UNLIKE PageRank's lazy short loop:
-    // each peel round reads edges_{i-1} TWICE (degree pass + semi-join
-    // input), so a lazy DAG doubles the base subtree per round — 2^3
-    // re-executions of the distinct+mirror by round 3. Measured at
-    // sf0.1: 9.5 s lazy -> 3.0 s checkpointed. The edge list shrinks
-    // monotonically, so each materialization is smaller than the last.
+    // Eager BETWEEN-round checkpoints, UNLIKE PageRank's lazy short
+    // loop: each peel round reads edges_{i-1} TWICE (degree pass +
+    // semi-join input), so a lazy DAG doubles the base subtree per
+    // round — 2^3 re-executions of the distinct+mirror by round 3.
+    // Measured at sf0.1: 9.5 s lazy -> 3.0 s checkpointed. The edge
+    // list shrinks monotonically, so each materialization is smaller
+    // than the last. The LAST round is exempt (r13, ProfileRoundBatch
+    // same-JVM A/B): its only consumer is the terminal degree
+    // aggregate, which reads it ONCE — cutting it was a pure extra
+    // materialization barrier (4.25/4.14/4.36 s with the last cut vs
+    // 3.36/3.65/3.89 s without, parity checksummed; jobs 17 -> 16).
+    // Batching 2 rounds per cut (round 1 lazy) measured NEUTRAL vs
+    // this form locally and re-enters round 1's semi-joins ×3 per
+    // consumer at scale — between-round cuts stay.
     var edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .checkpointed()
-    for (_ <- 1 to kcoreRounds) {
+    for (i <- 1 to kcoreRounds) {
       val keep = edges.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= kcoreK).select(col("src").as("node"))
       // No join hint on the survivor semi-joins, deliberately (r10
@@ -281,7 +289,7 @@ object AssocQueries {
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
-        .checkpointed()
+      if (i < kcoreRounds) edges = edges.checkpointed()
     }
     edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
