@@ -350,7 +350,18 @@ object SignalQueries {
     * location estimate that, unlike a23's median, still moves with the
     * bulk. One distributed rank pass (RankOps); the two 1-row
     * thresholds ride broadcasts; the clamped mean is an exact
-    * nonneg integer division reported in ppm. */
+    * nonneg integer division reported in ppm.
+    *
+    * Bake-off CLOSED (r13, ProfileA24 same-JVM A/B): folding both
+    * order statistics into ONE threshold pass (filter to the two
+    * target ranks, conditional-min to a single (lo, hi) row, one
+    * broadcast) measured neutral-to-worse — median 1.20 vs 1.24 s,
+    * jobs 15 → 14, parity checksummed. The two broadcast builds'
+    * shared rank lineage already collapses through physical exchange
+    * reuse, and the fold's extra aggregate cancels the saved
+    * broadcast. The wall time is 15 driver jobs × the host's planning
+    * floor on a 1-row-output query — the a24 weak-list entry is floor,
+    * not shape. */
   private val a24: Q = (s, dir) => {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
     val nn = docs.agg(count(lit(1)).as("nn"))

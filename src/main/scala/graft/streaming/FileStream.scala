@@ -80,12 +80,16 @@ object FileStream {
       .dropDuplicatesWithinWatermark("minhash_sig")
   }
 
-  /** Gap-based sessionization on an unbounded stream: the SAME
-    * session_window groupBy as the batch w6 query, plus a watermark so
-    * the engine can close (and emit, in append mode) a session once no
-    * in-horizon event can extend it, reclaiming its state. Session state
-    * is per open session, not per event — the property that keeps this
-    * viable on an unbounded stream. */
+  /** Gap-based sessionization on an unbounded stream: the same session
+    * semantics as the batch w6 query (which, since r13, runs the
+    * gaps-and-islands window form — measured faster where a sorted
+    * batch partition never needs out-of-order merging), expressed here
+    * through `session_window` plus a watermark so the engine can close
+    * (and emit, in append mode) a session once no in-horizon event can
+    * extend it, reclaiming its state. On a stream the merge machinery
+    * IS the point: late in-horizon events extend or merge open
+    * sessions, and state is per open session, not per event — the
+    * property that keeps this viable unbounded. */
   def sessionizedEventStats(
       events: DataFrame, tsCol: String, userCol: String,
       gap: String, watermark: String,
