@@ -263,6 +263,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("w6_session_window")
     assert(p.contains("user_id"), "session window lost its user partitioning")
     assert(!p.contains("CartesianProduct"))
+    // r13 islands form: lag, running sum, AND the (user, island)
+    // aggregate all cluster on user_id — partitioning on a grouping-key
+    // subset satisfies the aggregate's distribution, so the whole query
+    // is ONE hash exchange (plus the root sort's range exchange). A
+    // second hash exchange means the aggregate stopped reusing the
+    // window's clustering.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"w6 islands plan grew a second hash exchange:\n${p.take(800)}")
   }
 
   test("binned range join is an equi-join: no nested loop, no cartesian") {
