@@ -398,7 +398,10 @@ object CurationQueries {
     * 64 exploded rows of a vector share its input row, hence its
     * partition), so the shuffle carries ~1 row per vector; the per-label
     * top-5 is TopKOps' bounded-buffer aggregator, never a window sort.
-    */
+    *
+    * Floor verdict (r13 JobCensus): 8 driver jobs, Σ task-time ~0.6 s
+    * of a 1.37 s wall, heaviest stage 0.18 s over 10 rows — pure
+    * job-count × host planning floor; shape already minimal. */
   private val embOutK = 5
   private val embDim = 64
   /** Shared quantizer text; `v` = the raw float coordinate. */

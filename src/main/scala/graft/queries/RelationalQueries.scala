@@ -791,7 +791,17 @@ object RelationalQueries {
     * order's line numbers spawn half-open [10·line, 10·line + qty)
     * ranges whose integral quantities (1–50) overlap, nest, and gap in
     * all combinations; the oracle replays the identical prior-rows-max
-    * island formulation in SQL. Integer-only arithmetic end to end. */
+    * island formulation in SQL. Integer-only arithmetic end to end.
+    *
+    * Plan audited, CLOSED as machinery-bound (r13 JobCensus +
+    * ExplainOne): ONE hash exchange on okey; the sort, both Window
+    * operators (frames differ, so they cannot legally merge — the
+    * island id depends on the flag the first window produces), and
+    * both aggregate phases are all exchange-free (partitioning on a
+    * grouping-key subset satisfies the agg's clustering). The ~2.9 s
+    * task-time per 600k-row window stage is WindowExec's per-row frame
+    * machinery — the duck gap is window-kernel throughput on an
+    * already-minimal shape. */
   private val w10: Q = (s, dir) => {
     val iv = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("okey"),
