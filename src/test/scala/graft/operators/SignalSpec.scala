@@ -87,6 +87,36 @@ class SignalSpec extends AnyFunSuite {
     assert(vAbs(3) > 900000L, "dim-3 component of the unit vector near ±1")
   }
 
+  // ---------------------------------------------------- w6_session_window
+
+  test("w6_session_window: exact-gap boundary splits; tied timestamps at a " +
+      "boundary land in one deterministic session") {
+    // The r13 islands form orders only by ts, so within-tie row order is
+    // engine-chosen — the SESSION composition must still be
+    // deterministic: ties share a ts, their pairwise gap is 0, and
+    // exactly one flag fires at the head of the tie group regardless of
+    // permutation. Also pins the half-open gap contract: an event
+    // EXACTLY 30 minutes after its predecessor opens a NEW session
+    // (diff >= gap), matching session_window's [start, last+gap) close.
+    def ts(sec: Int) = new Timestamp(sec * 1000L) // epoch-based: TZ-free
+    val rows = Seq(
+      (1L, 1L, ts(0), "a", 1.0), (2L, 1L, ts(0), "a", 2.0), // tie at start
+      (3L, 1L, ts(900), "a", 4.0),
+      (4L, 1L, ts(2700), "a", 8.0),   // 900 + 1800 exactly -> new session
+      (5L, 1L, ts(2700), "a", 16.0),  // tie at the new session's boundary
+      (6L, 2L, ts(100), "a", 5.0))
+    val got = graft.SparkEntry.queries("w6_session_window")(
+        spark, eventsDir(rows))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val expect = Seq(
+      (1L, 0L, 2700L * 1000000L, 3L, 7.0),
+      (1L, 2700L * 1000000L, 4500L * 1000000L, 2L, 24.0),
+      (2L, 100L * 1000000L, 1900L * 1000000L, 1L, 5.0))
+    assert(got.toSeq == expect, got.mkString(", "))
+  }
+
   // ----------------------------------------------------------- w13_cusum
 
   test("w13_cusum: step-change user alarms, steady user does not") {
