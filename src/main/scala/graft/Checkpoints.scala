@@ -135,14 +135,26 @@ object Checkpoints {
             // conflict in the job log instead of as churn in the dir.
             if (lastConf.nonEmpty && warnedRepoint.add(sc.applicationId)) {
               repointWarns.incrementAndGet()
-              log.warn(
-                s"re-pointing the SparkContext checkpoint dir: $DirKey=" +
-                  s"'$configured' conflicts with the previously applied " +
-                  s"'$lastConf' (resolved '$lastResolved', current " +
-                  s"'$current'). Sessions sharing one SparkContext share " +
-                  "ONE checkpoint dir; alternating conflicting values " +
-                  "thrashes the durable store — use one DirKey per " +
-                  "context, or separate SparkContexts.")
+              // Two distinct causes need two distinct messages (r13
+              // review): naming '$configured conflicts with $lastConf'
+              // when the two are EQUAL — the external-move case —
+              // would send the deployer hunting for a DirKey conflict
+              // that does not exist.
+              val cause =
+                if (lastConf != configured)
+                  s"$DirKey='$configured' conflicts with the previously " +
+                    s"applied '$lastConf' — sessions sharing one " +
+                    "SparkContext share ONE checkpoint dir, and " +
+                    "alternating conflicting values thrashes the durable " +
+                    "store (a fresh UUID subdir per alternation); use one " +
+                    "DirKey per context, or separate SparkContexts"
+                else
+                  s"outside code moved the SparkContext checkpoint dir to " +
+                    s"'$current' after $DirKey='$configured' had resolved " +
+                    s"to '$lastResolved'; re-applying the configured dir — " +
+                    "if the move was intentional, clear " +
+                    s"$DirKey instead of racing it"
+              log.warn(s"re-pointing the SparkContext checkpoint dir: $cause")
             }
             sc.setCheckpointDir(configured)
             // Eviction (ADVICE r12): at most one SparkContext is live

@@ -1,9 +1,9 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftBenchShim}
 import org.apache.spark.sql.functions._
 
-import graft.{Sessions, Tables}
+import graft.{Sessions, SparkEntry, Tables}
 import graft.Checkpoints.CheckpointSyntax
 
 /** Dev probe (r13): same-JVM A/B of ROUND-BATCHING the eager lineage
@@ -12,30 +12,18 @@ import graft.Checkpoints.CheckpointSyntax
   * planning floor, so fewer materialization barriers should win both
   * locally and at cluster scale).
   *
-  * Variants, alternating GC-separated reps in ONE JVM (the only valid
-  * comparison on this host — see Bench scaladoc):
-  *   g5  (k-core peel, 3 rounds, cut per round today):
-  *     cur      — cut after every round including the last
-  *     nolast   — cut between rounds only; the final round flows lazily
-  *                into the terminal degree aggregate (the last cut's
-  *                only consumer reads it ONCE, so the materialization
-  *                is pure overhead)
-  *     batch2   — cut every 2nd round only (round 1 lazy: its subtree
-  *                is re-entered by round 2's degree pass + semi-joins,
-  *                bounded ×3, physical exchange reuse collapses the
-  *                identical aggregates)
-  *   g9  (HITS, 2 full rounds = 4 max-normalized half-rounds, every
-  *        half-round's raw aggregate cut today):
-  *     cur      — the operator as registered (HitsOps)
-  *     halfcut  — cut HUB half-rounds only; auth half-rounds stay lazy
-  *                (their raw subtree duplicates ×2 into the max agg +
-  *                projection, rooted at the previous cut — bounded)
-  *     nocut    — no half-round cuts at all (the 2^(2·iters) logical
-  *                replication the eager cuts exist to stop; measures
-  *                whether planning cost or job count dominates)
-  *
-  * Each variant's RESULT is checksummed against the current form once
-  * (first rep) so a faster-but-wrong shape cannot win.
+  * The PRODUCTION baselines come from the registry (root sort stripped,
+  * as Bench does), so the probe cannot silently drift from the shipped
+  * plans; only the REJECTED/historical shapes are re-implemented
+  * inline. Verdicts recorded in-code after the r13 run:
+  *   g5  — cutting the final peel round lost (its only consumer reads
+  *         it once); the registered query now cuts between rounds only.
+  *         Batching 2 rounds per cut measured neutral. See
+  *         AssocQueries g5.
+  *   g9  — every lazy variant LOST with MORE driver jobs (the eager
+  *         half-round cuts are what make a twice-read normalization
+  *         subtree run once). See HitsOps.maxNorm.
+  * Results are parity-checksummed against the registered baseline.
   */
 object ProfileRoundBatch {
   def main(args: Array[String]): Unit = {
@@ -44,36 +32,13 @@ object ProfileRoundBatch {
     val spark = Sessions.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.registerAll(spark, sfDir)
+    val h = new ProbeHarness(spark, "rb")
 
-    val jobCount = new java.util.concurrent.atomic.AtomicInteger
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobCount.incrementAndGet(); ()
-      }
-    })
+    def registered(name: String): DataFrame =
+      GraftBenchShim.stripRootSort(SparkEntry.queries(name)(spark, sfDir))
 
-    def cooldown(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      System.gc(); Thread.sleep(200); System.gc(); Thread.sleep(100)
-    }
-    def noop(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    def time(tag: String)(f: => DataFrame): Unit = {
-      cooldown()
-      val j0 = jobCount.get()
-      val t0 = System.nanoTime()
-      noop(f)
-      val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
-      println(f"[rb] $tag%-16s $dt%6.3f s  jobs=${jobCount.get() - j0}")
-    }
-    /** order-insensitive value checksum */
-    def sig(df: DataFrame): Long =
-      df.select((xxhash64(df.columns.map(col): _*) % 1000000007L).as("h"))
-        .agg(sum("h")).head.getLong(0)
-
-    // ------------------------------------------------------------- g5
+    // -------------------------------------------------- g5 (historical
+    // shapes; the registered query is the cut-between-rounds winner)
     def g5(cutLast: Boolean, cutEvery: Int): DataFrame = {
       val li = Tables.load(spark, sfDir, "lineitem")
         .select(col("l_suppkey"), col("l_partkey"))
@@ -95,7 +60,8 @@ object ProfileRoundBatch {
         .select(col("src").as("node"), col("deg"))
     }
 
-    // ------------------------------------------------------------- g9
+    // -------------------------------------------------- g9 (rejected
+    // lazy shapes; the registered HitsOps cuts every half-round)
     def g9(cutAuths: Boolean, cutHubs: Boolean): DataFrame = {
       val edges = Tables.load(spark, sfDir, "lineitem")
         .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
@@ -126,25 +92,19 @@ object ProfileRoundBatch {
           col("h").as("score_micro")))
     }
 
-    val variants: Seq[(String, () => DataFrame)] = Seq(
-      "g5_cur" -> (() => g5(cutLast = true, cutEvery = 1)),
-      "g5_nolast" -> (() => g5(cutLast = false, cutEvery = 1)),
-      "g5_batch2" -> (() => g5(cutLast = false, cutEvery = 2)),
-      "g9_cur" -> (() => g9(cutAuths = true, cutHubs = true)),
+    val g5Variants: Seq[(String, () => DataFrame)] = Seq(
+      "g5_cutlast" -> (() => g5(cutLast = true, cutEvery = 1)),
+      "g5_batch2" -> (() => g5(cutLast = false, cutEvery = 2)))
+    val g9Variants: Seq[(String, () => DataFrame)] = Seq(
       "g9_halfcut" -> (() => g9(cutAuths = false, cutHubs = true)),
       "g9_nocut" -> (() => g9(cutAuths = false, cutHubs = false)))
 
-    // Parity first: every variant must agree with its family's current
-    // form before any timing is trusted.
-    val s5 = sig(g5(cutLast = true, cutEvery = 1))
-    val s9 = sig(g9(cutAuths = true, cutHubs = true))
-    variants.foreach { case (tag, b) =>
-      val s = sig(b())
-      val ref = if (tag.startsWith("g5")) s5 else s9
-      println(s"[rb] parity $tag ${if (s == ref) "OK" else s"MISMATCH ($s vs $ref)"}")
-      require(s == ref, s"$tag parity")
-    }
-    for (r <- 1 to reps; (tag, b) <- variants) time(f"$tag#$r")(b())
+    h.parity(h.sig(registered("g5_kcore_peel")), g5Variants)
+    h.parity(h.sig(registered("g9_hits")), g9Variants)
+    val all: Seq[(String, () => DataFrame)] =
+      Seq("g5_registered" -> (() => registered("g5_kcore_peel"))) ++ g5Variants ++
+        Seq("g9_registered" -> (() => registered("g9_hits"))) ++ g9Variants
+    for (r <- 1 to reps; (label, b) <- all) h.time(s"$label#$r")(b())
     spark.stop()
   }
 }
