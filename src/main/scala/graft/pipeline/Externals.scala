@@ -6,9 +6,11 @@ package graft.pipeline
   * real clients/models per partition; tests bind [[StubExternals]] —
   * deterministic fakes with the same signatures, so the surrounding
   * Spark plumbing (mapPartitions shape, schemas, partitioning) is
-  * exercised for real. [[JavaSoundExternals]] is a REAL audio-codec
-  * binding through the JDK's javax.sound SPI chain (wav/au/aiff/ULAW out
-  * of the box; mp3 with an SPI jar on the executor classpath).
+  * exercised for real. [[JavaSoundExternals]] binds the REAL decoders
+  * available in a stock JDK: audio through the javax.sound SPI chain
+  * (wav/au/aiff/ULAW out of the box; mp3 with an SPI jar on the
+  * executor classpath) and PDF text through the native
+  * [[graft.operators.PdfText]] extractor (r13).
   */
 trait Externals extends Serializable {
   /** Crawler metadata fetch (crawler/metadata.py:94-180). */

@@ -25,8 +25,18 @@ object JavaSoundExternals extends Externals {
   override def fetchBookMetadata(url: String): BookMeta =
     StubExternals.fetchBookMetadata(url)
 
+  /** Real PDFs (by the `%PDF-` magic, §7.5.2) route to the native
+    * extractor ([[graft.operators.PdfText]] — linear object scan,
+    * Inflater-backed FlateDecode, BT/ET text operators; r13, the
+    * decodeAudio/Mp3Layer3 precedent). Non-PDF payloads keep the
+    * fixture stub semantics (the reference fixtures use ASCII
+    * payloads as stand-in "PDFs"). */
   override def extractPdfText(bytes: Array[Byte]): String =
-    StubExternals.extractPdfText(bytes)
+    if (bytes != null && bytes.length >= 5 &&
+        bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
+        bytes(3) == 'F' && bytes(4) == '-')
+      graft.operators.PdfText.extract(bytes)
+    else StubExternals.extractPdfText(bytes)
 
   override def transcribe(samples: Array[Float], refText: String): String =
     StubExternals.transcribe(samples, refText)

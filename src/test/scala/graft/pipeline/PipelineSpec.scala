@@ -74,6 +74,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.getAs[Long]("word_count") == wcs.sum)
   }
 
+  test("PreprocessPipeline text over REAL PDFs: native extract feeds the " +
+      "same tokenize -> regroup -> metrics chain") {
+    // r13: S10 is no longer stub-only — JavaSoundExternals routes
+    // %PDF- payloads through the native PdfText extractor (linear
+    // object scan + FlateDecode + BT/ET text operators), so the text
+    // phase runs end-to-end on structurally valid, Flate-compressed
+    // PDF documents.
+    val pdfs = tmp("pp_realpdf")
+    val d = Paths.get(pdfs, "spk1"); Files.createDirectories(d)
+    val sentences = (1 to 6).map(i =>
+      s"sentence number $i carries exactly eight words total.")
+    val pageOps = sentences.grouped(3).map { page =>
+      "BT /F1 12 Tf " +
+        page.map(s => s"($s) Tj T*").mkString(" ") + " ET"
+    }.toSeq
+    Files.write(d.resolve("bookR_1.pdf"),
+      graft.operators.PdfFixtures.makePdf(pageOps, compress = true))
+    val (grouped, metrics) = PreprocessPipeline.processText(
+      spark, pdfs + "/*/*.pdf", ext = JavaSoundExternals)
+    val g = grouped.orderBy("grp_idx").collect()
+    assert(g.nonEmpty, "no regrouped lines from the real-PDF path")
+    // 6 sentences x 8 words = 48 words end to end, none dropped; the
+    // 20-word regroup threshold packs them into 2 lines of 24 (W3)
+    val m = metrics.collect()(0)
+    assert(m.getAs[String]("book_id") == "bookR")
+    assert(m.getAs[Long]("word_count") == 48L, m.toString)
+    assert(m.getAs[Long]("num_sentences") == g.length.toLong, m.toString)
+    assert(g.length == 2, g.mkString(", "))
+  }
+
   test("PreprocessPipeline audio: decode -> gate -> resample -> normalize -> concat") {
     val wavs = tmp("pp_wav")
     val d = Paths.get(wavs, "spk1"); Files.createDirectories(d)
