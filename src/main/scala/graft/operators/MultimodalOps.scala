@@ -288,11 +288,13 @@ object MultimodalOps {
     path: String, width: Int, height: Int, n_bytes: Long, resized: Array[Byte])
 
   /** Image resize stage: binary in -> binary out at (w, h), executed
-    * over mapPartitions with the per-partition handle pattern (a real
-    * binding would hold one decoder/scaler per partition — see
-    * Externals.resizeImage for the codec seam; the pixel work is
-    * stubbed in this container, the dataflow is real: blobs never
-    * leave their executor, output schema carries the typed dims). */
+    * over mapPartitions with the per-partition handle pattern — see
+    * Externals.resizeImage for the codec seam. The default binding
+    * stays the deterministic stub (the registered query's oracle
+    * replays it); pass [[graft.pipeline.JavaSoundExternals]] for the
+    * REAL JDK codec path (ImageIO decode + area-averaging scale,
+    * r13 — png/jpeg/bmp/gif). Dataflow is identical either way: blobs
+    * never leave their executor, output schema carries typed dims. */
   def resizeImages(df: DataFrame, pathCol: String, contentCol: String,
       w: Int, h: Int,
       ext: graft.pipeline.Externals = graft.pipeline.StubExternals): DataFrame = {

@@ -22,11 +22,13 @@ trait Externals extends Serializable {
   def decodeAudio(bytes: Array[Byte]): (Array[Float], Int)
   /** ASR transcription (whisper_qc.py:285-307). */
   def transcribe(samples: Array[Float], refText: String): String
-  /** Image resize: encoded image bytes -> encoded bytes at (w, h). No
-    * image codec ships in this container, so only [[StubExternals]]
-    * binds it (deterministic fake); production would bind ImageIO/
-    * libvips here. The Spark-side plumbing (batching, partitioning,
-    * binary->binary schema) is real and tested either way. */
+  /** Image resize: encoded image bytes -> encoded bytes at (w, h).
+    * [[StubExternals]] binds a deterministic content-keyed fake (the
+    * registered query's oracle replays it); [[JavaSoundExternals]]
+    * binds the REAL JDK codec path (javax.imageio decode +
+    * area-averaging scale + re-encode) for png/jpeg/bmp/gif payloads
+    * (r13). The Spark-side plumbing (batching, partitioning,
+    * binary->binary schema) is identical either way. */
   def resizeImage(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
 }
 
