@@ -21,20 +21,32 @@ import java.nio.charset.StandardCharsets
   *     `\n \r \t \b \f \( \) \\ \ooo` escapes plus
   *     backslash-newline continuation; hex `< >` strings.
   *
+  * Structure resolution (§7.7): top-level objects are parsed by
+  * LINEAR SCAN into a number → object map (later definitions win, the
+  * incremental-update rule §7.5.6) — never via the xref table, which
+  * real-world PDFs routinely break; content streams cannot hide in
+  * PDF 1.5 object streams (§7.5.7), so the scan sees every one. Pages
+  * come from the catalog's /Pages /Kids tree walk (reading order);
+  * each page's /Contents streams concatenate and its /Resources /Font
+  * map binds names to fonts.
+  *
+  * Font text decoding (§9.10): a font carrying a /ToUnicode CMap —
+  * the embedded-subset Type0/CID case that is MOST modern PDFs, where
+  * string bytes are opaque glyph codes — decodes through the CMap
+  * (codespacerange width, bfchar and both bfrange forms, UTF-16BE
+  * targets). Fonts without one fall back to Latin-1 byte-preserving
+  * decode — exact for standard simple-encoding fonts.
+  *
   * Deliberate scope (documented, not hidden):
-  *   - Objects are found by LINEAR SCAN, not via the xref table: every
-  *     content stream is a top-level `N G obj` (streams cannot live
-  *     inside PDF 1.5 object streams, §7.5.7), so the scan sees them
-  *     all and survives the broken/hybrid xrefs real-world PDFs carry.
-  *   - String bytes decode as Latin-1 (byte-preserving) — exact for
-  *     standard simple-encoding fonts; composite/CID (Type0) fonts
-  *     would need the font's ToUnicode CMap and emit garbage here, as
-  *     does any ENCRYPTED document. That boundary stays at the
-  *     [[graft.pipeline.Externals]] seam: production corpora with CID
-  *     fonts bind a full library there.
-  *   - Only the identity filter and /FlateDecode are decoded; streams
-  *     under image/other filters (DCTDecode etc.) are skipped — they
-  *     carry no text operators.
+  *   - Identity, /FlateDecode, /ASCIIHexDecode, /ASCII85Decode, and
+  *     their chained forms are decoded (§7.4); streams under
+  *     image/other filters (DCTDecode etc.) are skipped — they carry
+  *     no text operators.
+  *   - CID fonts WITHOUT /ToUnicode (no text mapping exists in the
+  *     file at all — PyMuPDF emits garbage there too) and ENCRYPTED
+  *     documents stay at the [[graft.pipeline.Externals]] seam.
+  *   - Documents whose page tree does not resolve fall back to
+  *     scanning every stream for BT/ET text (no font context).
   *
   * Page/line assembly mirrors the reference's per-page concat: one
   * line per text line (broken at Td, TD, T-star, and the quote shows),
@@ -43,19 +55,283 @@ import java.nio.charset.StandardCharsets
   */
 object PdfText {
 
-  /** Text of every BT/ET block of every content stream, file order.
-    * Never throws on malformed input: unparseable objects/streams are
-    * skipped (an ingest gate wants "best text or empty", not an
-    * executor-killing exception — the IoOps quarantine discipline). */
+  /** Per-page text in page-tree order (font-aware), falling back to a
+    * raw scan of every BT-bearing stream when the page tree does not
+    * resolve. Never throws on malformed input: unparseable
+    * objects/streams are skipped (an ingest gate wants "best text or
+    * empty", not an executor-killing exception — the IoOps quarantine
+    * discipline). */
   def extract(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.length < 8) return ""
-    val pages = streams(bytes).iterator
-      .map(decode)
-      .filter(containsTextOps)
-      .map(contentText)
-      .filter(_.nonEmpty)
-      .toSeq
-    pages.mkString("\n\n")
+    val pageTexts =
+      try {
+        val objs = parseObjects(bytes)
+        pagesInOrder(objs).map { pageDict =>
+          val content = contentsOf(objs, pageDict)
+          if (!containsTextOps(content)) ""
+          else contentText(content, fontsOf(objs, pageDict))
+        }
+      } catch { case _: Exception => Seq.empty }
+    val texts =
+      if (pageTexts.exists(_.nonEmpty)) pageTexts
+      else streams(bytes).iterator
+        .map(decode)
+        .filter(containsTextOps)
+        .map(contentText(_, Map.empty))
+        .toSeq
+    texts.filter(_.nonEmpty).mkString("\n\n")
+  }
+
+  // --------------------------------------------------- document graph
+
+  private final case class PObj(dict: String, data: Option[Array[Byte]])
+
+  /** Object number → final definition, linear scan (§7.5.6: a later
+    * `N G obj` supersedes an earlier one — incremental updates). The
+    * `dict` field holds the object's dictionary text, or its raw body
+    * text for non-dict objects (bare numbers serving as indirect
+    * /Length values). */
+  private def parseObjects(b: Array[Byte]): Map[Int, PObj] = {
+    val s = new String(b, StandardCharsets.ISO_8859_1)
+    val out = scala.collection.mutable.LinkedHashMap[Int, PObj]()
+    val objRe = """(\d{1,9})\s+\d{1,5}\s+obj\b""".r
+    for (m <- objRe.findAllMatchIn(s)) {
+      val num = m.group(1).toInt
+      var i = m.end
+      while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      if (i + 1 < s.length && s.charAt(i) == '<' && s.charAt(i + 1) == '<') {
+        dictEnd(s, i).foreach { end =>
+          val dict = s.substring(i, end)
+          var k = end
+          while (k < s.length && s.charAt(k).isWhitespace) k += 1
+          val data =
+            if (s.startsWith("stream", k)) {
+              var d = k + 6
+              if (d < s.length && s.charAt(d) == '\r') d += 1
+              if (d < s.length && s.charAt(d) == '\n') d += 1
+              val stop = directLength(dict) match {
+                case Some(n) if d + n <= b.length => d + n
+                case _ =>
+                  val e = s.indexOf("endstream", d)
+                  if (e < 0) b.length else e
+              }
+              Some(java.util.Arrays.copyOfRange(b, d, stop))
+            } else None
+          out(num) = PObj(dict, data)
+        }
+      } else {
+        val e = s.indexOf("endobj", i)
+        if (e > i) out(num) = PObj(s.substring(i, e).trim.take(200), None)
+      }
+    }
+    out.toMap
+  }
+
+  /** End index (exclusive) of the balanced `<< ... >>` starting at i. */
+  private def dictEnd(s: String, i0: Int): Option[Int] = {
+    var depth = 0
+    var j = i0
+    while (j < s.length - 1) {
+      if (s.charAt(j) == '<' && s.charAt(j + 1) == '<') { depth += 1; j += 2 }
+      else if (s.charAt(j) == '>' && s.charAt(j + 1) == '>') {
+        depth -= 1; j += 2
+        if (depth == 0) return Some(j)
+      } else j += 1
+    }
+    None
+  }
+
+  private val RefRe = """(\d{1,9})\s+\d{1,5}\s+R""".r
+
+  /** The value of /Key in `dict` as DICT TEXT: inline `<<...>>`, or an
+    * indirect reference resolved through the object map. */
+  private def subDict(objs: Map[Int, PObj], dict: String, key: String)
+      : Option[String] = {
+    val i = dict.indexOf(key)
+    if (i < 0) return None
+    var j = i + key.length
+    while (j < dict.length && dict.charAt(j).isWhitespace) j += 1
+    if (j + 1 < dict.length && dict.charAt(j) == '<' && dict.charAt(j + 1) == '<')
+      dictEnd(dict, j).map(e => dict.substring(j, e))
+    else
+      RefRe.findPrefixMatchOf(dict.substring(j, math.min(dict.length, j + 24)))
+        .flatMap(m => objs.get(m.group(1).toInt)).map(_.dict)
+  }
+
+  /** Pages in catalog /Kids reading order; encounter order when the
+    * tree does not resolve. Cycle-proof via a visited set. */
+  private def pagesInOrder(objs: Map[Int, PObj]): Seq[String] = {
+    val byKids = {
+      val visited = scala.collection.mutable.Set[Int]()
+      val acc = scala.collection.mutable.Buffer[String]()
+      def walk(num: Int, depth: Int): Unit =
+        if (depth < 64 && visited.add(num)) objs.get(num).foreach { o =>
+          if (o.dict.contains("/Kids")) {
+            // kids of THIS node only: slice the /Kids [...] array
+            val ki = o.dict.indexOf("/Kids")
+            val open = o.dict.indexOf('[', ki)
+            val close = if (open >= 0) o.dict.indexOf(']', open) else -1
+            if (open >= 0 && close > open)
+              RefRe.findAllMatchIn(o.dict.substring(open, close))
+                .foreach(m => walk(m.group(1).toInt, depth + 1))
+          } else if (isPage(o.dict)) acc += o.dict
+        }
+      for {
+        cat <- objs.values.find(_.dict.contains("/Catalog"))
+        m <- RefRe.findFirstMatchIn(
+          cat.dict.substring(math.max(cat.dict.indexOf("/Pages"), 0)))
+      } walk(m.group(1).toInt, 0)
+      acc.toSeq
+    }
+    if (byKids.nonEmpty) byKids
+    else objs.values.collect { case o if isPage(o.dict) => o.dict }.toSeq
+  }
+
+  private def isPage(dict: String): Boolean =
+    """/Type\s*/Page(?![a-zA-Z])""".r.findFirstIn(dict).isDefined
+
+  /** The page's decoded /Contents — single stream or array pieces
+    * concatenated with a separator (§7.8.2: the pieces form ONE
+    * logical stream; the separator byte keeps adjacent tokens from
+    * fusing across piece boundaries). */
+  private def contentsOf(objs: Map[Int, PObj], pageDict: String): Array[Byte] = {
+    val i = pageDict.indexOf("/Contents")
+    if (i < 0) return Array.emptyByteArray
+    var j = i + 9
+    while (j < pageDict.length && pageDict.charAt(j).isWhitespace) j += 1
+    val refs =
+      if (j < pageDict.length && pageDict.charAt(j) == '[') {
+        val close = pageDict.indexOf(']', j)
+        RefRe.findAllMatchIn(
+          pageDict.substring(j, if (close < 0) pageDict.length else close))
+          .map(_.group(1).toInt).toSeq
+      } else RefRe.findPrefixMatchOf(
+        pageDict.substring(j, math.min(pageDict.length, j + 24)))
+        .map(m => Seq(m.group(1).toInt)).getOrElse(Seq.empty)
+    val pieces = refs.flatMap(objs.get).collect {
+      case PObj(d, Some(data)) => decode((d, data))
+    }
+    if (pieces.isEmpty) Array.emptyByteArray
+    else pieces.reduce((a, c) => a ++ Array[Byte]('\n') ++ c)
+  }
+
+  /** Resource-name → ToUnicode CMap for every page font that has one. */
+  private def fontsOf(objs: Map[Int, PObj], pageDict: String)
+      : Map[String, CMap] = {
+    val fontDict = for {
+      res <- subDict(objs, pageDict, "/Resources")
+      fd <- subDict(objs, res, "/Font")
+    } yield fd
+    fontDict match {
+      case None => Map.empty
+      case Some(fd) =>
+        val entryRe = """/([A-Za-z0-9.#_+-]+)\s+(\d{1,9})\s+\d{1,5}\s+R""".r
+        entryRe.findAllMatchIn(fd).flatMap { m =>
+          for {
+            font <- objs.get(m.group(2).toInt)
+            tu <- tounicodeOf(objs, font.dict)
+          } yield m.group(1) -> tu
+        }.toMap
+    }
+  }
+
+  private def tounicodeOf(objs: Map[Int, PObj], fontDict: String)
+      : Option[CMap] = {
+    val i = fontDict.indexOf("/ToUnicode")
+    if (i < 0) return None
+    for {
+      m <- RefRe.findFirstMatchIn(fontDict.substring(i))
+      o <- objs.get(m.group(1).toInt)
+      data <- o.data
+      cm <- parseCMap(
+        new String(decode((o.dict, data)), StandardCharsets.ISO_8859_1))
+    } yield cm
+  }
+
+  // ------------------------------------------------------ ToUnicode
+
+  /** code width in BYTES + code → UTF-16 target string. */
+  private final case class CMap(codeBytes: Int, map: Map[Int, String])
+
+  private val HexTokRe = """<([0-9A-Fa-f]+)>""".r
+  private val MaxCMapEntries = 100000 // subset fonts are small; a
+  // <0000> <FFFF> identity range would otherwise expand unbounded
+
+  private def parseCMap(text: String): Option[CMap] = {
+    val width = {
+      val cs = sliceAll(text, "begincodespacerange", "endcodespacerange")
+        .flatMap(HexTokRe.findFirstMatchIn(_).map(_.group(1).length / 2))
+      cs.headOption.getOrElse {
+        // infer from the first mapping's source token
+        sliceAll(text, "beginbfchar", "endbfchar")
+          .++(sliceAll(text, "beginbfrange", "endbfrange"))
+          .flatMap(HexTokRe.findFirstMatchIn(_).map(_.group(1).length / 2))
+          .headOption.getOrElse(2)
+      }
+    }
+    val entries = scala.collection.mutable.Map[Int, String]()
+    def utf16(hex: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i + 4 <= hex.length) {
+        sb.append(Integer.parseInt(hex.substring(i, i + 4), 16).toChar)
+        i += 4
+      }
+      if (i + 2 <= hex.length) // odd: a bare byte target
+        sb.append(Integer.parseInt(hex.substring(i, i + 2), 16).toChar)
+      sb.toString
+    }
+    for (block <- sliceAll(text, "beginbfchar", "endbfchar")) {
+      val toks = HexTokRe.findAllMatchIn(block).map(_.group(1)).toSeq
+      toks.grouped(2).foreach {
+        case Seq(src, dst) if entries.size < MaxCMapEntries =>
+          entries(Integer.parseInt(src, 16)) = utf16(dst)
+        case _ =>
+      }
+    }
+    for (block <- sliceAll(text, "beginbfrange", "endbfrange")) {
+      // two forms: <lo> <hi> <dstStart>   |   <lo> <hi> [<d1> <d2> ...]
+      val itemRe =
+        """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])""".r
+      for (m <- itemRe.findAllMatchIn(block)) {
+        val lo = Integer.parseInt(m.group(1), 16)
+        val hi = Integer.parseInt(m.group(2), 16)
+        m.group(3) match {
+          case arr if arr.startsWith("[") =>
+            val dsts = HexTokRe.findAllMatchIn(arr).map(_.group(1)).toSeq
+            for ((d, k) <- dsts.zipWithIndex
+                 if lo + k <= hi && entries.size < MaxCMapEntries)
+              entries(lo + k) = utf16(d)
+          case one =>
+            val dstHex = one.substring(1, one.length - 1)
+            val base = utf16(dstHex)
+            var c = lo
+            while (c <= hi && entries.size < MaxCMapEntries) {
+              // §9.10.3: the offset adds to the LAST UTF-16 code unit
+              val s =
+                if (base.isEmpty) ""
+                else base.init + (base.last + (c - lo)).toChar
+              entries(c) = s
+              c += 1
+            }
+        }
+      }
+    }
+    if (entries.isEmpty) None else Some(CMap(width, entries.toMap))
+  }
+
+  /** Every `open ... close` block body, non-overlapping, in order. */
+  private def sliceAll(text: String, open: String, close: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    var i = 0
+    var go = true
+    while (go) {
+      val a = text.indexOf(open, i)
+      val b = if (a < 0) -1 else text.indexOf(close, a + open.length)
+      if (a < 0 || b < 0) go = false
+      else { out += text.substring(a + open.length, b); i = b + close.length }
+    }
+    out.toSeq
   }
 
   // ------------------------------------------------------ object scan
@@ -129,13 +405,102 @@ object PdfText {
 
   // --------------------------------------------------------- filters
 
-  /** Identity or FlateDecode; anything else (or inflate failure) →
-    * empty. (dict, data) → decoded bytes. */
+  /** Identity, /FlateDecode, /ASCIIHexDecode, /ASCII85Decode, and
+    * their chains (§7.4.1: filters apply in array order, so an
+    * `[/ASCII85Decode /FlateDecode]` stream un-85s then inflates);
+    * anything else (or a decode failure) → empty. */
   private def decode(s: (String, Array[Byte])): Array[Byte] = {
     val (dict, data) = s
-    if (!dict.contains("/Filter")) data
-    else if (dict.contains("/FlateDecode")) inflate(data)
-    else Array.emptyByteArray
+    if (!dict.contains("/Filter")) return data
+    val names = "/(FlateDecode|ASCIIHexDecode|ASCII85Decode|DCTDecode|JPXDecode|CCITTFaxDecode|RunLengthDecode|LZWDecode)".r
+      .findAllMatchIn(filterSpec(dict)).map(_.group(1)).toSeq
+    if (names.isEmpty) return data
+    names.foldLeft(data) { (acc, f) =>
+      if (acc.isEmpty) acc
+      else f match {
+        case "FlateDecode" => inflate(acc)
+        case "ASCIIHexDecode" => asciiHex(acc)
+        case "ASCII85Decode" => ascii85(acc)
+        case _ => Array.emptyByteArray // image/unsupported: no text inside
+      }
+    }
+  }
+
+  /** The /Filter value only — a name or an array of names; greedy
+    * regexing the whole dict would pick up /DecodeParms keys. */
+  private def filterSpec(dict: String): String = {
+    val i = dict.indexOf("/Filter")
+    if (i < 0) return ""
+    var j = i + 7
+    while (j < dict.length && dict.charAt(j).isWhitespace) j += 1
+    if (j < dict.length && dict.charAt(j) == '[') {
+      val e = dict.indexOf(']', j)
+      dict.substring(j, if (e < 0) dict.length else e + 1)
+    } else {
+      // single name: up to the next delimiter
+      var k = j + 1
+      while (k < dict.length && !"/[]<> \t\r\n".contains(dict.charAt(k))) k += 1
+      dict.substring(j, k)
+    }
+  }
+
+  /** §7.4.2: hex pairs, whitespace ignored, `>` EOD, odd count pads 0. */
+  private def asciiHex(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else {
+        val v = Character.digit(c, 16)
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { out.write(hi * 16 + v); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi * 16)
+    out.toByteArray
+  }
+
+  /** §7.4.3: base-85 groups of 5 chars → 4 bytes, `z` = four zero
+    * bytes, `~>` EOD, partial final group keeps n-1 bytes. */
+  private def ascii85(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5)
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    // optional <~ leader (Adobe tools emit it; the spec's EOD is ~>)
+    if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+    def flush(count: Int): Unit = {
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < count) grp(k) else 84); k += 1 }
+      val bytesOut = count - 1
+      var shift = 24
+      var b = 0
+      while (b < bytesOut) {
+        out.write(((v >> shift) & 0xff).toInt)
+        shift -= 8; b += 1
+      }
+    }
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) { flush(5); n = 0 }
+      } // whitespace and anything else: skipped
+      i += 1
+    }
+    if (n >= 2) flush(n)
+    out.toByteArray
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] =
@@ -159,16 +524,41 @@ object PdfText {
   // ------------------------------------------- content-stream scanner
 
   /** One pass over a decoded content stream: collect shown strings in
-    * operator order, breaking lines on Td/TD/T* and before '/" shows. */
-  private def contentText(c: Array[Byte]): String = {
+    * operator order, breaking lines on Td/TD/T* and before '/" shows.
+    * `fonts` binds resource names to ToUnicode CMaps: a `/Fx ... Tf`
+    * switches the active decode; strings under a mapped font decode
+    * code-by-code through the CMap, others stay Latin-1. */
+  private def contentText(c: Array[Byte], fonts: Map[String, CMap]): String = {
     val s = new String(c, StandardCharsets.ISO_8859_1)
     val sb = new StringBuilder
     // pending[] = string operands seen since the last operator
     val pending = scala.collection.mutable.Buffer[String]()
     var inText = false
+    var lastName = "" // most recent /Name operand (the Tf font operand)
+    var cur: Option[CMap] = None
     var i = 0
     def newline(): Unit =
       if (sb.nonEmpty && sb.last != '\n') sb.append('\n')
+    def show(): Unit = {
+      pending.foreach { raw =>
+        cur match {
+          case None => sb.append(raw)
+          case Some(cm) if cm.codeBytes <= 1 =>
+            raw.foreach(ch => sb.append(
+              cm.map.getOrElse(ch.toInt, ch.toString)))
+          case Some(cm) =>
+            var k = 0
+            while (k + 1 < raw.length) {
+              val code = (raw.charAt(k) << 8) | raw.charAt(k + 1)
+              sb.append(cm.map.getOrElse(code, "")) // unmapped CID: no
+              // text mapping exists in the file — emitting the raw
+              // bytes would be garbage, not text
+              k += 2
+            }
+        }
+      }
+      pending.clear()
+    }
     while (i < s.length) {
       val ch = s.charAt(i)
       ch match {
@@ -180,6 +570,11 @@ object PdfText {
           pending += str; i = ni
         case '<' => // dict-in-stream (inline image props): skip the <<
           i += 2
+        case '/' =>
+          var k = i + 1
+          while (k < s.length && !" \t\r\n()<>[]/%".contains(s.charAt(k))) k += 1
+          lastName = s.substring(i + 1, k)
+          i = k
         case '%' => // comment to EOL (§7.2.4)
           while (i < s.length && s.charAt(i) != '\n') i += 1
         case c0 if c0.isLetter || c0 == '\'' || c0 == '"' || c0 == '*' =>
@@ -191,14 +586,15 @@ object PdfText {
           s.substring(i, j) match {
             case "BT" => inText = true; pending.clear()
             case "ET" => inText = false; pending.clear()
-            case "Tj" if inText =>
-              pending.foreach(sb.append); pending.clear()
+            case "Tf" => // font switch is graphics state: outside BT too
+              cur = fonts.get(lastName); pending.clear()
+            case "Tj" if inText => show()
             case "TJ" if inText =>
               // array elements were pushed in order; kern numbers were
               // skipped by the tokenizer, so pending IS the text run
-              pending.foreach(sb.append); pending.clear()
+              show()
             case "'" | "\"" if inText =>
-              newline(); pending.foreach(sb.append); pending.clear()
+              newline(); show()
             case "Td" | "TD" | "T*" if inText =>
               newline(); pending.clear()
             case _ => pending.clear() // any other operator consumes operands

@@ -11,6 +11,46 @@ object PdfFixtures {
 
   /** Each element of `contentOps` becomes one page's content stream. */
   def makePdf(contentOps: Seq[String], compress: Boolean,
+      indirectLength: Boolean = false): Array[Byte] =
+    makePdfEnc(contentOps,
+      if (compress) raw => (" /Filter /FlateDecode", deflate(raw))
+      else raw => ("", raw),
+      indirectLength)
+
+  /** §7.4.2 ASCIIHexDecode encoder. */
+  def asciiHexEncode(raw: Array[Byte]): Array[Byte] =
+    (raw.map(b => f"${b & 0xff}%02X").mkString.grouped(64).mkString("\n") + ">")
+      .getBytes(StandardCharsets.ISO_8859_1)
+
+  /** §7.4.3 ASCII85Decode encoder (with the ~> EOD; no z shorthand —
+    * the decoder must handle plain !!!!! groups too). */
+  def ascii85Encode(raw: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 4 <= raw.length) {
+      var v = 0L
+      for (k <- 0 until 4) v = (v << 8) | (raw(i + k) & 0xff)
+      val cs = new Array[Char](5)
+      for (k <- 4 to 0 by -1) { cs(k) = ('!' + (v % 85)).toChar; v /= 85 }
+      sb.appendAll(cs)
+      i += 4
+    }
+    val rem = raw.length - i
+    if (rem > 0) {
+      var v = 0L
+      for (k <- 0 until 4) v = (v << 8) | (if (i + k < raw.length) raw(i + k) & 0xff else 0)
+      val cs = new Array[Char](5)
+      for (k <- 4 to 0 by -1) { cs(k) = ('!' + (v % 85)).toChar; v /= 85 }
+      sb.appendAll(cs.take(rem + 1))
+    }
+    sb.append("~>")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** makePdf with an arbitrary per-stream encoder: raw content-op
+    * bytes → (filter clause for the stream dict, encoded data). */
+  def makePdfEnc(contentOps: Seq[String],
+      enc: Array[Byte] => (String, Array[Byte]),
       indirectLength: Boolean = false): Array[Byte] = {
     val n = contentOps.size
     val objs = scala.collection.mutable.Buffer[(Int, Array[Byte])]()
@@ -26,8 +66,7 @@ object PdfFixtures {
     var nextObj = 4 + 2 * n
     for (i <- 0 until n) {
       val raw = bytes(contentOps(i))
-      val data = if (compress) deflate(raw) else raw
-      val filter = if (compress) " /Filter /FlateDecode" else ""
+      val (filter, data) = enc(raw)
       val lenTok =
         if (indirectLength) { val o = nextObj; nextObj += 1; s"$o 0 R" }
         else data.length.toString
@@ -39,7 +78,13 @@ object PdfFixtures {
     }
     objs += (3 + 2 * n) -> bytes(
       "<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>")
+    assemble(objs.toSeq)
+  }
 
+  /** Header + objects + xref (computed offsets) + trailer with
+    * /Root 1 0 R. Object 1 must be the catalog. */
+  def assemble(objs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    def bytes(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
     val out = new java.io.ByteArrayOutputStream()
     out.write(bytes("%PDF-1.4\n%âãÏÓ\n"))
     val offsets = scala.collection.mutable.Map[Int, Int]()
@@ -51,10 +96,23 @@ object PdfFixtures {
     val maxObj = objs.map(_._1).max
     out.write(bytes(s"xref\n0 ${maxObj + 1}\n0000000000 65535 f \n"))
     for (num <- 1 to maxObj)
-      out.write(bytes(f"${offsets(num)}%010d 00000 n \n"))
+      out.write(bytes(f"${offsets.getOrElse(num, 0)}%010d 00000 n \n"))
     out.write(bytes(
       s"trailer\n<</Size ${maxObj + 1} /Root 1 0 R>>\nstartxref\n$xref\n%%EOF\n"))
     out.toByteArray
+  }
+
+  def textObj(num: Int, body: String): (Int, Array[Byte]) =
+    num -> body.getBytes(StandardCharsets.ISO_8859_1)
+
+  /** A stream object, optionally Flate-compressed. */
+  def streamObj(num: Int, data: Array[Byte], compress: Boolean,
+      dictExtra: String = ""): (Int, Array[Byte]) = {
+    val enc = if (compress) deflate(data) else data
+    val filter = if (compress) " /Filter /FlateDecode" else ""
+    val head = s"<</Length ${enc.length}$filter$dictExtra>>\nstream\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    num -> (head ++ enc ++ "\nendstream".getBytes(StandardCharsets.ISO_8859_1))
   }
 
   def deflate(raw: Array[Byte]): Array[Byte] = {

@@ -76,6 +76,132 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got == "Shown", got)
   }
 
+  test("ASCIIHexDecode filter") {
+    val pdf = PdfFixtures.makePdfEnc(Seq(hello),
+      raw => (" /Filter /ASCIIHexDecode", PdfFixtures.asciiHexEncode(raw)))
+    assert(PdfText.extract(pdf) == "Hello World")
+  }
+
+  test("ASCII85Decode filter, and the [ASCII85 Flate] chain in order") {
+    val p85 = PdfFixtures.makePdfEnc(Seq(hello),
+      raw => (" /Filter /ASCII85Decode", PdfFixtures.ascii85Encode(raw)))
+    assert(PdfText.extract(p85) == "Hello World")
+    val chained = PdfFixtures.makePdfEnc(Seq(hello),
+      raw => (" /Filter [/ASCII85Decode /FlateDecode]",
+        PdfFixtures.ascii85Encode(PdfFixtures.deflate(raw))))
+    assert(PdfText.extract(chained) == "Hello World")
+  }
+
+  // ------------------------------------------ Type0/CID + ToUnicode
+
+  private val cmapText =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |/CMapName /Adobe-Identity-UCS def
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |4 beginbfchar
+      |<0001> <0048>
+      |<0002> <00EA>
+      |<0003> <006C>
+      |<0004> <D83DDE00>
+      |endbfchar
+      |2 beginbfrange
+      |<0010> <0013> <0041>
+      |<0020> <0021> [<0058> <0059>]
+      |endbfrange
+      |endcmap
+      |CMapName currentdict /CMap defineresource pop
+      |end end""".stripMargin
+
+  private def cidPdf(content: String, compressCmap: Boolean = true): Array[Byte] =
+    PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.textObj(3,
+        "<</Type /Page /Parent 2 0 R /Resources <</Font <</F1 5 0 R " +
+          "/F2 8 0 R>>>> /Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        content.getBytes(StandardCharsets.ISO_8859_1), compress = false),
+      PdfFixtures.textObj(5,
+        "<</Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Custom " +
+          "/Encoding /Identity-H /ToUnicode 6 0 R>>"),
+      PdfFixtures.streamObj(6,
+        cmapText.getBytes(StandardCharsets.ISO_8859_1), compressCmap),
+      PdfFixtures.textObj(8,
+        "<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>")))
+
+  test("Type0 font: 2-byte codes decode through the bfchar ToUnicode map") {
+    val got = PdfText.extract(cidPdf("BT /F1 12 Tf <000100020003> Tj ET"))
+    assert(got == "Hêl", got) // Hêl
+  }
+
+  test("ToUnicode bfrange: continuous run and the array form") {
+    assert(PdfText.extract(cidPdf("BT /F1 12 Tf <0010001100120013> Tj ET"))
+      == "ABCD")
+    assert(PdfText.extract(cidPdf("BT /F1 12 Tf <00200021> Tj ET")) == "XY")
+  }
+
+  test("ToUnicode multi-code-unit target (surrogate pair) survives") {
+    val got = PdfText.extract(cidPdf("BT /F1 12 Tf <0004> Tj ET"))
+    assert(got == "😀", got.map(_.toInt.toHexString).mkString(","))
+  }
+
+  test("font switching: CID font and simple font alternate in one stream") {
+    val got = PdfText.extract(cidPdf(
+      "BT /F1 12 Tf <0001> Tj /F2 12 Tf (ello ) Tj /F1 12 Tf <00100012> Tj ET"))
+    assert(got == "Hello AC", got)
+  }
+
+  test("uncompressed ToUnicode CMap works too") {
+    assert(PdfText.extract(
+      cidPdf("BT /F1 12 Tf <0001> Tj ET", compressCmap = false)) == "H")
+  }
+
+  test("per-page resources: the same /F1 name binds different fonts per page") {
+    // page 1's /F1 is the CID font; page 2's /F1 is a simple font
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R 4 0 R] /Count 2>>"),
+      PdfFixtures.textObj(3,
+        "<</Type /Page /Parent 2 0 R /Resources <</Font <</F1 7 0 R>>>> " +
+          "/Contents 5 0 R>>"),
+      PdfFixtures.textObj(4,
+        "<</Type /Page /Parent 2 0 R /Resources <</Font <</F1 9 0 R>>>> " +
+          "/Contents 6 0 R>>"),
+      PdfFixtures.streamObj(5,
+        "BT /F1 12 Tf <00100011> Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = true),
+      PdfFixtures.streamObj(6,
+        "BT /F1 12 Tf (plain latin) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = true),
+      PdfFixtures.textObj(7,
+        "<</Type /Font /Subtype /Type0 /ToUnicode 8 0 R>>"),
+      PdfFixtures.streamObj(8,
+        cmapText.getBytes(StandardCharsets.ISO_8859_1), compress = true),
+      PdfFixtures.textObj(9,
+        "<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>")))
+    assert(PdfText.extract(pdf) == "AB\n\nplain latin")
+  }
+
+  test("kids-order beats file order for page sequencing") {
+    // object numbers/file order reversed vs the /Kids array
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [4 0 R 3 0 R] /Count 2>>"),
+      PdfFixtures.textObj(3,
+        "<</Type /Page /Parent 2 0 R /Contents 5 0 R>>"),
+      PdfFixtures.textObj(4,
+        "<</Type /Page /Parent 2 0 R /Contents 6 0 R>>"),
+      PdfFixtures.streamObj(5,
+        "BT (second) Tj ET".getBytes(StandardCharsets.ISO_8859_1), compress = false),
+      PdfFixtures.streamObj(6,
+        "BT (first) Tj ET".getBytes(StandardCharsets.ISO_8859_1), compress = false)))
+    assert(PdfText.extract(pdf) == "first\n\nsecond")
+  }
+
   test("malformed inputs never throw") {
     assert(PdfText.extract(null) == "")
     assert(PdfText.extract(Array.emptyByteArray) == "")
