@@ -528,34 +528,47 @@ object PdfText {
     * `fonts` binds resource names to ToUnicode CMaps: a `/Fx ... Tf`
     * switches the active decode; strings under a mapped font decode
     * code-by-code through the CMap, others stay Latin-1. */
+  /** TJ kern (thousandths of text-space em) at or below which a gap is
+    * a WORD BREAK, not letter kerning: TeX-family PDFs carry no space
+    * glyphs at all — interword glue arrives as kerns of ~-250 to -350
+    * milli-em, while letter-pair kerning stays above ~-100 (the
+    * pdftotext/PyMuPDF word-assembly heuristic; validated r13 on the
+    * container's two real TeX/DocBook PDFs, which were unreadable
+    * word-soup without it). */
+  private val WordGapKern = -180
+
   private def contentText(c: Array[Byte], fonts: Map[String, CMap]): String = {
     val s = new String(c, StandardCharsets.ISO_8859_1)
     val sb = new StringBuilder
-    // pending[] = string operands seen since the last operator
-    val pending = scala.collection.mutable.Buffer[String]()
+    // pending = (operand, isKernSpace) seen since the last operator
+    val pending = scala.collection.mutable.Buffer[(String, Boolean)]()
     var inText = false
     var lastName = "" // most recent /Name operand (the Tf font operand)
     var cur: Option[CMap] = None
+    var arrayDepth = 0
     var i = 0
     def newline(): Unit =
       if (sb.nonEmpty && sb.last != '\n') sb.append('\n')
     def show(): Unit = {
-      pending.foreach { raw =>
-        cur match {
-          case None => sb.append(raw)
-          case Some(cm) if cm.codeBytes <= 1 =>
-            raw.foreach(ch => sb.append(
-              cm.map.getOrElse(ch.toInt, ch.toString)))
-          case Some(cm) =>
-            var k = 0
-            while (k + 1 < raw.length) {
-              val code = (raw.charAt(k) << 8) | raw.charAt(k + 1)
-              sb.append(cm.map.getOrElse(code, "")) // unmapped CID: no
-              // text mapping exists in the file — emitting the raw
-              // bytes would be garbage, not text
-              k += 2
-            }
-        }
+      pending.foreach {
+        case (_, true) => // TJ word-gap kern
+          if (sb.nonEmpty && sb.last != ' ' && sb.last != '\n') sb.append(' ')
+        case (raw, _) =>
+          cur match {
+            case None => sb.append(raw)
+            case Some(cm) if cm.codeBytes <= 1 =>
+              raw.foreach(ch => sb.append(
+                cm.map.getOrElse(ch.toInt, ch.toString)))
+            case Some(cm) =>
+              var k = 0
+              while (k + 1 < raw.length) {
+                val code = (raw.charAt(k) << 8) | raw.charAt(k + 1)
+                sb.append(cm.map.getOrElse(code, "")) // unmapped CID: no
+                // text mapping exists in the file — emitting the raw
+                // bytes would be garbage, not text
+                k += 2
+              }
+          }
       }
       pending.clear()
     }
@@ -564,10 +577,10 @@ object PdfText {
       ch match {
         case '(' =>
           val (str, ni) = literalString(s, i)
-          pending += str; i = ni
+          pending += ((str, false)); i = ni
         case '<' if i + 1 < s.length && s.charAt(i + 1) != '<' =>
           val (str, ni) = hexString(s, i)
-          pending += str; i = ni
+          pending += ((str, false)); i = ni
         case '<' => // dict-in-stream (inline image props): skip the <<
           i += 2
         case '/' =>
@@ -577,6 +590,20 @@ object PdfText {
           i = k
         case '%' => // comment to EOL (§7.2.4)
           while (i < s.length && s.charAt(i) != '\n') i += 1
+        case '[' => arrayDepth += 1; i += 1
+        case ']' => arrayDepth = math.max(0, arrayDepth - 1); i += 1
+        case c0 if c0 == '-' || c0 == '+' || c0 == '.' || c0.isDigit =>
+          var k = i + 1
+          while (k < s.length && (s.charAt(k).isDigit || s.charAt(k) == '.')) k += 1
+          // a sufficiently negative kern BETWEEN array strings is an
+          // encoded word space (see WordGapKern); numbers anywhere
+          // else are coordinates/operands and stay skipped
+          if (arrayDepth > 0 && inText)
+            try {
+              if (s.substring(i, k).toDouble <= WordGapKern)
+                pending += ((" ", true))
+            } catch { case _: NumberFormatException => }
+          i = k
         case c0 if c0.isLetter || c0 == '\'' || c0 == '"' || c0 == '*' =>
           val j = {
             var k = i

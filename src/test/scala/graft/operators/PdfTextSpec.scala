@@ -54,6 +54,17 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(makePdf(Seq(ops), compress = true)) == "World!")
   }
 
+  test("TJ word-gap kerns become spaces; letter kerns do not (TeX PDFs)") {
+    // TeX emits no space glyphs: interword glue is a kern ~-250 to
+    // -350 milli-em, letter kerning stays above ~-100
+    val ops = "BT /F1 12 Tf [(Hello) -250 (Wor) -90 (ld) -333 (again)] TJ ET"
+    assert(PdfText.extract(makePdf(Seq(ops), compress = true)) ==
+      "Hello World again")
+    // numbers outside arrays (coordinates, dash patterns) never space
+    val ops2 = "BT /F1 12 Tf -500 -700 Td (x) Tj [(a) -200 (b)] TJ ET"
+    assert(PdfText.extract(makePdf(Seq(ops2), compress = false)) == "xa b")
+  }
+
   test("Td/TD/T* and quote operators break lines") {
     val ops = "BT /F1 12 Tf (line one) Tj 0 -14 Td (line two) Tj T* (line three) ' ET"
     val got = PdfText.extract(makePdf(Seq(ops), compress = true))
