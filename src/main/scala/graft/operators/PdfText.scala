@@ -66,19 +66,27 @@ object PdfText {
     val pageTexts =
       try {
         val objs = parseObjects(bytes)
+        // one ToUnicode parse per font OBJECT per document, not per
+        // page referencing it (r13 review: a 500-page book re-inflated
+        // its 10 shared CMaps ~5000 times)
+        val cmapCache = scala.collection.mutable.Map[Int, Option[CMap]]()
         pagesInOrder(objs).map { pageDict =>
           val content = contentsOf(objs, pageDict)
           if (!containsTextOps(content)) ""
-          else contentText(content, fontsOf(objs, pageDict))
+          else contentText(content, fontsOf(objs, pageDict, cmapCache))
         }
       } catch { case _: Exception => Seq.empty }
     val texts =
       if (pageTexts.exists(_.nonEmpty)) pageTexts
-      else streams(bytes).iterator
-        .map(decode)
-        .filter(containsTextOps)
-        .map(contentText(_, Map.empty))
-        .toSeq
+      else
+        // raw fallback shares extract()'s never-throws contract — it
+        // parses the same untrusted bytes the graph path just failed on
+        try streams(bytes).iterator
+          .map(decode)
+          .filter(containsTextOps)
+          .map(contentText(_, Map.empty))
+          .toSeq
+        catch { case _: Exception => Seq.empty }
     texts.filter(_.nonEmpty).mkString("\n\n")
   }
 
@@ -95,7 +103,12 @@ object PdfText {
     val s = new String(b, StandardCharsets.ISO_8859_1)
     val out = scala.collection.mutable.LinkedHashMap[Int, PObj]()
     val objRe = """(\d{1,9})\s+\d{1,5}\s+obj\b""".r
-    for (m <- objRe.findAllMatchIn(s)) {
+    // matches starting INSIDE a previously-delimited stream extent are
+    // phantom objects (r13 review: an embedded uncompressed PDF/XML
+    // attachment containing "3 0 obj" text would otherwise clobber the
+    // host's real object 3 under the later-definition-wins rule)
+    var skipUntil = 0
+    for (m <- objRe.findAllMatchIn(s) if m.start >= skipUntil) {
       val num = m.group(1).toInt
       var i = m.end
       while (i < s.length && s.charAt(i).isWhitespace) i += 1
@@ -115,13 +128,16 @@ object PdfText {
                   val e = s.indexOf("endstream", d)
                   if (e < 0) b.length else e
               }
+              skipUntil = stop
               Some(java.util.Arrays.copyOfRange(b, d, stop))
             } else None
           out(num) = PObj(dict, data)
         }
       } else {
         val e = s.indexOf("endobj", i)
-        if (e > i) out(num) = PObj(s.substring(i, e).trim.take(200), None)
+        // 4000 chars keeps bare numbers and /Contents arrays whole
+        // (hundreds of refs) while bounding pathological bodies
+        if (e > i) out(num) = PObj(s.substring(i, e).trim.take(4000), None)
       }
     }
     out.toMap
@@ -199,7 +215,7 @@ object PdfText {
     if (i < 0) return Array.emptyByteArray
     var j = i + 9
     while (j < pageDict.length && pageDict.charAt(j).isWhitespace) j += 1
-    val refs =
+    val refs0 =
       if (j < pageDict.length && pageDict.charAt(j) == '[') {
         val close = pageDict.indexOf(']', j)
         RefRe.findAllMatchIn(
@@ -208,6 +224,16 @@ object PdfText {
       } else RefRe.findPrefixMatchOf(
         pageDict.substring(j, math.min(pageDict.length, j + 24)))
         .map(m => Seq(m.group(1).toInt)).getOrElse(Seq.empty)
+    // /Contents may point INDIRECTLY at an array object (§7.7.3.3,
+    // r13 review): a resolved non-stream object whose body is an
+    // array expands one level into its stream refs.
+    val refs = refs0.flatMap { r =>
+      objs.get(r) match {
+        case Some(PObj(d, None)) if d.startsWith("[") =>
+          RefRe.findAllMatchIn(d).map(_.group(1).toInt).toSeq
+        case _ => Seq(r)
+      }
+    }
     val pieces = refs.flatMap(objs.get).collect {
       case PObj(d, Some(data)) => decode((d, data))
     }
@@ -215,13 +241,35 @@ object PdfText {
     else pieces.reduce((a, c) => a ++ Array[Byte]('\n') ++ c)
   }
 
-  /** Resource-name → ToUnicode CMap for every page font that has one. */
-  private def fontsOf(objs: Map[Int, PObj], pageDict: String)
+  /** Resource-name → ToUnicode CMap for every page font that has one.
+    * Resources INHERIT up the /Parent chain (§7.7.3.4, r13 review:
+    * pages that omit /Resources and inherit the font map from their
+    * /Pages node would otherwise decode CID text as Latin-1 garbage).
+    * `cmapCache` memoizes parsed CMaps by ToUnicode object number. */
+  private def fontsOf(objs: Map[Int, PObj], pageDict0: String,
+      cmapCache: scala.collection.mutable.Map[Int, Option[CMap]])
       : Map[String, CMap] = {
-    val fontDict = for {
-      res <- subDict(objs, pageDict, "/Resources")
-      fd <- subDict(objs, res, "/Font")
-    } yield fd
+    var pageDict = pageDict0
+    var fontDict: Option[String] = None
+    var depth = 0
+    while (fontDict.isEmpty && depth < 16) {
+      fontDict = for {
+        res <- subDict(objs, pageDict, "/Resources")
+        fd <- subDict(objs, res, "/Font")
+      } yield fd
+      if (fontDict.isEmpty) {
+        val parent = for {
+          i <- Some(pageDict.indexOf("/Parent")) if i >= 0
+          m <- RefRe.findFirstMatchIn(pageDict.substring(i))
+          p <- objs.get(m.group(1).toInt)
+        } yield p.dict
+        parent match {
+          case Some(d) if d != pageDict => pageDict = d
+          case _ => depth = 16
+        }
+      }
+      depth += 1
+    }
     fontDict match {
       case None => Map.empty
       case Some(fd) =>
@@ -229,23 +277,30 @@ object PdfText {
         entryRe.findAllMatchIn(fd).flatMap { m =>
           for {
             font <- objs.get(m.group(2).toInt)
-            tu <- tounicodeOf(objs, font.dict)
+            tu <- tounicodeOf(objs, font.dict, cmapCache)
           } yield m.group(1) -> tu
         }.toMap
     }
   }
 
-  private def tounicodeOf(objs: Map[Int, PObj], fontDict: String)
+  private def tounicodeOf(objs: Map[Int, PObj], fontDict: String,
+      cmapCache: scala.collection.mutable.Map[Int, Option[CMap]])
       : Option[CMap] = {
     val i = fontDict.indexOf("/ToUnicode")
     if (i < 0) return None
-    for {
-      m <- RefRe.findFirstMatchIn(fontDict.substring(i))
-      o <- objs.get(m.group(1).toInt)
-      data <- o.data
-      cm <- parseCMap(
-        new String(decode((o.dict, data)), StandardCharsets.ISO_8859_1))
-    } yield cm
+    RefRe.findFirstMatchIn(fontDict.substring(i)).flatMap { m =>
+      val num = m.group(1).toInt
+      cmapCache.getOrElseUpdate(num,
+        // per-font isolation (r13 review): one unparseable CMap must
+        // not discard the whole document's font-aware extraction
+        try for {
+          o <- objs.get(num)
+          data <- o.data
+          cm <- parseCMap(
+            new String(decode((o.dict, data)), StandardCharsets.ISO_8859_1))
+        } yield cm
+        catch { case _: Exception => None })
+    }
   }
 
   // ------------------------------------------------------ ToUnicode
@@ -281,11 +336,21 @@ object PdfText {
         sb.append(Integer.parseInt(hex.substring(i, i + 2), 16).toChar)
       sb.toString
     }
+    // total hex parse: codes past Int range (4-byte CMaps beyond
+    // <7FFFFFFF>) drop the ENTRY, not the document (r13 review: an
+    // Integer.parseInt throw here used to discard every page's
+    // font-aware extraction through the outer catch)
+    def hexCode(h: String): Option[Int] =
+      if (h.length > 8) None
+      else java.lang.Long.parseLong(h, 16) match {
+        case v if v <= Int.MaxValue => Some(v.toInt)
+        case _ => None
+      }
     for (block <- sliceAll(text, "beginbfchar", "endbfchar")) {
       val toks = HexTokRe.findAllMatchIn(block).map(_.group(1)).toSeq
       toks.grouped(2).foreach {
         case Seq(src, dst) if entries.size < MaxCMapEntries =>
-          entries(Integer.parseInt(src, 16)) = utf16(dst)
+          hexCode(src).foreach(c => entries(c) = utf16(dst))
         case _ =>
       }
     }
@@ -293,9 +358,11 @@ object PdfText {
       // two forms: <lo> <hi> <dstStart>   |   <lo> <hi> [<d1> <d2> ...]
       val itemRe =
         """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])""".r
-      for (m <- itemRe.findAllMatchIn(block)) {
-        val lo = Integer.parseInt(m.group(1), 16)
-        val hi = Integer.parseInt(m.group(2), 16)
+      for {
+        m <- itemRe.findAllMatchIn(block)
+        lo <- hexCode(m.group(1))
+        hi <- hexCode(m.group(2))
+      } {
         m.group(3) match {
           case arr if arr.startsWith("[") =>
             val dsts = HexTokRe.findAllMatchIn(arr).map(_.group(1)).toSeq
@@ -386,8 +453,11 @@ object PdfText {
   // (?!\d) pins the capture at the full number — without it the engine
   // backtracks `/Length 12 0 R` to capture "1" just to satisfy the
   // indirect-reference lookahead; with both, an indirect /Length finds
-  // no match and the endstream-keyword fallback sizes the data.
-  private val LenRe = """/Length\s+(\d+)(?!\d)(?!\s*\d+\s+R)""".r
+  // no match and the endstream-keyword fallback sizes the data. The
+  // 1-9 digit bound keeps toInt total (r13 review: a corrupt
+  // `/Length 99999999999999` must fall to the endstream fallback, not
+  // throw through extract()'s never-throws contract).
+  private val LenRe = """/Length\s+(\d{1,9})(?!\d)(?!\s*\d+\s+R)""".r
   private def directLength(dict: String): Option[Int] =
     LenRe.findFirstMatchIn(dict).map(_.group(1).toInt)
 
@@ -503,6 +573,12 @@ object PdfText {
     out.toByteArray
   }
 
+  /** Decompression ceiling: real content/CMap streams are KBs to a few
+    * MBs; a small deflate stream expanding past this is a flate bomb
+    * and the whole stream is dropped (r13 review — the ingest gate's
+    * "best text or empty" contract covers resource exhaustion too). */
+  private val MaxInflateBytes = 64 << 20
+
   private def inflate(data: Array[Byte]): Array[Byte] =
     try {
       val inf = new java.util.zip.Inflater()
@@ -511,7 +587,10 @@ object PdfText {
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n)
+        if (n > 0) {
+          if (out.size() + n > MaxInflateBytes) return Array.emptyByteArray
+          out.write(buf, 0, n)
+        }
         else if (n == 0 && inf.needsDictionary()) return Array.emptyByteArray
       }
       inf.end()
@@ -547,8 +626,10 @@ object PdfText {
     var cur: Option[CMap] = None
     var arrayDepth = 0
     var i = 0
-    def newline(): Unit =
+    def newline(): Unit = {
+      while (sb.nonEmpty && sb.last == ' ') sb.setLength(sb.length - 1)
       if (sb.nonEmpty && sb.last != '\n') sb.append('\n')
+    }
     def show(): Unit = {
       pending.foreach {
         case (_, true) => // TJ word-gap kern
@@ -612,7 +693,11 @@ object PdfText {
           }
           s.substring(i, j) match {
             case "BT" => inText = true; pending.clear()
-            case "ET" => inText = false; pending.clear()
+            case "ET" =>
+              // block boundary breaks the line (r13 review: generators
+              // that emit one BT..ET per line — Chrome, Ghostscript —
+              // would otherwise fuse whole pages into one token)
+              inText = false; pending.clear(); newline()
             case "Tf" => // font switch is graphics state: outside BT too
               cur = fonts.get(lastName); pending.clear()
             case "Tj" if inText => show()
@@ -622,11 +707,33 @@ object PdfText {
               show()
             case "'" | "\"" if inText =>
               newline(); show()
-            case "Td" | "TD" | "T*" if inText =>
+            case "Td" | "TD" | "T*" | "Tm" if inText =>
+              // Tm re-positions the text matrix — generators that place
+              // every line via Tm instead of Td break lines here
               newline(); pending.clear()
+            case "BI" =>
+              // inline image (§8.9.7): raw binary follows ID until a
+              // delimited EI — its bytes routinely contain '(' and
+              // would open a phantom literal string that swallows the
+              // rest of the stream's text operators
+              val id = s.indexOf("ID", j)
+              if (id < 0) { pending.clear(); i = s.length }
+              else {
+                var e = id + 2
+                var found = -1
+                while (found < 0 && e < s.length - 2) {
+                  if (s.charAt(e).isWhitespace && s.charAt(e + 1) == 'E' &&
+                      s.charAt(e + 2) == 'I' &&
+                      (e + 3 >= s.length || !s.charAt(e + 3).isLetterOrDigit))
+                    found = e + 3
+                  e += 1
+                }
+                pending.clear()
+                i = if (found < 0) s.length else found
+              }
             case _ => pending.clear() // any other operator consumes operands
           }
-          i = j
+          if (i < j) i = j
         case _ => i += 1 // numbers, delimiters, whitespace, [ ]
       }
     }

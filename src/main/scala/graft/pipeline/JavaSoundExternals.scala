@@ -32,11 +32,25 @@ object JavaSoundExternals extends Externals {
     * fixture stub semantics (the reference fixtures use ASCII
     * payloads as stand-in "PDFs"). */
   override def extractPdfText(bytes: Array[Byte]): String =
-    if (bytes != null && bytes.length >= 5 &&
-        bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' &&
-        bytes(3) == 'F' && bytes(4) == '-')
-      graft.operators.PdfText.extract(bytes)
+    if (hasPdfMagic(bytes)) graft.operators.PdfText.extract(bytes)
     else StubExternals.extractPdfText(bytes)
+
+  /** `%PDF-` anywhere in the first 1024 bytes — Acrobat's own
+    * tolerance (r13 review: crawled PDFs routinely carry HTTP/mail
+    * junk prefixes; missing the magic would dump the raw binary into
+    * the corpus through the ASCII stub). The extractor's object scan
+    * is offset-independent, so no trimming is needed. */
+  private def hasPdfMagic(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 5) return false
+    val lim = math.min(b.length - 5, 1024)
+    var i = 0
+    while (i <= lim) {
+      if (b(i) == '%' && b(i + 1) == 'P' && b(i + 2) == 'D' &&
+          b(i + 3) == 'F' && b(i + 4) == '-') return true
+      i += 1
+    }
+    false
+  }
 
   override def transcribe(samples: Array[Float], refText: String): String =
     StubExternals.transcribe(samples, refText)

@@ -213,6 +213,98 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(pdf) == "first\n\nsecond")
   }
 
+  // --------------------------------------- r13 review regressions
+
+  test("per-line BT/ET blocks and Tm positioning break lines (Chrome/gs style)") {
+    val ops = "BT (Hello) Tj ET BT (World) Tj ET"
+    assert(PdfText.extract(makePdf(Seq(ops), compress = false))
+      == "Hello\nWorld")
+    val tm = "BT 1 0 0 1 72 700 Tm (line one) Tj 1 0 0 1 72 686 Tm (line two) Tj ET"
+    assert(PdfText.extract(makePdf(Seq(tm), compress = false))
+      == "line one\nline two")
+  }
+
+  test("/Contents via an indirect ARRAY object resolves its stream refs") {
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.textObj(3, "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>"),
+      PdfFixtures.textObj(4, "[5 0 R 6 0 R]"),
+      PdfFixtures.streamObj(5,
+        "BT (part one ) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      PdfFixtures.streamObj(6,
+        "BT (part two) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false)))
+    assert(PdfText.extract(pdf) == "part one\npart two")
+  }
+
+  test("fonts inherit from the /Pages node when the page has no /Resources") {
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2,
+        "<</Type /Pages /Kids [3 0 R] /Count 1 " +
+          "/Resources <</Font <</F1 5 0 R>>>>>>"),
+      PdfFixtures.textObj(3, "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        "BT /F1 12 Tf <0001> Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      PdfFixtures.textObj(5, "<</Type /Font /Subtype /Type0 /ToUnicode 6 0 R>>"),
+      PdfFixtures.streamObj(6,
+        cmapText.getBytes(StandardCharsets.ISO_8859_1), compress = true)))
+    assert(PdfText.extract(pdf) == "H")
+  }
+
+  test("'N 0 obj' text inside stream data cannot clobber a real object") {
+    // an uncompressed embedded attachment containing "3 0 obj" — the
+    // phantom must not replace page object 3
+    val attachment = ("this is an attachment containing 3 0 obj\n" +
+      "<</Type /Page /Contents 99 0 R>>\nendobj text").getBytes(
+      StandardCharsets.ISO_8859_1)
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.streamObj(20, attachment, compress = false),
+      PdfFixtures.textObj(3, "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        "BT (real text) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false)))
+    assert(PdfText.extract(pdf) == "real text")
+  }
+
+  test("inline image binary with a '(' byte does not swallow later text") {
+    val img = new String(Array[Byte](40, 1, 2, 3, 40, 41, 5),
+      StandardCharsets.ISO_8859_1) // contains '(' and ')'
+    val ops = s"BT (before ) Tj ET BI /W 2 /H 2 /BPC 8 ID $img EI BT (after) Tj ET"
+    assert(PdfText.extract(makePdf(Seq(ops), compress = false))
+      == "before\nafter")
+  }
+
+  test("a CMap source code past Int range drops the entry, not the document") {
+    val bad = cmapText.replace("<0003> <006C>", "<FFFFFFFFFF> <006C>")
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.textObj(3,
+        "<</Type /Page /Parent 2 0 R /Resources <</Font <</F1 5 0 R>>>> " +
+          "/Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        "BT /F1 12 Tf <00010002> Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      PdfFixtures.textObj(5, "<</Type /Font /Subtype /Type0 /ToUnicode 6 0 R>>"),
+      PdfFixtures.streamObj(6, bad.getBytes(StandardCharsets.ISO_8859_1),
+        compress = false)))
+    assert(PdfText.extract(pdf) == "Hê")
+  }
+
+  test("junk-prefixed PDFs still route to the native extractor at the seam") {
+    val junk = "HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n\r\n"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val whole = junk ++ makePdf(Seq(hello), compress = true)
+    assert(graft.pipeline.JavaSoundExternals.extractPdfText(whole)
+      == "Hello World")
+  }
+
   test("malformed inputs never throw") {
     assert(PdfText.extract(null) == "")
     assert(PdfText.extract(Array.emptyByteArray) == "")
@@ -227,5 +319,10 @@ class PdfTextSpec extends AnyFunSuite {
     val junk = ("%PDF-1.4\n1 0 obj\n<</Length 8 /Filter /FlateDecode>>\n" +
       "stream\nZZZZZZZZ\nendstream\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
     assert(PdfText.extract(junk) == "")
+    // oversized /Length must fall to the endstream fallback, not throw
+    // (also when the graph path fails and the RAW path re-parses it)
+    val bigLen = ("%PDF-1.4\n1 0 obj\n<</Length 99999999999999>>\nstream\n" +
+      "BT (ok) Tj ET\nendstream\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(bigLen) == "ok")
   }
 }
