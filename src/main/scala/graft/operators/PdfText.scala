@@ -42,9 +42,15 @@ import java.nio.charset.StandardCharsets
   *     their chained forms are decoded (§7.4); streams under
   *     image/other filters (DCTDecode etc.) are skipped — they carry
   *     no text operators.
+  *   - ENCRYPTED documents with the standard security handler and an
+  *     EMPTY user password — the "owner-locked but freely openable"
+  *     class crawls meet — decrypt natively ([[PdfCrypt]]: RC4 V1/V2
+  *     and AES-128 /AESV2, per-object keys, decrypt-then-filter).
   *   - CID fonts WITHOUT /ToUnicode (no text mapping exists in the
-  *     file at all — PyMuPDF emits garbage there too) and ENCRYPTED
-  *     documents stay at the [[graft.pipeline.Externals]] seam.
+  *     file at all — PyMuPDF emits garbage there too), AES-256 (V5/R6)
+  *     encryption, and real user passwords stay at the
+  *     [[graft.pipeline.Externals]] seam; they fail CLOSED here
+  *     (wrongly-keyed streams never inflate → empty text).
   *   - Documents whose page tree does not resolve fall back to
   *     scanning every stream for BT/ET text (no font context).
   *
@@ -66,14 +72,15 @@ object PdfText {
     val pageTexts =
       try {
         val objs = parseObjects(bytes)
+        val crypt = detectCrypt(bytes, objs)
         // one ToUnicode parse per font OBJECT per document, not per
         // page referencing it (r13 review: a 500-page book re-inflated
         // its 10 shared CMaps ~5000 times)
         val cmapCache = scala.collection.mutable.Map[Int, Option[CMap]]()
         pagesInOrder(objs).map { pageDict =>
-          val content = contentsOf(objs, pageDict)
+          val content = contentsOf(objs, pageDict, crypt)
           if (!containsTextOps(content)) ""
-          else contentText(content, fontsOf(objs, pageDict, cmapCache))
+          else contentText(content, fontsOf(objs, pageDict, cmapCache, crypt))
         }
       } catch { case _: Exception => Seq.empty }
     val texts =
@@ -92,7 +99,8 @@ object PdfText {
 
   // --------------------------------------------------- document graph
 
-  private final case class PObj(dict: String, data: Option[Array[Byte]])
+  private final case class PObj(dict: String, gen: Int,
+    data: Option[Array[Byte]])
 
   /** Object number → final definition, linear scan (§7.5.6: a later
     * `N G obj` supersedes an earlier one — incremental updates). The
@@ -102,7 +110,7 @@ object PdfText {
   private def parseObjects(b: Array[Byte]): Map[Int, PObj] = {
     val s = new String(b, StandardCharsets.ISO_8859_1)
     val out = scala.collection.mutable.LinkedHashMap[Int, PObj]()
-    val objRe = """(\d{1,9})\s+\d{1,5}\s+obj\b""".r
+    val objRe = """(\d{1,9})\s+(\d{1,5})\s+obj\b""".r
     // matches starting INSIDE a previously-delimited stream extent are
     // phantom objects (r13 review: an embedded uncompressed PDF/XML
     // attachment containing "3 0 obj" text would otherwise clobber the
@@ -110,6 +118,7 @@ object PdfText {
     var skipUntil = 0
     for (m <- objRe.findAllMatchIn(s) if m.start >= skipUntil) {
       val num = m.group(1).toInt
+      val gen = m.group(2).toInt
       var i = m.end
       while (i < s.length && s.charAt(i).isWhitespace) i += 1
       if (i + 1 < s.length && s.charAt(i) == '<' && s.charAt(i + 1) == '<') {
@@ -131,13 +140,13 @@ object PdfText {
               skipUntil = stop
               Some(java.util.Arrays.copyOfRange(b, d, stop))
             } else None
-          out(num) = PObj(dict, data)
+          out(num) = PObj(dict, gen, data)
         }
       } else {
         val e = s.indexOf("endobj", i)
         // 4000 chars keeps bare numbers and /Contents arrays whole
         // (hundreds of refs) while bounding pathological bodies
-        if (e > i) out(num) = PObj(s.substring(i, e).trim.take(4000), None)
+        if (e > i) out(num) = PObj(s.substring(i, e).trim.take(4000), gen, None)
       }
     }
     out.toMap
@@ -210,7 +219,8 @@ object PdfText {
     * concatenated with a separator (§7.8.2: the pieces form ONE
     * logical stream; the separator byte keeps adjacent tokens from
     * fusing across piece boundaries). */
-  private def contentsOf(objs: Map[Int, PObj], pageDict: String): Array[Byte] = {
+  private def contentsOf(objs: Map[Int, PObj], pageDict: String,
+      crypt: Option[PdfCrypt.Ctx]): Array[Byte] = {
     val i = pageDict.indexOf("/Contents")
     if (i < 0) return Array.emptyByteArray
     var j = i + 9
@@ -229,13 +239,13 @@ object PdfText {
     // array expands one level into its stream refs.
     val refs = refs0.flatMap { r =>
       objs.get(r) match {
-        case Some(PObj(d, None)) if d.startsWith("[") =>
+        case Some(PObj(d, _, None)) if d.startsWith("[") =>
           RefRe.findAllMatchIn(d).map(_.group(1).toInt).toSeq
         case _ => Seq(r)
       }
     }
-    val pieces = refs.flatMap(objs.get).collect {
-      case PObj(d, Some(data)) => decode((d, data))
+    val pieces = refs.flatMap(r => objs.get(r).map(r -> _)).collect {
+      case (num, o @ PObj(_, _, Some(_))) => decodeStream(num, o, crypt)
     }
     if (pieces.isEmpty) Array.emptyByteArray
     else pieces.reduce((a, c) => a ++ Array[Byte]('\n') ++ c)
@@ -247,8 +257,8 @@ object PdfText {
     * /Pages node would otherwise decode CID text as Latin-1 garbage).
     * `cmapCache` memoizes parsed CMaps by ToUnicode object number. */
   private def fontsOf(objs: Map[Int, PObj], pageDict0: String,
-      cmapCache: scala.collection.mutable.Map[Int, Option[CMap]])
-      : Map[String, CMap] = {
+      cmapCache: scala.collection.mutable.Map[Int, Option[CMap]],
+      crypt: Option[PdfCrypt.Ctx]): Map[String, CMap] = {
     var pageDict = pageDict0
     var fontDict: Option[String] = None
     var depth = 0
@@ -277,15 +287,15 @@ object PdfText {
         entryRe.findAllMatchIn(fd).flatMap { m =>
           for {
             font <- objs.get(m.group(2).toInt)
-            tu <- tounicodeOf(objs, font.dict, cmapCache)
+            tu <- tounicodeOf(objs, font.dict, cmapCache, crypt)
           } yield m.group(1) -> tu
         }.toMap
     }
   }
 
   private def tounicodeOf(objs: Map[Int, PObj], fontDict: String,
-      cmapCache: scala.collection.mutable.Map[Int, Option[CMap]])
-      : Option[CMap] = {
+      cmapCache: scala.collection.mutable.Map[Int, Option[CMap]],
+      crypt: Option[PdfCrypt.Ctx]): Option[CMap] = {
     val i = fontDict.indexOf("/ToUnicode")
     if (i < 0) return None
     RefRe.findFirstMatchIn(fontDict.substring(i)).flatMap { m =>
@@ -294,12 +304,103 @@ object PdfText {
         // per-font isolation (r13 review): one unparseable CMap must
         // not discard the whole document's font-aware extraction
         try for {
-          o <- objs.get(num)
-          data <- o.data
-          cm <- parseCMap(
-            new String(decode((o.dict, data)), StandardCharsets.ISO_8859_1))
+          o <- objs.get(num) if o.data.isDefined
+          cm <- parseCMap(new String(
+            decodeStream(num, o, crypt), StandardCharsets.ISO_8859_1))
         } yield cm
         catch { case _: Exception => None })
+    }
+  }
+
+  /** Decrypt-then-filter one stream object (§7.6.2: encryption wraps
+    * the already-encoded stream data, so decryption comes first). */
+  private def decodeStream(num: Int, o: PObj,
+      crypt: Option[PdfCrypt.Ctx]): Array[Byte] =
+    o.data match {
+      case None => Array.emptyByteArray
+      case Some(d0) =>
+        val d = crypt match {
+          case Some(ctx) => PdfCrypt.decrypt(ctx, num, o.gen, d0)
+          case None => d0
+        }
+        decode((o.dict, d))
+    }
+
+  // ------------------------------------------------------- encryption
+
+  /** Standard-security-handler context when the document is encrypted
+    * with a scheme this extractor speaks (see [[PdfCrypt]]); None for
+    * unencrypted docs AND unsupported schemes (the latter then fail
+    * closed downstream: wrongly-decrypted streams never inflate). */
+  private def detectCrypt(b: Array[Byte], objs: Map[Int, PObj])
+      : Option[PdfCrypt.Ctx] = {
+    val s = new String(b, StandardCharsets.ISO_8859_1)
+    val encRe = """/Encrypt\s+(\d{1,9})\s+\d{1,5}\s+R""".r
+    for {
+      m <- encRe.findAllMatchIn(s).toSeq.lastOption
+      enc <- objs.get(m.group(1).toInt)
+      d = enc.dict
+      if d.contains("/Standard")
+      v <- intVal(d, "/V").orElse(Some(1)) if v >= 1 && v <= 4
+      o <- stringVal(d, "/O") if o.length >= 32
+      aes = v == 4 && d.contains("/AESV2")
+      if aes || v <= 2 || (v == 4 && d.contains("/V2"))
+    } yield {
+      val r = intVal(d, "/R").getOrElse(if (v >= 2) 3 else 2)
+      val p = intVal(d, "/P").getOrElse(-1)
+      val lenBits = intVal(d, "/Length").getOrElse(if (v == 1) 40 else 128)
+      val keyBytes =
+        if (r == 2) 5
+        else if (aes) 16
+        else math.max(5, math.min(16, lenBits / 8))
+      PdfCrypt.Ctx(PdfCrypt.fileKey(o, p, fileIdOf(s), r, keyBytes), aes)
+    }
+  }
+
+  private def intVal(dict: String, key: String): Option[Int] =
+    (java.util.regex.Pattern.quote(key) + """\s+(-?\d{1,10})(?![\d])""").r
+      .findFirstMatchIn(dict)
+      .flatMap(m => m.group(1).toLongOption)
+      .collect { case v if v >= Int.MinValue && v <= Int.MaxValue => v.toInt }
+
+  /** The raw bytes of the string value at /Key (literal or hex). */
+  private def stringVal(dict: String, key: String): Option[Array[Byte]] = {
+    var from = 0
+    while (from >= 0) {
+      val i = dict.indexOf(key, from)
+      if (i < 0) return None
+      var j = i + key.length
+      // require a real delimiter so /O never matches inside /OE etc.
+      if (j < dict.length && " \t\r\n(<".contains(dict.charAt(j))) {
+        while (j < dict.length && dict.charAt(j).isWhitespace) j += 1
+        if (j < dict.length && dict.charAt(j) == '(') {
+          val (str, _) = literalString(dict, j)
+          return Some(str.getBytes(StandardCharsets.ISO_8859_1))
+        } else if (j < dict.length && dict.charAt(j) == '<' &&
+            (j + 1 >= dict.length || dict.charAt(j + 1) != '<')) {
+          val (str, _) = hexString(dict, j)
+          return Some(str.getBytes(StandardCharsets.ISO_8859_1))
+        }
+      }
+      from = i + key.length
+    }
+    None
+  }
+
+  /** First file identifier from the LAST /ID [ ... ] in the file. */
+  private def fileIdOf(s: String): Array[Byte] = {
+    val idRe = """/ID\s*\[""".r
+    idRe.findAllMatchIn(s).toSeq.lastOption match {
+      case None => Array.emptyByteArray
+      case Some(m) =>
+        val j = m.end
+        var k = j
+        while (k < s.length && s.charAt(k).isWhitespace) k += 1
+        if (k < s.length && s.charAt(k) == '<')
+          hexString(s, k)._1.getBytes(StandardCharsets.ISO_8859_1)
+        else if (k < s.length && s.charAt(k) == '(')
+          literalString(s, k)._1.getBytes(StandardCharsets.ISO_8859_1)
+        else Array.emptyByteArray
     }
   }
 

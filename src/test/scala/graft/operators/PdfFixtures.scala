@@ -83,7 +83,8 @@ object PdfFixtures {
 
   /** Header + objects + xref (computed offsets) + trailer with
     * /Root 1 0 R. Object 1 must be the catalog. */
-  def assemble(objs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+  def assemble(objs: Seq[(Int, Array[Byte])],
+      trailerExtra: String = ""): Array[Byte] = {
     def bytes(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
     val out = new java.io.ByteArrayOutputStream()
     out.write(bytes("%PDF-1.4\n%âãÏÓ\n"))
@@ -98,8 +99,47 @@ object PdfFixtures {
     for (num <- 1 to maxObj)
       out.write(bytes(f"${offsets.getOrElse(num, 0)}%010d 00000 n \n"))
     out.write(bytes(
-      s"trailer\n<</Size ${maxObj + 1} /Root 1 0 R>>\nstartxref\n$xref\n%%EOF\n"))
+      s"trailer\n<</Size ${maxObj + 1} /Root 1 0 R$trailerExtra>>\n" +
+        s"startxref\n$xref\n%%EOF\n"))
     out.toByteArray
+  }
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02X").mkString
+
+  /** Single-page document encrypted with the standard security handler
+    * and an EMPTY user password — RC4 (V2/R3/128-bit) or AES-128
+    * (V4/R4 /AESV2). Streams are deflated THEN encrypted (§7.6.2:
+    * decryption precedes filters on the read side). `vOverride` forges
+    * the /V value so tests can pin fail-closed behavior on schemes the
+    * extractor does not speak. */
+  def encryptedPdf(content: String, aes: Boolean,
+      vOverride: Option[Int] = None): Array[Byte] = {
+    import graft.operators.PdfCrypt
+    val o = Array.tabulate[Byte](32)(i => (i * 11 + 5).toByte)
+    val u = Array.tabulate[Byte](32)(i => (i * 3 + 9).toByte)
+    val fileId = Array.tabulate[Byte](16)(i => (i * 13 + 1).toByte)
+    val p = -44
+    val (v, r) = if (aes) (4, 4) else (2, 3)
+    val ctx = PdfCrypt.Ctx(PdfCrypt.fileKey(o, p, fileId, r, 16), aes)
+    def enc(num: Int, raw: Array[Byte]): Array[Byte] =
+      PdfCrypt.encrypt(ctx, num, 0, deflate(raw))
+    val cfPart =
+      if (aes) " /CF <</StdCF <</CFM /AESV2 /Length 16>>>> /StmF /StdCF /StrF /StdCF"
+      else ""
+    val data4 = enc(4, content.getBytes(StandardCharsets.ISO_8859_1))
+    val objs = Seq(
+      textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      textObj(3, "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>"),
+      4 -> (s"<</Length ${data4.length} /Filter /FlateDecode>>\nstream\n"
+        .getBytes(StandardCharsets.ISO_8859_1) ++ data4 ++
+        "\nendstream".getBytes(StandardCharsets.ISO_8859_1)),
+      textObj(9,
+        s"<</Filter /Standard /V ${vOverride.getOrElse(v)} /R $r " +
+          s"/Length 128 /P $p /O <${hex(o)}> /U <${hex(u)}>$cfPart>>"))
+    assemble(objs,
+      trailerExtra = s" /Encrypt 9 0 R /ID [<${hex(fileId)}> <${hex(fileId)}>]")
   }
 
   def textObj(num: Int, body: String): (Int, Array[Byte]) =

@@ -305,6 +305,28 @@ class PdfTextSpec extends AnyFunSuite {
       == "Hello World")
   }
 
+  // ------------------------- standard security handler (empty pwd)
+
+  test("RC4-encrypted document (V2/R3, owner-locked, empty user pwd) decodes") {
+    val pdf = PdfFixtures.encryptedPdf(
+      "BT (rc4 secret text) Tj ET", aes = false)
+    assert(PdfText.extract(pdf) == "rc4 secret text")
+  }
+
+  test("AES-128-encrypted document (V4/R4 AESV2) decodes") {
+    val pdf = PdfFixtures.encryptedPdf(
+      "BT (aes secret text) Tj ET", aes = true)
+    assert(PdfText.extract(pdf) == "aes secret text")
+  }
+
+  test("unsupported encryption scheme fails CLOSED: empty text, no throw") {
+    // forge /V 5 (AES-256): detectCrypt must refuse, the still-encrypted
+    // stream cannot inflate, and the document degrades to empty
+    val pdf = PdfFixtures.encryptedPdf(
+      "BT (unreachable) Tj ET", aes = false, vOverride = Some(5))
+    assert(PdfText.extract(pdf) == "")
+  }
+
   test("malformed inputs never throw") {
     assert(PdfText.extract(null) == "")
     assert(PdfText.extract(Array.emptyByteArray) == "")
