@@ -21,9 +21,11 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   * fixture generator exists in this offline container, so the spec
   * tests build their fixtures with an ENCRYPTION-side implementation
   * of the same published algorithms — transcription self-consistency
-  * is the residual risk, and real-world encrypted documents that fail
-  * key derivation fail CLOSED (empty text, never garbage-as-text,
-  * because the inflate of a wrongly-decrypted stream cannot succeed).
+  * is the residual risk. Two containments: (a) the decoder VALIDATES
+  * the stored /U against [[emptyUserU]] before trusting any key, so
+  * on real-world documents a mis-transcribed Algorithm 2/4/5 refuses
+  * (empty text) instead of emitting garbage; (b) wrongly-keyed
+  * filtered streams cannot inflate. Failure is always CLOSED.
   */
 private[operators] object PdfCrypt {
 
@@ -47,18 +49,56 @@ private[operators] object PdfCrypt {
 
   /** Algorithm 2 with the empty user password: the padded (empty)
     * password, the 32 /O bytes, /P as a 4-byte little-endian SIGNED
-    * int, and the first file identifier; R >= 3 re-hashes the first
-    * keyBytes 50 times. */
+    * int, the first file identifier, and — when R >= 4 declares
+    * /EncryptMetadata false — four 0xFF bytes (r13 review: omitting
+    * that step derives a wrong key for every metadata-unencrypted R4
+    * document); R >= 3 re-hashes the first keyBytes 50 times. */
   def fileKey(o: Array[Byte], p: Int, fileId: Array[Byte],
-      r: Int, keyBytes: Int): Array[Byte] = {
+      r: Int, keyBytes: Int, encryptMetadata: Boolean = true): Array[Byte] = {
     val pLe = Array[Byte](
       (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
       ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
-    var h = md5(Pad, o.take(32), pLe, fileId)
+    val metaTail =
+      if (r >= 4 && !encryptMetadata)
+        Array[Byte](-1, -1, -1, -1)
+      else Array.emptyByteArray
+    var h = md5(Pad, o.take(32), pLe, fileId, metaTail)
     if (r >= 3)
       for (_ <- 0 until 50) h = md5(h.take(keyBytes))
     h.take(keyBytes)
   }
+
+  private def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("ARCFOUR")
+    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "ARCFOUR"))
+    c.doFinal(data)
+  }
+
+  /** Algorithm 4 (R = 2) / Algorithm 5 (R >= 3): the /U value the
+    * EMPTY user password produces under `fileKey`. The decoder
+    * compares this against the stored /U — a mismatch means the
+    * document has a REAL user password (or we mis-derived the key) and
+    * extraction must fail closed BEFORE any ciphertext could flow
+    * through an unfiltered stream as fake text (r13 review). */
+  def emptyUserU(fileKey: Array[Byte], fileId: Array[Byte], r: Int): Array[Byte] =
+    if (r == 2) rc4(fileKey, Pad)
+    else {
+      var u = rc4(fileKey, md5(Pad, fileId))
+      for (i <- 1 to 19)
+        u = rc4(fileKey.map(b => (b ^ i).toByte), u)
+      u // 16 bytes; the stored /U's tail 16 are arbitrary padding
+    }
+
+  /** True when the stored /U proves the empty user password opens the
+    * document under this key. */
+  def checkEmptyUser(fileKey: Array[Byte], fileId: Array[Byte], r: Int,
+      uStored: Array[Byte]): Boolean =
+    try {
+      val want = emptyUserU(fileKey, fileId, r)
+      val n = if (r == 2) 32 else 16
+      uStored.length >= n &&
+        java.util.Arrays.equals(want.take(n), uStored.take(n))
+    } catch { case _: Exception => false }
 
   private val AesSalt = Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
 
@@ -94,23 +134,4 @@ private[operators] object PdfCrypt {
       }
     } catch { case _: Exception => Array.emptyByteArray }
 
-  /** Encryption direction — FIXTURE/TEST use only (building valid
-    * encrypted documents in the offline container); same key schedule. */
-  def encrypt(ctx: Ctx, num: Int, gen: Int, plain: Array[Byte]): Array[Byte] =
-    try {
-      val key = objKey(ctx, num, gen)
-      if (ctx.aes) {
-        val iv = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte) // fixed
-        // IV: deterministic fixtures; uniqueness is an ENCRYPTION-side
-        // security property, irrelevant to decode correctness
-        val c = Cipher.getInstance("AES/CBC/PKCS5Padding")
-        c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"),
-          new IvParameterSpec(iv))
-        iv ++ c.doFinal(plain)
-      } else {
-        val c = Cipher.getInstance("ARCFOUR")
-        c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "ARCFOUR"))
-        c.doFinal(plain)
-      }
-    } catch { case _: Exception => Array.emptyByteArray }
 }

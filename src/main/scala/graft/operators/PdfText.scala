@@ -69,31 +69,58 @@ object PdfText {
     * discipline). */
   def extract(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.length < 8) return ""
+    val (objs, masked) =
+      try parseObjects(bytes)
+      catch { case _: Exception => (Map.empty[Int, PObj], "") }
+    val crypt =
+      try detectCrypt(masked, objs)
+      catch { case _: Exception => UnsupportedCrypt }
+    // Fail CLOSED on schemes this extractor does not speak (or a real
+    // user password, caught by the /U check): proceeding would pass
+    // raw ciphertext through no-/Filter streams, and multi-KB
+    // ciphertext contains "BT" and '(' runs often enough to emit
+    // random bytes as page text (r13 review).
+    if (crypt == UnsupportedCrypt) return ""
+    val ctxOpt = crypt match {
+      case WithCrypt(c) => Some(c)
+      case _ => None
+    }
     val pageTexts =
       try {
-        val objs = parseObjects(bytes)
-        val crypt = detectCrypt(bytes, objs)
         // one ToUnicode parse per font OBJECT per document, not per
         // page referencing it (r13 review: a 500-page book re-inflated
         // its 10 shared CMaps ~5000 times)
         val cmapCache = scala.collection.mutable.Map[Int, Option[CMap]]()
         pagesInOrder(objs).map { pageDict =>
-          val content = contentsOf(objs, pageDict, crypt)
+          val content = contentsOf(objs, pageDict, ctxOpt)
           if (!containsTextOps(content)) ""
-          else contentText(content, fontsOf(objs, pageDict, cmapCache, crypt))
+          else contentText(content, fontsOf(objs, pageDict, cmapCache, ctxOpt))
         }
       } catch { case _: Exception => Seq.empty }
     val texts =
       if (pageTexts.exists(_.nonEmpty)) pageTexts
       else
-        // raw fallback shares extract()'s never-throws contract — it
-        // parses the same untrusted bytes the graph path just failed on
-        try streams(bytes).iterator
-          .map(decode)
-          .filter(containsTextOps)
-          .map(contentText(_, Map.empty))
-          .toSeq
-        catch { case _: Exception => Seq.empty }
+        // Raw fallback shares extract()'s never-throws contract — it
+        // re-parses the same untrusted bytes the graph path failed on.
+        // It runs off the OBJECT map first (per-object numbers keep
+        // decryption working — r13 review: the old any-stream scan
+        // could not decrypt, silently emptying encrypted docs with a
+        // broken page tree), with the blind stream scan last for
+        // fragments parseObjects missed entirely.
+        try {
+          val fromObjs = objs.toSeq.sortBy(_._1).iterator
+            .filter(_._2.data.isDefined)
+            .map { case (num, o) => decodeStream(num, o, ctxOpt) }
+            .filter(containsTextOps)
+            .map(contentText(_, Map.empty))
+            .toSeq
+          if (fromObjs.exists(_.nonEmpty) || ctxOpt.isDefined) fromObjs
+          else streams(bytes).iterator
+            .map(decode)
+            .filter(containsTextOps)
+            .map(contentText(_, Map.empty))
+            .toSeq
+        } catch { case _: Exception => Seq.empty }
     texts.filter(_.nonEmpty).mkString("\n\n")
   }
 
@@ -107,8 +134,13 @@ object PdfText {
     * `dict` field holds the object's dictionary text, or its raw body
     * text for non-dict objects (bare numbers serving as indirect
     * /Length values). */
-  private def parseObjects(b: Array[Byte]): Map[Int, PObj] = {
+  /** Also returns the file text with stream extents BLANKED — the only
+    * safe haystack for whole-file regex scans like /Encrypt and /ID
+    * detection (r13 review: an uncompressed embedded attachment could
+    * otherwise plant a phantom trailer). */
+  private def parseObjects(b: Array[Byte]): (Map[Int, PObj], String) = {
     val s = new String(b, StandardCharsets.ISO_8859_1)
+    val extents = scala.collection.mutable.Buffer[(Int, Int)]()
     val out = scala.collection.mutable.LinkedHashMap[Int, PObj]()
     val objRe = """(\d{1,9})\s+(\d{1,5})\s+obj\b""".r
     // matches starting INSIDE a previously-delimited stream extent are
@@ -138,6 +170,7 @@ object PdfText {
                   if (e < 0) b.length else e
               }
               skipUntil = stop
+              extents += ((d, stop))
               Some(java.util.Arrays.copyOfRange(b, d, stop))
             } else None
           out(num) = PObj(dict, gen, data)
@@ -149,7 +182,15 @@ object PdfText {
         if (e > i) out(num) = PObj(s.substring(i, e).trim.take(4000), gen, None)
       }
     }
-    out.toMap
+    val masked =
+      if (extents.isEmpty) s
+      else {
+        val arr = s.toCharArray
+        for ((a, z) <- extents; i <- a until math.min(z, arr.length))
+          arr(i) = ' '
+        new String(arr)
+      }
+    (out.toMap, masked)
   }
 
   /** End index (exclusive) of the balanced `<< ... >>` starting at i. */
@@ -328,40 +369,91 @@ object PdfText {
 
   // ------------------------------------------------------- encryption
 
-  /** Standard-security-handler context when the document is encrypted
-    * with a scheme this extractor speaks (see [[PdfCrypt]]); None for
-    * unencrypted docs AND unsupported schemes (the latter then fail
-    * closed downstream: wrongly-decrypted streams never inflate). */
-  private def detectCrypt(b: Array[Byte], objs: Map[Int, PObj])
-      : Option[PdfCrypt.Ctx] = {
-    val s = new String(b, StandardCharsets.ISO_8859_1)
+  private sealed trait Crypt
+  private case object NoCrypt extends Crypt
+  private case object UnsupportedCrypt extends Crypt
+  private final case class WithCrypt(ctx: PdfCrypt.Ctx) extends Crypt
+
+  /** Standard-security-handler detection over the STREAM-MASKED file
+    * text. NoCrypt = unencrypted; WithCrypt = a scheme this extractor
+    * speaks AND the stored /U proves the empty user password opens it;
+    * UnsupportedCrypt = everything else (extraction fails closed —
+    * see extract()). */
+  private def detectCrypt(masked: String, objs: Map[Int, PObj]): Crypt = {
     val encRe = """/Encrypt\s+(\d{1,9})\s+\d{1,5}\s+R""".r
-    for {
-      m <- encRe.findAllMatchIn(s).toSeq.lastOption
-      enc <- objs.get(m.group(1).toInt)
-      d = enc.dict
-      if d.contains("/Standard")
-      v <- intVal(d, "/V").orElse(Some(1)) if v >= 1 && v <= 4
-      o <- stringVal(d, "/O") if o.length >= 32
-      aes = v == 4 && d.contains("/AESV2")
-      if aes || v <= 2 || (v == 4 && d.contains("/V2"))
-    } yield {
-      val r = intVal(d, "/R").getOrElse(if (v >= 2) 3 else 2)
-      val p = intVal(d, "/P").getOrElse(-1)
-      val lenBits = intVal(d, "/Length").getOrElse(if (v == 1) 40 else 128)
-      val keyBytes =
-        if (r == 2) 5
-        else if (aes) 16
-        else math.max(5, math.min(16, lenBits / 8))
-      PdfCrypt.Ctx(PdfCrypt.fileKey(o, p, fileIdOf(s), r, keyBytes), aes)
+    encRe.findAllMatchIn(masked).toSeq.lastOption match {
+      case None => NoCrypt
+      case Some(m) =>
+        val built = for {
+          enc <- objs.get(m.group(1).toInt)
+          d = enc.dict
+          // nested sub-dicts (the /CF crypt-filter map) carry their own
+          // /Length IN BYTES — scanning the whole dict would pick it up
+          // over the top-level bit length (r13 review: Acrobat orders
+          // keys alphabetically, /CF before /Length)
+          top = topLevel(d)
+          if d.contains("/Standard")
+          v <- intVal(top, "/V").orElse(Some(1)) if v >= 1 && v <= 4
+          o <- stringVal(d, "/O") if o.length >= 32
+          aes = v == 4 && d.contains("/AESV2")
+          if aes || v <= 2 || (v == 4 && d.contains("/V2"))
+        } yield {
+          val r = intVal(top, "/R").getOrElse(if (v >= 2) 3 else 2)
+          val p = intVal(top, "/P").getOrElse(-1)
+          val lenBits = intVal(top, "/Length").getOrElse(if (v == 1) 40 else 128)
+          val encMeta = !top.replaceAll("\\s+", " ")
+            .contains("/EncryptMetadata false")
+          val keyBytes =
+            if (r == 2) 5
+            else if (aes) 16
+            else math.max(5, math.min(16, lenBits / 8))
+          val fid = fileIdOf(masked)
+          val key = PdfCrypt.fileKey(o, p, fid, r, keyBytes, encMeta)
+          // The /U gate: a stored /U that the empty-password key cannot
+          // reproduce means a REAL user password (or a derivation this
+          // code gets wrong) — either way ciphertext must not flow.
+          // Documents without /U are tolerated (out-of-spec but seen).
+          stringVal(d, "/U") match {
+            case Some(u) if !PdfCrypt.checkEmptyUser(key, fid, r, u) =>
+              UnsupportedCrypt
+            case _ => WithCrypt(PdfCrypt.Ctx(key, aes))
+          }
+        }
+        built.getOrElse(UnsupportedCrypt)
     }
+  }
+
+  /** The dict text with every NESTED `<< >>` body blanked, so regex
+    * lookups hit top-level keys only. */
+  private def topLevel(dict: String): String = {
+    val arr = dict.toCharArray
+    var depth = 0
+    var i = 0
+    while (i < arr.length - 1) {
+      if (arr(i) == '<' && arr(i + 1) == '<') {
+        depth += 1
+        if (depth > 1) { arr(i) = ' '; arr(i + 1) = ' ' }
+        i += 2
+      } else if (arr(i) == '>' && arr(i + 1) == '>') {
+        if (depth > 1) { arr(i) = ' '; arr(i + 1) = ' ' }
+        depth -= 1
+        i += 2
+      } else {
+        if (depth > 1) arr(i) = ' '
+        i += 1
+      }
+    }
+    new String(arr)
   }
 
   private def intVal(dict: String, key: String): Option[Int] =
     (java.util.regex.Pattern.quote(key) + """\s+(-?\d{1,10})(?![\d])""").r
       .findFirstMatchIn(dict)
       .flatMap(m => m.group(1).toLongOption)
-      .collect { case v if v >= Int.MinValue && v <= Int.MaxValue => v.toInt }
+      // TRUNCATE to the low 32 bits instead of rejecting: real
+      // producers write /P as the unsigned equivalent of the negative
+      // permissions int (r13 review; the PDFBox/pdf.js behavior)
+      .map(_.toInt)
 
   /** The raw bytes of the string value at /Key (literal or hex). */
   private def stringVal(dict: String, key: String): Option[Array[Byte]] = {

@@ -108,26 +108,60 @@ object PdfFixtures {
     b.map(x => f"${x & 0xff}%02X").mkString
 
   /** Single-page document encrypted with the standard security handler
-    * and an EMPTY user password — RC4 (V2/R3/128-bit) or AES-128
-    * (V4/R4 /AESV2). Streams are deflated THEN encrypted (§7.6.2:
-    * decryption precedes filters on the read side). `vOverride` forges
-    * the /V value so tests can pin fail-closed behavior on schemes the
-    * extractor does not speak. */
-  def encryptedPdf(content: String, aes: Boolean,
-      vOverride: Option[Int] = None): Array[Byte] = {
+    * and an EMPTY user password. `mode`: "rc4" (V2/R3/128-bit), "aes"
+    * (V4/R4 /AESV2), or "rc4v4" (V4/R4 crypt filter /V2 — written with
+    * the /CF map FIRST, Acrobat's alphabetical order, so the crypt
+    * filter's byte-unit /Length 16 precedes the top-level bit-unit
+    * /Length 128). Streams are deflated THEN encrypted (§7.6.2:
+    * decryption precedes filters on the read side). /U is the REAL
+    * Algorithm 4/5 value unless `forgeU` (which simulates a non-empty
+    * user password); `vOverride` forges /V to pin fail-closed behavior
+    * on unsupported schemes; `p` exercises the unsigned-int writing
+    * real producers use. */
+  def encryptedPdf(content: String, mode: String,
+      vOverride: Option[Int] = None,
+      encryptMetadata: Boolean = true,
+      forgeU: Boolean = false,
+      p: Long = -44L): Array[Byte] = {
     import graft.operators.PdfCrypt
+    val aes = mode == "aes"
     val o = Array.tabulate[Byte](32)(i => (i * 11 + 5).toByte)
-    val u = Array.tabulate[Byte](32)(i => (i * 3 + 9).toByte)
     val fileId = Array.tabulate[Byte](16)(i => (i * 13 + 1).toByte)
-    val p = -44
-    val (v, r) = if (aes) (4, 4) else (2, 3)
-    val ctx = PdfCrypt.Ctx(PdfCrypt.fileKey(o, p, fileId, r, 16), aes)
-    def enc(num: Int, raw: Array[Byte]): Array[Byte] =
-      PdfCrypt.encrypt(ctx, num, 0, deflate(raw))
+    val (v, r) = mode match {
+      case "rc4" => (2, 3)
+      case _ => (4, 4)
+    }
+    val key = PdfCrypt.fileKey(o, p.toInt, fileId, r, 16, encryptMetadata)
+    val ctx = PdfCrypt.Ctx(key, aes)
+    val u =
+      if (forgeU) Array.tabulate[Byte](32)(i => (i * 3 + 9).toByte)
+      else PdfCrypt.emptyUserU(key, fileId, r).padTo(32, 0.toByte)
+    def encStream(num: Int, raw: Array[Byte]): Array[Byte] = {
+      val k = PdfCrypt.objKey(ctx, num, 0)
+      if (aes) {
+        val iv = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+        // fixed IV: deterministic fixtures; IV uniqueness is an
+        // encryption-side security property, not a decode concern
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(k, "AES"),
+          new javax.crypto.spec.IvParameterSpec(iv))
+        iv ++ c.doFinal(raw)
+      } else {
+        val c = javax.crypto.Cipher.getInstance("ARCFOUR")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(k, "ARCFOUR"))
+        c.doFinal(raw)
+      }
+    }
+    val cfm = if (aes) "/AESV2" else "/V2"
     val cfPart =
-      if (aes) " /CF <</StdCF <</CFM /AESV2 /Length 16>>>> /StmF /StdCF /StrF /StdCF"
+      if (v == 4)
+        s"/CF <</StdCF <</CFM $cfm /Length 16>>>> /StmF /StdCF /StrF /StdCF "
       else ""
-    val data4 = enc(4, content.getBytes(StandardCharsets.ISO_8859_1))
+    val metaPart =
+      if (!encryptMetadata) "/EncryptMetadata false " else ""
+    val data4 = encStream(4, deflate(content.getBytes(StandardCharsets.ISO_8859_1)))
     val objs = Seq(
       textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
       textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
@@ -136,8 +170,9 @@ object PdfFixtures {
         .getBytes(StandardCharsets.ISO_8859_1) ++ data4 ++
         "\nendstream".getBytes(StandardCharsets.ISO_8859_1)),
       textObj(9,
-        s"<</Filter /Standard /V ${vOverride.getOrElse(v)} /R $r " +
-          s"/Length 128 /P $p /O <${hex(o)}> /U <${hex(u)}>$cfPart>>"))
+        s"<<$cfPart${metaPart}/Filter /Standard " +
+          s"/Length 128 /O <${hex(o)}> /P $p /R $r /U <${hex(u)}> " +
+          s"/V ${vOverride.getOrElse(v)}>>"))
     assemble(objs,
       trailerExtra = s" /Encrypt 9 0 R /ID [<${hex(fileId)}> <${hex(fileId)}>]")
   }

@@ -308,22 +308,44 @@ class PdfTextSpec extends AnyFunSuite {
   // ------------------------- standard security handler (empty pwd)
 
   test("RC4-encrypted document (V2/R3, owner-locked, empty user pwd) decodes") {
-    val pdf = PdfFixtures.encryptedPdf(
-      "BT (rc4 secret text) Tj ET", aes = false)
+    val pdf = PdfFixtures.encryptedPdf("BT (rc4 secret text) Tj ET", "rc4")
     assert(PdfText.extract(pdf) == "rc4 secret text")
   }
 
   test("AES-128-encrypted document (V4/R4 AESV2) decodes") {
-    val pdf = PdfFixtures.encryptedPdf(
-      "BT (aes secret text) Tj ET", aes = true)
+    val pdf = PdfFixtures.encryptedPdf("BT (aes secret text) Tj ET", "aes")
     assert(PdfText.extract(pdf) == "aes secret text")
   }
 
+  test("V4 RC4 with Acrobat's alphabetical key order: the crypt filter's " +
+      "byte-unit /Length 16 must not shadow the top-level bit length") {
+    val pdf = PdfFixtures.encryptedPdf("BT (v4 rc4 text) Tj ET", "rc4v4")
+    assert(PdfText.extract(pdf) == "v4 rc4 text")
+  }
+
+  test("/EncryptMetadata false changes the key derivation (R4)") {
+    val pdf = PdfFixtures.encryptedPdf("BT (no meta crypt) Tj ET", "aes",
+      encryptMetadata = false)
+    assert(PdfText.extract(pdf) == "no meta crypt")
+  }
+
+  test("/P written as an unsigned 32-bit int derives the same key") {
+    val pdf = PdfFixtures.encryptedPdf("BT (unsigned perms) Tj ET", "rc4",
+      p = 4294963392L) // == -3904 truncated, the PDFBox/pdf.js reading
+    assert(PdfText.extract(pdf) == "unsigned perms")
+  }
+
+  test("a real (non-empty) user password fails CLOSED via the /U gate") {
+    val pdf = PdfFixtures.encryptedPdf("BT (locked) Tj ET", "rc4",
+      forgeU = true)
+    assert(PdfText.extract(pdf) == "")
+  }
+
   test("unsupported encryption scheme fails CLOSED: empty text, no throw") {
-    // forge /V 5 (AES-256): detectCrypt must refuse, the still-encrypted
-    // stream cannot inflate, and the document degrades to empty
+    // forge /V 5 (AES-256): detectCrypt must refuse, and NOTHING may
+    // flow — not even an unfiltered stream's raw ciphertext
     val pdf = PdfFixtures.encryptedPdf(
-      "BT (unreachable) Tj ET", aes = false, vOverride = Some(5))
+      "BT (unreachable) Tj ET", "rc4", vOverride = Some(5))
     assert(PdfText.extract(pdf) == "")
   }
 
