@@ -148,6 +148,13 @@ object Checkpoints {
                     "alternating conflicting values thrashes the durable " +
                     "store (a fresh UUID subdir per alternation); use one " +
                     "DirKey per context, or separate SparkContexts"
+                else if (current.isEmpty)
+                  // cleared, not moved (r13 ADVICE): "moved to ''" would
+                  // read as a move to a bizarre empty path
+                  s"outside code CLEARED the SparkContext checkpoint dir " +
+                    s"after $DirKey='$configured' had resolved to " +
+                    s"'$lastResolved'; re-applying the configured dir — " +
+                    s"if the clear was intentional, clear $DirKey too"
                 else
                   s"outside code moved the SparkContext checkpoint dir to " +
                     s"'$current' after $DirKey='$configured' had resolved " +

@@ -20,12 +20,15 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   * Honesty note (the Mp3Layer3 discipline): no independent encrypted
   * fixture generator exists in this offline container, so the spec
   * tests build their fixtures with an ENCRYPTION-side implementation
-  * of the same published algorithms — transcription self-consistency
-  * is the residual risk. Two containments: (a) the decoder VALIDATES
-  * the stored /U against [[emptyUserU]] before trusting any key, so
-  * on real-world documents a mis-transcribed Algorithm 2/4/5 refuses
-  * (empty text) instead of emitting garbage; (b) wrongly-keyed
-  * filtered streams cannot inflate. Failure is always CLOSED.
+  * of the same published algorithms. The transcription
+  * self-consistency risk that left is retired as of r14 by
+  * `PdfCryptSpec`'s known-answer vectors — file keys, /U values, and
+  * per-object keys for R2/R3/R4 pinned to hex computed independently
+  * of this code (Python hashlib + from-scratch RC4, Algorithms 1/2/4/5
+  * followed literally from the spec text). Defense in depth stays:
+  * (a) the decoder VALIDATES the stored /U against [[emptyUserU]]
+  * before trusting any key; (b) wrongly-keyed filtered streams cannot
+  * inflate. Failure is always CLOSED.
   */
 private[operators] object PdfCrypt {
 

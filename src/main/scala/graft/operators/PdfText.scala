@@ -25,17 +25,27 @@ import java.nio.charset.StandardCharsets
   * LINEAR SCAN into a number → object map (later definitions win, the
   * incremental-update rule §7.5.6) — never via the xref table, which
   * real-world PDFs routinely break; content streams cannot hide in
-  * PDF 1.5 object streams (§7.5.7), so the scan sees every one. Pages
-  * come from the catalog's /Pages /Kids tree walk (reading order);
-  * each page's /Contents streams concatenate and its /Resources /Font
-  * map binds names to fonts.
+  * PDF 1.5 object streams (§7.5.7), so the scan sees every one. The
+  * DICTS, however, routinely do hide there — catalog/pages/font/
+  * encoding objects of every pdftex/FO document since ~2005 live
+  * compressed in /ObjStm objects — so those are expanded into the map
+  * after crypt detection (r14; without it the page tree never
+  * resolves and extraction silently degrades to the no-font-context
+  * raw scan). Pages come from the catalog's /Pages /Kids tree walk
+  * (reading order); each page's /Contents streams concatenate and its
+  * /Resources /Font map binds names to fonts.
   *
   * Font text decoding (§9.10): a font carrying a /ToUnicode CMap —
   * the embedded-subset Type0/CID case that is MOST modern PDFs, where
   * string bytes are opaque glyph codes — decodes through the CMap
   * (codespacerange width, bfchar and both bfrange forms, UTF-16BE
-  * targets). Fonts without one fall back to Latin-1 byte-preserving
-  * decode — exact for standard simple-encoding fonts.
+  * targets). A font without one but WITH an /Encoding decodes through
+  * the resolved byte table (r14): Annex D's StandardEncoding /
+  * WinAnsiEncoding / MacRomanEncoding as the base, /Differences names
+  * remapped through the AGL subset ([[PdfEncodings]]) — the WinAnsi
+  * 0x80-0x9F punctuation and TeX-era /Differences fonts that Latin-1
+  * used to mangle. Fonts with NEITHER fall back to Latin-1
+  * byte-preserving decode — exact for unencoded ASCII-range fonts.
   *
   * Deliberate scope (documented, not hidden):
   *   - Identity, /FlateDecode, /ASCIIHexDecode, /ASCII85Decode, and
@@ -85,16 +95,28 @@ object PdfText {
       case WithCrypt(c) => Some(c)
       case _ => None
     }
+    // PDF 1.5 object streams (§7.5.7): catalog/pages/font/encoding
+    // DICTS routinely live compressed inside /ObjStm objects (every
+    // pdftex/FO-processor document since ~2005) — without expanding
+    // them the page tree never resolves and extraction degrades to the
+    // raw no-font-context scan (r14: both real-world validation PDFs
+    // hit exactly this). Expansion happens AFTER crypt detection
+    // because ObjStm data is encrypted like any stream; the /Encrypt
+    // dict itself is spec-barred from living in one (§7.5.8.2).
+    val allObjs =
+      try expandObjStms(objs, ctxOpt)
+      catch { case _: Exception => objs }
     val pageTexts =
       try {
         // one ToUnicode parse per font OBJECT per document, not per
         // page referencing it (r13 review: a 500-page book re-inflated
         // its 10 shared CMaps ~5000 times)
         val cmapCache = scala.collection.mutable.Map[Int, Option[CMap]]()
-        pagesInOrder(objs).map { pageDict =>
-          val content = contentsOf(objs, pageDict, ctxOpt)
+        pagesInOrder(allObjs).map { pageDict =>
+          val content = contentsOf(allObjs, pageDict, ctxOpt)
           if (!containsTextOps(content)) ""
-          else contentText(content, fontsOf(objs, pageDict, cmapCache, ctxOpt))
+          else contentText(content,
+            fontsOf(allObjs, pageDict, cmapCache, ctxOpt))
         }
       } catch { case _: Exception => Seq.empty }
     val texts =
@@ -193,15 +215,80 @@ object PdfText {
     (out.toMap, masked)
   }
 
-  /** End index (exclusive) of the balanced `<< ... >>` starting at i. */
+  /** §7.5.7 object-stream expansion: every /Type /ObjStm stream is
+    * decrypted+decoded and its contained objects are merged into the
+    * object map. The stream layout is N pairs of integers
+    * `objnum offset` (offset relative to /First), then the object
+    * bodies — dicts (catalog, pages, fonts, encodings) and small
+    * non-dict values; contained objects are never themselves streams
+    * (§7.5.7 forbids it), so `data` is always None. A number already
+    * defined TOP-LEVEL keeps its top-level definition: an incremental
+    * update appends plain `N 0 obj` redefinitions after the original
+    * ObjStm, and the appended version is the live one. */
+  private def expandObjStms(objs: Map[Int, PObj],
+      crypt: Option[PdfCrypt.Ctx]): Map[Int, PObj] = {
+    val stms = objs.toSeq.sortBy(_._1).filter { case (_, o) =>
+      o.data.isDefined && o.dict.contains("/ObjStm")
+    }
+    if (stms.isEmpty) return objs
+    val extra = scala.collection.mutable.LinkedHashMap[Int, PObj]()
+    for ((num, o) <- stms) {
+      val top = topLevel(o.dict)
+      (intVal(top, "/N"), intVal(top, "/First")) match {
+        case (Some(n), Some(first))
+            if n > 0 && n <= 100000 && first >= 0 =>
+          val data = decodeStream(num, o, crypt)
+          if (first <= data.length) {
+            val s = new String(data, StandardCharsets.ISO_8859_1)
+            val header = s.substring(0, first)
+            val pairs = """(\d{1,9})\s+(\d{1,9})""".r
+              .findAllMatchIn(header)
+              .map(m => (m.group(1).toInt, m.group(2).toInt))
+              .take(n).toSeq
+            for ((onum, off) <- pairs if first + off < s.length) {
+              val start = first + off
+              val body =
+                if (s.startsWith("<<", start))
+                  dictEnd(s, start).map(e => s.substring(start, e))
+                else {
+                  // non-dict body runs to the next object's offset
+                  val next = pairs.collectFirst {
+                    case (_, o2) if o2 > off => first + o2
+                  }.getOrElse(s.length)
+                  Some(s.substring(start, math.min(next, s.length))
+                    .trim.take(4000))
+                }
+              body.foreach(b => extra(onum) = PObj(b, 0, None))
+            }
+          }
+        case _ =>
+      }
+    }
+    // top-level definitions win (see scaladoc); ObjStm entries fill
+    // the rest, later streams superseding earlier ones
+    extra.toMap ++ objs
+  }
+
+  /** End index (exclusive) of the balanced `<< ... >>` starting at i.
+    * STRING-AWARE (r13 ADVICE): literal `(...)` and hex `<...>` string
+    * values are skipped whole — the 32 random-ish bytes of /O and /U in
+    * Encrypt dicts contain '>>' or '<<' in ~0.1% of encrypted
+    * documents, and counting those would truncate/extend the dict
+    * extent and silently drop an otherwise-supported document. */
   private def dictEnd(s: String, i0: Int): Option[Int] = {
     var depth = 0
     var j = i0
     while (j < s.length - 1) {
-      if (s.charAt(j) == '<' && s.charAt(j + 1) == '<') { depth += 1; j += 2 }
-      else if (s.charAt(j) == '>' && s.charAt(j + 1) == '>') {
+      val c = s.charAt(j)
+      if (c == '<' && s.charAt(j + 1) == '<') { depth += 1; j += 2 }
+      else if (c == '>' && s.charAt(j + 1) == '>') {
         depth -= 1; j += 2
         if (depth == 0) return Some(j)
+      } else if (c == '(') j = literalString(s, j)._2
+      else if (c == '<') { // hex string: no '>' can occur inside
+        var k = j + 1
+        while (k < s.length && s.charAt(k) != '>') k += 1
+        j = k + 1
       } else j += 1
     }
     None
@@ -292,14 +379,24 @@ object PdfText {
     else pieces.reduce((a, c) => a ++ Array[Byte]('\n') ++ c)
   }
 
-  /** Resource-name → ToUnicode CMap for every page font that has one.
+  /** How a font's string bytes become text (§9.10 priority order):
+    * a /ToUnicode CMap when present (authoritative), else the font's
+    * /Encoding resolved to a 256-entry byte table (Annex D base
+    * encodings + /Differences remap — [[PdfEncodings]], r14); fonts
+    * with NEITHER stay unbound and fall back to Latin-1 byte decode. */
+  private sealed trait FontDec
+  private final case class CMapDec(cm: CMap) extends FontDec
+  private final case class ByteDec(table: Array[String]) extends FontDec
+
+  /** Resource-name → text decoder for every page font that has a
+    * /ToUnicode CMap or an /Encoding.
     * Resources INHERIT up the /Parent chain (§7.7.3.4, r13 review:
     * pages that omit /Resources and inherit the font map from their
     * /Pages node would otherwise decode CID text as Latin-1 garbage).
     * `cmapCache` memoizes parsed CMaps by ToUnicode object number. */
   private def fontsOf(objs: Map[Int, PObj], pageDict0: String,
       cmapCache: scala.collection.mutable.Map[Int, Option[CMap]],
-      crypt: Option[PdfCrypt.Ctx]): Map[String, CMap] = {
+      crypt: Option[PdfCrypt.Ctx]): Map[String, FontDec] = {
     var pageDict = pageDict0
     var fontDict: Option[String] = None
     var depth = 0
@@ -328,10 +425,81 @@ object PdfText {
         entryRe.findAllMatchIn(fd).flatMap { m =>
           for {
             font <- objs.get(m.group(2).toInt)
-            tu <- tounicodeOf(objs, font.dict, cmapCache, crypt)
-          } yield m.group(1) -> tu
+            dec <- tounicodeOf(objs, font.dict, cmapCache, crypt)
+              .map(CMapDec(_): FontDec)
+              .orElse(encodingOf(objs, font.dict).map(ByteDec(_): FontDec))
+          } yield m.group(1) -> dec
         }.toMap
     }
+  }
+
+  /** The font's /Encoding as a 256-entry code → text table: the Annex D
+    * base encoding (named directly, or /BaseEncoding inside an
+    * encoding dict) with the dict's /Differences array applied
+    * (§9.6.6.3: an integer sets the next code, each name then assigns
+    * consecutive codes). None = the font has no /Encoding at all — the
+    * caller's Latin-1 byte fallback stays for those (a symbolic font's
+    * built-in encoding lives inside the font program, which this
+    * extractor does not parse). A /Differences dict WITHOUT
+    * /BaseEncoding bases on StandardEncoding — §9.6.6.2's non-symbolic
+    * default; TeX-era fonts (the main /Differences producers) remap
+    * every code they actually use anyway. */
+  private def encodingOf(objs: Map[Int, PObj], fontDict: String)
+      : Option[Array[String]] = {
+    val i = fontDict.indexOf("/Encoding")
+    if (i < 0) return None
+    var j = i + 9
+    while (j < fontDict.length && fontDict.charAt(j).isWhitespace) j += 1
+    // three value shapes: a base-encoding name, an inline encoding
+    // dict, an indirect reference to an encoding dict
+    val encDict: Option[String] =
+      if (j + 1 < fontDict.length && fontDict.charAt(j) == '<' &&
+          fontDict.charAt(j + 1) == '<')
+        dictEnd(fontDict, j).map(e => fontDict.substring(j, e))
+      else if (j < fontDict.length && fontDict.charAt(j) == '/') {
+        var k = j + 1
+        while (k < fontDict.length &&
+          !" \t\r\n()<>[]/%".contains(fontDict.charAt(k))) k += 1
+        return PdfEncodings.byName(fontDict.substring(j + 1, k))
+      } else
+        RefRe.findPrefixMatchOf(
+            fontDict.substring(j, math.min(fontDict.length, j + 24)))
+          .flatMap(m => objs.get(m.group(1).toInt)).map(_.dict)
+    encDict.flatMap { enc =>
+      // an indirect /Encoding may resolve to a bare NAME object
+      """^\s*/([A-Za-z]+)\s*$""".r.findFirstMatchIn(enc) match {
+        case Some(m) => PdfEncodings.byName(m.group(1))
+        case None => Some(buildEncTable(enc))
+      }
+    }
+  }
+
+  private def buildEncTable(enc: String): Array[String] = {
+      val t = """/BaseEncoding\s*/([A-Za-z]+)""".r.findFirstMatchIn(enc)
+        .flatMap(m => PdfEncodings.byName(m.group(1)))
+        .getOrElse(PdfEncodings.standard)
+        .clone()
+      val di = enc.indexOf("/Differences")
+      if (di >= 0) {
+        val open = enc.indexOf('[', di)
+        val close = if (open >= 0) enc.indexOf(']', open) else -1
+        if (open >= 0) {
+          val body = enc.substring(open + 1,
+            if (close < 0) enc.length else close)
+          val tok = """(\d{1,5})|/([^\s/\[\]()<>{}%]+)""".r
+          var code = -1
+          for (m <- tok.findAllMatchIn(body)) {
+            if (m.group(1) != null) code = m.group(1).toInt
+            else if (code >= 0 && code < 256) {
+              // a name outside the AGL subset (subset-private gNN) maps
+              // the code to NO text, not to the base glyph it replaced
+              t(code) = PdfEncodings.glyphText(m.group(2)).orNull
+              code += 1
+            }
+          }
+        }
+      }
+      t
   }
 
   private def tounicodeOf(objs: Map[Int, PObj], fontDict: String,
@@ -605,15 +773,34 @@ object PdfText {
     while (i >= 0 && i < b.length) {
       i = indexOf(b, "<<", i)
       if (i >= 0) {
-        // balance << against >>
+        // balance << against >>, skipping string spans (r13 ADVICE:
+        // same string-awareness as dictEnd — see there)
+        val LT = '<'.toByte; val GT = '>'.toByte
+        val OP = '('.toByte; val CP = ')'.toByte; val BS = '\\'.toByte
         var depth = 0
         var j = i
         var end = -1
         while (end < 0 && j < b.length - 1) {
-          if (b(j) == '<' && b(j + 1) == '<') { depth += 1; j += 2 }
-          else if (b(j) == '>' && b(j + 1) == '>') {
+          val c = b(j)
+          if (c == LT && b(j + 1) == LT) { depth += 1; j += 2 }
+          else if (c == GT && b(j + 1) == GT) {
             depth -= 1; j += 2
             if (depth == 0) end = j
+          } else if (c == OP) { // literal string: nesting + escapes
+            var sd = 1
+            j += 1
+            while (sd > 0 && j < b.length) {
+              if (b(j) == BS) j += 2
+              else {
+                if (b(j) == OP) sd += 1
+                else if (b(j) == CP) sd -= 1
+                j += 1
+              }
+            }
+          } else if (c == LT) { // hex string: no '>' inside
+            j += 1
+            while (j < b.length && b(j) != GT) j += 1
+            j += 1
           } else j += 1
         }
         if (end < 0) i = -1
@@ -677,7 +864,13 @@ object PdfText {
     if (!dict.contains("/Filter")) return data
     val names = "/(FlateDecode|ASCIIHexDecode|ASCII85Decode|DCTDecode|JPXDecode|CCITTFaxDecode|RunLengthDecode|LZWDecode)".r
       .findAllMatchIn(filterSpec(dict)).map(_.group(1)).toSeq
-    if (names.isEmpty) return data
+    // /Filter present but NO recognized filter name parsed (abbreviated
+    // names, /JBIG2Decode, /Crypt, a typo): fail CLOSED (r13 ADVICE) —
+    // returning the raw encoded bytes here would let multi-KB
+    // compressed/encrypted data (which contains "BT" often enough) flow
+    // into the raw fallback scan as fake page text, the exact failure
+    // class the /U gate exists to stop.
+    if (names.isEmpty) return Array.emptyByteArray
     names.foldLeft(data) { (acc, f) =>
       if (acc.isEmpty) acc
       else f match {
@@ -809,14 +1002,14 @@ object PdfText {
     * word-soup without it). */
   private val WordGapKern = -180
 
-  private def contentText(c: Array[Byte], fonts: Map[String, CMap]): String = {
+  private def contentText(c: Array[Byte], fonts: Map[String, FontDec]): String = {
     val s = new String(c, StandardCharsets.ISO_8859_1)
     val sb = new StringBuilder
     // pending = (operand, isKernSpace) seen since the last operator
     val pending = scala.collection.mutable.Buffer[(String, Boolean)]()
     var inText = false
     var lastName = "" // most recent /Name operand (the Tf font operand)
-    var cur: Option[CMap] = None
+    var cur: Option[FontDec] = None
     var arrayDepth = 0
     var i = 0
     def newline(): Unit = {
@@ -830,10 +1023,18 @@ object PdfText {
         case (raw, _) =>
           cur match {
             case None => sb.append(raw)
-            case Some(cm) if cm.codeBytes <= 1 =>
+            case Some(ByteDec(t)) =>
+              // simple-font byte decode through the /Encoding table; a
+              // code the encoding leaves undefined has no glyph and
+              // decodes to nothing
+              raw.foreach { ch =>
+                val g = t(ch.toInt & 0xff)
+                if (g != null) sb.append(g)
+              }
+            case Some(CMapDec(cm)) if cm.codeBytes <= 1 =>
               raw.foreach(ch => sb.append(
                 cm.map.getOrElse(ch.toInt, ch.toString)))
-            case Some(cm) =>
+            case Some(CMapDec(cm)) =>
               var k = 0
               while (k + 1 < raw.length) {
                 val code = (raw.charAt(k) << 8) | raw.charAt(k + 1)

@@ -180,6 +180,21 @@ object PdfFixtures {
   def textObj(num: Int, body: String): (Int, Array[Byte]) =
     num -> body.getBytes(StandardCharsets.ISO_8859_1)
 
+  /** §7.5.7 object stream: `contained` objects packed with the
+    * N-pairs offset header, FlateDecode'd — the PDF 1.5 layout every
+    * pdftex/FO document stores its catalog/page/font dicts in. */
+  def objStmObj(num: Int, contained: Seq[(Int, String)],
+      compress: Boolean = true): (Int, Array[Byte]) = {
+    val bodies = contained.map(_._2.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = contained.zip(offsets)
+      .map { case ((onum, _), off) => s"$onum $off" }.mkString(" ") + "\n"
+    val hb = header.getBytes(StandardCharsets.ISO_8859_1)
+    val data = hb ++ bodies.flatMap(b => b :+ '\n'.toByte)
+    streamObj(num, data, compress,
+      dictExtra = s" /Type /ObjStm /N ${contained.size} /First ${hb.length}")
+  }
+
   /** A stream object, optionally Flate-compressed. */
   def streamObj(num: Int, data: Array[Byte], compress: Boolean,
       dictExtra: String = ""): (Int, Array[Byte]) = {

@@ -305,6 +305,215 @@ class PdfTextSpec extends AnyFunSuite {
       == "Hello World")
   }
 
+  // ------------------- simple-font /Encoding fidelity (r14, Annex D)
+
+  /** Single page, one font whose dict body is `fontBody`, extra
+    * objects appended verbatim (e.g. an indirect /Encoding dict). */
+  private def simplePdf(fontBody: String, content: String,
+      extra: Seq[(Int, Array[Byte])] = Seq.empty): Array[Byte] =
+    PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.textObj(3,
+        "<</Type /Page /Parent 2 0 R /Resources <</Font <</F1 5 0 R>>>> " +
+          "/Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        content.getBytes(StandardCharsets.ISO_8859_1), compress = false),
+      PdfFixtures.textObj(5, fontBody)) ++ extra)
+
+  test("WinAnsiEncoding decodes the 0x80-0x9F punctuation CP1252 range") {
+    // 0x93/0x94 curly dquotes, 0x91/0x92 curly squotes, 0x96 endash,
+    // 0x97 emdash, 0x85 ellipsis, 0x80 Euro, 0x99 trademark
+    val content = "BT /F1 12 Tf (Hi x ab" +
+      "c 5) Tj ET"
+    val got = PdfText.extract(simplePdf(
+      "<</Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding /WinAnsiEncoding>>", content))
+    assert(got == "“Hi” ‘x’ a–b—c… €5™", got)
+  }
+
+  test("WinAnsiEncoding: Latin-1 letters pass through; undefined codes emit nothing") {
+    // 0xE9 é, 0xC4 Ä stay; 0x81/0x8D/0x9D are undefined in WinAnsi
+    val content = "BT /F1 12 Tf (café Äok) Tj ET"
+    val got = PdfText.extract(simplePdf(
+      "<</Type /Font /Encoding /WinAnsiEncoding>>", content))
+    assert(got == "café Äok", got)
+  }
+
+  test("MacRomanEncoding decodes the Apple high range") {
+    // 0x8E é, 0xD0 endash, 0xD2/0xD3 curly dquotes, 0xA5 bullet,
+    // 0xDE fi ligature
+    val content = "BT /F1 12 Tf (caf ÒqÓ aÐb ¥ Þn) Tj ET"
+    val got = PdfText.extract(simplePdf(
+      "<</Type /Font /Encoding /MacRomanEncoding>>", content))
+    assert(got == "café “q” a–b • ﬁn", got)
+  }
+
+  test("StandardEncoding maps 0x27/0x60 to curly quotes and the ligature codes") {
+    // 0x27 quoteright, 0x60 quoteleft, 0xAE fi, 0xD0 emdash
+    val content = "BT /F1 12 Tf (don't `x' ®n aÐb) Tj ET"
+    val got = PdfText.extract(simplePdf(
+      "<</Type /Font /Encoding /StandardEncoding>>", content))
+    assert(got == "don’t ‘x’ ﬁn a—b", got)
+  }
+
+  test("/Encoding dict: /BaseEncoding + /Differences remap, consecutive codes") {
+    // Differences: 65 -> Z, 66 -> emdash (consecutive), 200 -> fi; the
+    // base (WinAnsi) still decodes everything else
+    val content = "BT /F1 12 Tf (AB È cd) Tj ET"
+    val got = PdfText.extract(simplePdf(
+      "<</Type /Font /Encoding <</Type /Encoding " +
+        "/BaseEncoding /WinAnsiEncoding " +
+        "/Differences [65 /Z /emdash 200 /fi]>>>>", content))
+    assert(got == "Z— ﬁ c–d", got)
+  }
+
+  test("/Differences without /BaseEncoding bases on StandardEncoding (TeX form)") {
+    // a TeX-style remap of low codes: 11 -> ff, 12 -> fi, 13 -> fl;
+    // untouched codes keep Standard semantics (0x27 -> quoteright)
+    val content = "BT /F1 12 Tf (eort ecient don't) Tj ET"
+    val got = PdfText.extract(simplePdf(
+      "<</Type /Font /Encoding <</Differences [11 /ff /fi /fl]>>>>",
+      content))
+    assert(got == "eﬀort eﬁcient don’t", got)
+  }
+
+  test("indirect /Encoding object resolves; uniXXXX and gNN names in /Differences") {
+    // 65 -> uni0142 (ł, the AGL algorithmic form), 66 -> g42 (subset-
+    // private: NO text, not the base glyph), 67 -> a.sc (suffix rule)
+    val enc = "<</Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [65 /uni0142 /g42 /a.sc]>>"
+    val got = PdfText.extract(simplePdf(
+      "<</Type /Font /Encoding 7 0 R>>",
+      "BT /F1 12 Tf (ABCd) Tj ET",
+      extra = Seq(PdfFixtures.textObj(7, enc))))
+    assert(got == "ład", got)
+  }
+
+  test("/ToUnicode wins over /Encoding when both are present") {
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.textObj(3,
+        "<</Type /Page /Parent 2 0 R /Resources <</Font <</F1 5 0 R>>>> " +
+          "/Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        "BT /F1 12 Tf <0001> Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      PdfFixtures.textObj(5,
+        "<</Type /Font /Subtype /Type0 /Encoding /WinAnsiEncoding " +
+          "/ToUnicode 6 0 R>>"),
+      PdfFixtures.streamObj(6,
+        cmapText.getBytes(StandardCharsets.ISO_8859_1), compress = true)))
+    assert(PdfText.extract(pdf) == "H")
+  }
+
+  test("fonts with no /Encoding at all keep the Latin-1 byte fallback") {
+    val content = "BT /F1 12 Tf (plain café) Tj ET"
+    val got = PdfText.extract(simplePdf(
+      "<</Type /Font /Subtype /Type1 /BaseFont /Helvetica>>", content))
+    assert(got == "plain café", got)
+  }
+
+  // --------------------------- PDF 1.5 object streams (§7.5.7, r14)
+
+  test("catalog/page/font dicts inside an /ObjStm resolve, font decode intact") {
+    // everything structural lives compressed in the object stream —
+    // the layout of every pdftex document since ~2005; the WinAnsi
+    // font must still bind so 0x97 decodes as an emdash, proving the
+    // font-aware path (not the raw fallback) ran
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.objStmObj(10, Seq(
+        1 -> "<</Type /Catalog /Pages 2 0 R>>",
+        2 -> "<</Type /Pages /Kids [3 0 R] /Count 1>>",
+        3 -> ("<</Type /Page /Parent 2 0 R /Resources " +
+          "<</Font <</F1 5 0 R>>>> /Contents 4 0 R>>"),
+        5 -> "<</Type /Font /Encoding /WinAnsiEncoding>>")),
+      PdfFixtures.streamObj(4,
+        "BT /F1 12 Tf (ab) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = true)))
+    assert(PdfText.extract(pdf) == "a—b")
+  }
+
+  test("a top-level redefinition beats the /ObjStm copy of the same object") {
+    // incremental updates append plain `N 0 obj` bodies AFTER the
+    // original object stream; the appended definition is the live one
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.objStmObj(10, Seq(
+        1 -> "<</Type /Catalog /Pages 2 0 R>>",
+        2 -> "<</Type /Pages /Kids [3 0 R] /Count 1>>",
+        3 -> "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>")),
+      PdfFixtures.streamObj(4,
+        "BT (stale) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      PdfFixtures.streamObj(6,
+        "BT (updated) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      // top-level page 3 re-points /Contents at object 6
+      PdfFixtures.textObj(3, "<</Type /Page /Parent 2 0 R /Contents 6 0 R>>")))
+    assert(PdfText.extract(pdf) == "updated")
+  }
+
+  test("a malformed /ObjStm degrades, never throws") {
+    // /First past the decoded data: the expansion skips the stream and
+    // the raw fallback still finds the page text
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.streamObj(10, "1 0\n<</Broken>>".getBytes(
+        StandardCharsets.ISO_8859_1), compress = true,
+        dictExtra = " /Type /ObjStm /N 1 /First 99999"),
+      PdfFixtures.streamObj(4,
+        "BT (survives) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false)))
+    assert(PdfText.extract(pdf) == "survives")
+  }
+
+  // ------------------------------------------ r13 ADVICE regressions
+
+  test("/Filter with only unrecognized names fails CLOSED (no raw bytes as text)") {
+    // the stream claims /JBIG2Decode but holds raw bytes containing BT
+    // text operators — before r14 those bytes flowed through decode()
+    // unchanged and the raw fallback emitted them as page text
+    val pdf = PdfFixtures.makePdfEnc(Seq(hello),
+      raw => (" /Filter /JBIG2Decode", raw))
+    assert(PdfText.extract(pdf) == "")
+  }
+
+  test("dict balancing is string-aware: '>>' inside a literal string value") {
+    // the (x>>y) value sits BEFORE /Contents — a non-string-aware
+    // dictEnd truncates the page dict there and loses the content ref
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.textObj(3,
+        "<</Type /Page /Note (x>>y) /Parent 2 0 R /Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        "BT (string aware) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false)))
+    assert(PdfText.extract(pdf) == "string aware")
+  }
+
+  test("dict balancing is string-aware: '<<' inside a literal string value") {
+    // '(a<<b)' would over-extend the dict across the *next* object
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.textObj(3,
+        "<</Type /Page /Note (a<<b) /Parent 2 0 R /Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        "BT (not swallowed) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false)))
+    assert(PdfText.extract(pdf) == "not swallowed")
+  }
+
+  test("raw-fallback stream scan is string-aware too") {
+    // no object graph at all (no 'N 0 obj' wrappers): the blind
+    // streams() scanner must skip the (x>>y) span to find the stream
+    val body = "BT (blind scan) Tj ET"
+    val raw = (s"%PDF-1.4\n<</Note (x>>y) /Length ${body.length}>>\n" +
+      s"stream\n$body\nendstream\n").getBytes(StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(raw) == "blind scan")
+  }
+
   // ------------------------- standard security handler (empty pwd)
 
   test("RC4-encrypted document (V2/R3, owner-locked, empty user pwd) decodes") {
