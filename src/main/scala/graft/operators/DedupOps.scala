@@ -67,14 +67,39 @@ object DedupOps {
     * (the explode-form drop semantics, which the oracles replay). */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame =
+    minHashSignaturesExpr(df, idCol, s"ascii_tokens($textCol)",
+      shingleK, numHashes)
+
+  /** [[minHashSignatures]] over a SQL fragment producing the token
+    * array directly — for callers that already materialized
+    * `ascii_tokens` (e.g. a checkpointed token column shared with an
+    * exact-truth branch; the r14 dedup_lsh_recall probe). Same kernel,
+    * same values. */
+  def minHashSignaturesExpr(
+      df: DataFrame, idCol: String, toksExpr: String,
       shingleK: Int, numHashes: Int): DataFrame = {
     val lanes = (0 until numHashes).map(i =>
       element_at(col("__mh"), i + 1).as(s"mh$i"))
     df.select(col(idCol),
-        expr(s"minhash_lanes(ascii_tokens($textCol), $shingleK, $numHashes)")
+        expr(s"minhash_lanes($toksExpr, $shingleK, $numHashes)")
           .as("__mh"))
       .filter(col("__mh").isNotNull)
       .select(col(idCol) +: lanes: _*)
+  }
+
+  /** [[minHashLshPairs]] over a pre-tokenized column (array<string>). */
+  def minHashLshPairsFromTokens(
+      df: DataFrame, idCol: String, toksCol: String,
+      shingleK: Int = 3, numHashes: Int = 8, bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigs = minHashSignaturesExpr(df, idCol, toksCol, shingleK, numHashes)
+    val bandCols = (0 until bands).map(b =>
+      md5(concat_ws(",", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)))
+    val banded = sigs.select(col(idCol),
+      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    pairsWithinBuckets(banded, idCol, Seq("band", "sig"))
   }
 
   /** One-band MinHash block id as a row-local COLUMN on `df` (md5 over

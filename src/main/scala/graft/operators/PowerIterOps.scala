@@ -104,7 +104,14 @@ object PowerIterOps {
         .select(expr(
           "transform(cd, x -> CAST(floor(x / nrm * 1000000.0) AS BIGINT))").as("vq"))
       // The iterate is bounded model state (dim longs) — the
-      // KMeansOps/PqOps collect contract.
+      // KMeansOps/PqOps collect contract. Batching two rounds per
+      // collect (round B consuming round A's iterate as a broadcast
+      // 1-row side instead of a collected literal) was bake-offed in
+      // r14 and LOST: 7/8 alternating same-JVM reps slower (median
+      // 1.38 -> 1.53 s at sf0.1), driver jobs 10 -> 11 — the broadcast
+      // materialization of the intermediate costs more than the one
+      // driver round-trip it saves, the HitsOps round-batching result
+      // again. Verdict reproducible via graft.tools.ProfilePowerIter.
       v = folded.collect()(0).getSeq[Long](0).toArray
     }
     if (iters > 1) xq.unpersist(blocking = false)

@@ -26,6 +26,12 @@ def main():
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    # r14 (VERDICT item 3): where Bench's end-of-suite isolation pass
+    # re-timed a query (every in-suite median >= 1 s), the ISOLATED
+    # min-of-2 is the honest Spark number — in-suite medians carry
+    # suite contention. The ratio column uses isolated where present;
+    # the in-suite median stays visible beside it.
+    isolated = bench.get("isolated", {})
     rows, skipped = [], []
     for q, spark_s in bench["queries"].items():
         sql = oracle.get(q)
@@ -37,14 +43,24 @@ def main():
             t0 = time.time()
             con.execute(sql).fetchall()
             ts.append(time.time() - t0)
-        rows.append((spark_s / sorted(ts)[1], q, spark_s, sorted(ts)[1]))
+        duck = sorted(ts)[1]
+        iso = isolated.get(q)
+        best = iso if iso is not None else spark_s
+        rows.append((best / duck, q, spark_s, iso, duck))
     rows.sort(reverse=True)
-    print(f"{'ratio':>7} {'query':30s} {'spark':>7} {'duck':>7}")
-    for r, q, s, d in rows:
-        print(f"{r:7.1f} {q:30s} {s:7.2f} {d:7.2f}")
+    print(f"{'ratio':>7} {'query':30s} {'suite':>7} {'iso':>7} {'duck':>7}")
+    for r, q, s, iso, d in rows:
+        iso_s = f"{iso:7.2f}" if iso is not None else "      -"
+        print(f"{r:7.1f} {q:30s} {s:7.2f} {iso_s} {d:7.2f}")
     print("skipped (fixture-bound):", " ".join(skipped))
-    st, dt = sum(r[2] for r in rows), sum(r[3] for r in rows)
+    st, dt = sum(r[2] for r in rows), sum(r[4] for r in rows)
     print(f"totals: spark {st:.1f}s duck {dt:.1f}s aggregate ratio {st/dt:.1f}x")
+    iso_rows = [r for r in rows if r[3] is not None]
+    if iso_rows:
+        sit = sum(r[3] for r in iso_rows)
+        dit = sum(r[4] for r in iso_rows)
+        print(f"isolated subset ({len(iso_rows)} queries >=1s): "
+              f"spark_iso {sit:.1f}s duck {dit:.1f}s ratio {sit/dit:.1f}x")
     # Floor-normalized comparator (r12 VERDICT item 2): raw Spark totals
     # are not comparable across rounds on this host — the driver-side
     # planning floor drifts (DRIFT_r12.md) and taxes every multi-job
