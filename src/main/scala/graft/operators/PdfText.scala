@@ -48,10 +48,11 @@ import java.nio.charset.StandardCharsets
   * byte-preserving decode — exact for unencoded ASCII-range fonts.
   *
   * Deliberate scope (documented, not hidden):
-  *   - Identity, /FlateDecode, /ASCIIHexDecode, /ASCII85Decode, and
-  *     their chained forms are decoded (§7.4); streams under
-  *     image/other filters (DCTDecode etc.) are skipped — they carry
-  *     no text operators.
+  *   - Identity, /FlateDecode, /LZWDecode (the pre-PDF-1.2 content
+  *     compressor), /RunLengthDecode, /ASCIIHexDecode,
+  *     /ASCII85Decode, and their chained forms are decoded (§7.4);
+  *     streams under image/other filters (DCTDecode etc.) are
+  *     skipped — they carry no text operators.
   *   - ENCRYPTED documents with the standard security handler and an
   *     EMPTY user password — the "owner-locked but freely openable"
   *     class crawls meet — decrypt natively ([[PdfCrypt]]: RC4 V1/V2
@@ -855,10 +856,14 @@ object PdfText {
 
   // --------------------------------------------------------- filters
 
-  /** Identity, /FlateDecode, /ASCIIHexDecode, /ASCII85Decode, and
-    * their chains (§7.4.1: filters apply in array order, so an
-    * `[/ASCII85Decode /FlateDecode]` stream un-85s then inflates);
-    * anything else (or a decode failure) → empty. */
+  /** Identity, /FlateDecode, /LZWDecode, /RunLengthDecode,
+    * /ASCIIHexDecode, /ASCII85Decode, and their chains (§7.4.1:
+    * filters apply in array order, so an `[/ASCII85Decode
+    * /FlateDecode]` stream un-85s then inflates); anything else (or a
+    * decode failure) → empty. LZW matters for real corpora: pre-2000
+    * Acrobat compressed CONTENT streams with it (Flate arrived in
+    * PDF 1.2), so an LZW-era scan of a book archive hits it on the
+    * exact documents OCR'd least recently (r14). */
   private def decode(s: (String, Array[Byte])): Array[Byte] = {
     val (dict, data) = s
     if (!dict.contains("/Filter")) return data
@@ -868,18 +873,109 @@ object PdfText {
     // names, /JBIG2Decode, /Crypt, a typo): fail CLOSED (r13 ADVICE) —
     // returning the raw encoded bytes here would let multi-KB
     // compressed/encrypted data (which contains "BT" often enough) flow
-    // into the raw fallback scan as fake page text, the exact failure
+    // into the raw fallback scan as fake text, the exact failure
     // class the /U gate exists to stop.
     if (names.isEmpty) return Array.emptyByteArray
     names.foldLeft(data) { (acc, f) =>
       if (acc.isEmpty) acc
       else f match {
         case "FlateDecode" => inflate(acc)
+        case "LZWDecode" =>
+          // PNG/TIFF predictors on a CONTENT stream are unheard of
+          // (they exist for xref/image data, which this extractor
+          // never routes here), but fail closed if one is declared
+          if (dict.contains("/Predictor")) Array.emptyByteArray
+          else lzw(acc)
+        case "RunLengthDecode" => runLength(acc)
         case "ASCIIHexDecode" => asciiHex(acc)
         case "ASCII85Decode" => ascii85(acc)
         case _ => Array.emptyByteArray // image/unsupported: no text inside
       }
     }
+  }
+
+  /** §7.4.4 LZWDecode, the TIFF/PDF variant: big-endian bit stream of
+    * 9..12-bit codes; 256 = ClearTable, 257 = EOD, new table entries
+    * from 258; the code width bumps one code EARLY (EarlyChange = 1,
+    * the spec default and what every known producer writes — the
+    * parameter's other value would shift the bump by one code). Corrupt
+    * input (an out-of-range code, no EOD) degrades to empty — the
+    * never-throws contract. */
+  private def lzw(data: Array[Byte]): Array[Byte] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+      val table = new Array[Array[Byte]](4096)
+      var i = 0
+      while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+      var next = 258
+      var width = 9
+      var prev: Array[Byte] = null
+      var acc = 0L
+      var nbits = 0
+      var pos = 0
+      var done = false
+      while (!done) {
+        while (nbits < width && pos < data.length) {
+          acc = (acc << 8) | (data(pos) & 0xff)
+          nbits += 8
+          pos += 1
+        }
+        if (nbits < width) done = true // ran out without EOD: keep output
+        else {
+          val code = ((acc >> (nbits - width)) & ((1L << width) - 1)).toInt
+          nbits -= width
+          if (code == 256) {
+            var k = 258
+            while (k < next) { table(k) = null; k += 1 }
+            next = 258; width = 9; prev = null
+          } else if (code == 257) done = true
+          else {
+            val entry: Array[Byte] =
+              if (code < 4096 && table(code) != null) table(code)
+              else if (prev != null && code == next)
+                prev :+ prev(0) // the KwKwK case
+              else return Array.emptyByteArray // corrupt stream
+            if (out.size() + entry.length > MaxInflateBytes)
+              return Array.emptyByteArray // LZW bomb
+            out.write(entry)
+            if (prev != null && next < 4096) {
+              table(next) = prev :+ entry(0)
+              next += 1
+            }
+            prev = entry
+            // EarlyChange=1: widen when the NEXT code would not fit
+            if (next >= (1 << width) - 1 && width < 12) width += 1
+          }
+        }
+      }
+      out.toByteArray
+    } catch { case _: Exception => Array.emptyByteArray }
+
+  /** §7.4.5 RunLengthDecode: length byte L — 0..127 copies the next
+    * L+1 bytes literally, 129..255 repeats the next byte 257-L times,
+    * 128 = EOD. */
+  private def runLength(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 2))
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val l = data(i) & 0xff
+      if (l == 128) done = true
+      else if (l < 128) {
+        val n = math.min(l + 1, data.length - i - 1)
+        out.write(data, i + 1, n)
+        i += l + 2
+      } else {
+        if (i + 1 < data.length) {
+          val b = data(i + 1)
+          var k = 0
+          while (k < 257 - l) { out.write(b); k += 1 }
+        }
+        i += 2
+      }
+      if (out.size() > MaxInflateBytes) return Array.emptyByteArray
+    }
+    out.toByteArray
   }
 
   /** The /Filter value only — a name or an array of names; greedy

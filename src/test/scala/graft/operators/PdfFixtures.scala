@@ -47,6 +47,71 @@ object PdfFixtures {
     sb.toString.getBytes(StandardCharsets.ISO_8859_1)
   }
 
+  /** §7.4.4 LZWDecode encoder (TIFF/PDF variant, EarlyChange=1):
+    * leading ClearTable, trailing EOD, big-endian bit packing, width
+    * bumps one code early — the encoding side of the published
+    * algorithm, used for round-trip fixtures (the decoder is ALSO
+    * pinned by a hand-packed known-answer vector in PdfTextSpec, so a
+    * transcription slip here cannot self-validate). */
+  def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nbits = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code
+      nbits += width
+      while (nbits >= 8) {
+        out.write(((acc >> (nbits - 8)) & 0xff).toInt)
+        nbits -= 8
+      }
+    }
+    val table = scala.collection.mutable.Map[Seq[Byte], Int]()
+    def reset(): Unit = {
+      table.clear()
+      for (i <- 0 until 256) table(Seq(i.toByte)) = i
+    }
+    reset()
+    var next = 258
+    put(256) // ClearTable first, as real producers emit
+    var w = Seq.empty[Byte]
+    for (b <- raw) {
+      val wb = w :+ b
+      if (table.contains(wb)) w = wb
+      else {
+        put(table(w))
+        table(wb) = next
+        next += 1
+        // the decoder's table runs ONE entry behind the encoder's, so
+        // the encoder bumps at 2^w exactly when the early-change
+        // decoder (which bumps at 2^w - 1) will read the next code one
+        // bit wider
+        if (next >= (1 << width) && width < 12) width += 1
+        if (next == 4096) { put(256); reset(); next = 258; width = 9 }
+        w = Seq(b)
+      }
+    }
+    if (w.nonEmpty) put(table(w))
+    put(257) // EOD
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** §7.4.5 RunLengthDecode encoder: literal runs only (correct, just
+    * not maximally compressed) with 128 EOD. */
+  def runLengthEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < raw.length) {
+      val n = math.min(128, raw.length - i)
+      out.write(n - 1)
+      out.write(raw, i, n)
+      i += n
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
   /** makePdf with an arbitrary per-stream encoder: raw content-op
     * bytes → (filter clause for the stream dict, encoded data). */
   def makePdfEnc(contentOps: Seq[String],

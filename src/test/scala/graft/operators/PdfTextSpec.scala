@@ -103,6 +103,83 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(chained) == "Hello World")
   }
 
+  // ------------------------------- LZW + RunLength filters (r14)
+
+  test("LZWDecode known-answer: hand-packed 9-bit code stream") {
+    // The code sequence for "BT (ABAB) Tj ET", worked out by hand from
+    // §7.4.4 and packed big-endian at 9 bits — fully independent of
+    // the fixture encoder, so encoder and decoder cannot self-validate
+    // a shared transcription slip. The decoder builds 258='BT',
+    // 259='T ', 260=' (', 261='(A', 262='AB' as it consumes the first
+    // six literals; code 262 then emits "AB" from the table — a real
+    // table-reference hit, not just literals.
+    val codes: Seq[Int] = Seq(256, 'B', 'T', ' ', '(', 'A', 'B', 262,
+      ')', ' ', 'T', 'j', ' ', 'E', 'T', 257)
+    var acc = 0L; var nbits = 0
+    val bytes = scala.collection.mutable.ArrayBuffer[Byte]()
+    for (c <- codes) {
+      acc = (acc << 9) | c; nbits += 9
+      while (nbits >= 8) { bytes += ((acc >> (nbits - 8)) & 0xff).toByte; nbits -= 8 }
+    }
+    if (nbits > 0) bytes += ((acc << (8 - nbits)) & 0xff).toByte
+    val pdf = PdfFixtures.makePdfEnc(Seq("BT (ABAB) Tj ET"),
+      _ => (" /Filter /LZWDecode", bytes.toArray))
+    assert(PdfText.extract(pdf) == "ABAB")
+  }
+
+  test("LZWDecode round-trip through the fixture encoder") {
+    val pdf = PdfFixtures.makePdfEnc(Seq(hello),
+      raw => (" /Filter /LZWDecode", PdfFixtures.lzwEncode(raw)))
+    assert(PdfText.extract(pdf) == "Hello World")
+  }
+
+  test("LZW round-trip across the 9->10->11-bit width boundaries") {
+    // >1800 distinct-ish table entries force two width bumps; the
+    // early-change off-by-one would garble everything past code 510
+    val lines = (0 until 600).map(i => s"(line$i ${i * 7 % 997}) Tj T*")
+    val ops = "BT " + lines.mkString(" ") + " ET"
+    val pdf = PdfFixtures.makePdfEnc(Seq(ops),
+      raw => (" /Filter /LZWDecode", PdfFixtures.lzwEncode(raw)))
+    val got = PdfText.extract(pdf)
+    assert(got.startsWith("line0 0"), got.take(40))
+    assert(got.contains("line599 " + (599 * 7 % 997)), got.takeRight(40))
+    assert(got.linesIterator.size == 600)
+  }
+
+  test("RunLengthDecode round-trip, and the [RunLength Flate] chain") {
+    val pdf = PdfFixtures.makePdfEnc(Seq(hello),
+      raw => (" /Filter /RunLengthDecode", PdfFixtures.runLengthEncode(raw)))
+    assert(PdfText.extract(pdf) == "Hello World")
+    val chained = PdfFixtures.makePdfEnc(Seq(hello),
+      raw => (" /Filter [/RunLengthDecode /FlateDecode]",
+        PdfFixtures.runLengthEncode(PdfFixtures.deflate(raw))))
+    assert(PdfText.extract(chained) == "Hello World")
+  }
+
+  test("RunLengthDecode repeat runs decode (129..255 form)") {
+    // 0xFE = repeat next byte 257-254=3 times: 'aaa'
+    def lit(s: String): Seq[Byte] =
+      (s.length - 1).toByte +: s.getBytes(StandardCharsets.ISO_8859_1).toSeq
+    val payload = (lit("BT (") ++ Seq(0xFE.toByte, 'a'.toByte) ++
+      lit(") Tj ET") :+ 0x80.toByte).toArray
+    val pdf = PdfFixtures.makePdfEnc(Seq("BT (aaa) Tj ET"),
+      _ => (" /Filter /RunLengthDecode", payload))
+    assert(PdfText.extract(pdf) == "aaa")
+  }
+
+  test("corrupt LZW degrades to empty text, never throws") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte)
+    val pdf = PdfFixtures.makePdfEnc(Seq(hello),
+      _ => (" /Filter /LZWDecode", junk))
+    PdfText.extract(pdf) // must not throw
+    // LZW with a declared /Predictor fails closed (never produced for
+    // content streams; predictors belong to xref/image data)
+    val pdf2 = PdfFixtures.makePdfEnc(Seq(hello),
+      raw => (" /Filter /LZWDecode /DecodeParms <</Predictor 12>>",
+        PdfFixtures.lzwEncode(raw)))
+    assert(PdfText.extract(pdf2) == "")
+  }
+
   // ------------------------------------------ Type0/CID + ToUnicode
 
   private val cmapText =
