@@ -234,7 +234,13 @@ object RelationalQueries {
     """SELECT lang, 100.0 * SUM(levenshtein(refc, hypc)) / SUM(wc) AS corpus_wer
       |FROM w GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** 2.2-F7: WER-threshold disqualification filter (whisper_qc.py:150-157). */
+  /** 2.2-F7: WER-threshold disqualification filter (whisper_qc.py:150-157).
+    *
+    * Weak-list census verdict (r14 JobCensus): 5 driver jobs, ONE
+    * 5000-record Levenshtein stage of 0.70 s task time (fully
+    * parallel) against a 1.05 s isolated wall — KERNEL + floor; the
+    * edit-distance work IS the query, duck pays the same kernel in
+    * 0.27 s because its planning overhead is ~zero. */
   private val f7: Q = (s, dir) => {
     val wer = WerAgg.asUdaf
     werPrep(s, dir).groupBy("lang")
@@ -961,7 +967,13 @@ object RelationalQueries {
     * overflow divergence), and ~10x cheaper per row than the md5 it
     * replaced, which was the dominant cost of both o4 scans. Survivor
     * cutoff keeps h <= floor(M * 11/256), the same ~4.3% margin the md5
-    * 2-hex-prefix test gave. */
+    * 2-hex-prefix test gave.
+    *
+    * Weak-list census verdict (r14 JobCensus): 7 driver jobs, two
+    * 600k-record lineitem scans of 0.42/0.33 s task time (the count
+    * pass + the survivor pass groupFractionalSample is built from)
+    * against a 1.18 s isolated wall — FLOOR + two fixed scans; no
+    * unpushed filter, no window over the full table. */
   private val o4HashM = 999999937L
   private val o4Cut = o4HashM * 11 / 256 // 42968747
   private def o4Hash: org.apache.spark.sql.Column =

@@ -254,7 +254,13 @@ object SignalQueries {
     * divide chain on identical integer inputs), squares fold in
     * ascending-dimension order, sqrt, floor to micro-units. A vector
     * parallel to v reports ~0; anisotropy shows up as the gap between
-    * res_fp and the vector's own norm. */
+    * res_fp and the vector's own norm.
+    *
+    * Weak-list census verdict (r14 JobCensus): ~13 driver jobs, total
+    * task-time ~0.8 s of a 1.24 s isolated wall — the jobs are
+    * dominantVector's per-round collects (whose round-batching
+    * alternative measurably LOSES, PowerIterOps.scala) plus the row
+    * pass; FLOOR, the emb_power_iter story inherited. */
   private val resid: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val v = PowerIterOps.dominantVector(emb, "embedding", piDim, piIters)
@@ -688,7 +694,13 @@ object SignalQueries {
     * one map-side-combined aggregate. Each mod term is < 2³¹ so the
     * BIGINT fingerprint sum holds past 4×10⁹ rows; the rn·doc_id
     * product lifts to DECIMAL(38,0) before the mod so the product
-    * itself can never overflow. */
+    * itself can never overflow.
+    *
+    * Weak-list census verdict (r14 JobCensus): 17 driver jobs — the
+    * per-epoch range-exchange ranks are multi-job by construction —
+    * with ~8 s of fully parallel task time (~0.25 s wall on 32
+    * threads) against a 1.17 s isolated wall; FLOOR (jobs × the
+    * degraded ~90 ms planning floor), not plan shape. */
   private val o18Epochs = 2
   private val o18Shards = 8
   private val o18: Q = (s, dir) => {
