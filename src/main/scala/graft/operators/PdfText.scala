@@ -69,6 +69,12 @@ import java.nio.charset.StandardCharsets
   * line per text line (broken at Td, TD, T-star, and the quote shows),
   * pages in file order, blank-line separated — then the pipeline's
   * sentence tokenizer re-segments anyway (PreprocessPipeline).
+  *
+  * Form XObjects (§8.10, r14): the `Do` operator recurses into
+  * /Subtype /Form streams with the form's own /Resources (inheriting
+  * the caller's when absent), cycle-proof — headers, watermarks, and
+  * template-generator body text live there, invisible to a
+  * /Contents-only walk.
   */
 object PdfText {
 
@@ -115,11 +121,25 @@ object PdfText {
         val cmapCache = scala.collection.mutable.Map[Int, Option[CMap]]()
         pagesInOrder(allObjs).map { pageDict =>
           val content = contentsOf(allObjs, pageDict, ctxOpt)
-          if (!containsTextOps(content)) ""
-          else contentText(content,
-            fontsOf(allObjs, pageDict, cmapCache, ctxOpt))
+          val res = resourcesOf(allObjs, pageDict)
+          val ctx = ExecCtx(allObjs, ctxOpt,
+            res.map(fontsFromResources(allObjs, _, cmapCache, ctxOpt))
+              .getOrElse(Map.empty),
+            res.map(xobjectsFromResources(allObjs, _)).getOrElse(Map.empty),
+            cmapCache, Set.empty, 0)
+          // a page whose own /Contents has no text may still draw all
+          // of it through a Form XObject (§8.10 — watermark-only and
+          // template-driven generators), so the text gate must consider
+          // the reachable XObjects too
+          if (!containsTextOps(content) && ctx.xobjects.isEmpty) ""
+          else contentText(content, ctx)
         }
       } catch { case _: Exception => Seq.empty }
+    // no-font, no-XObject context for the fallback scans (per-stream
+    // text only — without a resolved page there is no resource map to
+    // bind names through)
+    val rawCtx = ExecCtx(objs, ctxOpt, Map.empty, Map.empty,
+      scala.collection.mutable.Map[Int, Option[CMap]](), Set.empty, 0)
     val texts =
       if (pageTexts.exists(_.nonEmpty)) pageTexts
       else
@@ -135,13 +155,13 @@ object PdfText {
             .filter(_._2.data.isDefined)
             .map { case (num, o) => decodeStream(num, o, ctxOpt) }
             .filter(containsTextOps)
-            .map(contentText(_, Map.empty))
+            .map(contentText(_, rawCtx))
             .toSeq
           if (fromObjs.exists(_.nonEmpty) || ctxOpt.isDefined) fromObjs
           else streams(bytes).iterator
             .map(decode)
             .filter(containsTextOps)
-            .map(contentText(_, Map.empty))
+            .map(contentText(_, rawCtx))
             .toSeq
         } catch { case _: Exception => Seq.empty }
     texts.filter(_.nonEmpty).mkString("\n\n")
@@ -389,24 +409,33 @@ object PdfText {
   private final case class CMapDec(cm: CMap) extends FontDec
   private final case class ByteDec(table: Array[String]) extends FontDec
 
-  /** Resource-name → text decoder for every page font that has a
-    * /ToUnicode CMap or an /Encoding.
-    * Resources INHERIT up the /Parent chain (§7.7.3.4, r13 review:
-    * pages that omit /Resources and inherit the font map from their
-    * /Pages node would otherwise decode CID text as Latin-1 garbage).
-    * `cmapCache` memoizes parsed CMaps by ToUnicode object number. */
-  private def fontsOf(objs: Map[Int, PObj], pageDict0: String,
+  /** Everything the content-stream scanner needs to decode text and to
+    * follow `Do` into Form XObjects (§8.10, r14): the object map, the
+    * crypt context, the active resource bindings, the shared CMap
+    * cache, and the recursion guards (a visited set so sibling Do
+    * references still both render while reference CYCLES terminate,
+    * plus a depth cap). */
+  private final case class ExecCtx(
+      objs: Map[Int, PObj],
+      crypt: Option[PdfCrypt.Ctx],
+      fonts: Map[String, FontDec],
+      xobjects: Map[String, Int],
       cmapCache: scala.collection.mutable.Map[Int, Option[CMap]],
-      crypt: Option[PdfCrypt.Ctx]): Map[String, FontDec] = {
+      visited: Set[Int],
+      depth: Int)
+
+  /** The page's /Resources dict text, walking the /Parent chain
+    * (§7.7.3.4 inheritance, r13 review: pages that omit /Resources and
+    * inherit the font map from their /Pages node would otherwise
+    * decode CID text as Latin-1 garbage). */
+  private def resourcesOf(objs: Map[Int, PObj], pageDict0: String)
+      : Option[String] = {
     var pageDict = pageDict0
-    var fontDict: Option[String] = None
+    var res: Option[String] = None
     var depth = 0
-    while (fontDict.isEmpty && depth < 16) {
-      fontDict = for {
-        res <- subDict(objs, pageDict, "/Resources")
-        fd <- subDict(objs, res, "/Font")
-      } yield fd
-      if (fontDict.isEmpty) {
+    while (res.isEmpty && depth < 16) {
+      res = subDict(objs, pageDict, "/Resources")
+      if (res.isEmpty) {
         val parent = for {
           i <- Some(pageDict.indexOf("/Parent")) if i >= 0
           m <- RefRe.findFirstMatchIn(pageDict.substring(i))
@@ -419,11 +448,22 @@ object PdfText {
       }
       depth += 1
     }
-    fontDict match {
+    res
+  }
+
+  private val ResEntryRe =
+    """/([A-Za-z0-9.#_+-]+)\s+(\d{1,9})\s+\d{1,5}\s+R""".r
+
+  /** Resource-name → text decoder for every font in a /Resources dict
+    * that has a /ToUnicode CMap or an /Encoding.
+    * `cmapCache` memoizes parsed CMaps by ToUnicode object number. */
+  private def fontsFromResources(objs: Map[Int, PObj], res: String,
+      cmapCache: scala.collection.mutable.Map[Int, Option[CMap]],
+      crypt: Option[PdfCrypt.Ctx]): Map[String, FontDec] =
+    subDict(objs, res, "/Font") match {
       case None => Map.empty
       case Some(fd) =>
-        val entryRe = """/([A-Za-z0-9.#_+-]+)\s+(\d{1,9})\s+\d{1,5}\s+R""".r
-        entryRe.findAllMatchIn(fd).flatMap { m =>
+        ResEntryRe.findAllMatchIn(fd).flatMap { m =>
           for {
             font <- objs.get(m.group(2).toInt)
             dec <- tounicodeOf(objs, font.dict, cmapCache, crypt)
@@ -432,7 +472,16 @@ object PdfText {
           } yield m.group(1) -> dec
         }.toMap
     }
-  }
+
+  /** Resource-name → object number for the /XObject entries. */
+  private def xobjectsFromResources(objs: Map[Int, PObj], res: String)
+      : Map[String, Int] =
+    subDict(objs, res, "/XObject") match {
+      case None => Map.empty
+      case Some(xd) =>
+        ResEntryRe.findAllMatchIn(xd)
+          .map(m => m.group(1) -> m.group(2).toInt).toMap
+    }
 
   /** The font's /Encoding as a 256-entry code → text table: the Annex D
     * base encoding (named directly, or /BaseEncoding inside an
@@ -1098,7 +1147,8 @@ object PdfText {
     * word-soup without it). */
   private val WordGapKern = -180
 
-  private def contentText(c: Array[Byte], fonts: Map[String, FontDec]): String = {
+  private def contentText(c: Array[Byte], ctx: ExecCtx): String = {
+    val fonts = ctx.fonts
     val s = new String(c, StandardCharsets.ISO_8859_1)
     val sb = new StringBuilder
     // pending = (operand, isKernSpace) seen since the last operator
@@ -1201,6 +1251,41 @@ object PdfText {
               // Tm re-positions the text matrix — generators that place
               // every line via Tm instead of Td break lines here
               newline(); pending.clear()
+            case "Do" =>
+              // Form XObject invocation (§8.10): body text routinely
+              // lives here (headers/watermarks, template generators) —
+              // recurse into the form's stream with ITS resources
+              // (falling back to the caller's, the pre-PDF-1.2
+              // compatibility rule), cycle-proof via the visited set
+              // and a depth cap.
+              pending.clear()
+              for {
+                num <- ctx.xobjects.get(lastName)
+                if ctx.depth < 8 && !ctx.visited.contains(num)
+                o <- ctx.objs.get(num)
+                if o.data.isDefined &&
+                  """/Subtype\s*/Form""".r.findFirstIn(o.dict).isDefined
+              } {
+                val inner = decodeStream(num, o, ctx.crypt)
+                if (containsTextOps(inner)) {
+                  val res = subDict(ctx.objs, o.dict, "/Resources")
+                  val sub = contentText(inner, ctx.copy(
+                    fonts = res
+                      .map(fontsFromResources(ctx.objs, _, ctx.cmapCache,
+                        ctx.crypt))
+                      .filter(_.nonEmpty).getOrElse(ctx.fonts),
+                    xobjects = res
+                      .map(xobjectsFromResources(ctx.objs, _))
+                      .filter(_.nonEmpty).getOrElse(ctx.xobjects),
+                    visited = ctx.visited + num,
+                    depth = ctx.depth + 1))
+                  if (sub.nonEmpty) {
+                    newline()
+                    sb.append(sub)
+                    newline()
+                  }
+                }
+              }
             case "BI" =>
               // inline image (§8.9.7): raw binary follows ID until a
               // delimited EI — its bytes routinely contain '(' and

@@ -492,6 +492,89 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got == "plain café", got)
   }
 
+  // ------------------------------- Form XObjects (§8.10 Do, r14)
+
+  /** A /Subtype /Form XObject stream object. */
+  private def formObj(num: Int, ops: String, resources: String = "")
+      : (Int, Array[Byte]) = {
+    val res = if (resources.isEmpty) "" else s" /Resources $resources"
+    PdfFixtures.streamObj(num,
+      ops.getBytes(StandardCharsets.ISO_8859_1), compress = true,
+      dictExtra = s" /Type /XObject /Subtype /Form /BBox [0 0 612 792]$res")
+  }
+
+  test("text drawn only through a Form XObject extracts (header/watermark class)") {
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.textObj(3,
+        "<</Type /Page /Parent 2 0 R /Resources <</XObject <</X1 5 0 R>>>> " +
+          "/Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        "q 1 0 0 1 0 0 cm /X1 Do Q".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      formObj(5, "BT (from the form) Tj ET")))
+    assert(PdfText.extract(pdf) == "from the form")
+  }
+
+  test("a form's own /Resources fonts decode its text; page text interleaves") {
+    // the form carries a WinAnsi font and an 0x97 emdash byte; the page
+    // shows its own text before and after the Do
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.textObj(3,
+        "<</Type /Page /Parent 2 0 R /Resources <</XObject <</F 5 0 R>>>> " +
+          "/Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        "BT (before) Tj ET /F Do BT (after) Tj ET"
+          .getBytes(StandardCharsets.ISO_8859_1), compress = false),
+      formObj(5, "BT /F1 9 Tf (ab) Tj ET",
+        resources = "<</Font <</F1 6 0 R>>>>"),
+      PdfFixtures.textObj(6,
+        "<</Type /Font /Encoding /WinAnsiEncoding>>")))
+    assert(PdfText.extract(pdf) == "before\na—b\nafter")
+  }
+
+  test("nested forms recurse; a reference cycle terminates; images are skipped") {
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.textObj(3,
+        "<</Type /Page /Parent 2 0 R /Resources " +
+          "<</XObject <</A 5 0 R /Img 7 0 R>>>> /Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        "/A Do /Img Do".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      // A draws text, then invokes B; B invokes A again (cycle) and
+      // draws its own text — the cycle arm must terminate silently
+      formObj(5, "BT (outer) Tj ET /B Do",
+        resources = "<</XObject <</B 6 0 R>>>>"),
+      formObj(6, "/A Do BT (inner) Tj ET",
+        resources = "<</XObject <</A 5 0 R>>>>"),
+      // an image XObject whose (fake) data contains BT: never recursed
+      PdfFixtures.streamObj(7,
+        "BT (not text) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false,
+        dictExtra = " /Type /XObject /Subtype /Image /Width 2 /Height 2")))
+    val got = PdfText.extract(pdf)
+    assert(got == "outer\ninner", got)
+  }
+
+  test("the same form invoked twice on one page renders twice (not a cycle)") {
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.textObj(3,
+        "<</Type /Page /Parent 2 0 R /Resources <</XObject <</S 5 0 R>>>> " +
+          "/Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        "/S Do /S Do".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      formObj(5, "BT (stamp) Tj ET")))
+    assert(PdfText.extract(pdf) == "stamp\nstamp")
+  }
+
   // --------------------------- PDF 1.5 object streams (§7.5.7, r14)
 
   test("catalog/page/font dicts inside an /ObjStm resolve, font decode intact") {
