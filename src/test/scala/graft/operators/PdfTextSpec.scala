@@ -614,6 +614,59 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(pdf) == "updated")
   }
 
+  test("encrypted documents expand their (encrypted) /ObjStm dicts: " +
+      "decrypt-then-expand order") {
+    // an RC4 (V2/R3) document whose page/font dicts live inside an
+    // ObjStm — the container stream is encrypted like any stream, so
+    // expansion MUST run after crypt detection with the ObjStm's own
+    // per-object key; the WinAnsi font inside proves the expanded
+    // dicts drive font decode too (0x97 -> emdash)
+    val o = Array.tabulate[Byte](32)(i => (i * 11 + 5).toByte)
+    val fileId = Array.tabulate[Byte](16)(i => (i * 13 + 1).toByte)
+    val key = PdfCrypt.fileKey(o, -44, fileId, r = 3, keyBytes = 16)
+    val ctx = PdfCrypt.Ctx(key, aes = false)
+    val u = PdfCrypt.emptyUserU(key, fileId, r = 3).padTo(32, 0.toByte)
+    def enc(num: Int, raw: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("ARCFOUR")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(
+          PdfCrypt.objKey(ctx, num, 0), "ARCFOUR"))
+      c.doFinal(raw)
+    }
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    // plaintext ObjStm body (header + contained dicts), then deflate,
+    // then encrypt with object 10's key — the §7.6.2 write order
+    val contained = Seq(
+      1 -> "<</Type /Catalog /Pages 2 0 R>>",
+      2 -> "<</Type /Pages /Kids [3 0 R] /Count 1>>",
+      3 -> ("<</Type /Page /Parent 2 0 R /Resources " +
+        "<</Font <</F1 5 0 R>>>> /Contents 4 0 R>>"),
+      5 -> "<</Type /Font /Encoding /WinAnsiEncoding>>")
+    val bodies = contained.map(_._2.getBytes(StandardCharsets.ISO_8859_1))
+    val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+    val hdr = (contained.map(_._1) zip offs)
+      .map { case (n, off) => s"$n $off" }.mkString(" ") + "\n"
+    val stmPlain = hdr.getBytes(StandardCharsets.ISO_8859_1) ++
+      bodies.flatMap(b => b :+ '\n'.toByte)
+    val stmData = enc(10, PdfFixtures.deflate(stmPlain))
+    val content = enc(4, PdfFixtures.deflate(
+      "BT /F1 12 Tf (a\u0097b) Tj ET".getBytes(StandardCharsets.ISO_8859_1)))
+    def stmObj(num: Int, dict: String, data: Array[Byte]): (Int, Array[Byte]) = {
+      val head = (dict + "\nstream\n").getBytes(StandardCharsets.ISO_8859_1)
+      val tail = "\nendstream".getBytes(StandardCharsets.ISO_8859_1)
+      num -> (head ++ data ++ tail)
+    }
+    val pdf = PdfFixtures.assemble(Seq(
+      stmObj(10, s"<</Type /ObjStm /N ${contained.size} /First ${hdr.length} " +
+        s"/Length ${stmData.length} /Filter /FlateDecode>>", stmData),
+      stmObj(4, s"<</Length ${content.length} /Filter /FlateDecode>>", content),
+      PdfFixtures.textObj(9,
+        s"<</Filter /Standard /Length 128 /O <${hx(o)}> /P -44 /R 3 " +
+          s"/U <${hx(u)}> /V 2>>")),
+      trailerExtra = s" /Encrypt 9 0 R /ID [<${hx(fileId)}> <${hx(fileId)}>]")
+    assert(PdfText.extract(pdf) == "a—b")
+  }
+
   test("a malformed /ObjStm degrades, never throws") {
     // /First past the decoded data: the expansion skips the stream and
     // the raw fallback still finds the page text
