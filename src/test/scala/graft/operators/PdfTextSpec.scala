@@ -771,6 +771,53 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(pdf) == "")
   }
 
+  test("seeded fuzz: bit-flipped, truncated, and spliced documents never throw") {
+    // the never-throws contract across every r13/r14 code path —
+    // object graph, ObjStm expansion, encodings, LZW, crypt, XObject
+    // recursion — under deterministic corruption (fixed seed: a
+    // failure reproduces exactly)
+    val rnd = new scala.util.Random(20260816L)
+    val bases: IndexedSeq[Array[Byte]] = IndexedSeq(
+      makePdf(Seq(hello), compress = true),
+      makePdf(Seq(hello, "BT (p2) Tj ET"), compress = false),
+      cidPdf("BT /F1 12 Tf <00010002> Tj ET"),
+      PdfFixtures.encryptedPdf("BT (x) Tj ET", "aes"),
+      PdfFixtures.encryptedPdf("BT (x) Tj ET", "rc4"),
+      PdfFixtures.makePdfEnc(Seq(hello),
+        raw => (" /Filter /LZWDecode", PdfFixtures.lzwEncode(raw))),
+      PdfFixtures.assemble(Seq(
+        PdfFixtures.objStmObj(10, Seq(
+          1 -> "<</Type /Catalog /Pages 2 0 R>>",
+          2 -> "<</Type /Pages /Kids [3 0 R] /Count 1>>",
+          3 -> "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>")),
+        PdfFixtures.streamObj(4,
+          "BT (objstm) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+          compress = true))))
+    for (iter <- 1 to 1500) {
+      val base = bases(rnd.nextInt(bases.size))
+      val b = java.util.Arrays.copyOf(base, base.length)
+      rnd.nextInt(3) match {
+        case 0 => // up to 8 random bit flips
+          for (_ <- 0 to rnd.nextInt(8)) {
+            val i = rnd.nextInt(b.length)
+            b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+          }
+          PdfText.extract(b)
+        case 1 => // truncation at a random point
+          PdfText.extract(java.util.Arrays.copyOfRange(b, 0, rnd.nextInt(b.length)))
+        case 2 => // splice a random slice of one doc into another
+          val other = bases(rnd.nextInt(bases.size))
+          val from = rnd.nextInt(other.length)
+          val len = math.min(rnd.nextInt(200), other.length - from)
+          val at = rnd.nextInt(b.length)
+          val spliced = java.util.Arrays.copyOfRange(b, 0, at) ++
+            java.util.Arrays.copyOfRange(other, from, from + len) ++
+            java.util.Arrays.copyOfRange(b, at, b.length)
+          PdfText.extract(spliced)
+      }
+    }
+  }
+
   test("malformed inputs never throw") {
     assert(PdfText.extract(null) == "")
     assert(PdfText.extract(Array.emptyByteArray) == "")
