@@ -878,4 +878,20 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q window not partitioned by $key:\n${winLines.mkString("\n")}")
     }
   }
+
+  test("lsh-recall reads the shared token checkpoint: no documents scan " +
+      "in the final plan (r14 restructure)") {
+    // ONE checkpoint of (doc_id, t, tokens) feeds the truth shingles,
+    // the minhash lanes, AND the simhash branch — the r14 fix for the
+    // two-round degraded+retried contention signature (ProfileLshRecall:
+    // every alternating rep faster, jobs 27 -> 20). If a branch
+    // re-inlines the corpus subtree, a parquet documents scan reappears
+    // in the final plan next to the checkpoint RDD scans.
+    val p = plan("dedup_lsh_recall")
+    assert(p.contains("Scan ExistingRDD"),
+      s"lsh-recall lost its shared token checkpoint:\n${p.take(800)}")
+    assert(!p.contains("Scan parquet"),
+      "a fingerprint branch re-inlined the corpus scan instead of " +
+        s"reading the shared checkpoint:\n${p.take(800)}")
+  }
 }
