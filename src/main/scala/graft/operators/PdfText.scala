@@ -512,9 +512,15 @@ object PdfText {
           !" \t\r\n()<>[]/%".contains(fontDict.charAt(k))) k += 1
         return PdfEncodings.byName(fontDict.substring(j + 1, k))
       } else
+        // an indirect ref: an encoding DICT object. A STREAM target is
+        // a Type0 font's embedded CMap (not a simple-font encoding) —
+        // building a byte table from its stream dict would decode
+        // 2-byte CID text through StandardEncoding garbage; leave those
+        // to the ToUnicode/Latin-1 paths (r14 review).
         RefRe.findPrefixMatchOf(
             fontDict.substring(j, math.min(fontDict.length, j + 24)))
-          .flatMap(m => objs.get(m.group(1).toInt)).map(_.dict)
+          .flatMap(m => objs.get(m.group(1).toInt))
+          .filter(_.data.isEmpty).map(_.dict)
     encDict.flatMap { enc =>
       // an indirect /Encoding may resolve to a bare NAME object
       """^\s*/([A-Za-z]+)\s*$""".r.findFirstMatchIn(enc) match {

@@ -467,6 +467,20 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got == "ład", got)
   }
 
+  test("an indirect /Encoding resolving to a CMap STREAM builds no byte table") {
+    // a Type0 font may point /Encoding at an embedded CMap stream; a
+    // simple-font byte table built from the stream's dict would decode
+    // its 2-byte CID text as StandardEncoding garbage — the font must
+    // stay unbound (Latin-1 fallback, the documented unmapped-CID seam)
+    val got = PdfText.extract(simplePdf(
+      "<</Type /Font /Subtype /Type0 /Encoding 7 0 R>>",
+      "BT /F1 12 Tf (plain bytes) Tj ET",
+      extra = Seq(PdfFixtures.streamObj(7,
+        "%!PS fake cmap data".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false, dictExtra = " /Type /CMap"))))
+    assert(got == "plain bytes", got)
+  }
+
   test("/ToUnicode wins over /Encoding when both are present") {
     val pdf = PdfFixtures.assemble(Seq(
       PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
