@@ -648,7 +648,11 @@ object PdfText {
   }
 
   /** The dict text with every NESTED `<< >>` body blanked, so regex
-    * lookups hit top-level keys only. */
+    * lookups hit top-level keys only. STRING-AWARE like dictEnd (r14
+    * review): it runs on Encrypt dicts, whose /O and /U values are 32
+    * random-ish bytes — a literal string containing '<<' would push
+    * the depth count and blank every key after it (e.g. /V), silently
+    * demoting a supported scheme to fail-closed. */
   private def topLevel(dict: String): String = {
     val arr = dict.toCharArray
     var depth = 0
@@ -662,6 +666,17 @@ object PdfText {
         if (depth > 1) { arr(i) = ' '; arr(i + 1) = ' ' }
         depth -= 1
         i += 2
+      } else if (arr(i) == '(') {
+        // literal string: skip its span whole (keep it when top-level —
+        // stringVal reads /O and /U from the unblanked text)
+        val end = literalString(dict, i)._2
+        if (depth > 1) { var k = i; while (k < end && k < arr.length) { arr(k) = ' '; k += 1 } }
+        i = end
+      } else if (arr(i) == '<') { // hex string: no '>' inside
+        var k = i + 1
+        while (k < arr.length && arr(k) != '>') k += 1
+        if (depth > 1) { var m = i; while (m <= k && m < arr.length) { arr(m) = ' '; m += 1 } }
+        i = k + 1
       } else {
         if (depth > 1) arr(i) = ' '
         i += 1

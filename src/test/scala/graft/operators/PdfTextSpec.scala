@@ -771,6 +771,39 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(pdf) == "unsigned perms")
   }
 
+  test("an /O literal containing '<<' does not blank the Encrypt dict's keys") {
+    // topLevel() blanks nested <<>> bodies before /V and /R are read;
+    // 32 random /O bytes contain "<<" in ~0.1% of encrypted documents
+    // and a non-string-aware depth count would blank everything after
+    // the string — silently demoting a supported RC4 document to
+    // fail-closed (the dictEnd r13 ADVICE class, applied to topLevel)
+    val o = Array.tabulate[Byte](32)(i =>
+      if (i == 5 || i == 6) '<'.toByte else (i * 11 + 5).toByte)
+    val fileId = Array.tabulate[Byte](16)(i => (i * 13 + 1).toByte)
+    val key = PdfCrypt.fileKey(o, -44, fileId, r = 3, keyBytes = 16)
+    val ctx = PdfCrypt.Ctx(key, aes = false)
+    val u = PdfCrypt.emptyUserU(key, fileId, r = 3).padTo(32, 0.toByte)
+    val c = javax.crypto.Cipher.getInstance("ARCFOUR")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(PdfCrypt.objKey(ctx, 4, 0), "ARCFOUR"))
+    val data = c.doFinal(PdfFixtures.deflate(
+      "BT (literal O key) Tj ET".getBytes(StandardCharsets.ISO_8859_1)))
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val oLit = new String(o.map(b => (b & 0xff).toChar)) // no (, ), \ bytes by construction
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.textObj(3, "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>"),
+      4 -> (s"<</Length ${data.length} /Filter /FlateDecode>>\nstream\n"
+        .getBytes(StandardCharsets.ISO_8859_1) ++ data ++
+        "\nendstream".getBytes(StandardCharsets.ISO_8859_1)),
+      PdfFixtures.textObj(9,
+        s"<</Filter /Standard /Length 128 /O ($oLit) /P -44 /R 3 " +
+          s"/U <${hx(u)}> /V 2>>")),
+      trailerExtra = s" /Encrypt 9 0 R /ID [<${hx(fileId)}> <${hx(fileId)}>]")
+    assert(PdfText.extract(pdf) == "literal O key")
+  }
+
   test("a real (non-empty) user password fails CLOSED via the /U gate") {
     val pdf = PdfFixtures.encryptedPdf("BT (locked) Tj ET", "rc4",
       forgeU = true)
