@@ -128,10 +128,14 @@ object PdfText {
             res.map(xobjectsFromResources(allObjs, _)).getOrElse(Map.empty),
             cmapCache, Set.empty, 0)
           // a page whose own /Contents has no text may still draw all
-          // of it through a Form XObject (§8.10 — watermark-only and
+          // of it through a FORM XObject (§8.10 — watermark-only and
           // template-driven generators), so the text gate must consider
-          // the reachable XObjects too
-          if (!containsTextOps(content) && ctx.xobjects.isEmpty) ""
+          // the reachable XObjects too. /Image XObjects can't carry
+          // text operators, so image-only pages (scanned books: one
+          // /Image per page, no BT anywhere) keep the cheap
+          // short-circuit instead of paying a full content scan per
+          // page (r14 ADVICE); the dict text is already in hand.
+          if (!containsTextOps(content) && !hasFormXObject(allObjs, ctx)) ""
           else contentText(content, ctx)
         }
       } catch { case _: Exception => Seq.empty }
@@ -169,8 +173,12 @@ object PdfText {
 
   // --------------------------------------------------- document graph
 
+  /** `off` = file offset of the definition's `N G obj` header — for
+    * ObjStm-contained objects, the offset of the CONTAINING stream's
+    * header. Merge precedence is later-offset-wins (§7.5.6 incremental
+    * updates, in BOTH directions — see [[expandObjStms]]). */
   private final case class PObj(dict: String, gen: Int,
-    data: Option[Array[Byte]])
+    data: Option[Array[Byte]], off: Int = 0)
 
   /** Object number → final definition, linear scan (§7.5.6: a later
     * `N G obj` supersedes an earlier one — incremental updates). The
@@ -216,13 +224,14 @@ object PdfText {
               extents += ((d, stop))
               Some(java.util.Arrays.copyOfRange(b, d, stop))
             } else None
-          out(num) = PObj(dict, gen, data)
+          out(num) = PObj(dict, gen, data, m.start)
         }
       } else {
         val e = s.indexOf("endobj", i)
         // 4000 chars keeps bare numbers and /Contents arrays whole
         // (hundreds of refs) while bounding pathological bodies
-        if (e > i) out(num) = PObj(s.substring(i, e).trim.take(4000), gen, None)
+        if (e > i)
+          out(num) = PObj(s.substring(i, e).trim.take(4000), gen, None, m.start)
       }
     }
     val masked =
@@ -242,15 +251,20 @@ object PdfText {
     * `objnum offset` (offset relative to /First), then the object
     * bodies — dicts (catalog, pages, fonts, encodings) and small
     * non-dict values; contained objects are never themselves streams
-    * (§7.5.7 forbids it), so `data` is always None. A number already
-    * defined TOP-LEVEL keeps its top-level definition: an incremental
+    * (§7.5.7 forbids it), so `data` is always None. Merge precedence is
+    * FILE POSITION, not container kind (r14 ADVICE): an incremental
     * update appends plain `N 0 obj` redefinitions after the original
-    * ObjStm, and the appended version is the live one. */
+    * ObjStm (top-level wins), but a full-save rewriter (qpdf
+    * --object-streams, Acrobat save-as) recompresses the live
+    * definitions into a NEW ObjStm later in the file while a stale
+    * top-level body may remain earlier — so each contained object
+    * carries its container's header offset and the later-in-file
+    * definition wins in both directions. */
   private def expandObjStms(objs: Map[Int, PObj],
       crypt: Option[PdfCrypt.Ctx]): Map[Int, PObj] = {
-    val stms = objs.toSeq.sortBy(_._1).filter { case (_, o) =>
+    val stms = objs.toSeq.filter { case (_, o) =>
       o.data.isDefined && o.dict.contains("/ObjStm")
-    }
+    }.sortBy(_._2.off)
     if (stms.isEmpty) return objs
     val extra = scala.collection.mutable.LinkedHashMap[Int, PObj]()
     for ((num, o) <- stms) {
@@ -279,15 +293,19 @@ object PdfText {
                   Some(s.substring(start, math.min(next, s.length))
                     .trim.take(4000))
                 }
-              body.foreach(b => extra(onum) = PObj(b, 0, None))
+              body.foreach(b => extra(onum) = PObj(b, 0, None, o.off))
             }
           }
         case _ =>
       }
     }
-    // top-level definitions win (see scaladoc); ObjStm entries fill
-    // the rest, later streams superseding earlier ones
-    extra.toMap ++ objs
+    // later-in-file wins (see scaladoc): streams were walked in file
+    // order so within `extra` later ObjStms already superseded earlier
+    // ones; against top-level definitions, compare header offsets
+    val merged = scala.collection.mutable.Map[Int, PObj]() ++ objs
+    for ((k, e) <- extra)
+      if (!merged.get(k).exists(_.off >= e.off)) merged(k) = e
+    merged.toMap
   }
 
   /** End index (exclusive) of the balanced `<< ... >>` starting at i.
@@ -388,13 +406,13 @@ object PdfText {
     // array expands one level into its stream refs.
     val refs = refs0.flatMap { r =>
       objs.get(r) match {
-        case Some(PObj(d, _, None)) if d.startsWith("[") =>
+        case Some(PObj(d, _, None, _)) if d.startsWith("[") =>
           RefRe.findAllMatchIn(d).map(_.group(1).toInt).toSeq
         case _ => Seq(r)
       }
     }
     val pieces = refs.flatMap(r => objs.get(r).map(r -> _)).collect {
-      case (num, o @ PObj(_, _, Some(_))) => decodeStream(num, o, crypt)
+      case (num, o @ PObj(_, _, Some(_), _)) => decodeStream(num, o, crypt)
     }
     if (pieces.isEmpty) Array.emptyByteArray
     else pieces.reduce((a, c) => a ++ Array[Byte]('\n') ++ c)
@@ -473,6 +491,14 @@ object PdfText {
         }.toMap
     }
 
+  /** True when any XObject reachable from the page's resources is a
+    * Form (the only /Subtype whose stream can carry text operators —
+    * the same gate the Do handler applies before recursing). */
+  private def hasFormXObject(objs: Map[Int, PObj], ctx: ExecCtx): Boolean =
+    ctx.xobjects.values.exists(n => objs.get(n).exists(o =>
+      o.data.isDefined &&
+        """/Subtype\s*/Form""".r.findFirstIn(o.dict).isDefined))
+
   /** Resource-name → object number for the /XObject entries. */
   private def xobjectsFromResources(objs: Map[Int, PObj], res: String)
       : Map[String, Int] =
@@ -496,8 +522,23 @@ object PdfText {
     * every code they actually use anyway. */
   private def encodingOf(objs: Map[Int, PObj], fontDict: String)
       : Option[Array[String]] = {
-    val i = fontDict.indexOf("/Encoding")
-    if (i < 0) return None
+    // Key lookup runs on the TOP-LEVEL-blanked text with a delimiter
+    // required after the key (r14 ADVICE: a raw indexOf could bind a
+    // match inside a nested dict value or a string, and /EncodingX-
+    // style longer keys failed safe only by value-shape accident).
+    // topLevel() blanks in place, so offsets transfer to fontDict —
+    // the VALUE (possibly an inline nested dict, which topLevel
+    // blanked) is read from the original text.
+    val tl = topLevel(fontDict)
+    var i = -1
+    var from = 0
+    while (i < 0) {
+      val c = tl.indexOf("/Encoding", from)
+      if (c < 0) return None
+      val after = c + 9
+      if (after >= tl.length || " \t\r\n/<[(".contains(tl.charAt(after))) i = c
+      else from = after
+    }
     var j = i + 9
     while (j < fontDict.length && fontDict.charAt(j).isWhitespace) j += 1
     // three value shapes: a base-encoding name, an inline encoding

@@ -147,14 +147,17 @@ object PdfFixtures {
   }
 
   /** Header + objects + xref (computed offsets) + trailer with
-    * /Root 1 0 R. Object 1 must be the catalog. */
+    * /Root 1 0 R. Object 1 must be the catalog. `inOrder` keeps the
+    * caller's sequence as the FILE order (incremental-update fixtures,
+    * where definition precedence is file position); the default sorts
+    * by object number like a fresh single-save writer. */
   def assemble(objs: Seq[(Int, Array[Byte])],
-      trailerExtra: String = ""): Array[Byte] = {
+      trailerExtra: String = "", inOrder: Boolean = false): Array[Byte] = {
     def bytes(s: String) = s.getBytes(StandardCharsets.ISO_8859_1)
     val out = new java.io.ByteArrayOutputStream()
     out.write(bytes("%PDF-1.4\n%âãÏÓ\n"))
     val offsets = scala.collection.mutable.Map[Int, Int]()
-    objs.sortBy(_._1).foreach { case (num, body) =>
+    (if (inOrder) objs else objs.sortBy(_._1)).foreach { case (num, body) =>
       offsets(num) = out.size()
       out.write(bytes(s"$num 0 obj\n")); out.write(body); out.write(bytes("\nendobj\n"))
     }

@@ -506,6 +506,26 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got == "plain café", got)
   }
 
+  test("an /Encoding inside a NESTED dict value does not bind the font " +
+      "(top-level key lookup, r14 ADVICE)") {
+    // 0xA5 is '¥' in Latin-1 but '•' in MacRoman — binding the nested
+    // /Encoding would decode the wrong byte table
+    val content = "BT /F1 12 Tf (y¥z) Tj ET"
+    val got = PdfText.extract(simplePdf(
+      "<</Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/FontInfo <</Encoding /MacRomanEncoding>>>>", content))
+    assert(got == "y¥z", got)
+  }
+
+  test("a longer key like /EncodingFoo does not bind as /Encoding " +
+      "(delimiter required, r14 ADVICE)") {
+    val content = "BT /F1 12 Tf (y¥z) Tj ET"
+    val got = PdfText.extract(simplePdf(
+      "<</Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/EncodingFoo /MacRomanEncoding>>", content))
+    assert(got == "y¥z", got)
+  }
+
   // ------------------------------- Form XObjects (§8.10 Do, r14)
 
   /** A /Subtype /Form XObject stream object. */
@@ -575,6 +595,27 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got == "outer\ninner", got)
   }
 
+  test("an image-only page (one /Image XObject, no BT) extracts empty " +
+      "via the cheap short-circuit (r14 ADVICE)") {
+    // scanned-book layout: every page is a single /Image draw; the
+    // text gate must NOT fall through to a full content scan just
+    // because an XObject exists — only /Form subtypes can carry text
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      PdfFixtures.textObj(3,
+        "<</Type /Page /Parent 2 0 R /Resources " +
+          "<</XObject <</Img 5 0 R>>>> /Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        "q 612 0 0 792 0 0 cm /Img Do Q".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      PdfFixtures.streamObj(5,
+        Array.tabulate[Byte](64)(i => (i * 37 + 11).toByte),
+        compress = false,
+        dictExtra = " /Type /XObject /Subtype /Image /Width 2 /Height 2")))
+    assert(PdfText.extract(pdf) == "")
+  }
+
   test("the same form invoked twice on one page renders twice (not a cycle)") {
     val pdf = PdfFixtures.assemble(Seq(
       PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
@@ -609,9 +650,12 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(pdf) == "a—b")
   }
 
-  test("a top-level redefinition beats the /ObjStm copy of the same object") {
+  test("an appended top-level redefinition beats the earlier /ObjStm " +
+      "copy of the same object (incremental update)") {
     // incremental updates append plain `N 0 obj` bodies AFTER the
-    // original object stream; the appended definition is the live one
+    // original object stream; the appended definition is the live one.
+    // inOrder: precedence is FILE position, so the fixture must place
+    // the redefinition after the ObjStm like a real updater does.
     val pdf = PdfFixtures.assemble(Seq(
       PdfFixtures.objStmObj(10, Seq(
         1 -> "<</Type /Catalog /Pages 2 0 R>>",
@@ -624,7 +668,54 @@ class PdfTextSpec extends AnyFunSuite {
         "BT (updated) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
         compress = false),
       // top-level page 3 re-points /Contents at object 6
-      PdfFixtures.textObj(3, "<</Type /Page /Parent 2 0 R /Contents 6 0 R>>")))
+      PdfFixtures.textObj(3, "<</Type /Page /Parent 2 0 R /Contents 6 0 R>>")),
+      inOrder = true)
+    assert(PdfText.extract(pdf) == "updated")
+  }
+
+  test("a LATER /ObjStm copy beats the earlier stale top-level body " +
+      "(qpdf --object-streams / Acrobat full-save layout)") {
+    // a full-save rewriter recompresses the live definitions into a
+    // NEW object stream at the END of the file while a stale top-level
+    // body may survive earlier; precedence is file position in both
+    // directions (r14 ADVICE)
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      PdfFixtures.textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      // stale top-level page points at the old content stream
+      PdfFixtures.textObj(3, "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>"),
+      PdfFixtures.streamObj(4,
+        "BT (stale) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      PdfFixtures.streamObj(6,
+        "BT (updated) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      // the live page dict lives in an ObjStm written at the file end
+      PdfFixtures.objStmObj(10, Seq(
+        3 -> "<</Type /Page /Parent 2 0 R /Contents 6 0 R>>"))),
+      inOrder = true)
+    assert(PdfText.extract(pdf) == "updated")
+  }
+
+  test("of two /ObjStm copies of one object, the later-in-file stream " +
+      "wins regardless of object number") {
+    // object 20 (earlier in file) carries the stale copy; object 10
+    // (LATER in file) carries the live one — a number-ordered merge
+    // would pick the stale copy
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.objStmObj(20, Seq(
+        1 -> "<</Type /Catalog /Pages 2 0 R>>",
+        2 -> "<</Type /Pages /Kids [3 0 R] /Count 1>>",
+        3 -> "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>")),
+      PdfFixtures.streamObj(4,
+        "BT (stale) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      PdfFixtures.streamObj(6,
+        "BT (updated) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = false),
+      PdfFixtures.objStmObj(10, Seq(
+        3 -> "<</Type /Page /Parent 2 0 R /Contents 6 0 R>>"))),
+      inOrder = true)
     assert(PdfText.extract(pdf) == "updated")
   }
 
