@@ -50,9 +50,13 @@ import java.nio.charset.StandardCharsets
   * Deliberate scope (documented, not hidden):
   *   - Identity, /FlateDecode, /LZWDecode (the pre-PDF-1.2 content
   *     compressor), /RunLengthDecode, /ASCIIHexDecode,
-  *     /ASCII85Decode, and their chained forms are decoded (§7.4);
-  *     streams under image/other filters (DCTDecode etc.) are
-  *     skipped — they carry no text operators.
+  *     /ASCII85Decode, and their chained forms are decoded (§7.4),
+  *     honoring per-filter /DecodeParms: PNG row predictors 10-15 and
+  *     TIFF predictor 2 on Flate/LZW streams (§7.4.4.4 — generators
+  *     that predictor-compress object streams, and pre-1.5 LZW
+  *     archives; r15) and LZW /EarlyChange. Streams under image/other
+  *     filters (DCTDecode etc.) are skipped — they carry no text
+  *     operators.
   *   - ENCRYPTED documents with the standard security handler and an
   *     EMPTY user password — the "owner-locked but freely openable"
   *     class crawls meet — decrypt natively ([[PdfCrypt]]: RC4 V1/V2
@@ -987,16 +991,22 @@ object PdfText {
     // into the raw fallback scan as fake text, the exact failure
     // class the /U gate exists to stop.
     if (names.isEmpty) return Array.emptyByteArray
-    names.foldLeft(data) { (acc, f) =>
+    val parms = decodeParmsOf(dict, names.length)
+    names.zipWithIndex.foldLeft(data) { case (acc, (f, ix)) =>
       if (acc.isEmpty) acc
       else f match {
-        case "FlateDecode" => inflate(acc)
+        // Flate/LZW honor /DecodeParms (r14 VERDICT #1): PNG row
+        // predictors (some generators predictor-compress OBJECT
+        // streams; pre-1.5 archives carry predictor'd LZW) and TIFF
+        // horizontal differencing decode; an UNREADABLE parm slot
+        // (indirect ref) fails closed — it may hide a /Predictor, and
+        // un-predicted rows would flow through as garbage text.
+        case "FlateDecode" =>
+          if (parms(ix) == OpaqueParms) Array.emptyByteArray
+          else predictor(inflate(acc), parms(ix))
         case "LZWDecode" =>
-          // PNG/TIFF predictors on a CONTENT stream are unheard of
-          // (they exist for xref/image data, which this extractor
-          // never routes here), but fail closed if one is declared
-          if (dict.contains("/Predictor")) Array.emptyByteArray
-          else lzw(acc)
+          if (parms(ix) == OpaqueParms) Array.emptyByteArray
+          else predictor(lzw(acc, earlyChangeOf(parms(ix))), parms(ix))
         case "RunLengthDecode" => runLength(acc)
         case "ASCIIHexDecode" => asciiHex(acc)
         case "ASCII85Decode" => ascii85(acc)
@@ -1005,14 +1015,196 @@ object PdfText {
     }
   }
 
+  // ---------------------------------------- /DecodeParms + predictors
+
+  private sealed trait ParmSlot
+  private case object NoParms extends ParmSlot
+  /** A slot whose parms exist but could not be read (an indirect
+    * reference, or a shape this parser does not speak): Flate/LZW fail
+    * closed on it rather than risk skipping a hidden /Predictor. */
+  private case object OpaqueParms extends ParmSlot
+  private final case class Parms(dict: String) extends ParmSlot
+
+  /** Per-filter /DecodeParms aligned with the /Filter array (§7.4.1):
+    * a lone dict binds to the first filter; an array carries one entry
+    * per filter with `null` placeholders; a missing key (or a short
+    * array's tail) is NoParms. The key is looked up on the top-level-
+    * blanked text with a required delimiter, like /Encoding — parm
+    * dicts are themselves nested dicts, so the value is read from the
+    * ORIGINAL text at the matched offset. */
+  private def decodeParmsOf(dict: String, n: Int): IndexedSeq[ParmSlot] = {
+    val none = IndexedSeq.fill[ParmSlot](n)(NoParms)
+    val tl = topLevel(dict)
+    var i = -1
+    var from = 0
+    while (i < 0) {
+      val c = tl.indexOf("/DecodeParms", from)
+      if (c < 0) return none
+      val after = c + 12
+      if (after >= tl.length || " \t\r\n/<[(".contains(tl.charAt(after))) i = c
+      else from = after
+    }
+    var j = i + 12
+    while (j < dict.length && dict.charAt(j).isWhitespace) j += 1
+    if (j + 1 < dict.length && dict.charAt(j) == '<' && dict.charAt(j + 1) == '<')
+      dictEnd(dict, j) match {
+        case Some(e) => (Parms(dict.substring(j, e)) +: none.tail).take(n)
+        case None => IndexedSeq.fill[ParmSlot](n)(OpaqueParms)
+      }
+    else if (j < dict.length && dict.charAt(j) == '[') {
+      val out = scala.collection.mutable.ArrayBuffer[ParmSlot]()
+      var k = j + 1
+      var done = false
+      while (!done && k < dict.length && out.length < n) {
+        val c = dict.charAt(k)
+        if (c.isWhitespace) k += 1
+        else if (c == ']') done = true
+        else if (c == '<' && k + 1 < dict.length && dict.charAt(k + 1) == '<')
+          dictEnd(dict, k) match {
+            case Some(e) => out += Parms(dict.substring(k, e)); k = e
+            case None => out += OpaqueParms; done = true
+          }
+        else if (dict.startsWith("null", k)) { out += NoParms; k += 4 }
+        else RefRe.findPrefixMatchOf(
+            dict.substring(k, math.min(dict.length, k + 24))) match {
+          case Some(m) => out += OpaqueParms; k += m.end // indirect entry
+          case None => out += OpaqueParms; done = true   // unreadable
+        }
+      }
+      (out.toIndexedSeq ++ none).take(n)
+    }
+    else IndexedSeq.fill[ParmSlot](n)(OpaqueParms) // `12 0 R` etc.
+  }
+
+  private def earlyChangeOf(slot: ParmSlot): Int = slot match {
+    case Parms(d) => intVal(d, "/EarlyChange").getOrElse(1)
+    case _ => 1
+  }
+
+  /** §7.4.4.4 prediction pre-pass on a decompressed Flate/LZW stream:
+    * /Predictor 1 (or absent) = identity, 2 = TIFF horizontal
+    * differencing, 10..15 = the PNG row filters (the value only
+    * signals "PNG"; each row's leading TAG byte picks None/Sub/Up/
+    * Average/Paeth per the PNG spec §6). Honors /Columns, /Colors,
+    * /BitsPerComponent. Out-of-spec parameters and unknown row tags
+    * fail CLOSED; a truncated final row keeps the decoded prefix
+    * (never-throws contract). */
+  private def predictor(data: Array[Byte], slot: ParmSlot): Array[Byte] =
+    slot match {
+      case NoParms => data
+      case OpaqueParms => Array.emptyByteArray
+      case Parms(d) =>
+        val pred = intVal(d, "/Predictor").getOrElse(1)
+        if (pred <= 1) data
+        else {
+          val colors = intVal(d, "/Colors").getOrElse(1)
+          val bpc = intVal(d, "/BitsPerComponent").getOrElse(8)
+          val cols = intVal(d, "/Columns").getOrElse(1)
+          // bounds: /Colors caps at 60 per the spec note; columns cap
+          // keeps rowLen * 2 buffers sane on hostile input
+          if (data.isEmpty || colors < 1 || colors > 60 ||
+              cols < 1 || cols > (1 << 24) ||
+              !(bpc == 1 || bpc == 2 || bpc == 4 || bpc == 8 || bpc == 16))
+            Array.emptyByteArray
+          else if (pred == 2) tiffPredictor(data, colors, bpc, cols)
+          else if (pred >= 10 && pred <= 15) pngPredictor(data, colors, bpc, cols)
+          else Array.emptyByteArray
+        }
+    }
+
+  /** TIFF predictor 2: in-place horizontal byte differencing. Only the
+    * 8-bit-component case is implemented — sub-byte and 16-bit TIFF
+    * differencing exist for image rasters, which never reach this
+    * (text-bearing) decode path; fail closed rather than mis-add. */
+  private def tiffPredictor(data: Array[Byte], colors: Int, bpc: Int,
+      cols: Int): Array[Byte] = {
+    if (bpc != 8) return Array.emptyByteArray
+    val rowLen = colors * cols
+    val out = data.clone()
+    var r = 0
+    while (r < out.length) {
+      val end = math.min(r + rowLen, out.length)
+      var i = r + colors
+      while (i < end) {
+        out(i) = ((out(i) + out(i - colors)) & 0xff).toByte
+        i += 1
+      }
+      r += rowLen
+    }
+    out
+  }
+
+  /** PNG row un-filtering (PNG spec §6 / filters 0-4): each input row
+    * is a tag byte + rowLen filtered bytes; row 0's "previous row" is
+    * all zeros. bpp = bytes per complete pixel (min 1), the left-
+    * neighbor distance for Sub/Average/Paeth. */
+  private def pngPredictor(data: Array[Byte], colors: Int, bpc: Int,
+      cols: Int): Array[Byte] = {
+    val rowLen = ((colors.toLong * bpc * cols + 7) / 8).toInt
+    if (rowLen <= 0) return Array.emptyByteArray
+    val bpp = math.max(1, (colors * bpc + 7) / 8)
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    val prev = new Array[Byte](rowLen)
+    val cur = new Array[Byte](rowLen)
+    var pos = 0
+    while (pos < data.length) {
+      val tag = data(pos) & 0xff
+      pos += 1
+      val avail = math.min(rowLen, data.length - pos)
+      java.util.Arrays.fill(cur, 0.toByte)
+      if (avail > 0) System.arraycopy(data, pos, cur, 0, avail)
+      pos += avail
+      tag match {
+        case 0 => // None
+        case 1 => // Sub
+          var i = bpp
+          while (i < rowLen) {
+            cur(i) = ((cur(i) + cur(i - bpp)) & 0xff).toByte; i += 1
+          }
+        case 2 => // Up
+          var i = 0
+          while (i < rowLen) {
+            cur(i) = ((cur(i) + prev(i)) & 0xff).toByte; i += 1
+          }
+        case 3 => // Average
+          var i = 0
+          while (i < rowLen) {
+            val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
+            cur(i) = ((cur(i) + ((left + (prev(i) & 0xff)) >> 1)) & 0xff).toByte
+            i += 1
+          }
+        case 4 => // Paeth
+          var i = 0
+          while (i < rowLen) {
+            val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+            val b = prev(i) & 0xff
+            val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+            val p = a + b - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            val pr = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            cur(i) = ((cur(i) + pr) & 0xff).toByte
+            i += 1
+          }
+        case _ => return Array.emptyByteArray // corrupt row tag
+      }
+      out.write(cur, 0, avail)
+      System.arraycopy(cur, 0, prev, 0, rowLen)
+    }
+    out.toByteArray
+  }
+
   /** §7.4.4 LZWDecode, the TIFF/PDF variant: big-endian bit stream of
     * 9..12-bit codes; 256 = ClearTable, 257 = EOD, new table entries
-    * from 258; the code width bumps one code EARLY (EarlyChange = 1,
-    * the spec default and what every known producer writes — the
-    * parameter's other value would shift the bump by one code). Corrupt
-    * input (an out-of-range code, no EOD) degrades to empty — the
-    * never-throws contract. */
-  private def lzw(data: Array[Byte]): Array[Byte] =
+    * from 258; the code width bumps one code EARLY when
+    * /EarlyChange = 1 (the spec default and what nearly every producer
+    * writes), or exactly at the table-full boundary when a
+    * /DecodeParms declares /EarlyChange 0 (r15: honored now that parm
+    * dicts are parsed for the predictor pass). Corrupt input (an
+    * out-of-range code, no EOD) degrades to empty — the never-throws
+    * contract. */
+  private def lzw(data: Array[Byte], earlyChange: Int = 1): Array[Byte] =
     try {
       val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
       val table = new Array[Array[Byte]](4096)
@@ -1055,7 +1247,8 @@ object PdfText {
             }
             prev = entry
             // EarlyChange=1: widen when the NEXT code would not fit
-            if (next >= (1 << width) - 1 && width < 12) width += 1
+            if (next >= (1 << width) - (if (earlyChange != 0) 1 else 0) &&
+                width < 12) width += 1
           }
         }
       }

@@ -53,7 +53,77 @@ object PdfFixtures {
     * algorithm, used for round-trip fixtures (the decoder is ALSO
     * pinned by a hand-packed known-answer vector in PdfTextSpec, so a
     * transcription slip here cannot self-validate). */
-  def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+  /** PNG-predictor encoder (PNG spec §6 filters 0-4, one per row) for
+    * predictor'd Flate/LZW fixtures: splits raw into Columns*Colors
+    * byte rows (bpc = 8), applies `filterForRow(rowIdx)` and prepends
+    * the tag byte. Encode side of the published algorithm — the decode
+    * side is ALSO pinned by hand-derived constant vectors in
+    * PdfTextSpec, so a shared transcription slip cannot self-validate. */
+  def pngPredictEncode(raw: Array[Byte], columns: Int, colors: Int = 1,
+      filterForRow: Int => Int = _ => 2): Array[Byte] = {
+    val rowLen = columns * colors
+    val bpp = colors
+    val out = new java.io.ByteArrayOutputStream()
+    val prev = new Array[Byte](rowLen)
+    var r = 0
+    var rowIdx = 0
+    while (r < raw.length) {
+      val n = math.min(rowLen, raw.length - r)
+      val cur = new Array[Byte](rowLen)
+      System.arraycopy(raw, r, cur, 0, n)
+      val tag = filterForRow(rowIdx)
+      out.write(tag)
+      for (i <- 0 until n) {
+        val x = cur(i) & 0xff
+        val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+        val b = prev(i) & 0xff
+        val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+        val f = tag match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            val pr = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            x - pr
+        }
+        out.write(f & 0xff)
+      }
+      System.arraycopy(cur, 0, prev, 0, rowLen)
+      r += n
+      rowIdx += 1
+    }
+    out.toByteArray
+  }
+
+  /** TIFF predictor-2 encoder (8-bit components): per-row horizontal
+    * byte differencing. */
+  def tiffPredictEncode(raw: Array[Byte], columns: Int,
+      colors: Int = 1): Array[Byte] = {
+    val rowLen = columns * colors
+    val out = raw.clone()
+    var r = 0
+    while (r < raw.length) {
+      val end = math.min(r + rowLen, raw.length)
+      var i = end - 1
+      while (i >= r + colors) {
+        out(i) = (((raw(i) & 0xff) - (raw(i - colors) & 0xff)) & 0xff).toByte
+        i -= 1
+      }
+      r += rowLen
+    }
+    out
+  }
+
+  def lzwEncode(raw: Array[Byte]): Array[Byte] = lzwEncode(raw, 1)
+
+  /** earlyChange 0 writes the width bump one code LATER (the decoder's
+    * table runs one entry behind, so the encoder bumps at 2^w + 1 - EC). */
+  def lzwEncode(raw: Array[Byte], earlyChange: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var acc = 0L
     var nbits = 0
@@ -86,7 +156,7 @@ object PdfFixtures {
         // the encoder bumps at 2^w exactly when the early-change
         // decoder (which bumps at 2^w - 1) will read the next code one
         // bit wider
-        if (next >= (1 << width) && width < 12) width += 1
+        if (next >= (1 << width) + (1 - earlyChange) && width < 12) width += 1
         if (next == 4096) { put(256); reset(); next = 258; width = 9 }
         w = Seq(b)
       }
@@ -252,15 +322,25 @@ object PdfFixtures {
     * N-pairs offset header, FlateDecode'd — the PDF 1.5 layout every
     * pdftex/FO document stores its catalog/page/font dicts in. */
   def objStmObj(num: Int, contained: Seq[(Int, String)],
-      compress: Boolean = true): (Int, Array[Byte]) = {
+      compress: Boolean = true,
+      pngPredictorColumns: Int = 0): (Int, Array[Byte]) = {
     val bodies = contained.map(_._2.getBytes(StandardCharsets.ISO_8859_1))
     val offsets = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
     val header = contained.zip(offsets)
       .map { case ((onum, _), off) => s"$onum $off" }.mkString(" ") + "\n"
     val hb = header.getBytes(StandardCharsets.ISO_8859_1)
     val data = hb ++ bodies.flatMap(b => b :+ '\n'.toByte)
-    streamObj(num, data, compress,
-      dictExtra = s" /Type /ObjStm /N ${contained.size} /First ${hb.length}")
+    val base = s" /Type /ObjStm /N ${contained.size} /First ${hb.length}"
+    if (pngPredictorColumns > 0) {
+      // the generator class r14 VERDICT #1 names: object streams
+      // predictor-compressed like xref streams (Up filter rows)
+      val enc = deflate(pngPredictEncode(data, pngPredictorColumns))
+      val head = (s"<</Length ${enc.length} /Filter /FlateDecode " +
+        s"/DecodeParms <</Predictor 12 /Columns $pngPredictorColumns>>" +
+        s"$base>>\nstream\n").getBytes(StandardCharsets.ISO_8859_1)
+      num -> (head ++ enc ++ "\nendstream".getBytes(StandardCharsets.ISO_8859_1))
+    } else
+      streamObj(num, data, compress, dictExtra = base)
   }
 
   /** A stream object, optionally Flate-compressed. */

@@ -146,6 +146,181 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got.linesIterator.size == 600)
   }
 
+  // ----------------- /DecodeParms predictors (§7.4.4.4, r15)
+
+  // known-answer vectors for "BT (AAAA) Tj ET" at Columns 5, derived
+  // by hand from the PNG spec §6 filter definitions (checked against
+  // an independent Python derivation) — fully independent of the
+  // fixture encoder, so encoder and decoder cannot self-validate a
+  // shared transcription slip
+  private val predictorContent = "BT (AAAA) Tj ET"
+
+  private def predictorPdf(filtered: Seq[Int], parms: String,
+      flate: Boolean = true): Array[Byte] = {
+    val raw = filtered.map(_.toByte).toArray
+    PdfFixtures.makePdfEnc(Seq(predictorContent),
+      _ => (s" /Filter /FlateDecode /DecodeParms $parms",
+        if (flate) PdfFixtures.deflate(raw) else raw))
+  }
+
+  test("PNG Sub predictor known-answer (hand-derived rows)") {
+    val filtered = Seq(
+      0x01, 0x42, 0x12, 0xcc, 0x08, 0x19,
+      0x01, 0x41, 0x00, 0x00, 0xe8, 0xf7,
+      0x01, 0x54, 0x16, 0xb6, 0x25, 0x0f)
+    val pdf = predictorPdf(filtered, "<</Predictor 11 /Columns 5>>")
+    assert(PdfText.extract(pdf) == "AAAA")
+  }
+
+  test("PNG Up predictor known-answer (hand-derived rows)") {
+    val filtered = Seq(
+      0x02, 0x42, 0x54, 0x20, 0x28, 0x41,
+      0x02, 0xff, 0xed, 0x21, 0x01, 0xdf,
+      0x02, 0x13, 0x29, 0xdf, 0x1c, 0x34)
+    val pdf = predictorPdf(filtered, "<</Predictor 12 /Columns 5>>")
+    assert(PdfText.extract(pdf) == "AAAA")
+  }
+
+  test("PNG Paeth predictor known-answer (hand-derived rows)") {
+    val filtered = Seq(
+      0x04, 0x42, 0x12, 0xcc, 0x08, 0x19,
+      0x04, 0xff, 0xed, 0x21, 0xe8, 0xdf,
+      0x04, 0x13, 0x16, 0xb6, 0x25, 0x0f)
+    val pdf = predictorPdf(filtered, "<</Predictor 14 /Columns 5>>")
+    assert(PdfText.extract(pdf) == "AAAA")
+  }
+
+  test("TIFF predictor 2 known-answer (hand-derived differencing)") {
+    val filtered = Seq(
+      0x42, 0x12, 0xcc, 0x08, 0x19,
+      0x41, 0x00, 0x00, 0xe8, 0xf7,
+      0x54, 0x16, 0xb6, 0x25, 0x0f)
+    val pdf = predictorPdf(filtered, "<</Predictor 2 /Columns 5>>")
+    assert(PdfText.extract(pdf) == "AAAA")
+  }
+
+  test("PNG predictor round-trip, mixed filters per row incl. Average, " +
+      "with a partial final row") {
+    // 7 columns over a longer stream: the per-row tag cycles through
+    // all five PNG filters; the stream length is deliberately not a
+    // row multiple so the truncated-final-row path runs
+    val ops = "BT (the predictor pass must invert every filter) Tj ET"
+    val raw = ops.getBytes(StandardCharsets.ISO_8859_1)
+    assert(raw.length % 7 != 0)
+    val pdf = PdfFixtures.makePdfEnc(Seq(ops),
+      r => (" /Filter /FlateDecode /DecodeParms <</Predictor 15 /Columns 7>>",
+        PdfFixtures.deflate(
+          PdfFixtures.pngPredictEncode(r, 7, filterForRow = _ % 5))))
+    assert(PdfText.extract(pdf) ==
+      "the predictor pass must invert every filter")
+  }
+
+  test("PNG predictor with /Colors 3 uses pixel-width left neighbors") {
+    val ops = "BT (three color components shift the sub distance) Tj ET"
+    val pdf = PdfFixtures.makePdfEnc(Seq(ops),
+      r => (" /Filter /FlateDecode /DecodeParms " +
+        "<</Predictor 15 /Colors 3 /Columns 6>>",
+        PdfFixtures.deflate(
+          PdfFixtures.pngPredictEncode(r, 6, colors = 3,
+            filterForRow = i => Seq(1, 3, 4)(i % 3)))))
+    assert(PdfText.extract(pdf) ==
+      "three color components shift the sub distance")
+  }
+
+  test("predictor'd LZWDecode (the pre-1.5 archive class)") {
+    val ops = "BT (lzw with png rows) Tj ET"
+    val pdf = PdfFixtures.makePdfEnc(Seq(ops),
+      r => (" /Filter /LZWDecode /DecodeParms <</Predictor 12 /Columns 5>>",
+        PdfFixtures.lzwEncode(PdfFixtures.pngPredictEncode(r, 5))))
+    assert(PdfText.extract(pdf) == "lzw with png rows")
+  }
+
+  test("/DecodeParms as an ARRAY aligned with a filter chain") {
+    // [ASCIIHex Flate] with parms [null <<Predictor>>]: the predictor
+    // binds to the Flate slot, not the hex slot
+    val ops = "BT (aligned parms) Tj ET"
+    val pdf = PdfFixtures.makePdfEnc(Seq(ops),
+      r => (" /Filter [/ASCIIHexDecode /FlateDecode] " +
+        "/DecodeParms [null <</Predictor 12 /Columns 5>>]",
+        PdfFixtures.asciiHexEncode(PdfFixtures.deflate(
+          PdfFixtures.pngPredictEncode(r, 5)))))
+    assert(PdfText.extract(pdf) == "aligned parms")
+  }
+
+  test("LZW /EarlyChange 0 shifts the width bump (round-trip)") {
+    val lines = (0 until 600).map(i => s"(ec$i ${i * 11 % 991}) Tj T*")
+    val ops = "BT " + lines.mkString(" ") + " ET"
+    val pdf = PdfFixtures.makePdfEnc(Seq(ops),
+      raw => (" /Filter /LZWDecode /DecodeParms <</EarlyChange 0>>",
+        PdfFixtures.lzwEncode(raw, earlyChange = 0)))
+    val got = PdfText.extract(pdf)
+    assert(got.startsWith("ec0 0"), got.take(40))
+    assert(got.contains("ec599 " + (599 * 11 % 991)), got.takeRight(40))
+  }
+
+  test("an EarlyChange-0 stream decoded with the default would garble: " +
+      "the parm is load-bearing") {
+    val lines = (0 until 600).map(i => s"(x$i) Tj T*")
+    val ops = "BT " + lines.mkString(" ") + " ET"
+    val enc = PdfFixtures.lzwEncode(
+      ops.getBytes(StandardCharsets.ISO_8859_1), earlyChange = 0)
+    // same bytes, NO parm dict: the early-change decode desyncs at the
+    // first width boundary and the corrupt-code arm fails closed
+    val pdf = PdfFixtures.makePdfEnc(Seq(ops),
+      _ => (" /Filter /LZWDecode", enc))
+    val got = PdfText.extract(pdf)
+    assert(!got.contains("x599"), got.takeRight(40))
+  }
+
+  test("a predictor'd /ObjStm expands (qpdf-style object streams)") {
+    val pdf = PdfFixtures.assemble(Seq(
+      PdfFixtures.objStmObj(10, Seq(
+        1 -> "<</Type /Catalog /Pages 2 0 R>>",
+        2 -> "<</Type /Pages /Kids [3 0 R] /Count 1>>",
+        3 -> ("<</Type /Page /Parent 2 0 R /Resources " +
+          "<</Font <</F1 5 0 R>>>> /Contents 4 0 R>>"),
+        5 -> "<</Type /Font /Encoding /WinAnsiEncoding>>"),
+        pngPredictorColumns = 8),
+      PdfFixtures.streamObj(4,
+        "BT /F1 12 Tf (ab) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+        compress = true)))
+    // 0x97 decodes as an emdash only if the predictor'd ObjStm's font
+    // dict resolved — the raw fallback has no font context
+    assert(PdfText.extract(pdf) == "a—b")
+  }
+
+  test("unsupported predictor shapes fail CLOSED (no garbage text)") {
+    val raw = predictorContent.getBytes(StandardCharsets.ISO_8859_1)
+    // predictor value outside 1/2/10..15
+    val p99 = PdfFixtures.makePdfEnc(Seq(predictorContent),
+      _ => (" /Filter /FlateDecode /DecodeParms <</Predictor 99>>",
+        PdfFixtures.deflate(raw)))
+    assert(PdfText.extract(p99) == "")
+    // TIFF differencing at sub-byte depth: not implemented, must refuse
+    val tiff4 = PdfFixtures.makePdfEnc(Seq(predictorContent),
+      _ => (" /Filter /FlateDecode /DecodeParms " +
+        "<</Predictor 2 /BitsPerComponent 4 /Columns 5>>",
+        PdfFixtures.deflate(raw)))
+    assert(PdfText.extract(tiff4) == "")
+    // an INDIRECT parms entry could hide a /Predictor: fail closed
+    val indirect = PdfFixtures.makePdfEnc(Seq(predictorContent),
+      _ => (" /Filter /FlateDecode /DecodeParms 77 0 R",
+        PdfFixtures.deflate(raw)))
+    assert(PdfText.extract(indirect) == "")
+    // a corrupt PNG row tag (5) aborts the stream
+    val badTag = predictorPdf(
+      Seq(0x05, 0x42, 0x54, 0x20, 0x28, 0x41), "<</Predictor 12 /Columns 5>>")
+    assert(PdfText.extract(badTag) == "")
+  }
+
+  test("a parm dict WITHOUT /Predictor leaves the stream unchanged") {
+    val raw = predictorContent.getBytes(StandardCharsets.ISO_8859_1)
+    val pdf = PdfFixtures.makePdfEnc(Seq(predictorContent),
+      _ => (" /Filter /FlateDecode /DecodeParms <</Columns 5>>",
+        PdfFixtures.deflate(raw)))
+    assert(PdfText.extract(pdf) == "AAAA")
+  }
+
   test("RunLengthDecode round-trip, and the [RunLength Flate] chain") {
     val pdf = PdfFixtures.makePdfEnc(Seq(hello),
       raw => (" /Filter /RunLengthDecode", PdfFixtures.runLengthEncode(raw)))
@@ -923,6 +1098,15 @@ class PdfTextSpec extends AnyFunSuite {
       PdfFixtures.encryptedPdf("BT (x) Tj ET", "rc4"),
       PdfFixtures.makePdfEnc(Seq(hello),
         raw => (" /Filter /LZWDecode", PdfFixtures.lzwEncode(raw))),
+      // predictor'd streams (r15): corrupted row tags, torn rows, and
+      // mangled /DecodeParms must all degrade, never throw
+      PdfFixtures.makePdfEnc(Seq(hello),
+        raw => (" /Filter /FlateDecode /DecodeParms <</Predictor 15 /Columns 7>>",
+          PdfFixtures.deflate(
+            PdfFixtures.pngPredictEncode(raw, 7, filterForRow = _ % 5)))),
+      PdfFixtures.makePdfEnc(Seq(hello),
+        raw => (" /Filter /LZWDecode /DecodeParms <</Predictor 2 /Columns 5>>",
+          PdfFixtures.lzwEncode(PdfFixtures.tiffPredictEncode(raw, 5)))),
       PdfFixtures.assemble(Seq(
         PdfFixtures.objStmObj(10, Seq(
           1 -> "<</Type /Catalog /Pages 2 0 R>>",
@@ -930,6 +1114,15 @@ class PdfTextSpec extends AnyFunSuite {
           3 -> "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>")),
         PdfFixtures.streamObj(4,
           "BT (objstm) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
+          compress = true))),
+      PdfFixtures.assemble(Seq(
+        PdfFixtures.objStmObj(10, Seq(
+          1 -> "<</Type /Catalog /Pages 2 0 R>>",
+          2 -> "<</Type /Pages /Kids [3 0 R] /Count 1>>",
+          3 -> "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>"),
+          pngPredictorColumns = 6),
+        PdfFixtures.streamObj(4,
+          "BT (predstm) Tj ET".getBytes(StandardCharsets.ISO_8859_1),
           compress = true))))
     for (iter <- 1 to 1500) {
       val base = bases(rnd.nextInt(bases.size))
