@@ -10,12 +10,13 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   * prompting). Pure JDK: MD5/RC4(ARCFOUR)/AES-CBC all ship in
   * java.security / javax.crypto.
   *
-  * Supported: /Filter /Standard with V 1/2 (RC4, 40..128-bit) and
-  * V 4 crypt filters /V2 (RC4) or /AESV2 (AES-128-CBC, 16-byte IV
-  * prefix) — R 2/3/4. NOT handled (documented seam): V 5 / R 6
-  * (AES-256, the SHA-2 hardened-hash Algorithm 2.A) and documents with
-  * a real (non-empty) user password — both decrypt to garbage, which
-  * the caller's never-throws pipeline degrades to empty text.
+  * Supported: /Filter /Standard with V 1/2 (RC4, 40..128-bit), V 4
+  * crypt filters /V2 (RC4) or /AESV2 (AES-128-CBC, 16-byte IV
+  * prefix) — R 2/3/4 — and V 5 /AESV3 (AES-256-CBC, R 5 legacy and
+  * R 6 with the ISO 32000-2 Algorithm 2.B hardened hash; r15). NOT
+  * handled (documented seam): documents with a real (non-empty) user
+  * password — the /U gate fails them closed before any ciphertext
+  * could flow.
   *
   * Honesty note (the Mp3Layer3 discipline): no independent encrypted
   * fixture generator exists in this offline container, so the spec
@@ -40,9 +41,11 @@ private[operators] object PdfCrypt {
     0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
     0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
-  /** aes = the StdCF crypt method is AESV2; keyBytes = /Length in
-    * bytes (5 when R = 2). */
-  final case class Ctx(fileKey: Array[Byte], aes: Boolean)
+  /** aes = the StdCF crypt method is AESV2/AESV3; keyBytes = /Length
+    * in bytes (5 when R = 2); v5 = the /V 5 scheme (AES-256, file key
+    * used directly — no per-object derivation). */
+  final case class Ctx(fileKey: Array[Byte], aes: Boolean,
+    v5: Boolean = false)
 
   private def md5(parts: Array[Byte]*): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -103,11 +106,91 @@ private[operators] object PdfCrypt {
         java.util.Arrays.equals(want.take(n), uStored.take(n))
     } catch { case _: Exception => false }
 
+  // ------------------------------------ AES-256 (/V 5, R5/R6 — r15)
+
+  /** ISO 32000-2 §7.6.4.3.3/.4: the R6 hardened hash (Algorithm 2.B)
+    * or the single SHA-256 of the retired R5 scheme (Acrobat 9's
+    * ExtensionLevel 3, still met in the wild). Only the USER-side
+    * form is ever computed here (empty `udata`); the owner-side
+    * 48-byte /U suffix never applies to the empty-user-password class
+    * this extractor speaks. 2.B loop: K1 = 64 reps of (pwd ++ K
+    * [++ udata]); E = AES-128-CBC(K[0..15], iv K[16..31], K1);
+    * (sum of E[0..15]) mod 3 picks SHA-256/384/512 for the next K;
+    * stop after round >= 64 when E's last byte <= round - 32. */
+  def hash2B(r: Int, pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    def sha(algo: String, parts: Array[Byte]*): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance(algo)
+      parts.foreach(md.update)
+      md.digest()
+    }
+    var k = sha("SHA-256", pwd, salt, udata)
+    if (r == 5) return k
+    val block = new java.io.ByteArrayOutputStream()
+    var round = 0
+    var done = false
+    while (!done) {
+      block.reset()
+      block.write(pwd); block.write(k); block.write(udata)
+      val one = block.toByteArray
+      val k1 = new Array[Byte](one.length * 64)
+      var j = 0
+      while (j < 64) {
+        System.arraycopy(one, 0, k1, j * one.length, one.length); j += 1
+      }
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.ENCRYPT_MODE,
+        new SecretKeySpec(k.take(16), "AES"),
+        new IvParameterSpec(k.slice(16, 32)))
+      val e = c.doFinal(k1)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      k = sha(if (mod == 0) "SHA-256" else if (mod == 1) "SHA-384" else "SHA-512", e)
+      round += 1
+      if (round >= 64 && (e(e.length - 1) & 0xff) <= round - 32) done = true
+    }
+    k.take(32)
+  }
+
+  /** Algorithm 11 (validate the EMPTY user password against /U) plus
+    * Algorithm 2.A steps f-g (decrypt /UE into the file key). /U is
+    * 48 bytes: hash(32) ++ validation salt(8) ++ key salt(8); a hash
+    * mismatch means a REAL user password — None, fail closed. The
+    * /UE decrypt is AES-256-CBC, zero IV, no padding. */
+  def fileKeyV5(r: Int, u: Array[Byte], ue: Array[Byte]): Option[Array[Byte]] =
+    try {
+      if (u.length < 48 || ue.length < 32) return None
+      val empty = Array.emptyByteArray
+      val want = hash2B(r, empty, u.slice(32, 40))
+      if (!java.util.Arrays.equals(want, u.take(32))) return None
+      val ik = hash2B(r, empty, u.slice(40, 48))
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(ik, "AES"),
+        new IvParameterSpec(new Array[Byte](16)))
+      Some(c.doFinal(ue.take(32)))
+    } catch { case _: Exception => None }
+
+  /** Algorithm 13's integrity gate on /Perms: AES-256-ECB decrypt with
+    * the file key must surface "adb" at bytes 9-11. A document whose
+    * /Perms does not verify has a wrong key or tampered permissions —
+    * fail closed. (Callers tolerate an ABSENT /Perms: some R5-era
+    * producers omitted it.) */
+  def checkPerms(fileKey: Array[Byte], perms: Array[Byte]): Boolean =
+    try {
+      if (perms.length < 16) return false
+      val c = Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(fileKey, "AES"))
+      val d = c.doFinal(perms.take(16))
+      d(9) == 'a'.toByte && d(10) == 'd'.toByte && d(11) == 'b'.toByte
+    } catch { case _: Exception => false }
+
   private val AesSalt = Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
 
   /** Algorithm 1's per-object key: MD5(fileKey ++ objNum LE24 ++
-    * gen LE16 [++ sAlT for AES]), truncated to min(n+5, 16). */
+    * gen LE16 [++ sAlT for AES]), truncated to min(n+5, 16). V5 has
+    * NO per-object key (§7.6.4.2 note 2): the file key encrypts every
+    * string and stream directly. */
   def objKey(ctx: Ctx, num: Int, gen: Int): Array[Byte] = {
+    if (ctx.v5) return ctx.fileKey
     val tail = Array[Byte](
       (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
       ((num >> 16) & 0xff).toByte,

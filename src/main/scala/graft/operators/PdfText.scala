@@ -59,13 +59,14 @@ import java.nio.charset.StandardCharsets
   *     operators.
   *   - ENCRYPTED documents with the standard security handler and an
   *     EMPTY user password — the "owner-locked but freely openable"
-  *     class crawls meet — decrypt natively ([[PdfCrypt]]: RC4 V1/V2
-  *     and AES-128 /AESV2, per-object keys, decrypt-then-filter).
+  *     class crawls meet — decrypt natively ([[PdfCrypt]]: RC4 V1/V2,
+  *     AES-128 /AESV2 with per-object keys, and AES-256 /AESV3 V5
+  *     R5/R6 with the direct file key (r15), decrypt-then-filter).
   *   - CID fonts WITHOUT /ToUnicode (no text mapping exists in the
-  *     file at all — PyMuPDF emits garbage there too), AES-256 (V5/R6)
-  *     encryption, and real user passwords stay at the
-  *     [[graft.pipeline.Externals]] seam; they fail CLOSED here
-  *     (wrongly-keyed streams never inflate → empty text).
+  *     file at all — PyMuPDF emits garbage there too) and real user
+  *     passwords stay at the [[graft.pipeline.Externals]] seam; they
+  *     fail CLOSED here (the /U gate, and wrongly-keyed streams never
+  *     inflate → empty text).
   *   - Documents whose page tree does not resolve fall back to
   *     scanning every stream for BT/ET text (no font context).
   *
@@ -653,6 +654,9 @@ object PdfText {
     encRe.findAllMatchIn(masked).toSeq.lastOption match {
       case None => NoCrypt
       case Some(m) =>
+        val vOf = objs.get(m.group(1).toInt)
+          .map(e => intVal(topLevel(e.dict), "/V").getOrElse(1))
+        if (vOf.contains(5)) return detectCryptV5(objs(m.group(1).toInt).dict)
         val built = for {
           enc <- objs.get(m.group(1).toInt)
           d = enc.dict
@@ -690,6 +694,27 @@ object PdfText {
         }
         built.getOrElse(UnsupportedCrypt)
     }
+  }
+
+  /** /V 5 (AES-256, ISO 32000-2): R 5 (legacy single-SHA-256) or R 6
+    * (Algorithm 2.B hardened hash), /AESV3 crypt filter only. The /U
+    * hash IS the empty-user-password gate (Algorithm 11); the file
+    * key comes from /UE, and an exposed /Perms must pass Algorithm
+    * 13's "adb" check (absent /Perms tolerated — some R5-era
+    * producers omitted it). Anything else fails closed. */
+  private def detectCryptV5(d: String): Crypt = {
+    val top = topLevel(d)
+    val r = intVal(top, "/R").getOrElse(6)
+    val built = for {
+      _ <- Option.when(d.contains("/Standard"))(())
+      _ <- Option.when(r == 5 || r == 6)(())
+      _ <- Option.when(d.contains("/AESV3"))(())
+      u <- stringVal(d, "/U")
+      ue <- stringVal(d, "/UE")
+      key <- PdfCrypt.fileKeyV5(r, u, ue)
+      if stringVal(d, "/Perms").forall(PdfCrypt.checkPerms(key, _))
+    } yield WithCrypt(PdfCrypt.Ctx(key, aes = true, v5 = true))
+    built.getOrElse(UnsupportedCrypt)
   }
 
   /** The dict text with every NESTED `<< >>` body blanked, so regex

@@ -91,4 +91,75 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(!PdfCrypt.checkEmptyUser(k, fid, r = 3, bad))
     assert(!PdfCrypt.checkEmptyUser(k, fid, r = 3, u.take(8))) // short /U
   }
+
+  // ------------------ /V 5 AES-256 (ISO 32000-2, r15 — same r14
+  // discipline: every expected hex below was computed independently
+  // in Python, hashlib SHA-2 + the cryptography package's AES,
+  // following Algorithms 2.A/2.B/11/13 from the spec text)
+
+  private val vsalt = Array.tabulate[Byte](8)(i => (0xA0 + i).toByte)
+  private val ksalt = Array.tabulate[Byte](8)(i => (0xB0 + i).toByte)
+  private val fileKey256 =
+    Array.tabulate[Byte](32)(i => ((i * 17 + 3) & 0xff).toByte)
+
+  test("Algorithm 2.B (R6): hardened hash of the empty password") {
+    assert(hex(PdfCrypt.hash2B(6, Array.emptyByteArray, vsalt)) ==
+      "e6ffee2b00f4fc6fcf2717ea01d94bb7bbfc74fc318ce7550dc589500ea33b17")
+  }
+
+  test("R5 legacy hash: single SHA-256 of pwd ++ salt") {
+    assert(hex(PdfCrypt.hash2B(5, Array.emptyByteArray, vsalt)) ==
+      "ebaeb334608f2c327073263eb7ea23a4ace2aa98e0f5a7d04cce3af547bcc329")
+  }
+
+  test("Algorithm 2.B with a non-empty password (concatenation order)") {
+    assert(hex(PdfCrypt.hash2B(6, "test".getBytes("ISO-8859-1"), vsalt)) ==
+      "7bd63656b16382e397778f44b008a0335cff3352862981eef4e1633615710956")
+  }
+
+  test("Algorithm 2.A f-g (R6): /U validates, /UE decrypts to the file key") {
+    val u = PdfCrypt.hash2B(6, Array.emptyByteArray, vsalt) ++ vsalt ++ ksalt
+    // UE = AES-256-CBC(intermediate key, zero IV) of the file key,
+    // computed independently (ik pinned below through this value)
+    val ue = hexBytes(
+      "a9129a237fe259273617eeccd1eddcb2fbb5ffa06a3434286eebb56b50267cf0")
+    assert(PdfCrypt.fileKeyV5(6, u, ue).map(hex).contains(hex(fileKey256)))
+  }
+
+  test("Algorithm 2.A f-g (R5): the legacy hash drives both salts") {
+    val u = PdfCrypt.hash2B(5, Array.emptyByteArray, vsalt) ++ vsalt ++ ksalt
+    val ue = hexBytes(
+      "7c58962c3751886c73035ddd3ec8d8fa3371c646382bbffb3c4e457a37c9454d")
+    assert(PdfCrypt.fileKeyV5(5, u, ue).map(hex).contains(hex(fileKey256)))
+  }
+
+  test("fileKeyV5 rejects a real user password (perturbed /U hash) and " +
+      "short /U//UE") {
+    val u = PdfCrypt.hash2B(6, Array.emptyByteArray, vsalt) ++ vsalt ++ ksalt
+    val ue = hexBytes(
+      "a9129a237fe259273617eeccd1eddcb2fbb5ffa06a3434286eebb56b50267cf0")
+    val bad = u.clone(); bad(0) = (bad(0) ^ 1).toByte
+    assert(PdfCrypt.fileKeyV5(6, bad, ue).isEmpty)
+    assert(PdfCrypt.fileKeyV5(6, u.take(40), ue).isEmpty)
+    assert(PdfCrypt.fileKeyV5(6, u, ue.take(16)).isEmpty)
+  }
+
+  test("Algorithm 13: /Perms verifies 'adb' under the file key") {
+    // ECB encryption of [P LE | FFx4 | 'T' | 'adb' | 4 bytes], P=-44,
+    // computed independently
+    val perms = hexBytes("74181424009000a053fc68ee9b71ec57")
+    assert(PdfCrypt.checkPerms(fileKey256, perms))
+    val bad = perms.clone(); bad(3) = (bad(3) ^ 1).toByte
+    assert(!PdfCrypt.checkPerms(fileKey256, bad))
+    assert(!PdfCrypt.checkPerms(fileKey256, perms.take(8)))
+  }
+
+  test("V5 ctx: the file key IS the per-object key") {
+    val ctx = PdfCrypt.Ctx(fileKey256, aes = true, v5 = true)
+    assert(hex(PdfCrypt.objKey(ctx, 7, 0)) == hex(fileKey256))
+    assert(hex(PdfCrypt.objKey(ctx, 123, 4)) == hex(fileKey256))
+  }
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
 }

@@ -315,6 +315,68 @@ object PdfFixtures {
       trailerExtra = s" /Encrypt 9 0 R /ID [<${hex(fileId)}> <${hex(fileId)}>]")
   }
 
+  /** Single-page document under the /V 5 AES-256 scheme (R 6 default,
+    * R 5 legacy) with an EMPTY user password. Encryption side reuses
+    * [[PdfCrypt.hash2B]] — legitimate now that the derivation chain is
+    * pinned by independently-computed vectors in PdfCryptSpec (the
+    * same honesty argument as the V<=4 fixtures). `forgeU` simulates
+    * a real user password; `badPerms` a tampered permissions block;
+    * `omitPerms` the R5-era producers that skipped /Perms. */
+  def encryptedPdfV5(content: String, r: Int = 6,
+      forgeU: Boolean = false, badPerms: Boolean = false,
+      omitPerms: Boolean = false): Array[Byte] = {
+    import graft.operators.PdfCrypt
+    val vsalt = Array.tabulate[Byte](8)(i => (0xA0 + i).toByte)
+    val ksalt = Array.tabulate[Byte](8)(i => (0xB0 + i).toByte)
+    val fileKey = Array.tabulate[Byte](32)(i => ((i * 17 + 3) & 0xff).toByte)
+    val empty = Array.emptyByteArray
+    val uHash =
+      if (forgeU) Array.tabulate[Byte](32)(i => (i * 3 + 9).toByte)
+      else PdfCrypt.hash2B(r, empty, vsalt)
+    val u = uHash ++ vsalt ++ ksalt
+    val ik = PdfCrypt.hash2B(r, empty, ksalt)
+    def aesEnc(key: Array[Byte], iv: Array[Byte], data: Array[Byte],
+        padding: String): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance(s"AES/CBC/$padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data)
+    }
+    val ue = aesEnc(ik, new Array[Byte](16), fileKey, "NoPadding")
+    val permsBlock = Array[Byte](
+      -44, -1, -1, -1, // P = -44 little-endian
+      -1, -1, -1, -1,
+      'T', 'a', 'd', 'b', 1, 2, 3, 4)
+    if (badPerms) permsBlock(10) = 'x'
+    val permsEnc = {
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(fileKey, "AES"))
+      c.doFinal(permsBlock)
+    }
+    val iv = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    val data4 = iv ++ aesEnc(fileKey, iv,
+      deflate(content.getBytes(StandardCharsets.ISO_8859_1)), "PKCS5Padding")
+    val permsPart = if (omitPerms) "" else s"/Perms <${hex(permsEnc)}> "
+    // /O and /OE are present (spec-required) but arbitrary: the
+    // user-side path never reads them
+    val oArb = Array.tabulate[Byte](48)(i => (i * 5 + 7).toByte)
+    val objs = Seq(
+      textObj(1, "<</Type /Catalog /Pages 2 0 R>>"),
+      textObj(2, "<</Type /Pages /Kids [3 0 R] /Count 1>>"),
+      textObj(3, "<</Type /Page /Parent 2 0 R /Contents 4 0 R>>"),
+      4 -> (s"<</Length ${data4.length} /Filter /FlateDecode>>\nstream\n"
+        .getBytes(StandardCharsets.ISO_8859_1) ++ data4 ++
+        "\nendstream".getBytes(StandardCharsets.ISO_8859_1)),
+      textObj(9,
+        "<</CF <</StdCF <</CFM /AESV3 /Length 32>>>> " +
+          "/StmF /StdCF /StrF /StdCF /Filter /Standard /Length 256 " +
+          s"/O <${hex(oArb)}> /OE <${hex(ue)}> /P -44 $permsPart/R $r " +
+          s"/U <${hex(u)}> /UE <${hex(ue)}> /V 5>>"))
+    assemble(objs, trailerExtra = " /Encrypt 9 0 R")
+  }
+
   def textObj(num: Int, body: String): (Int, Array[Byte]) =
     num -> body.getBytes(StandardCharsets.ISO_8859_1)
 

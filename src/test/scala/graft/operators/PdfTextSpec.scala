@@ -1070,6 +1070,39 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(pdf) == "literal O key")
   }
 
+  test("AES-256 R6 document (V5 /AESV3, empty user pwd) decodes") {
+    val pdf = PdfFixtures.encryptedPdfV5("BT (aes256 body) Tj ET")
+    assert(PdfText.extract(pdf) == "aes256 body")
+  }
+
+  test("AES-256 R5 legacy document decodes (single-SHA-256 hash)") {
+    val pdf = PdfFixtures.encryptedPdfV5("BT (r5 body) Tj ET", r = 5)
+    assert(PdfText.extract(pdf) == "r5 body")
+  }
+
+  test("V5 with a real user password fails CLOSED (forged /U hash)") {
+    val pdf = PdfFixtures.encryptedPdfV5("BT (locked) Tj ET", forgeU = true)
+    assert(PdfText.extract(pdf) == "")
+  }
+
+  test("V5 with a tampered /Perms fails CLOSED (Algorithm 13 gate)") {
+    val pdf = PdfFixtures.encryptedPdfV5("BT (tampered) Tj ET", badPerms = true)
+    assert(PdfText.extract(pdf) == "")
+  }
+
+  test("V5 with /Perms absent is tolerated (R5-era producers)") {
+    val pdf = PdfFixtures.encryptedPdfV5("BT (no perms) Tj ET",
+      omitPerms = true)
+    assert(PdfText.extract(pdf) == "no perms")
+  }
+
+  test("V5 with an unsupported crypt filter (no /AESV3) fails CLOSED") {
+    val good = PdfFixtures.encryptedPdfV5("BT (x) Tj ET")
+    val s = new String(good, StandardCharsets.ISO_8859_1)
+      .replace("/AESV3", "/AESV9")
+    assert(PdfText.extract(s.getBytes(StandardCharsets.ISO_8859_1)) == "")
+  }
+
   test("a real (non-empty) user password fails CLOSED via the /U gate") {
     val pdf = PdfFixtures.encryptedPdf("BT (locked) Tj ET", "rc4",
       forgeU = true)
@@ -1096,6 +1129,7 @@ class PdfTextSpec extends AnyFunSuite {
       cidPdf("BT /F1 12 Tf <00010002> Tj ET"),
       PdfFixtures.encryptedPdf("BT (x) Tj ET", "aes"),
       PdfFixtures.encryptedPdf("BT (x) Tj ET", "rc4"),
+      PdfFixtures.encryptedPdfV5("BT (x) Tj ET"),
       PdfFixtures.makePdfEnc(Seq(hello),
         raw => (" /Filter /LZWDecode", PdfFixtures.lzwEncode(raw))),
       // predictor'd streams (r15): corrupted row tags, torn rows, and
