@@ -165,6 +165,20 @@ object CurationQueries {
     * corpus scale the rankers' jobs overlap under scheduler pools and
     * the tokenize kernel is embarrassingly parallel, so the fixture
     * penalty does not compound.
+    *
+    * Re-probe, CLOSED AGAIN (r15, ProfileRrf on ProbeHarness —
+    * directive 4): after the EXPLODED-tokens checkpoint won for
+    * dedup_lsh_recall in r14, the same shape was measured here — ONE
+    * tokenize pass checkpointed as exploded (doc_id, term, tf) rows,
+    * both rankers (and ranker A's dl join) reading it. Same-JVM
+    * alternating reps at sf0.1, parity-checked: standing med 2.93 s /
+    * 16 jobs, fused med 2.83 s / 14 jobs (wash, within rep spread),
+    * exploded med 4.21 s / 22 jobs — exploded LOSES ~45%. Unlike
+    * lsh_recall (three fingerprint branches re-running the SAME
+    * scan+union), rrf's three tokenize passes each feed a DIFFERENT
+    * downstream reduction (pruned postings, term counts, per-doc NLL),
+    * so the checkpoint's write+read+re-agg jobs are pure additions.
+    * Standing form stays.
     */
   private val rrfTerms = Seq("customer", "query", "batch")
   private val rrfListK = 20
