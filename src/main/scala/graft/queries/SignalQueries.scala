@@ -759,6 +759,18 @@ object SignalQueries {
     * onto the ×(k+1) EXPANDED set, with a full sort per phase — measured
     * 11.3 s vs 2 s at sf0.1 for the identical result.
     *
+    * Bake-off, CLOSED (r15, ProfileA31 on ProbeHarness — directive 4
+    * re-probe): a ONE-scan fused variant was measured — all min/max
+    * buffers made primitive (orderkey BIGINT, quantity floor-cents,
+    * shipdate DATE, the 1-char flag via its code point; every encoding
+    * monotone, so renderings commute) so countDistincts AND min/max
+    * fit one HashAggregate. Same-JVM alternating reps at sf0.1,
+    * parity-checksummed: standing med 1.62 s / 6 jobs, fused med
+    * 3.45 s / 4 jobs — fused LOSES 2.1×. The fused agg pays its eight
+    * min/max buffer updates on the ×(k+1)-EXPANDED rowset the
+    * multi-distinct rewrite creates, so dropping one scan quintuples
+    * the per-row agg work; the two lean passes stay.
+    *
     * Rendering is per-type and engine-exact BY CONSTRUCTION: integers
     * and strings cast directly (identical text both engines), DOUBLEs
     * render as exact cents (floor·100 BIGINT — two engines' float
