@@ -125,4 +125,71 @@ class DedupRecallSpec extends AnyFunSuite {
     for (i <- Seq(7L, 27L))
       assert(got(i + 500000) == (("new", -1L)), s"fresh $i: ${got(i + 500000)}")
   }
+
+  // ---- containmentRecall (r15, directive 5): the df-capped
+  // containment generator gets the same measured-recall treatment as
+  // minhash/simhash. Grams are passed directly (array_distinct over a
+  // whitespace split) so the pins exercise the operator, not the
+  // tokenizer.
+
+  private def contRecallRow(
+      rows: Seq[(Long, String)], dfCap: Int, probe: Long):
+      (Long, Long, Option[Long]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = rows.toDF("doc_id", "text")
+    val r = DedupOps.containmentRecall(df, "doc_id",
+        array_distinct(split(col("text"), " ")),
+        dfCap, minContainPpm = 600000L, probeBound = probe)
+      .collect()
+    assert(r.length == 1 && r.head.getString(0) == "containment_dfcap")
+    (r.head.getLong(1), r.head.getLong(2),
+      if (r.head.isNullAt(3)) None else Some(r.head.getLong(3)))
+  }
+
+  test("containmentRecall: a planted subset pair (low Jaccard, full " +
+      "containment) enters truth and the df-capped generator recovers it") {
+    // doc 0 = 10 'a' tokens, doc 1 = those 10 + 30 'b' tokens: Jaccard
+    // 10/40 = 0.25 but containment 10/10 = 1.0; doc 2 shares only 5 of
+    // doc 0's tokens (500000 ppm < the 600000 gate — stays OUT of
+    // truth); docs 3..9 have disjoint vocabularies.
+    val rows =
+      Seq(0L -> (0 until 10).map(k => s"a$k").mkString(" "),
+        1L -> ((0 until 10).map(k => s"a$k") ++
+          (0 until 30).map(k => s"b$k")).mkString(" "),
+        2L -> ((0 until 5).map(k => s"a$k") ++
+          (0 until 15).map(k => s"e$k")).mkString(" ")) ++
+      (3L until 10L).map(i =>
+        i -> (0 until 20).map(k => s"d${i}x$k").mkString(" "))
+    val (nTruth, nHits, bp) = contRecallRow(rows, dfCap = 50, probe = 1000L)
+    assert(nTruth == 1L, s"only the planted subset pair is truth: $nTruth")
+    assert(nHits == 1L && bp.contains(10000L),
+      s"df-capped generator must recover it here: hits=$nHits bp=$bp")
+  }
+
+  test("containmentRecall: pairs held together ONLY by high-df grams are " +
+      "counted as truth but missed once the cap drops those grams — the " +
+      "audit reports the cap's real recall cost") {
+    // docs 0 and 1 are exactly the 10 common tokens; 30 filler docs
+    // carry all 10 commons (df = 32 > cap 10) plus 40 uniques each.
+    // Truth with probe bound 2: (0,1) plus 0/1 contained in every
+    // filler = 61 pairs; the capped generator keeps NO grams for docs
+    // 0 and 1, so it finds none of them.
+    val common = (0 until 10).map(k => s"c$k")
+    val rows = Seq(0L -> common.mkString(" "), 1L -> common.mkString(" ")) ++
+      (2L until 32L).map(i => i ->
+        (common ++ (0 until 40).map(k => s"u${i}x$k")).mkString(" "))
+    val (nTruth, nHits, bp) = contRecallRow(rows, dfCap = 10, probe = 2L)
+    assert(nTruth == 61L, s"truth pairs with lower id < 2: $nTruth")
+    assert(nHits == 0L && bp.contains(0L),
+      s"cap must drop every shared gram here: hits=$nHits bp=$bp")
+  }
+
+  test("containmentRecall: empty probe slice reports null recall") {
+    val rows = (0L until 5L).map(i =>
+      i -> (0 until 10).map(k => s"d${i}x$k").mkString(" "))
+    val (nTruth, nHits, bp) = contRecallRow(rows, dfCap = 10, probe = 0L)
+    assert(nTruth == 0L && nHits == 0L && bp.isEmpty,
+      s"no probe docs -> no truth, null bp: $nTruth $nHits $bp")
+  }
 }
