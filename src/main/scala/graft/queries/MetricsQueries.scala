@@ -198,7 +198,16 @@ object MetricsQueries {
     * (n·Σx² − Σx·Σx) is pure integer math. Sums lift to DECIMAL(38,0)
     * (Σx² terms pass BIGINT at ~1e5 terms; DuckDB sums in HUGEINT);
     * both engines' integer division truncates toward zero, so the
-    * negative slope divides identically. */
+    * negative slope divides identically.
+    *
+    * Floor verdict (r15 JobCensus, first weak-list entry at iso
+    * 1.66 s on the 133 ms-floor run; r14 read 0.89 s — under the
+    * bar): 11 driver jobs, max job wall 0.21 s, sum 0.58 s of a
+    * 1.14 s census wall. The only real kernel is the shared tokenize
+    * pass (4.91 s task-time over 5000 docs ≈ 0.15 s wall at 32
+    * threads); the rank/fit chain runs on ≤ vocab rows. Pure jobs ×
+    * floor — the multi-job shape is RankOps' distributed row number,
+    * which is the scale-correct trade. */
   private val tZipf: Q = (s, dir) => {
     import graft.queries.{RetrievalQueries => RQ}
     // RankOps.globalRowNumber reads its input TWICE by construction
@@ -915,7 +924,15 @@ object MetricsQueries {
     *   psi_ppm = S div ((NA+10)(NB+10)),
     * products lifted to DECIMAL(38,0)/HUGEINT before the multiply.
     * Every per-row touch is the one bucket pass; everything after runs
-    * on ≤ 10 rows. */
+    * on ≤ 10 rows.
+    *
+    * Floor verdict (r15 JobCensus, first weak-list entry at iso
+    * 1.16 s on the 133 ms-floor run): 9 driver jobs whose walls sum to
+    * 0.49 s of a 1.31 s census wall; heaviest stage 3.05 s task-time
+    * over 10 records (thread-scheduling overhead on the ≤10-row tail,
+    * ~0.1 s wall at 32 threads). Two-pass bounds + dense-spine joins
+    * are the jobs; each is structurally tiny. Pure jobs × floor — no
+    * plan change would move the wall on a healthy host. */
   private val psi: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
       .select(col("n_chars"), (col("lang") === lit("en")).as("is_a"))

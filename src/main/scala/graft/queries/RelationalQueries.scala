@@ -807,7 +807,10 @@ object RelationalQueries {
     * grouping-key subset satisfies the agg's clustering). The ~2.9 s
     * task-time per 600k-row window stage is WindowExec's per-row frame
     * machinery — the duck gap is window-kernel throughput on an
-    * already-minimal shape. */
+    * already-minimal shape. Re-censused r15 on its first weak-list
+    * entry (iso 1.48 s, 133 ms floor): same shape — 5 jobs, the two
+    * window stages at 2.5/2.3 s task-time over 600k rows; verdict
+    * unchanged. */
   private val w10: Q = (s, dir) => {
     val iv = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("okey"),
