@@ -894,4 +894,27 @@ class PlanShapeSpec extends AnyFunSuite {
       "a fingerprint branch re-inlined the corpus scan instead of " +
         s"reading the shared checkpoint:\n${p.take(800)}")
   }
+
+  test("containmentRecall: probe-bounded broadcast truth over one shared " +
+      "gram checkpoint, never a cartesian (r15 audit operator)") {
+    // The truth side is a broadcast of the BOUNDED probe slice against
+    // one corpus pass (the dedup_lsh_recall bounding argument); the
+    // candidate side reads the SAME materialized gram sets. A regression
+    // that unbroadcasts the probe (shuffle-side cartesian) or re-inlines
+    // the documents scan breaks the 100 TB posture.
+    import org.apache.spark.sql.functions._
+    graft.functions.TextFns.registerAll(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val df = graft.operators.DedupOps.containmentRecall(docs, "doc_id",
+      expr("distinct_kgrams(ascii_tokens(text), 3)"),
+      dfCap = 50, minContainPpm = 600000L, probeBound = 50L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"containmentRecall grew a shuffle cartesian:\n${p.take(800)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"containmentRecall lost its shared gram checkpoint:\n${p.take(800)}")
+    assert(!p.contains("Scan parquet"),
+      "a containmentRecall branch re-inlined the corpus scan instead " +
+        s"of reading the shared checkpoint:\n${p.take(800)}")
+  }
 }
