@@ -1168,9 +1168,17 @@ object PdfText {
     val rowLen = ((colors.toLong * bpc * cols + 7) / 8).toInt
     if (rowLen <= 0) return Array.emptyByteArray
     val bpp = math.max(1, (colors * bpc + 7) / 8)
+    // Row buffers sized by what the input can actually FILL, not by
+    // the dict's claim: a crafted /Columns (up to the 1<<24 sanity cap
+    // above) requests a ~2 GB row while the filtered stream — already
+    // MaxInflateBytes-bounded — holds a fraction of one, and an
+    // OutOfMemoryError is an Error the never-throws catch cannot see.
+    // Truncated-row semantics are unchanged: bytes past the data end
+    // are never decoded or emitted (avail <= lim by construction).
+    val lim = math.min(rowLen.toLong, data.length.toLong).toInt
     val out = new java.io.ByteArrayOutputStream(data.length)
-    val prev = new Array[Byte](rowLen)
-    val cur = new Array[Byte](rowLen)
+    val prev = new Array[Byte](lim)
+    val cur = new Array[Byte](lim)
     var pos = 0
     while (pos < data.length) {
       val tag = data(pos) & 0xff
@@ -1183,24 +1191,24 @@ object PdfText {
         case 0 => // None
         case 1 => // Sub
           var i = bpp
-          while (i < rowLen) {
+          while (i < lim) {
             cur(i) = ((cur(i) + cur(i - bpp)) & 0xff).toByte; i += 1
           }
         case 2 => // Up
           var i = 0
-          while (i < rowLen) {
+          while (i < lim) {
             cur(i) = ((cur(i) + prev(i)) & 0xff).toByte; i += 1
           }
         case 3 => // Average
           var i = 0
-          while (i < rowLen) {
+          while (i < lim) {
             val left = if (i >= bpp) cur(i - bpp) & 0xff else 0
             cur(i) = ((cur(i) + ((left + (prev(i) & 0xff)) >> 1)) & 0xff).toByte
             i += 1
           }
         case 4 => // Paeth
           var i = 0
-          while (i < rowLen) {
+          while (i < lim) {
             val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
             val b = prev(i) & 0xff
             val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
@@ -1215,7 +1223,7 @@ object PdfText {
         case _ => return Array.emptyByteArray // corrupt row tag
       }
       out.write(cur, 0, avail)
-      System.arraycopy(cur, 0, prev, 0, rowLen)
+      System.arraycopy(cur, 0, prev, 0, lim)
     }
     out.toByteArray
   }

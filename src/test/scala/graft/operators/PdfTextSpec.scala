@@ -227,6 +227,23 @@ class PdfTextSpec extends AnyFunSuite {
       "three color components shift the sub distance")
   }
 
+  test("a dict claiming a multi-GB row decodes the truncated row it " +
+      "actually holds without allocating the claim") {
+    // hostile-input bound: /Columns 1<<24 x /Colors 60 x 16 bpc claims
+    // a ~2 GB row; the filtered stream holds ONE Up-tagged row of 15
+    // bytes (Up over the zero previous row = identity). Row buffers
+    // must size to the data (lim = min(rowLen, data.length)) — an
+    // OutOfMemoryError is an Error the never-throws catch cannot see —
+    // and the truncated row still decodes.
+    val raw = predictorContent.getBytes(StandardCharsets.ISO_8859_1)
+    val filtered = 0x02.toByte +: raw
+    val pdf = PdfFixtures.makePdfEnc(Seq(predictorContent),
+      _ => (" /Filter /FlateDecode /DecodeParms <</Predictor 12 " +
+        "/Columns 16777216 /Colors 60 /BitsPerComponent 16>>",
+        PdfFixtures.deflate(filtered)))
+    assert(PdfText.extract(pdf) == "AAAA")
+  }
+
   test("predictor'd LZWDecode (the pre-1.5 archive class)") {
     val ops = "BT (lzw with png rows) Tj ET"
     val pdf = PdfFixtures.makePdfEnc(Seq(ops),
