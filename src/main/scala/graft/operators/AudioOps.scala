@@ -100,7 +100,17 @@ object AudioOps {
     * match. */
   def linearResample(samples: Array[Float], srIn: Int, srOut: Int): Array[Float] = {
     if (srIn == srOut || samples.isEmpty) return samples
-    val n = math.max(1, math.round(samples.length.toLong * srOut / srIn.toDouble).toInt)
+    // srIn arrives from an untrusted wav header: a crafted tiny rate
+    // (sr=1) multiplies the output length by srOut and the former
+    // .toInt silently WRAPPED — a wrong-sized array or a negative-size
+    // throw, and at best a multi-GB allocation. Same materialization
+    // bound as decodeMp3: fail the record loudly (require -> task
+    // error), never wrap.
+    val n64 = math.round(samples.length.toLong * srOut / srIn.toDouble)
+    require(n64 <= Int.MaxValue,
+      s"resample $srIn -> $srOut Hz of ${samples.length} samples " +
+        s"would materialize $n64 samples (header likely corrupt)")
+    val n = math.max(1, n64.toInt)
     val out = new Array[Float](n)
     val step = (samples.length - 1).toDouble / math.max(n - 1, 1)
     var i = 0
@@ -115,9 +125,15 @@ object AudioOps {
     out
   }
 
-  /** Ordered concat (np.concatenate, process_all.py:428). */
+  /** Ordered concat (np.concatenate, process_all.py:428). The length
+    * sum runs in Long with the decodeMp3 materialization bound — an
+    * Int sum over many parts wraps silently into a wrong-sized (or
+    * negative-sized) allocation. */
   def concatParts(parts: Seq[Array[Float]]): Array[Float] = {
-    val out = new Array[Float](parts.map(_.length).sum)
+    val total = parts.iterator.map(_.length.toLong).sum
+    require(total <= Int.MaxValue,
+      s"concat of ${parts.size} parts would materialize $total samples")
+    val out = new Array[Float](total.toInt)
     var off = 0
     parts.foreach { p => System.arraycopy(p, 0, out, off, p.length); off += p.length }
     out

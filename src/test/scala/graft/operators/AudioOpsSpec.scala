@@ -65,6 +65,19 @@ class AudioOpsSpec extends AnyFunSuite {
     assert(up(0) == 0f && math.abs(up(up.length - 1) + 1f) < 1e-6)
   }
 
+  test("linearResample: a corrupt-header rate that would materialize " +
+      "beyond Int.MaxValue fails loudly instead of wrapping") {
+    // sr=1 from a crafted wav header: 2^20 samples x 16000 = 1.7e10
+    // outputs — the former .toInt wrapped this into a wrong-sized or
+    // negative-sized array; the contract is now the decodeMp3
+    // materialization bound (require -> deterministic task error)
+    val in = new Array[Float](1 << 20)
+    val e = intercept[IllegalArgumentException] {
+      AudioOps.linearResample(in, 1, 16000)
+    }
+    assert(e.getMessage.contains("materialize"))
+  }
+
   test("sliceSeconds: ffmpeg -ss/-t as array slice, clamped at bounds") {
     val in = Array.tabulate(100)(_.toFloat)
     val cut = AudioOps.sliceSeconds(in, 10, 2.0, 5.0) // 10 Hz: samples 20..49
