@@ -70,6 +70,26 @@ object JavaSoundExternals extends Externals {
     val fmt = imageFormat(bytes)
     if (fmt == null) return StubExternals.resizeImage(bytes, w, h)
     try {
+      // Header-only dimension gate BEFORE the decode: ImageIO.read
+      // allocates the full raster from the header's CLAIM, so a
+      // 200-byte crafted PNG declaring 40000x40000 is a ~6 GB
+      // allocation — and OutOfMemoryError is an Error the catch below
+      // never sees. Over-cap or unreadable dimensions keep the
+      // fixture-stub semantics like any other undecodable payload.
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(bytes))
+      val claimed =
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) -1L
+          else {
+            val r = readers.next()
+            try { r.setInput(iis); r.getWidth(0).toLong * r.getHeight(0) }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      if (claimed <= 0 || claimed > MaxDecodePixels)
+        return StubExternals.resizeImage(bytes, w, h)
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
       if (img == null) return StubExternals.resizeImage(bytes, w, h)
       val hasAlpha = img.getColorModel.hasAlpha
@@ -91,6 +111,11 @@ object JavaSoundExternals extends Externals {
       case _: Exception => StubExternals.resizeImage(bytes, w, h)
     }
   }
+
+  /** Decode raster cap: 1<<26 pixels (8192x8192; ~268 MB as INT_ARGB)
+    * — far above any thumbnail-pipeline input, far below an
+    * executor-killing claim. */
+  private val MaxDecodePixels = 1L << 26
 
   /** ImageIO writer format for the sniffed container, null = not an
     * image this JDK decodes. */

@@ -92,4 +92,32 @@ class ImageResizeSpec extends AnyFunSuite {
     val stub = StubExternals.resizeImage(cut, 5, 5)
     assert(java.util.Arrays.equals(real, stub))
   }
+
+  test("a header claiming a multi-GB raster falls back to the stub " +
+      "before any decode allocation") {
+    // hand-built minimal PNG: magic + IHDR declaring 65535x65535
+    // (4.3e9 pixels — a ~17 GB INT raster if decoded; ImageIO.read
+    // allocates from the CLAIM, and OutOfMemoryError bypasses the
+    // catch). The dimension gate must bail to stub semantics without
+    // touching the decoder.
+    val bos = new ByteArrayOutputStream()
+    bos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new ByteArrayOutputStream()
+    ihdr.write("IHDR".getBytes)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    ihdr.write(be32(65535)); ihdr.write(be32(65535))
+    ihdr.write(Array[Byte](8, 2, 0, 0, 0)) // bitdepth rgb
+    val body = ihdr.toByteArray
+    bos.write(be32(body.length - 4))
+    bos.write(body)
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    bos.write(be32(crc.getValue))
+    val hostile = bos.toByteArray
+    val real = JavaSoundExternals.resizeImage(hostile, 8, 8)
+    val stub = StubExternals.resizeImage(hostile, 8, 8)
+    assert(java.util.Arrays.equals(real, stub),
+      "over-cap claimed raster must keep stub semantics")
+  }
 }
