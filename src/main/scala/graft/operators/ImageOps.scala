@@ -32,6 +32,16 @@ object ImageOps {
     val w = le32(18)
     val h = le32(22) // positive = bottom-up storage (the common case)
     if (le16(28) != 24 || le32(30) != 0 || w <= 0 || h <= 0) return None
+    // dataOff is attacker-controlled: a negative (or in-header) claim
+    // passes the total-size guard below arithmetically and then
+    // indexes the array NEGATIVELY — an uncaught throw inside the
+    // caller's task. Pixel data cannot start before the 54-byte
+    // header of the plain-BITMAPINFOHEADER class this decoder speaks.
+    if (dataOff < 54) return None
+    // and 3*w must not wrap Int (w > ~715M corrupts the stride guard);
+    // any actually-valid image satisfies stride*h <= file length, which
+    // already implies w far below this bound
+    if (w > (Int.MaxValue - 3) / 3) return None
     val stride = ((3 * w + 3) / 4) * 4
     if (dataOff.toLong + stride.toLong * h > b.length) return None
     val out = new Array[Int](w * h)

@@ -48,6 +48,26 @@ class ImageOpsSpec extends AnyFunSuite {
     assert(ImageOps.decodeBmp24Gray(bytes.take(bytes.length - 4)).isEmpty)
   }
 
+  test("decodeBmp24Gray: hostile header claims decode to None, never " +
+      "throw or over-allocate (r15 sweep)") {
+    val good = bmp(2, 2, (_, _) => (1, 2, 4))
+    def patched(off: Int, v: Int): Array[Byte] = {
+      val c = good.clone()
+      java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(off, v)
+      c
+    }
+    // negative pixel-data offset: passed the total-size guard
+    // arithmetically and indexed the array NEGATIVELY pre-fix
+    assert(ImageOps.decodeBmp24Gray(patched(10, -1000000000)).isEmpty)
+    // offset inside the 54-byte header
+    assert(ImageOps.decodeBmp24Gray(patched(10, 8)).isEmpty)
+    // width whose 3*w wraps Int: corrupted the stride guard pre-fix
+    assert(ImageOps.decodeBmp24Gray(patched(18, 0x60000000)).isEmpty)
+    // the unpatched fixture still decodes
+    assert(ImageOps.decodeBmp24Gray(good).isDefined)
+  }
+
   test("aHash: hand-packed bits — strict > mean threshold, hi/lo split at " +
       "grid row 4") {
     // 8x8 'image' (w=h=8 so sampling is the identity): row i all i*10.
