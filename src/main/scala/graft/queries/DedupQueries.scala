@@ -280,7 +280,14 @@ object DedupQueries {
     * block is an all-pairs product over half the corpus at scale, while a
     * band block's bucket sizes are controlled by the LSH parameters. The
     * band is the standard candidate filter; Jaccard inside the block is
-    * the exact verify step. */
+    * the exact verify step.
+    *
+    * Kernel+floor verdict (r15 JobCensus, boundary weak-list entry at
+    * iso 1.27 s / 2.1×): one dominant stage — 9.04 s task-time over
+    * 5250 docs, the shingle+minhash lane kernel, ~0.28 s wall at 32
+    * threads — plus 7 jobs × degraded floor. The kernel is evaluated
+    * once per row (the withMinHashBlock one-evaluation contract); the
+    * job count is the band-block + verify chain by construction. */
   private val dedupJaccard: Q = (s, dir) => {
     // Block id as a row-local column (DedupOps.withMinHashBlock): the
     // old signature-table join-back was a fact×fact join Spark
@@ -500,7 +507,15 @@ object DedupQueries {
     * Scale shape: candidate generation is one keyed join against the
     * bounded index (band buckets control fan-out — the LSH parameter
     * contract); the verify join touches only candidate pairs; the
-    * classify fold is map-side-combined min per inc doc. */
+    * classify fold is map-side-combined min per inc doc.
+    *
+    * Mixed verdict (r15 JobCensus, first weak-list entry at iso
+    * 2.77 s / 2.9×): 19 jobs (the base/increment/verify chain is
+    * multi-job by construction) at ~1.7 s of degraded floor, plus the
+    * verify kernels — 7.4/4.5/2.8 s task-time over the 500-row
+    * increment (minhash + token-jaccard verification, fully parallel,
+    * ~0.5 s wall at 32 threads). No recompute defect: the chain's
+    * stages each touch distinct inputs. */
   private val nearIncr: Q = (s, dir) => {
     val d = Tables.fanOut(t(s, dir, "documents"))
       .select(col("doc_id"), substring(col("text"), 1, 200).as("t"))

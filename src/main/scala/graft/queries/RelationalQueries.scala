@@ -223,7 +223,13 @@ object RelationalQueries {
       |""".stripMargin
 
   /** A8 ★: corpus WER per group — Σedits/Σref-words ×100, NOT mean of
-    * per-row WERs (whisper_qc.py:322-329). */
+    * per-row WERs (whisper_qc.py:322-329).
+    *
+    * Kernel verdict (r15 JobCensus, first weak-list entry at iso
+    * 1.16 s / 4.2×): one 1.03 s job carrying 1.01 s task-time over the
+    * 5000-doc WER aggregation — the Levenshtein edit-distance kernel
+    * IS the query (the f7_wer_threshold verdict's sibling); the other
+    * four jobs are sub-0.05 s floor. */
   private val a8: Q = (s, dir) => {
     val wer = WerAgg.asUdaf
     werPrep(s, dir).groupBy("lang")
