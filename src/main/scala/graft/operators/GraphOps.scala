@@ -47,7 +47,7 @@ object GraphOps {
     */
   def connectedComponents(
       edges0: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, assumeCanonical: Boolean = false): DataFrame = {
     require(maxIter > 0, "maxIter must be positive")
 
     // Orientation (u < v) with and without the dedup shuffle: duplicate
@@ -76,7 +76,18 @@ object GraphOps {
       .filter(col("n").isNotNull)
       .distinct()
 
-    var edges = canon(raw).checkpointed()
+    // assumeCanonical (r15 optimization round): the caller asserts the
+    // input is ALREADY canonical — distinct pairs with src < dst
+    // strictly, no nulls. Every LSH-style pair generator in DedupOps
+    // ends in pairsWithinBuckets, whose output is exactly that shape
+    // (sorted bucket member lists emit id_a < id_b, then a distinct) —
+    // so re-canonicalizing here paid one full |pairs| distinct shuffle
+    // plus a SECOND |pairs| checkpoint materialization per cc call for
+    // nothing (guide §2.4: remove shuffles on data already partitioned/
+    // deduplicated as needed). With the assertion, the raw checkpoint
+    // IS the round-0 edge set. Default false: arbitrary edge lists
+    // (loops, reversed duplicates) still take the canon path.
+    var edges = if (assumeCanonical) raw else canon(raw).checkpointed()
 
     // Fixpoint test: the round result is a NODE-DISJOINT STAR FOREST —
     // every child (v) has exactly one parent and never appears as a
@@ -310,7 +321,8 @@ object GraphOps {
     * Returns (v, label). */
   def labelPropagation(
       edges0: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int, dimensionNodes: Boolean = false): DataFrame = {
+      rounds: Int, dimensionNodes: Boolean = false,
+      assumeCanonical: Boolean = false): DataFrame = {
     // dimensionNodes (the PageRankOps contract): caller asserts the
     // node universe is dimension-bounded, so the |V|-row label table
     // rides a BROADCAST join each round and the symmetric edge list is
@@ -319,16 +331,26 @@ object GraphOps {
     // PageRankOps.maybeB).
     def maybeB(df: DataFrame): DataFrame =
       if (dimensionNodes) broadcast(df) else df.hint("shuffle_hash")
-    val e = edges0
-      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct()
-      // the symmetric list is read once per round plus the node seed:
-      // checkpoint the canonical edges so an expensive upstream candidate
-      // generator runs once (connectedComponents' treatment)
-      .checkpointed()
+    // assumeCanonical (the connectedComponents contract, r15): caller
+    // asserts distinct a < b edges, no nulls, ALREADY materialized
+    // (checkpointed or similarly cheap to re-read) — g8_modularity
+    // checkpoints the canonical co-purchase edges itself and then fed
+    // them through this canon path a second time, paying a redundant
+    // |E| distinct shuffle + |E| checkpoint per call.
+    val e =
+      if (assumeCanonical)
+        edges0.select(col(srcCol).cast("long").as("a"),
+          col(dstCol).cast("long").as("b"))
+      else edges0
+        .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+        .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .distinct()
+        // the symmetric list is read once per round plus the node seed:
+        // checkpoint the canonical edges so an expensive upstream candidate
+        // generator runs once (connectedComponents' treatment)
+        .checkpointed()
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
     // Round 1 is DEGENERATE and fuses to one aggregate (r10): the seed

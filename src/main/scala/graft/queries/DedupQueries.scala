@@ -98,7 +98,13 @@ object DedupQueries {
   private val dedupCc: Q = (s, dir) => {
     val pairs = DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
       shingleK = 3, numHashes = 8, bands = 2)
-    graft.operators.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+    // assumeCanonical (r15 opt): pairsWithinBuckets emits distinct
+    // id_a < id_b pairs, so cc's re-canonicalization distinct shuffle +
+    // second |pairs| checkpoint is dead work (ProfileR15: min 3.65 vs
+    // 4.43 s, jobs 21 -> 19, parity checksummed; same for the three
+    // sibling cc queries below and pipe_dedup_pass).
+    graft.operators.GraphOps.connectedComponents(pairs, "id_a", "id_b",
+        assumeCanonical = true)
       .select(col("node").as("doc_id"), col("component").as("cluster_id"),
         (col("node") === col("component")).as("is_survivor"))
       .orderBy("doc_id")
@@ -127,7 +133,9 @@ object DedupQueries {
   private val dedupCcSurvivors: Q = (s, dir) => {
     val pairs = DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
       shingleK = 3, numHashes = 8, bands = 2)
-    val cc = graft.operators.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+    val cc = graft.operators.GraphOps.connectedComponents(pairs, "id_a", "id_b",
+      assumeCanonical = true) // see dedupCc
+
     val deletes = cc.filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
     corpus(s, dir).join(deletes, Seq("doc_id"), "left_anti")
@@ -164,7 +172,9 @@ object DedupQueries {
   private val dedupCcBest: Q = (s, dir) => {
     val pairs = DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
       shingleK = 3, numHashes = 8, bands = 2)
-    val cc = graft.operators.GraphOps.connectedComponents(pairs, "id_a", "id_b")
+    val cc = graft.operators.GraphOps.connectedComponents(pairs, "id_a", "id_b",
+      assumeCanonical = true) // see dedupCc
+
     // No hint: the corpus scan's size estimate is sound, so AQE's
     // broadcast choice flips to a keyed join exactly when real corpus
     // sizes demand it (the r10 estimate-soundness doctrine; hinting
@@ -1641,7 +1651,7 @@ object DedupQueries {
     val pairs = DedupOps.minHashLshPairs(exact, "doc_id", "t",
       shingleK = 3, numHashes = 8, bands = 2)
     val deletes = graft.operators.GraphOps
-      .connectedComponents(pairs, "id_a", "id_b")
+      .connectedComponents(pairs, "id_a", "id_b", assumeCanonical = true)
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
     val kept = exact.join(deletes, Seq("doc_id"), "left_anti")
@@ -1691,7 +1701,8 @@ object DedupQueries {
     "dedup_cc_clusters" -> ((s, dir) =>
       graft.operators.GraphOps.connectedComponents(
         DedupOps.minHashLshPairs(corpus(s, dir), "doc_id", "t",
-          shingleK = 3, numHashes = 8, bands = 2), "id_a", "id_b")
+          shingleK = 3, numHashes = 8, bands = 2), "id_a", "id_b",
+        assumeCanonical = true)
         .select(col("node").as("doc_id"), col("component").as("cluster_id"),
           (col("node") === col("component")).as("is_survivor"))),
     "dedup_sparse_cosine" -> ((s, dir) =>

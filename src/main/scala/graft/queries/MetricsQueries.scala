@@ -802,26 +802,47 @@ object MetricsQueries {
   private val g8: Q = (s, dir) => {
     // coEdges emits one row PER SHARED ORDER; modularity is over the
     // simple graph, so collapse to distinct pairs (already p1 < p2) —
-    // triangleStats/labelPropagation do the same internally.
+    // triangleStats does the same internally.
     val e = coEdges(s, dir).distinct().checkpointed()
+    // assumeCanonical (r15 opt): e is distinct p1 < p2 and checkpointed
+    // RIGHT HERE — the LPA-internal canon path re-paid a |E| distinct
+    // shuffle + |E| checkpoint per call for nothing.
     val labels = graft.operators.GraphOps
-      .labelPropagation(e, "p1", "p2", rounds = 2).checkpointed()
+      .labelPropagation(e, "p1", "p2", rounds = 2, assumeCanonical = true)
+      .checkpointed()
     val m = e.count()
     val dec = s"CAST($m AS DECIMAL(38,0))"
-    val intra = e
+    // ONE edge×label pass feeds BOTH the intra-community edge count and
+    // the community degree mass (r15 opt, ProfileR15: min 5.83 vs
+    // 6.83 s, jobs 31 -> 27, parity checksummed). The former shape ran
+    // a separate per-node degree aggregate (one |2E| shuffle on v) and
+    // joined it against labels a THIRD time; but Σ_{v∈c} deg(v) is just
+    // each edge contributing 1 to BOTH endpoints' communities, so the
+    // labeled edge table already carries it. n_nodes comes off the
+    // label table directly (every LPA node has >= 1 edge by
+    // construction). el is checkpointed: three consumers, and the
+    // tiny per-community table below is checkpointed too so the
+    // q_total fold does not re-execute the join subtree (the before
+    // plan carried the WHOLE subtree twice under the final cross join
+    // — 38 Exchanges; after: 10).
+    val el = e
       .join(labels.select(col("v").as("p1"), col("label").as("la")), Seq("p1"))
       .join(labels.select(col("v").as("p2"), col("label").as("lb")), Seq("p2"))
-      .filter(col("la") === col("lb"))
+      .select("la", "lb")
+      .checkpointed()
+    val intra = el.filter(col("la") === col("lb"))
       .groupBy(col("la").as("community")).agg(count(lit(1)).as("m_intra"))
-    val deg = e.select(col("p1").as("v")).union(e.select(col("p2").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
-    val degC = deg.join(labels, Seq("v"))
-      .groupBy(col("label").as("community"))
-      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("deg_sum"))
-    val per = degC.join(intra, Seq("community"), "left")
+    val degC = el.select(col("la").as("community"))
+      .union(el.select(col("lb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("deg_sum"))
+    val nNodes = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val per = nNodes.join(degC, Seq("community"))
+      .join(intra, Seq("community"), "left")
       .withColumn("m_intra", coalesce(col("m_intra"), lit(0L)))
       .withColumn("num", expr(
         s"4 * $dec * m_intra - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum"))
+      .checkpointed()
     val qTot = per.agg(expr(
       s"CAST(sum(num) * 1000000 div (4 * $dec * $m) AS BIGINT)")
       .as("q_total_ppm"))

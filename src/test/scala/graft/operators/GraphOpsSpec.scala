@@ -199,4 +199,40 @@ class GraphOpsSpec extends AnyFunSuite {
       assert(bp == 10000L, s"dim $d recall $bp — truncation was lossless")
     }
   }
+
+  test("assumeCanonical connected components equals the canon path on " +
+      "already-canonical (distinct a < b) edges") {
+    // The r15 optimization contract: every pairsWithinBuckets-derived
+    // pair list is distinct with id_a < id_b, so cc may skip its
+    // re-canonicalization shuffle. Pin value identity on a randomized
+    // canonical edge set (chains + shared-child traps included).
+    val rnd = new scala.util.Random(7)
+    val canonical = (Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) } ++
+      (100L until 140L).map(i => (i, i + 1))).distinct
+    val df = canonical.toDF("a", "b")
+    val base = GraphOps.connectedComponents(df, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    val fast = GraphOps.connectedComponents(df, "a", "b",
+        assumeCanonical = true)
+      .as[(Long, Long)].collect().toSet
+    assert(fast == base)
+  }
+
+  test("assumeCanonical label propagation equals the canon path on " +
+      "already-canonical edges, both round counts") {
+    val rnd = new scala.util.Random(11)
+    val canonical = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val df = canonical.toDF("a", "b")
+    for (rounds <- Seq(1, 2)) {
+      val base = GraphOps.labelPropagation(df, "a", "b", rounds)
+        .as[(Long, Long)].collect().toMap
+      val fast = GraphOps.labelPropagation(df, "a", "b", rounds,
+          assumeCanonical = true)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == base, s"rounds=$rounds")
+    }
+  }
 }
