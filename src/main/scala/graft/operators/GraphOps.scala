@@ -184,7 +184,23 @@ object GraphOps {
     // At fixpoint the edge set is a union of stars (u < v with u the
     // component min): v's component is u, centers and isolated nodes
     // map to themselves.
-    inputNodes
+    //
+    // assumeCanonical output (r15 opt): with no self-loops possible,
+    // every input node carries >= 1 real edge, so the fixpoint star
+    // forest ITSELF spans the node universe — children are exactly the
+    // v column (each exactly once, the forest property the convergence
+    // test just asserted), centers the distinct u column. Reading the
+    // result straight off the fixpoint edges drops the inputNodes
+    // union+distinct over the 2x|pairs| RAW pair list and the |V|-row
+    // left join (guide §2.4); the distinct here runs over |E_fix| rows
+    // keyed by |components| — map-side combine crushes it. The general
+    // path keeps the join: self-loop-only nodes appear in raw but not
+    // in the fixpoint forest, and must still get a component row.
+    if (assumeCanonical)
+      edges.select(col("v").as("node"), col("u").as("component"))
+        .union(edges.select(col("u"), col("u")).distinct()
+          .toDF("node", "component"))
+    else inputNodes
       .join(edges.select(col("v").as("n"), col("u").as("c")), Seq("n"), "left")
       .select(col("n").as("node"), coalesce(col("c"), col("n")).as("component"))
   }
