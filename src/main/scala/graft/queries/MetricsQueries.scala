@@ -442,7 +442,18 @@ object MetricsQueries {
     * combinations rewrite (one shuffle, no self-join) was measured and
     * REJECTED: higher-order array functions run outside whole-stage
     * codegen and the round-trip cost its three consumers ~1 s each at
-    * sf0.1; the codegen'd distinct+self-join wins on constants. */
+    * sf0.1; the codegen'd distinct+self-join wins on constants.
+    *
+    * Re-probed r15 (ProfileR15b, same-JVM alternating, parity
+    * checksummed) with the NATIVE packed_pairs kernel this time —
+    * groupBy(o) + sort_array(collect_set) + codegen'd C(n,2) explode,
+    * replacing BOTH the distinct and the hinted self-join (2 keyed
+    * exchanges -> 1, jobs -1): LOST 0/8 pairs (g3 shape 3.84-4.57 vs
+    * 3.19-3.74 s; g6 shape 5.46-7.94 vs 4.73-5.89). Same root cause
+    * a19's basket audit found: the collect_set aggregate's per-order
+    * array buffers cost more than the exchange-reused self-join they
+    * remove, even when the (o,p) table has no other consumer. The
+    * verdict transfers across every coEdges consumer; REJECTED. */
   private def coEdges(s: SparkSession, dir: String): DataFrame = {
     // The (o,p) pre-distinct stays: dropping it was measured SLOWER
     // (g3 2.65 -> 3.23 s — the dedup shrinks the self-join's build and
